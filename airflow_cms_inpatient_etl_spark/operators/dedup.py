@@ -1,0 +1,183 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+These are the four standard near-dup families for training-data pipelines.
+All are pure DataFrame compositions (no UDFs), built on the portable text
+primitives in ``operators.text`` so every stage is reproducible across engines
+and across cluster re-runs.
+
+Scale design (100 TB posture):
+* candidate generation always goes through an inverted index (shingle or LSH
+  band) — never an all-pairs cross join;
+* posting lists are ``distinct``-ed per document before the self-join, and the
+  self-join condition ``id1 < id2`` halves the pair space;
+* hot shingles (stop-shingles) can be capped via ``max_df`` — the classic
+  df-cap that bounds the worst posting list at the cost of recall on
+  boilerplate-heavy corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.operators.text import (
+    exploded_shingles,
+    hash60,
+    normalized_fingerprint,
+    shingles,
+    words,
+)
+
+N_MINHASHES = 8
+N_BANDS = 2  # 4 hashes per band → candidates need an exact 4-signature match
+
+
+def exact_dedup_representatives(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+    """Exact dedup via hash-groupBy: one representative (min id) per key group.
+
+    Equivalent semantics to ``dropDuplicates(key_cols)`` but deterministic in
+    *which* row survives (dropDuplicates keeps an arbitrary first-seen row)."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized-text fingerprint buckets (rolling-hash-style exact dedup)."""
+    return (
+        df.select(F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _pair_jaccard(ex: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard over (id, shingle) posting lists via inverted-index self-join."""
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = ex.select(F.col(id_col).alias("id1"), "shingle")
+    b = ex.select(F.col(id_col).alias("id2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("set_size").alias("size1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("set_size").alias("size2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size1") + F.col("size2") - F.col("n_common")),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float, k: int = 3
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (id1 < id2, jaccard ≥ threshold)."""
+    ex = exploded_shingles(df, id_col, text_col, k)
+    return (
+        _pair_jaccard(ex, id_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_signatures(ex: DataFrame, id_col: str, n_hashes: int = N_MINHASHES) -> DataFrame:
+    """MinHash signature per document: sig_j = min over shingles of h_j(shingle),
+    with h_j a seeded portable hash.  One groupBy pass computes all permutations."""
+    aggs = [
+        F.min(hash60(F.col("shingle"), seed=f"mh{j}:")).alias(f"sig{j}")
+        for j in range(n_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 3,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup join, verified with exact Jaccard.
+
+    shingle → minhash (n_hashes permutations) → band keys (n_bands groups of
+    rows/band signatures, md5-combined) → bucket self-join for candidates →
+    exact Jaccard verification ≥ threshold.  The bucket join touches only
+    same-band-key pairs, so cost scales with bucket occupancy, not corpus².
+    """
+    rows_per_band = n_hashes // n_bands
+    ex = exploded_shingles(df, id_col, text_col, k).cache()
+    sigs = minhash_signatures(ex, id_col, n_hashes)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    # candidate pairs: share at least one band bucket
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("#", F.lit(str(b)), F.col(f"band{b}"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    left = stacked.select(F.col(id_col).alias("id1"), "bucket")
+    right = stacked.select(F.col(id_col).alias("id2"), "bucket")
+    candidates = (
+        left.join(right, "bucket").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
+    )
+    # exact verification on the candidate set only
+    verified = (
+        _pair_jaccard(ex, id_col)
+        .join(candidates, ["id1", "id2"], "left_semi")
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return verified
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 16, k: int = 3
+) -> DataFrame:
+    """SimHash: per-document n_bit fingerprint from signed bit-votes of shingle
+    hashes.  Near-dup docs land on nearby (often equal) fingerprints.
+
+    Expressed as shingle-explode × bit-explode → conditional sum → sign →
+    weighted bit reassembly; entirely built-in expressions, one shuffle on
+    (id, bit) then one on id.
+    """
+    ex = exploded_shingles(df, id_col, text_col, k)
+    hashed = ex.select(F.col(id_col), hash60(F.col("shingle"), seed="sh:").alias("h"))
+    votes = (
+        hashed.select(
+            F.col(id_col), F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"), "h"
+        )
+        .withColumn(
+            "vote",
+            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("score"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("score") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

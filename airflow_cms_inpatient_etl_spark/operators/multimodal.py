@@ -1,0 +1,64 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with a typed
+metadata struct alongside — the Spark-native multimodal table layout.  The
+actual codec work (image decode, resample, frame extraction) would run in
+Arrow-batched ``mapInPandas`` stages; the codec libraries are not in this
+container, so the decode kernel is a deterministic stub (clearly marked),
+while everything Spark-side — schema, batching, partitioning, UDF signature —
+is real and tested.
+
+At 100 TB: payload columns dominate I/O, so the metadata-only queries must
+never read them (parquet column pruning does this for free), and decode stages
+size partitions by bytes (``spark.sql.files.maxPartitionBytes``), not rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id bigint, n_bytes int, fake_width int, fake_height int, fake_channels int"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build the multimodal layout from the documents fixture: payload binary +
+    metadata struct (mime, byte length).  Stands in for real image bytes."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/fake-image").alias("mime"),
+            F.length(payload).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """STUB image decode: real pipelines put PIL/ffmpeg here; this container
+    has neither, so emit deterministic fake dimensions derived from the bytes.
+    The Arrow batch flow, schema contract, and partition behavior are the real
+    thing — only the kernel is fake."""
+    import pandas as pd
+
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "fake_width": n_bytes % 640 + 1,
+                "fake_height": n_bytes % 480 + 1,
+                "fake_channels": n_bytes % 3 + 1,
+            }
+        )
+
+
+def decode_features(multimodal: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage (mapInPandas) over the payload column."""
+    return multimodal.select("doc_id", "payload").mapInPandas(decode_stub, schema=DECODED_SCHEMA)

@@ -1,0 +1,44 @@
+"""Data-quality assertions — the reference's DQ checks, made real.
+
+The reference runs three ``SELECT CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END``
+"checks" (``/root/reference/dags/patient_claims_plus_postgres.py:125-130,
+:150-155,:194-199``) that can never fail the DAG — a SELECT returning 0 still
+succeeds.  Here they raise (SURVEY.md A14), and we add the join-key uniqueness
+check the reference silently assumes (beneficiary must be ≤1 row per patient or
+the LEFT join fans out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class DataQualityError(AssertionError):
+    pass
+
+
+def assert_non_empty(df: DataFrame, name: str) -> int:
+    n = df.count()
+    if n == 0:
+        raise DataQualityError(f"DQ failed: table {name!r} is empty")
+    return n
+
+
+def assert_unique_key(df: DataFrame, key: str, name: str) -> None:
+    """Fail if any key value occurs more than once (single aggregate pass —
+    no driver-side collect of the data)."""
+    dup = (
+        df.groupBy(key).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1).limit(1).count()
+    )
+    if dup:
+        raise DataQualityError(f"DQ failed: key {key!r} not unique in {name!r}")
+
+
+def dq_flag(df: DataFrame) -> DataFrame:
+    """The reference's literal check shape: 1/0 non-empty flag plus the count
+    (kept for parity; `assert_non_empty` is the enforcing variant)."""
+    return df.agg(
+        F.when(F.count(F.lit(1)) > 0, 1).otherwise(0).alias("ok"),
+        F.count(F.lit(1)).alias("n"),
+    )

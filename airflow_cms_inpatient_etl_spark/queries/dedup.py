@@ -1,0 +1,175 @@
+"""Deduplication queries over ``documents`` (north-star extension surface).
+
+The DuckDB oracles replicate each algorithm step-for-step (same portable
+md5-based hashes, same shingling), so even the LSH pipelines are value-checked
+— not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.operators.dedup import (
+    exact_dedup_representatives,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from airflow_cms_inpatient_etl_spark.queries.base import register
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+# Shared oracle CTE: distinct (doc_id, word-3-gram shingle) posting list,
+# mirroring operators.text.words/shingles/exploded_shingles exactly.
+_SHINGLES_CTE = """
+    toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
+        FROM toks
+    ),
+    ex AS (
+        SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle FROM sh
+    )
+"""
+
+# Shared oracle CTE block: exact pairwise Jaccard from the ex posting list.
+_JACCARD_CTES = """
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT id1, id2,
+               inter.n_common / (s1.set_size + s2.set_size - inter.n_common) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON inter.id1 = s1.doc_id
+        JOIN sizes s2 ON inter.id2 = s2.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_exact_distinct",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+)
+def dedup_exact_distinct(spark, sf_dir):
+    """DISTINCT over a column subset (hash-agg; partial combine map-side)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("lang", "source").distinct()
+
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT MD5(text) AS text_key, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact_text(spark, sf_dir):
+    """Exact dedup with a deterministic surviving representative per text
+    (hash-groupBy; unlike dropDuplicates, the kept row is well-defined)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        exact_dedup_representatives(d, "doc_id", ["text"])
+        .select(F.md5("text").alias("text_key"), "doc_id", "n_copies")
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark, sf_dir):
+    """Normalized-text md5 fingerprint buckets (formatting-insensitive exact dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprint_dedup(d, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_CTES}
+    SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (≥ 0.8) via inverted-index
+    self-join — no all-pairs comparison."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"MIN(CAST('0x' || SUBSTR(MD5('mh{j}:' || shingle), 1, 15) AS BIGINT)) AS sig{j}"
+                   for j in range(8)
+               )}
+        FROM ex GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id,
+               MD5(CONCAT_WS(',', sig0, sig1, sig2, sig3)) AS band0,
+               MD5(CONCAT_WS(',', sig4, sig5, sig6, sig7)) AS band1
+        FROM sigs
+    ),
+    stacked AS (
+        SELECT doc_id, UNNEST(['0#' || band0, '1#' || band1]) AS bucket FROM banded
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_CTES}
+    SELECT j.id1, j.id2, j.jaccard
+    FROM jac j JOIN cand USING (id1, id2)
+    WHERE j.jaccard >= 0.7
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (8 portable permutations) + 2-band LSH candidate generation +
+    exact-Jaccard verification (≥ 0.7).  The oracle replays the identical
+    algorithm, so this LSH pipeline is value-checked end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.7)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+        SELECT doc_id, CAST('0x' || SUBSTR(MD5('sh:' || shingle), 1, 15) AS BIGINT) AS h
+        FROM ex
+    ),
+    votes AS (
+        SELECT doc_id, bits.bit,
+               SUM(CASE WHEN (h >> bits.bit) & 1 = 1 THEN 1 ELSE -1 END) AS score
+        FROM hashed, (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS bit) bits
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprint per document from signed shingle-hash bit votes."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(d, "doc_id", "text", n_bits=16)

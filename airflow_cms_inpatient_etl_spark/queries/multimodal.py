@@ -1,0 +1,54 @@
+"""Multimodal-column queries: metadata-only (payload never read) and the
+Arrow-batched decode-stub pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+)
+from airflow_cms_inpatient_etl_spark.queries.base import register
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           'application/fake-image' AS mime,
+           OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes,
+           OCTET_LENGTH(CAST(text AS BLOB)) % 4096 AS shard_bucket
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark, sf_dir):
+    """Typed metadata over binary payload columns — the query shape that must
+    prune the payload out of the scan entirely."""
+    d = load_table(spark, sf_dir, "documents")
+    mm = attach_binary_payload(d)
+    return mm.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
+        (F.col("meta.n_bytes") % 4096).cast("bigint").alias("shard_bucket"),
+    )
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n_bytes,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 640 + 1 AS INT) AS fake_width,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 480 + 1 AS INT) AS fake_height,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 3 + 1 AS INT) AS fake_channels
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark, sf_dir):
+    """mapInPandas decode stage (stub kernel, real Arrow plumbing) — the
+    deterministic fake features are oracle-checkable arithmetic on byte length."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_features(attach_binary_payload(d))

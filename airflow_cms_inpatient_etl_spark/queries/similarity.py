@@ -1,0 +1,108 @@
+"""Similarity-search queries over ``embeddings`` (64-d float vectors).
+
+Cosine scores are bit-deterministic (ordered left-fold dot products — see
+``operators.similarity``), so the oracles compare exact values, and top-k sets
+are stable under ties via the candidate-id tie-breaker.
+"""
+
+from __future__ import annotations
+
+from airflow_cms_inpatient_etl_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    embedding_neardup_pairs,
+)
+from airflow_cms_inpatient_etl_spark.queries.base import register
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+# DuckDB expression mirroring operators.similarity.dot/norm_sq fold order:
+# products in index order, double accumulator, left fold.  list_reduce seeds
+# with the first element, Spark's aggregate seeds with 0.0 — identical results
+# since 0.0 + x == x.
+def _dot(a: str, b: str) -> str:
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cosine(a: str, b: str) -> str:
+    return f"{_dot(a, b)} / (SQRT({_dot(a, a)}) * SQRT({_dot(b, b)}))"
+
+
+_BUCKET = (
+    "(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END || "
+    "CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END || "
+    "CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END || "
+    "CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END)"
+)
+
+
+@register(
+    "sim_cosine_topk_brute",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings),
+    scored AS (
+        SELECT qid, cid, {_cosine("qvec", "cvec")} AS cosine
+        FROM c, q WHERE cid <> qid
+    ),
+    ranked AS (
+        SELECT qid, cid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def sim_cosine_topk_brute(spark, sf_dir):
+    """Brute-force cosine top-5 for 8 query vectors: broadcast queries against
+    one candidate scan, per-query heap via row_number — the exactness baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(e.vec_id < 8)
+    return brute_force_topk(e, queries, k=5)
+
+
+@register(
+    "sim_ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM e WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cid, embedding AS cvec, bucket FROM e),
+    scored AS (
+        SELECT qid, cid, {_cosine("qvec", "cvec")} AS cosine
+        FROM c JOIN q USING (bucket) WHERE cid <> qid
+    ),
+    ranked AS (
+        SELECT qid, cid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def sim_ann_lsh_topk(spark, sf_dir):
+    """ANN variant: sign-bit LSH buckets restrict scoring to the query's bucket
+    — the scale path (bucketed equi-join instead of cross join)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(e.vec_id < 8)
+    return ann_lsh_topk(e, queries, k=3)
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+    a AS (SELECT vec_id AS id1, embedding AS v1, bucket FROM e),
+    b AS (SELECT vec_id AS id2, embedding AS v2, bucket FROM e),
+    pairs AS (
+        SELECT id1, id2, {_cosine("v1", "v2")} AS cosine
+        FROM a JOIN b USING (bucket) WHERE id1 < id2
+    )
+    SELECT id1, id2, cosine FROM pairs WHERE cosine > 0.95
+    """,
+)
+def sim_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (> 0.95), blocked by LSH bucket."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.95)

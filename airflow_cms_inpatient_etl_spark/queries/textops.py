@@ -1,0 +1,182 @@
+"""Text-analysis queries over ``documents``: quality scoring, language ID,
+token counting, corpus rollups (north-star extension surface).
+
+All built-in expressions (codegen'd) — the hot path of a 100 TB text pipeline
+must not cross into Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.queries.base import register
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# tiny per-language lexicons for the heuristic language-ID
+_LEXICONS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "los", "y"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "les", "et", "une"],
+}
+
+_BPE_ISH = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+
+def _words(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, n_chars, text,
+               STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_measured,
+           LEN(w) AS n_tokens,
+           LEN(LIST_DISTINCT(w)) AS n_distinct_tokens,
+           LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) / LEN(w) AS avg_token_len,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+           LEN(LIST_INTERSECT(LIST_DISTINCT(w), {_STOPWORDS!r})) AS n_stopwords,
+           LEN(LIST_INTERSECT(LIST_DISTINCT(w), {_STOPWORDS!r})) / LEN(LIST_DISTINCT(w)) AS stopword_coverage,
+           LEN(LIST_DISTINCT(w)) / LEN(w) AS lexical_diversity,
+           CASE WHEN LEN(w) BETWEEN 20 AND 500 THEN 0.5 ELSE 0.0 END
+               + LEN(LIST_INTERSECT(LIST_DISTINCT(w), {_STOPWORDS!r})) / LEN(LIST_DISTINCT(w)) AS quality_score
+    FROM toks
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Per-document quality features: length, token counts, punctuation count,
+    stopword coverage, lexical diversity, and a combined score."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    distinct_w = F.array_distinct(w)
+    stop_lits = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(distinct_w, stop_lits))
+    n_tokens = F.size(w)
+    n_distinct = F.size(distinct_w)
+    length_bonus = F.when(n_tokens.between(20, 500), 0.5).otherwise(0.0)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        (F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_tokens).alias("avg_token_len"),
+        F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]")).cast("bigint").alias("n_punct"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        (n_stop / n_distinct).alias("stopword_coverage"),
+        (n_distinct / n_tokens).alias("lexical_diversity"),
+        (length_bonus + n_stop / n_distinct).alias("quality_score"),
+    )
+
+
+def _lex_sql(lang: str) -> str:
+    return f"LEN(LIST_INTERSECT(LIST_DISTINCT(w), {_LEXICONS[lang]!r}))"
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               {_lex_sql("en")} AS en_hits,
+               {_lex_sql("es")} AS es_hits,
+               {_lex_sql("de")} AS de_hits,
+               {_lex_sql("fr")} AS fr_hits
+        FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang, en_hits, es_hits, de_hits, fr_hits,
+           CASE WHEN en_hits + es_hits + de_hits + fr_hits = 0 THEN 'und'
+                WHEN en_hits >= GREATEST(es_hits, de_hits, fr_hits) THEN 'en'
+                WHEN es_hits >= GREATEST(de_hits, fr_hits) THEN 'es'
+                WHEN de_hits >= fr_hits THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_langid_heuristic(spark, sf_dir):
+    """Lexicon-overlap language ID (n-gram-free heuristic): count distinct
+    stopword hits per language, argmax with a fixed priority order for ties.
+    Deterministic by construction; the labeled lang rides along for evaluation."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.array_distinct(_words(F.col("text")))
+    hits = {
+        lang: F.size(F.array_intersect(w, F.array(*[F.lit(t) for t in lex])))
+        for lang, lex in _LEXICONS.items()
+    }
+    total = hits["en"] + hits["es"] + hits["de"] + hits["fr"]
+    predicted = (
+        F.when(total == 0, "und")
+        .when(hits["en"] >= F.greatest(hits["es"], hits["de"], hits["fr"]), "en")
+        .when(hits["es"] >= F.greatest(hits["de"], hits["fr"]), "es")
+        .when(hits["de"] >= hits["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits["en"].cast("bigint").alias("en_hits"),
+        hits["es"].cast("bigint").alias("es_hits"),
+        hits["de"].cast("bigint").alias("de_hits"),
+        hits["fr"].cast("bigint").alias("fr_hits"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '{_BPE_ISH}')) AS bpe_ish_tokens,
+           LENGTH(text) AS n_chars_measured,
+           LENGTH(text) = n_chars AS n_chars_ok
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Token counting two ways: whitespace split and a BPE-ish regex segmenter
+    (letter runs / single digits / punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_ISH)).cast("bigint").alias("bpe_ish_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_ok"),
+    )
+
+
+@register(
+    "text_corpus_rollup",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def text_corpus_rollup(spark, sf_dir):
+    """Corpus statistics rollup by (lang, source) — integer sums, exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -1,0 +1,196 @@
+"""Event-time operators over the ``events`` table (SURVEY §2.B streaming row):
+tumbling / sliding / session windows and the as-of join — implemented batch-first
+(oracle-able) with the same semantics Structured Streaming gives incrementally
+(see ``streaming/`` for the readStream versions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.functions.exact import dsum
+from airflow_cms_inpatient_etl_spark.queries.base import register
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) AS window_start,
+           TIME_BUCKET(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling 5-minute event-time windows (``F.window``) — identical grouping
+    to the streaming version with a watermark; both engines align buckets to the
+    epoch-midnight 5-minute grid."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes")
+    return (
+        e.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH expanded AS (
+        SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) - (k * INTERVAL '5 minutes') AS window_start,
+               value
+        FROM events, (VALUES (0), (1)) AS offs(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '10 minutes' AS window_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding windows (10-minute length, 5-minute slide): each event lands in
+    length/slide windows.  Spark's ``F.window(ts, len, slide)`` expands rows
+    exactly like the oracle's offset cross-join."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(win)
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark, sf_dir):
+    """Sessionization with a 30-minute inactivity gap via ``session_window``
+    (Spark's session end = last event + gap; the oracle reproduces that with
+    the classic gaps-and-islands window construction)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_asof_last_click",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT DISTINCT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, c.click_ts AS last_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def events_asof_last_click(spark, sf_dir):
+    """As-of join (Spark has no native one — SURVEY §2.B): for each purchase,
+    the most recent click by the same user at-or-before the purchase time.
+
+    Implemented as the union-and-carry-forward pattern: tag both sides, sort
+    within user by (ts, side) with clicks first at equal timestamps, and carry
+    the last click timestamp forward with ``last(ignorenulls)``.  One shuffle on
+    user_id, no range explosion — this is the 100 TB-safe as-of strategy."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .distinct()
+        .select(F.lit(None).cast("bigint").alias("event_id"), "user_id", "ts", F.lit(0).alias("side"))
+    )
+    unioned = purchases.unionByName(clicks).withColumn(
+        "click_ts", F.when(F.col("side") == 0, F.col("ts"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+@register(
+    "events_dedup_within_window",
+    oracle="""
+    SELECT user_id, event_type,
+           TIME_BUCKET(INTERVAL '5 minutes', ts) AS window_start,
+           MIN(event_id) AS first_event_id,
+           COUNT(*) AS n_dups
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_dedup_within_window(spark, sf_dir):
+    """Batch analog of ``dropDuplicatesWithinWatermark``: collapse repeats of
+    (user, type) inside each 5-minute window to the first event."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type", F.window("ts", "5 minutes"))
+        .agg(F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            "first_event_id",
+            "n_dups",
+        )
+    )

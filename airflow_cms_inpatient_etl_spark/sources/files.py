@@ -1,0 +1,77 @@
+"""File sources: validated CSV scan with COPY-csv null semantics, parquet, json.
+
+Reference behavior being re-expressed:
+
+* CSV scan with header + fixed projection, hard-failing when an expected column
+  is missing from the header (``/root/reference/dags/patient_claims_plus_postgres.py:40-44``).
+* Missing/empty cells load as NULL — the reference writes ``""`` for absent cells
+  (``:51``) and streams through ``COPY ... FORMAT csv`` (``:55-57``), where
+  unquoted empty fields become NULL.  Spark's csv reader with the default
+  ``nullValue=""`` matches exactly (SURVEY.md §1.3).
+* Text→typed cast at load (``:84,:98-99,:102``): done here by reading everything
+  as string and casting to the declared schema, so cast failures surface as NULL
+  exactly like Postgres COPY would error-or-null per type.
+
+Unlike the reference's loader — which materializes the entire projected file in
+driver memory via ``StringIO`` (``:46-53``) — these are distributed scans: at
+100 TB the CSV splits across executors and the projection/cast runs codegen'd
+per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class MissingColumnsError(ValueError):
+    """Raised when the CSV header lacks required columns (reference :42-44)."""
+
+
+def read_csv_projected(
+    spark: SparkSession,
+    path: str,
+    keep_cols: list[str],
+    schema: T.StructType,
+) -> DataFrame:
+    """Header-validated, projected, typed CSV scan.
+
+    ``keep_cols`` are the (possibly uppercase) source header names; ``schema``
+    declares the lowercase target names and types positionally aligned with
+    ``keep_cols``.  The header check reads one file header on the driver —
+    O(1) — not the data.
+    """
+    raw = spark.read.csv(path, header=True, inferSchema=False)  # all strings
+    have = {c.lower() for c in raw.columns}
+    missing = [c for c in keep_cols if c.lower() not in have]
+    if missing:
+        raise MissingColumnsError(f"CSV {path} missing expected columns: {missing}")
+    projected = raw.select(
+        *[
+            F.col(src).cast(field.dataType).alias(field.name)
+            for src, field in zip(keep_cols, schema.fields)
+        ]
+    )
+    return projected
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)  # no inference in prod paths
+    return reader.json(path)
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Idempotent materialization — the engine's CREATE TABLE AS SELECT
+    (reference CTAS at ``patient_claims_plus_postgres.py:161`` + drop-if-exists
+    ``:63-68``; ``mode("overwrite")`` subsumes both)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,60 @@
+"""Testdata table registry.
+
+The driver testdata (TESTDATA.md) is a TPC-H-ish star schema plus ``events``
+(stream-shaped), ``documents`` (text corpus) and ``embeddings`` (64-d float
+vectors), one parquet file per table under ``/root/testdata/sf{0.001,0.01,0.1}``.
+
+At 100 TB these would be partitioned/bucketed tables in a metastore; locally we
+read single parquet files.  All scans go through ``load_table`` so predicate
+pushdown / column pruning behavior is uniform and testable in one place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (columnar parquet scan; Catalyst prunes/pushes).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark rejects by
+    default (PARQUET_TYPE_ILLEGAL).  We read it as raw nanos via the legacy
+    conf and convert to a microsecond timestamp — lossless for this data (the
+    generator emits whole microseconds) and identical to what DuckDB sees.
+    The conf is set at scan time so the fix works under any caller's session.
+    """
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for the SQL surface)."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
