@@ -141,14 +141,32 @@ def minhash_lsh_pairs(
     candidates = (
         left.join(right, "bucket").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
     )
-    # exact verification on the candidate set only
-    verified = (
-        _pair_jaccard(ex, id_col)
-        .join(candidates, ["id1", "id2"], "left_semi")
+    # Exact verification restricted to the candidate pairs (this is the whole
+    # point of LSH: never compute Jaccard over the full corpus).  The candidate
+    # set is normally tiny relative to the posting lists — AQE picks it as the
+    # broadcast side; at pathological candidate volumes this degrades to a
+    # shuffle join instead of OOMing a hint.
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    pair_shingles = ex.select(F.col(id_col).alias("id1"), "shingle").join(candidates, "id1")
+    inter = (
+        pair_shingles.join(
+            ex.select(F.col(id_col).alias("id2"), "shingle"), ["id2", "shingle"]
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("set_size").alias("size1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("set_size").alias("size2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size1") + F.col("size2") - F.col("n_common")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
-    return verified
 
 
 def simhash_fingerprints(

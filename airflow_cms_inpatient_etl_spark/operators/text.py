@@ -36,9 +36,16 @@ def shingles(words_col: Column, k: int = 3) -> Column:
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) rows, one per *distinct* shingle per document."""
+    """(id, shingle) rows, one per *distinct* shingle per document.
+
+    The words array is materialized in its own projection first: Catalyst does
+    not eliminate common subexpressions inside higher-order-function lambdas,
+    so inlining ``split()`` would re-run the regex per ``element_at`` (measured
+    ~10× slower).
+    """
+    tokenized = df.select(F.col(id_col), words(F.col(text_col)).alias("__words"))
     return (
-        df.select(F.col(id_col), F.explode(shingles(words(F.col(text_col)), k)).alias("shingle"))
+        tokenized.select(F.col(id_col), F.explode(shingles(F.col("__words"), k)).alias("shingle"))
         .distinct()
     )
 

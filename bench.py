@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced through the noop sink (full plan runs distributed; no
+driver-side result transfer skews the timing).  The headline set spans every
+operator family: parity flagship, TPC-H-style aggregation + multiway join,
+windows, event-time ops, dedup (exact + MinHash LSH), similarity (brute +
+ANN), text analysis, multimodal decode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+from airflow_cms_inpatient_etl_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_patient_claims_plus",
+    "q1_pricing_summary",
+    "join_multiway_revenue",
+    "filter_complex_predicates",
+    "topk_orders_by_price",
+    "window_rank_topk_per_group",
+    "window_running_sum",
+    "events_tumbling_window",
+    "events_session_window",
+    "events_asof_last_click",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk_brute",
+    "sim_ann_lsh_topk",
+    "text_quality_scores",
+    "multimodal_decode_stub",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="engine-bench")
+
+    # JVM/codegen warm-up on a trivial plan so q1 doesn't pay startup costs.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERY_REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
