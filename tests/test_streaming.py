@@ -1,0 +1,106 @@
+"""Structured Streaming tests: file-source streams driven to completion with
+the memory sink, asserted against the equivalent batch computation
+(batch-equivalence is the streaming oracle — SURVEY §7)."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+from airflow_cms_inpatient_etl_spark.streaming.jobs import (
+    dedup_within_watermark,
+    run_stream_to_memory,
+    stream_events,
+    tumbling_counts,
+)
+from airflow_cms_inpatient_etl_spark.streaming.stateful import running_user_profile
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    """File streaming source wants a directory; stage the fixture into one."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _table(name):
+    return f"{name}_{uuid.uuid4().hex[:8]}"
+
+
+def test_streaming_tumbling_counts_match_batch(spark, events_stream_dir):
+    events = stream_events(spark, events_stream_dir)
+    name = _table("tumbling")
+    run_stream_to_memory(tumbling_counts(events), name, output_mode="complete")
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n"] for r in spark.table(name).collect()
+    }
+    batch = load_table(spark, SF_SMOKE, "events")
+    expected = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == expected and len(streamed) > 0
+
+
+def test_streaming_append_mode_emits_closed_windows(spark, events_stream_dir):
+    """Append mode with a watermark: windows closed by the final watermark are
+    emitted; the still-open tail may be withheld — so streamed ⊆ batch."""
+    events = stream_events(spark, events_stream_dir)
+    name = _table("append")
+    run_stream_to_memory(tumbling_counts(events), name, output_mode="append")
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n"] for r in spark.table(name).collect()
+    }
+    batch = load_table(spark, SF_SMOKE, "events")
+    expected = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(streamed) > 0
+    assert streamed.items() <= expected.items()
+
+
+def test_streaming_dedup_within_watermark(spark, events_stream_dir, tmp_path):
+    """Duplicate the stream dir contents → dropDuplicatesWithinWatermark
+    collapses the copies back to the original cardinality."""
+    import shutil as _sh
+
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    _sh.copy(f"{events_stream_dir}/part-0.parquet", dup_dir / "a.parquet")
+    _sh.copy(f"{events_stream_dir}/part-0.parquet", dup_dir / "b.parquet")
+    events = stream_events(spark, str(dup_dir))
+    name = _table("dedup")
+    run_stream_to_memory(
+        dedup_within_watermark(events).select("user_id", "event_type", "ts"),
+        name,
+        output_mode="append",
+    )
+    n_unique = load_table(spark, SF_SMOKE, "events").select("user_id", "event_type", "ts").distinct().count()
+    assert spark.table(name).count() == n_unique
+
+
+def test_stateful_running_profile(spark, events_stream_dir):
+    """applyInPandasWithState: final per-user totals equal the batch aggregate."""
+    events = stream_events(spark, events_stream_dir)
+    name = _table("profile")
+    run_stream_to_memory(running_user_profile(events), name, output_mode="update")
+    # update mode with one input batch → one row per user
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 2)) for r in spark.table(name).collect()}
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    expected = {r["user_id"]: (r["n"], round(r["s"], 2)) for r in batch.collect()}
+    assert got == expected
