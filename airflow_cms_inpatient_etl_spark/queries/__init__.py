@@ -14,6 +14,7 @@ from airflow_cms_inpatient_etl_spark.queries.base import QUERY_REGISTRY, QuerySp
 from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
     parity,
     relational,
+    relational2,
     scalarfuncs,
     windows,
     timeseries,

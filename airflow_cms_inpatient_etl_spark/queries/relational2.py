@@ -1,0 +1,174 @@
+"""Second relational batch: multiset set-ops, argmin/argmax, median, exact
+statistical moments, map functions, array aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.functions.exact import dec
+from airflow_cms_inpatient_etl_spark.queries.base import register
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+
+@register(
+    "set_union_all_counts",
+    oracle="""
+    SELECT k AS key_value, COUNT(*) AS n FROM (
+        SELECT o_custkey AS k FROM orders
+        UNION ALL
+        SELECT c_custkey AS k FROM customer
+    ) GROUP BY k
+    """,
+)
+def set_union_all_counts(spark, sf_dir):
+    """UNION ALL (bag semantics) + re-aggregation."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key_value"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key_value"))
+    return o.unionAll(c).groupBy("key_value").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "set_except_all_linenums",
+    oracle="""
+    SELECT l_linenumber FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_except_all_linenums(spark, sf_dir):
+    """EXCEPT ALL — multiset difference (duplicates preserved by multiplicity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_linenumber")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_linenumber")
+    return a.exceptAll(r)
+
+
+@register(
+    "set_intersect_all_linenums",
+    oracle="""
+    SELECT l_linenumber FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_linenumber FROM lineitem WHERE l_returnflag = 'N'
+    """,
+)
+def set_intersect_all_linenums(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_linenumber")
+    n = li.filter(F.col("l_returnflag") == "N").select("l_linenumber")
+    return a.intersectAll(n)
+
+
+@register(
+    "agg_argmax_argmin",
+    oracle="""
+    SELECT o_orderpriority,
+           MAX(STRUCT_PACK(p := o_totalprice, k := o_orderkey))['k'] AS priciest_order,
+           MIN(STRUCT_PACK(p := o_totalprice, k := o_orderkey))['k'] AS cheapest_order,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_argmax_argmin(spark, sf_dir):
+    """argmax/argmin via lexicographic MAX over a (value, key) struct — price
+    ties broken by key so the selected row is deterministic in both engines
+    (plain max_by/arg_max leaves tie-resolution engine-defined)."""
+    o = load_table(spark, sf_dir, "orders")
+    by = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    return o.groupBy("o_orderpriority").agg(
+        F.max(by).getField("k").alias("priciest_order"),
+        F.min(by).getField("k").alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@register(
+    "agg_exact_moments",
+    oracle="""
+    WITH s AS (
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS sxx
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n, sx, sxx,
+           (sxx - sx * sx / n) / (n - 1) AS var_samp_exact,
+           SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_samp_exact
+    FROM s
+    """,
+)
+def agg_exact_moments(spark, sf_dir):
+    """Variance/stddev from exact single-pass sums (Σx, Σx²) — the scalable,
+    engine-reproducible alternative to builtin stddev (whose merge order makes
+    the low bits nondeterministic on a cluster)."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("c_acctbal")).cast("double").alias("sx"),
+        F.sum(dec(F.col("c_acctbal") * F.col("c_acctbal"), scale=8, precision=30))
+        .cast("double")
+        .alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return g.select("c_mktsegment", "n", "sx", "sxx", var.alias("var_samp_exact"), F.sqrt(var).alias("stddev_samp_exact"))
+
+
+@register(
+    "agg_median_price",
+    oracle="""
+    SELECT o_orderpriority, MEDIAN(o_totalprice) AS median_price, COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_median_price(spark, sf_dir):
+    """Exact median (interpolated for even counts in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("median_price"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           ARRAY_TO_STRING(LIST_SORT(JSON_KEYS(props)), ',') AS keys_sorted,
+           LEN(JSON_KEYS(props)) AS n_keys,
+           CAST(props->>'k' AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def map_functions(spark, sf_dir):
+    """MapType surface: JSON → map<string,bigint> → map_keys / size / element_at."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT user_id,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT event_type)), ',') AS event_types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Array aggregation (collect_set) with explicit ordering — collection
+    order is engine/partition-dependent, so always sort before comparing."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

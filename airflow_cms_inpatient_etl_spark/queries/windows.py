@@ -153,6 +153,35 @@ def window_ntile_percent_rank(spark, sf_dir):
 
 
 @register(
+    "window_range_frame_1h",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_events_trailing_1h,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_value_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame_1h(spark, sf_dir):
+    """Value-based RANGE frame (trailing 1 hour per user, in exact integer
+    microseconds) — the time-windowed running aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_trailing_1h"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_value_trailing_1h"),
+    )
+
+
+@register(
     "window_first_last_value",
     oracle="""
     SELECT o_custkey, o_orderkey,

@@ -66,6 +66,8 @@ def get_spark(
         # ---- local-mode memory (single JVM; ignored under a real cluster manager) -
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
+        # catalog tables (bucketed writes) land under /tmp, not the repo
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

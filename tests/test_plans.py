@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the scale properties the engine promises
+(pushdown, pruning, broadcast dims, partial aggregation, codegen) must appear
+in the plans — a correct-but-badly-planned query is a failure here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = QUERY_REGISTRY[name].fn(spark, SF)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = _formatted_plan(spark, "filter_complex_predicates")
+    assert "PushedFilters:" in plan
+    # every filterable predicate reaches the scan
+    for frag in ["GreaterThanOrEqual(l_quantity,5.0)", "In(l_returnflag", "EqualTo(l_linestatus,F)"]:
+        assert frag in plan, f"missing pushed filter {frag}"
+    # projection pruning: untouched wide columns never read
+    assert "l_partkey" not in plan and "l_suppkey" not in plan
+
+
+def test_flagship_broadcasts_dimension(spark):
+    plan = _formatted_plan(spark, "flagship_patient_claims_plus")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan  # the dim side must never shuffle the fact
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _formatted_plan(spark, "q1_pricing_summary")
+    import re
+
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    # exactly one shuffle, on the group keys (formatted output names each
+    # operator twice: once in the tree, once as a "(n) Exchange" detail header)
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_multiway_join_broadcasts_all_dims(spark):
+    plan = _formatted_plan(spark, "join_multiway_revenue")
+    # customer, nation, region all ride broadcast exchanges
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _formatted_plan(spark, "topk_orders_by_price")
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_no_python_udf_in_relational_hot_paths(spark):
+    """The relational/dedup/similarity surface must stay JVM-side; Python rows
+    appear only in the explicitly-Python multimodal decode stage."""
+    for name in [
+        "q1_pricing_summary",
+        "join_multiway_revenue",
+        "dedup_minhash_lsh",
+        "sim_cosine_topk_brute",
+        "text_quality_scores",
+    ]:
+        plan = _formatted_plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_scalar_subquery_is_broadcast(spark):
+    plan = _formatted_plan(spark, "filter_scalar_subquery")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "filter_complex_predicates"])
+def test_whole_stage_codegen_active(spark, name):
+    df = QUERY_REGISTRY[name].fn(spark, SF)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    simple = df._jdf.queryExecution().explainString(mode)
+    assert "*" in simple  # codegen'd spans marked with *

@@ -1,0 +1,104 @@
+"""Sink/source surface tests: partitioned parquet (with pruning), bucketed
+catalog tables, CSV/JSON roundtrips, JDBC reader construction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.sources.files import read_csv_projected, read_json, write_table
+from airflow_cms_inpatient_etl_spark.sources.jdbc import jdbc_reader
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """dt-style partitioned layout: a lang filter must prune to one directory."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    dest = str(tmp_path / "docs_by_lang")
+    write_table(d, dest, partition_by=["lang"])
+    back = spark.read.parquet(dest).filter(F.col("lang") == "es")
+    assert back.count() == d.filter(F.col("lang") == "es").count()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = back._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_bucketed_table_join_avoids_shuffle(spark, tmp_path):
+    """bucketBy co-location: a join between two tables bucketed on the key
+    plans without an Exchange on either side (the 100 TB join strategy)."""
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable("orders_bkt")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable("customer_bkt")
+    joined = spark.table("orders_bkt").join(
+        spark.table("customer_bkt"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    # disable broadcast so the co-located join strategy is what's tested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not reshuffle"
+        assert joined.count() == o.join(c, F.col("o_custkey") == F.col("c_custkey")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_csv_roundtrip_preserves_nulls(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    dest = str(tmp_path / "csv_out")
+    df = spark.createDataFrame(
+        [("a", None, 1.5), (None, "y", None)], "s1 string, s2 string, d double"
+    )
+    df.write.mode("overwrite").option("header", True).csv(dest)
+    schema = T.StructType(
+        [
+            T.StructField("s1", T.StringType()),
+            T.StructField("s2", T.StringType()),
+            T.StructField("d", T.DoubleType()),
+        ]
+    )
+    back = read_csv_projected(spark, dest, ["s1", "s2", "d"], schema)
+    rows = {tuple(r) for r in back.collect()}
+    assert rows == {("a", None, 1.5), (None, "y", None)}  # empty cell -> NULL
+
+
+def test_json_roundtrip_with_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    dest = str(tmp_path / "json_out")
+    e = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    e.write.mode("overwrite").json(dest)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = read_json(spark, dest, schema)
+    assert back.count() == e.count()
+    assert dict(back.dtypes) == {"event_id": "bigint", "event_type": "string", "value": "double"}
+
+
+def test_jdbc_reader_requires_bounds_for_partitioning(spark):
+    with pytest.raises(ValueError, match="lower_bound"):
+        jdbc_reader(spark, "jdbc:postgresql://db/x", "t", partition_column="id")
+
+
+def test_jdbc_reader_builds_partitioned_plan_options(spark):
+    reader = jdbc_reader(
+        spark,
+        "jdbc:postgresql://db/x",
+        "claims",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+    )
+    assert reader is not None  # options accepted; .load() needs a driver jar
