@@ -158,6 +158,53 @@ def text_token_counts(spark, sf_dir):
 
 
 @register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, w AS token, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w
+              FROM documents)
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               tf.tf * (n.n_docs / df.df) AS tfidf,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * (n.n_docs / df.df) DESC, tf.token) AS rn
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf, rn FROM scored WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document with a *rational* idf (N/df, no log):
+    log is not bit-reproducible across libm implementations, while integer
+    division is — same ranking monotonicity, deterministic everywhere.
+    Shape: token explode → (doc,token) tf agg → token df agg (broadcast) →
+    score + per-doc top-k.  At scale df is |vocab| rows — always broadcastable."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    toks = d.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * (F.col("n_docs") / F.col("df")))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rn")
+    )
+
+
+@register(
     "text_corpus_rollup",
     oracle="""
     SELECT lang, source,

@@ -27,14 +27,22 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 def test_bucketed_table_join_avoids_shuffle(spark, tmp_path):
     """bucketBy co-location: a join between two tables bucketed on the key
     plans without an Exchange on either side (the 100 TB join strategy)."""
+    import shutil
+    import uuid
+
     o = load_table(spark, SF_SMOKE, "orders")
     c = load_table(spark, SF_SMOKE, "customer")
-    spark.sql("DROP TABLE IF EXISTS orders_bkt")
-    spark.sql("DROP TABLE IF EXISTS customer_bkt")
-    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable("orders_bkt")
-    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable("customer_bkt")
-    joined = spark.table("orders_bkt").join(
-        spark.table("customer_bkt"),
+    # the in-memory catalog is per-session but the warehouse dir persists:
+    # DROP TABLE can't see last run's tables, so use unique names + clean dirs
+    suffix = uuid.uuid4().hex[:8]
+    t_orders, t_cust = f"orders_bkt_{suffix}", f"customer_bkt_{suffix}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (t_orders, t_cust):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable(t_orders)
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable(t_cust)
+    joined = spark.table(t_orders).join(
+        spark.table(t_cust),
         F.col("o_custkey") == F.col("c_custkey"),
     )
     # disable broadcast so the co-located join strategy is what's tested
