@@ -21,15 +21,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.operators.text import (
-    exploded_shingles,
-    hash60,
+    exploded_shingle_hashes,
     normalized_fingerprint,
-    shingles,
-    words,
 )
 
 N_MINHASHES = 8
 N_BANDS = 2  # 4 hashes per band → candidates need an exact 4-signature match
+
+# Fixed universal-hash permutation constants (a_j, b_j): sig_j = min over the
+# document's shingle hashes h of (a_j * (h mod 2^31) + b_j) mod p, p Mersenne
+# prime 2^31-1.  Products stay < 2^59 so the arithmetic is overflow-free and
+# identical in every engine (Spark wraps on overflow, DuckDB errors — neither
+# happens here).  Mirrored verbatim into the DuckDB oracle SQL.
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (104729, 12345),
+    (130363, 54321),
+    (159979, 98765),
+    (181081, 13579),
+    (199933, 24680),
+    (224737, 11111),
+    (245771, 77777),
+    (268439, 31415),
+]
+MINHASH_MOD = 2147483647  # 2^31 - 1
+MINHASH_DOMAIN = 2147483648  # 2^31
 
 
 def exact_dedup_representatives(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
@@ -52,12 +67,13 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _pair_jaccard(ex: DataFrame, id_col: str) -> DataFrame:
-    """Exact Jaccard over (id, shingle) posting lists via inverted-index self-join."""
+    """Exact Jaccard over (id, h) hashed posting lists via inverted-index
+    self-join — int join keys, not shingle strings (see exploded_shingle_hashes)."""
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = ex.select(F.col(id_col).alias("id1"), "shingle")
-    b = ex.select(F.col(id_col).alias("id2"), "shingle")
+    a = ex.select(F.col(id_col).alias("id1"), "h")
+    b = ex.select(F.col(id_col).alias("id2"), "h")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -78,7 +94,7 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float, k: int = 3
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (id1 < id2, jaccard ≥ threshold)."""
-    ex = exploded_shingles(df, id_col, text_col, k)
+    ex = exploded_shingle_hashes(df, id_col, text_col, k)
     return (
         _pair_jaccard(ex, id_col)
         .filter(F.col("jaccard") >= threshold)
@@ -87,11 +103,15 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(ex: DataFrame, id_col: str, n_hashes: int = N_MINHASHES) -> DataFrame:
-    """MinHash signature per document: sig_j = min over shingles of h_j(shingle),
-    with h_j a seeded portable hash.  One groupBy pass computes all permutations."""
+    """MinHash signature per document: sig_j = min over shingle hashes of the
+    j-th universal-hash permutation.  One groupBy pass computes all
+    permutations as cheap integer arithmetic on the already-hashed column (the
+    naive alternative — one seeded md5 per permutation per shingle — costs 8
+    string hashes per row and shuffles strings)."""
+    hmod = F.col("h") % MINHASH_DOMAIN
     aggs = [
-        F.min(hash60(F.col("shingle"), seed=f"mh{j}:")).alias(f"sig{j}")
-        for j in range(n_hashes)
+        F.min((F.lit(a) * hmod + F.lit(b)) % MINHASH_MOD).alias(f"sig{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS[:n_hashes])
     ]
     return ex.groupBy(id_col).agg(*aggs)
 
@@ -113,7 +133,7 @@ def minhash_lsh_pairs(
     same-band-key pairs, so cost scales with bucket occupancy, not corpus².
     """
     rows_per_band = n_hashes // n_bands
-    ex = exploded_shingles(df, id_col, text_col, k).cache()
+    ex = exploded_shingle_hashes(df, id_col, text_col, k).cache()
     sigs = minhash_signatures(ex, id_col, n_hashes)
     band_cols = [
         F.md5(
@@ -147,10 +167,10 @@ def minhash_lsh_pairs(
     # broadcast side; at pathological candidate volumes this degrades to a
     # shuffle join instead of OOMing a hint.
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    pair_shingles = ex.select(F.col(id_col).alias("id1"), "shingle").join(candidates, "id1")
+    pair_hashes = ex.select(F.col(id_col).alias("id1"), "h").join(candidates, "id1")
     inter = (
-        pair_shingles.join(
-            ex.select(F.col(id_col).alias("id2"), "shingle"), ["id2", "shingle"]
+        pair_hashes.join(
+            ex.select(F.col(id_col).alias("id2"), "h"), ["id2", "h"]
         )
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -179,10 +199,9 @@ def simhash_fingerprints(
     weighted bit reassembly; entirely built-in expressions, one shuffle on
     (id, bit) then one on id.
     """
-    ex = exploded_shingles(df, id_col, text_col, k)
-    hashed = ex.select(F.col(id_col), hash60(F.col("shingle"), seed="sh:").alias("h"))
+    ex = exploded_shingle_hashes(df, id_col, text_col, k)
     votes = (
-        hashed.select(
+        ex.select(
             F.col(id_col), F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"), "h"
         )
         .withColumn(

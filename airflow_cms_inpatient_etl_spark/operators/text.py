@@ -60,6 +60,24 @@ def hash60(col: Column, seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(prefixed), 1, 15), 16, 10).cast("long")
 
 
+def exploded_shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, h) rows: one 60-bit hash per distinct shingle per document.
+
+    Hashing before the distinct/shuffle is the scale move: posting lists carry
+    8-byte ints instead of ~50-byte shingle strings, and every downstream
+    consumer (Jaccard join, MinHash permutations, SimHash bit votes) works on
+    the int.  At 2^60 hash space, collisions are ~|shingles|²/2^61 — nil even
+    at 100 TB corpus scale — and the md5-based hash is engine-portable, so
+    results stay oracle-exact.
+    """
+    tokenized = df.select(F.col(id_col), words(F.col(text_col)).alias("__words"))
+    return (
+        tokenized.select(F.col(id_col), F.explode(shingles(F.col("__words"), k)).alias("shingle"))
+        .select(F.col(id_col), hash60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
 def normalized_fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over whitespace-collapsed lowercased text —
     the exact-dedup key that survives formatting noise."""

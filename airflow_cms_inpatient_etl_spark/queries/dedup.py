@@ -10,6 +10,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.operators.dedup import (
+    MINHASH_DOMAIN,
+    MINHASH_MOD,
+    MINHASH_PERMS,
     exact_dedup_representatives,
     fingerprint_dedup,
     minhash_lsh_pairs,
@@ -19,8 +22,9 @@ from airflow_cms_inpatient_etl_spark.operators.dedup import (
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 
-# Shared oracle CTE: distinct (doc_id, word-3-gram shingle) posting list,
-# mirroring operators.text.words/shingles/exploded_shingles exactly.
+# Shared oracle CTE: distinct (doc_id, 60-bit shingle hash) posting list,
+# mirroring operators.text.words/shingles/exploded_shingle_hashes exactly
+# (hash = first 15 hex chars of md5(shingle), as a BIGINT).
 _SHINGLES_CTE = """
     toks AS (
         SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w FROM documents
@@ -32,7 +36,9 @@ _SHINGLES_CTE = """
         FROM toks
     ),
     ex AS (
-        SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle FROM sh
+        SELECT DISTINCT doc_id,
+               CAST('0x' || SUBSTR(MD5(s.shingle), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh) s
     )
 """
 
@@ -41,7 +47,7 @@ _JACCARD_CTES = """
     sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM ex GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
-        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     jac AS (
@@ -118,8 +124,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sigs AS (
         SELECT doc_id,
                {", ".join(
-                   f"MIN(CAST('0x' || SUBSTR(MD5('mh{j}:' || shingle), 1, 15) AS BIGINT)) AS sig{j}"
-                   for j in range(8)
+                   f"MIN(({a} * (h % {MINHASH_DOMAIN}) + {b}) % {MINHASH_MOD}) AS sig{j}"
+                   for j, (a, b) in enumerate(MINHASH_PERMS)
                )}
         FROM ex GROUP BY doc_id
     ),
@@ -154,14 +160,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     "dedup_simhash",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    hashed AS (
-        SELECT doc_id, CAST('0x' || SUBSTR(MD5('sh:' || shingle), 1, 15) AS BIGINT) AS h
-        FROM ex
-    ),
     votes AS (
         SELECT doc_id, bits.bit,
                SUM(CASE WHEN (h >> bits.bit) & 1 = 1 THEN 1 ELSE -1 END) AS score
-        FROM hashed, (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS bit) bits
+        FROM ex, (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS bit) bits
         GROUP BY 1, 2
     )
     SELECT doc_id,
