@@ -133,6 +133,117 @@ def agg_median_price(spark, sf_dir):
 
 
 @register(
+    "dedup_keep_latest_event",
+    oracle="""
+    SELECT user_id, event_type, ts AS latest_ts, event_id, value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_latest_event(spark, sf_dir):
+    """Keep-latest dedup (the CDC/compaction idiom): row_number = 1 over a
+    descending event-time order with a unique tiebreaker — deterministic,
+    unlike dropDuplicates which keeps an arbitrary row."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("ts").alias("latest_ts"), "event_id", "value")
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+    WITH cust AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         supp AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1),
+         f AS (
+            SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+                   cust.n_cust AS n_cust, supp.n_supp AS n_supp
+            FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+         )
+    SELECT nationkey,
+           COALESCE(n_cust, 0) AS n_cust_filled,
+           COALESCE(n_supp, 0) AS n_supp_filled,
+           NULLIF(COALESCE(n_supp, 0), 0) AS n_supp_or_null,
+           CASE WHEN n_supp IS NULL THEN 'no_suppliers' ELSE 'has_suppliers' END AS supplier_status,
+           n_cust IS NOT NULL AND n_supp IS NOT NULL AS complete_row
+    FROM f
+    """,
+)
+def null_handling(spark, sf_dir):
+    """NULL-handling surface: COALESCE / NULLIF / IS NULL flags / na.fill over
+    the outer-join result (the engine's missing-value toolkit, SURVEY A8 writ large)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    f = (
+        c.join(s, "nationkey", "full_outer")
+        # null-dependent flags computed before the fill
+        .withColumn(
+            "supplier_status",
+            F.when(F.col("n_supp").isNull(), "no_suppliers").otherwise("has_suppliers"),
+        )
+        .withColumn("complete_row", F.col("n_cust").isNotNull() & F.col("n_supp").isNotNull())
+    )
+    filled = f.na.fill({"n_cust": 0, "n_supp": 0})  # DataFrameNaFunctions surface
+    return filled.select(
+        "nationkey",
+        F.col("n_cust").alias("n_cust_filled"),
+        F.col("n_supp").alias("n_supp_filled"),
+        F.nullif(F.col("n_supp"), F.lit(0)).alias("n_supp_or_null"),
+        "supplier_status",
+        "complete_row",
+    )
+
+
+@register(
+    "conditional_aggregation",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT_IF(l_quantity > 25) AS n_large,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(27,6))
+                         ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE) AS qty_finished,
+           COUNT_IF(l_quantity > 25) / COUNT(*) AS frac_large
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def conditional_aggregation(spark, sf_dir):
+    """count_if / filtered sums — one-pass conditional rollups (replaces N
+    separate filtered scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_large"),
+        F.sum(
+            F.when(F.col("l_linestatus") == "F", dec("l_quantity")).otherwise(
+                F.lit(0).cast("decimal(27,6)")
+            )
+        )
+        .cast("double")
+        .alias("qty_finished"),
+        (F.count_if(F.col("l_quantity") > 25) / F.count(F.lit(1))).alias("frac_large"),
+    )
+
+
+@register(
     "map_functions",
     oracle="""
     SELECT event_id,
