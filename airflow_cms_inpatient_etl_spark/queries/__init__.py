@@ -22,6 +22,7 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
     dedup,
     similarity,
     multimodal,
+    streaming_live,
 )
 
 __all__ = ["QUERY_REGISTRY", "QuerySpec", "register"]

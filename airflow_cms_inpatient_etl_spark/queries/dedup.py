@@ -75,16 +75,20 @@ def dedup_exact_distinct(spark, sf_dir):
     oracle="""
     SELECT MD5(text) AS text_key, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
     FROM documents
-    GROUP BY text
+    GROUP BY MD5(text)
     """,
 )
 def dedup_exact_text(spark, sf_dir):
-    """Exact dedup with a deterministic surviving representative per text
-    (hash-groupBy; unlike dropDuplicates, the kept row is well-defined)."""
+    """Exact dedup with a deterministic surviving representative per text.
+
+    Groups on md5(text), not the text itself: the shuffle then carries 32-byte
+    keys instead of multi-KB documents — the only viable exact-dedup shape at
+    100 TB (hash collisions are 2^-128-level)."""
     d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(F.md5("text").alias("text_key"), "doc_id")
     return (
-        exact_dedup_representatives(d, "doc_id", ["text"])
-        .select(F.md5("text").alias("text_key"), "doc_id", "n_copies")
+        exact_dedup_representatives(keyed, "doc_id", ["text_key"])
+        .select("text_key", "doc_id", "n_copies")
     )
 
 

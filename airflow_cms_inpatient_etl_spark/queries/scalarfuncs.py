@@ -181,6 +181,25 @@ def explode_token_counts(spark, sf_dir):
 
 
 @register(
+    "posexplode_tokens",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(RANGE(0, LEN(words))) AS pos,
+           UNNEST(words) AS token
+    FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+          FROM documents WHERE doc_id < 50)
+    """,
+)
+def posexplode_tokens(spark, sf_dir):
+    """posexplode (UNNEST WITH ORDINALITY): position-preserving flatten."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
+    )
+
+
+@register(
     "json_functions",
     oracle="""
     SELECT event_id,

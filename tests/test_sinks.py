@@ -94,6 +94,23 @@ def test_json_roundtrip_with_schema(spark, tmp_path):
     assert dict(back.dtypes) == {"event_id": "bigint", "event_type": "string", "value": "double"}
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    dest = str(tmp_path / "orc_out")
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").orc(dest)
+    back = spark.read.orc(dest)
+    assert back.count() == li.count()
+    assert dict(back.dtypes) == dict(li.dtypes)
+    # predicate pushdown reaches the ORC scan too
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = (
+        back.filter(F.col("l_returnflag") == "A")._jdf.queryExecution().explainString(mode)
+    )
+    assert "PushedFilters" in plan
+
+
 def test_jdbc_reader_requires_bounds_for_partitioning(spark):
     with pytest.raises(ValueError, match="lower_bound"):
         jdbc_reader(spark, "jdbc:postgresql://db/x", "t", partition_column="id")
