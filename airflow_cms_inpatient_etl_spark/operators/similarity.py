@@ -118,6 +118,63 @@ def ann_lsh_topk(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (max cosine, centroid-id tie-break).  Centroids are a tiny broadcast side;
+    at scale the assignment is a write-time column and the posting lists are
+    partition-pruned."""
+    from pyspark.sql import Window as W
+
+    c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    scored = embeddings.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(c)
+    ).withColumn("c_cos", cosine(F.col(vec_col), F.col("cvec")))
+    w = W.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """IVF ANN top-k: both sides are coarse-quantized; each query scores only
+    the vectors in its own (top-1 probe) inverted list.  Recall improves with
+    more probes — the operator shape (quantize → list equi-join → rank) is the
+    scale path for embedding search when sign-LSH buckets are too coarse."""
+    from pyspark.sql import Window as W
+
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias(qid_col), F.col(vec_col).alias("qvec"), "centroid_id"
+    )
+    c = assigned.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "centroid_id")
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("cid") != F.col(qid_col))
+        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = W.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(qid_col, "cid", "cosine", "rn")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -90,6 +90,47 @@ def sim_ann_lsh_topk(spark, sf_dir):
 
 
 @register(
+    "sim_ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id BETWEEN 100 AND 107
+    ),
+    all_assign AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cosine("e.embedding", "c.cvec")} DESC,
+                                           c.centroid_id) AS crn
+        FROM embeddings e, cent c
+    ),
+    assigned AS (SELECT vec_id, embedding, centroid_id FROM all_assign WHERE crn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, centroid_id FROM assigned WHERE vec_id < 8),
+    cand AS (SELECT vec_id AS cid, embedding AS cvec, centroid_id FROM assigned),
+    scored AS (
+        SELECT qid, cid, {_cosine("qvec", "cvec")} AS cosine
+        FROM cand JOIN q USING (centroid_id) WHERE cid <> qid
+    ),
+    ranked AS (
+        SELECT qid, cid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def sim_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: coarse-quantize all vectors against 8 fixed centroids (vectors
+    100-107), then score each query only against its own inverted list — the
+    quantize → list-join → rank shape of production embedding search."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(e.vec_id < 8)
+    centroids = e.filter(e.vec_id.between(100, 107))
+    return ivf_topk(e, queries, centroids, k=3)
+
+
+@register(
     "sim_embedding_neardup",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),

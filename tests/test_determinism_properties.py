@@ -1,0 +1,67 @@
+"""Property-based tests for the engine's determinism core: exact-decimal
+aggregation and ordered-fold dot products must be bit-identical under any
+partitioning/ordering — that is the claim that makes the oracle gate and
+cluster reproducibility work."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.functions.exact import dsum
+from airflow_cms_inpatient_etl_spark.operators.similarity import dot
+
+# 2-dp "money" doubles, the shape of every testdata measure column
+money = st.decimals(
+    min_value=-99_999_999, max_value=99_999_999, places=2, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(money, min_size=1, max_size=60), st.integers(min_value=1, max_value=7))
+def test_dsum_is_partition_invariant_and_exact(spark, values, n_parts):
+    """dsum must equal the exact rational sum and be bit-identical no matter
+    how the rows are partitioned (raw SUM(double) fails both)."""
+    floats = [float(v) for v in values]
+    df = spark.createDataFrame([(x,) for x in floats], "x double")
+    got_1 = df.coalesce(1).agg(dsum("x", "s")).first()["s"]
+    got_n = df.repartition(n_parts).agg(dsum("x", "s")).first()["s"]
+    # exact decimal arithmetic on the double's true decimal cast (scale 6)
+    from decimal import Decimal
+
+    expected = float(sum(Decimal(str(round(x, 6))) for x in floats))
+    assert got_1 == got_n  # bit-identical across partitionings
+    assert math.isclose(got_1, expected, rel_tol=0, abs_tol=1e-6 * max(1, len(floats)))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=4,
+        max_size=64,
+    )
+)
+def test_ordered_fold_dot_matches_python_left_fold(spark, vec):
+    """The F.aggregate fold must equal a strict left-to-right Python fold —
+    the same order DuckDB's list_reduce uses."""
+    df = spark.createDataFrame([(vec, vec)], "a array<float>, b array<float>")
+    got = df.select(dot(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    import numpy as np
+
+    acc = 0.0
+    for x in vec:
+        xf = float(np.float32(x))
+        acc = acc + xf * xf
+    assert got == acc  # bit-exact, no tolerance
+
+
+def test_dsum_differs_from_naive_double_sum_in_concept(spark):
+    """Sanity: the decimal path is exact where double accumulation drifts."""
+    # 0.1 is inexact in binary; summing it 10_000 times drifts in double
+    df = spark.range(10_000).select(F.lit(0.1).alias("x"))
+    exact = df.agg(dsum("x", "s")).first()["s"]
+    assert exact == 1000.0  # decimal sum of 0.1 × 10k is exactly 1000
