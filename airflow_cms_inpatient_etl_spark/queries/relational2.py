@@ -90,8 +90,8 @@ def agg_argmax_argmin(spark, sf_dir):
     WITH s AS (
         SELECT c_mktsegment,
                COUNT(*) AS n,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS sxx
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sxx
         FROM customer GROUP BY c_mktsegment
     )
     SELECT c_mktsegment, n, sx, sxx,
@@ -105,12 +105,13 @@ def agg_exact_moments(spark, sf_dir):
     engine-reproducible alternative to builtin stddev (whose merge order makes
     the low bits nondeterministic on a cluster)."""
     c = load_table(spark, sf_dir, "customer")
+    # decimal-first squaring: see agg_exact_correlation for why the double
+    # square must not be cast to decimal post hoc
+    bal = dec("c_acctbal", scale=2, precision=18)
     g = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec("c_acctbal")).cast("double").alias("sx"),
-        F.sum(dec(F.col("c_acctbal") * F.col("c_acctbal"), scale=8, precision=30))
-        .cast("double")
-        .alias("sxx"),
+        F.sum(bal).cast("double").alias("sx"),
+        F.sum(bal * bal).cast("double").alias("sxx"),
     )
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
     return g.select("c_mktsegment", "n", "sx", "sxx", var.alias("var_samp_exact"), F.sqrt(var).alias("stddev_samp_exact"))
@@ -263,6 +264,99 @@ def map_functions(spark, sf_dir):
         F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
         F.element_at(m, "k").alias("k_value"),
     )
+
+
+@register(
+    "histogram_price_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket_lo,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def histogram_price_buckets(spark, sf_dir):
+    """Equi-width histogram via floor bucketing (portable alternative to
+    width_bucket; floor on doubles is IEEE-exact so bucket edges agree)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return o.groupBy(
+        bucket.alias("bucket"), (bucket * 50000).alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE CAST('0x' || SUBSTR(MD5(l_orderkey || '#' || l_linenumber), 1, 15) AS BIGINT) % 100 < 5
+    """,
+)
+def deterministic_sample(spark, sf_dir):
+    """Reproducible ~5% sample via hash-mod on the row key — unlike
+    ``df.sample`` (partition-layout-dependent), this picks the same rows on
+    any cluster, any engine, any run: the right way to carve stable eval/test
+    splits out of a 100 TB corpus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return li.filter(h % 100 < 5).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "agg_exact_correlation",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_exact_correlation(spark, sf_dir):
+    """Pearson correlation from exact single-pass sums (Σx, Σy, Σx², Σy², Σxy)
+    — same one-shuffle shape as builtin corr() but engine-reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Cast to decimal BEFORE multiplying: the square of a double is not a
+    # clean decimal, so casting the double product to decimal lands near
+    # rounding boundaries where engines disagree; decimal×decimal is exact.
+    q = dec("l_quantity", scale=2, precision=18)
+    p = dec("l_extendedprice", scale=2, precision=18)
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return g.select("l_returnflag", "n", corr.alias("corr_qty_price"))
 
 
 @register(

@@ -90,6 +90,29 @@ def test_streaming_dedup_within_watermark(spark, events_stream_dir, tmp_path):
     assert spark.table(name).count() == n_unique
 
 
+def test_foreach_batch_exactly_once_style_sink(spark, events_stream_dir, tmp_path):
+    """foreachBatch custom sink: per-epoch idempotent parquet writes (the
+    exactly-once pattern — writer keyed by batch id, overwrite on replay)."""
+    out_dir = str(tmp_path / "epochs")
+    events = stream_events(spark, events_stream_dir)
+    counts = tumbling_counts(events)
+
+    def write_epoch(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = counts.writeStream.outputMode("complete").foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(f"{out_dir}/epoch=0")
+    batch = load_table(spark, SF_SMOKE, "events")
+    expected_windows = (
+        batch.groupBy(F.window("ts", "5 minutes"), "event_type").count().count()
+    )
+    assert written.count() == expected_windows
+
+
 def test_stateful_running_profile(spark, events_stream_dir):
     """applyInPandasWithState: final per-user totals equal the batch aggregate."""
     events = stream_events(spark, events_stream_dir)
