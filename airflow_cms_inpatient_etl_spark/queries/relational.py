@@ -24,12 +24,15 @@ from airflow_cms_inpatient_etl_spark.sources.registry import load_table, registe
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(29,8))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(8,4)))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -39,21 +42,34 @@ from airflow_cms_inpatient_etl_spark.sources.registry import load_table, registe
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-filter → hash agg (8 aggregates, 2 group cols).
     Map-side partial aggregation collapses the shuffle to |groups|·|partitions|
-    rows; the parquet scan prunes to the 7 referenced columns."""
+    rows; the parquet scan prunes to the 7 referenced columns.
+
+    Measures are full-precision doubles, so each column is cast to decimal
+    ONCE (≤12 significant digits — beyond ~13 the engines' double→decimal
+    casts disagree) and all derived arithmetic stays in exact decimal."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    price = dec("l_extendedprice", scale=4, precision=18)
+    disc = dec("l_discount", scale=4, precision=8)
+    tax = dec("l_tax", scale=4, precision=8)
+    # the literal 1 must be a narrow decimal, or Spark widens it to
+    # decimal(10,0) and the triple product blows past precision 38 (lossy)
+    one = F.lit("1").cast("decimal(5,4)")
+    disc_price = price * (one - disc)   # (18,4)*(9,4) -> (28,8), exact
+    charge = disc_price * (one + tax)   # (28,8)*(9,4) -> (38,12), exact
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge", scale=8, precision=29),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            # rescale to 4 decimals before the double cast: a wide-scale
+            # decimal sum needs >17 significant digits, where decimal->double
+            # conversion differs by 1 ulp across engines
+            F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,4)").cast("double").alias("sum_charge"),
             davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -64,8 +80,8 @@ def q1_pricing_summary(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price,
            MIN(o_orderdate) AS first_order,
@@ -79,8 +95,8 @@ def group_agg_orders(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice", "sum_price"),
-        davg("o_totalprice", "avg_price"),
+        dsum("o_totalprice", "sum_price", scale=4, precision=18),
+        davg("o_totalprice", "avg_price", scale=4, precision=18),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_orderdate").alias("first_order"),
@@ -171,7 +187,7 @@ def filter_like_null(spark, sf_dir):
     SELECT o_orderkey, o_totalprice
     FROM orders
     WHERE o_totalprice > (
-        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) FROM orders
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM orders
     )
     """,
 )
@@ -180,7 +196,7 @@ def filter_scalar_subquery(spark, sf_dir):
     Expressed as a broadcast cross-join of the 1-row aggregate — no driver
     round-trip, works unchanged on a cluster."""
     orders = load_table(spark, sf_dir, "orders")
-    threshold = orders.agg(davg("o_totalprice", "avg_price"))
+    threshold = orders.agg(davg("o_totalprice", "avg_price", scale=4, precision=18))
     return (
         orders.crossJoin(F.broadcast(threshold))
         .filter(F.col("o_totalprice") > F.col("avg_price"))
@@ -196,7 +212,8 @@ def filter_scalar_subquery(spark, sf_dir):
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(19,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -225,7 +242,12 @@ def join_multiway_revenue(spark, sf_dir):
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.sum(
+                dec("l_extendedprice", scale=4, precision=18)
+                * (F.lit("1").cast("decimal(5,4)") - dec("l_discount", scale=4, precision=8))
+            )
+            .cast("double")
+            .alias("revenue"),
         )
     )
 

@@ -79,7 +79,7 @@ def window_lag_lead_events(spark, sf_dir):
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
            COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -99,7 +99,7 @@ def window_running_sum(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.sum(dec("o_totalprice", scale=4, precision=18)).over(w).cast("double").alias("running_spend"),
         F.count(F.lit(1)).over(w).alias("n_orders_so_far"),
     )
 
@@ -109,7 +109,8 @@ def window_running_sum(spark, sf_dir):
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(27,6)))
-                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_3row_sum
     FROM lineitem
     """,
@@ -117,9 +118,12 @@ def window_running_sum(spark, sf_dir):
 def window_sliding_frame_avg(spark, sf_dir):
     """Bounded sliding frame (moving 3-row sum per supplier timeline)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
+    # summed column itself joins the ORDER BY: any residual tie then has equal
+    # quantity and the frame sum is order-invariant.
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-2, W.currentRow)
     )
     return li.select(
