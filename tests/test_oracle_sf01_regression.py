@@ -1,0 +1,58 @@
+"""sf0.1 oracle regression for the numeric-hazard query class.
+
+Four cross-engine determinism hazards (cast digit limits, non-unique sort
+keys, DuckDB decimal truncation, decimal→double ulp drift) only manifested at
+10× the driver's sf0.01 gate.  This module re-checks the queries that
+aggregate full-precision doubles at sf0.1 so those hazard classes stay fixed.
+
+Set SPARK_GRAFT_SWEEP_ALL=1 to sweep every oracle query at sf0.1 (slower).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+from airflow_cms_inpatient_etl_spark.sources.registry import TESTDATA_TABLES
+from tests.conftest import run_differential
+
+SF_BENCH = "/root/testdata/sf0.1"
+
+_HAZARD_CLASS = [
+    "q1_pricing_summary",
+    "join_multiway_revenue",
+    "group_agg_orders",
+    "filter_scalar_subquery",
+    "window_running_sum",
+    "window_sliding_frame_avg",
+    "window_range_frame_1h",
+    "agg_exact_moments",
+    "agg_exact_correlation",
+    "events_tumbling_window",
+    "count_distinct_segments",
+    "conditional_aggregation",
+]
+
+_NAMES = (
+    sorted(n for n, s in QUERY_REGISTRY.items() if s.oracle)
+    if os.environ.get("SPARK_GRAFT_SWEEP_ALL")
+    else _HAZARD_CLASS
+)
+
+
+@pytest.fixture(scope="module")
+def ddb_sf01():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_BENCH}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_oracle_match_at_sf01(spark, ddb_sf01, name):
+    spec = QUERY_REGISTRY[name]
+    run_differential(spark, ddb_sf01, f"{name}@sf0.1", spec.fn, spec.oracle, sf_dir=SF_BENCH)
