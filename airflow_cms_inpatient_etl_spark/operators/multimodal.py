@@ -62,3 +62,41 @@ def decode_stub(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]: 
 def decode_features(multimodal: DataFrame) -> DataFrame:
     """Arrow-batched decode stage (mapInPandas) over the payload column."""
     return multimodal.select("doc_id", "payload").mapInPandas(decode_stub, schema=DECODED_SCHEMA)
+
+
+def sample_frames(decoded: DataFrame, every_k: int = 7) -> DataFrame:
+    """Frame sampling for video-style payloads: one output row per sampled
+    frame index.  The frame count derives from the payload metadata (stub:
+    n_bytes DIV 100 frames); real decoders swap the kernel, the explode-based
+    row expansion is the production shape (no driver loops, prunes payloads).
+    """
+    n_frames = (F.col("n_bytes") / 100).cast("int") + 1
+    return decoded.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))).alias("frame_idx"),
+    )
+
+
+def resize_stub(batches, target_w: int = 64, target_h: int = 64):
+    """STUB resize kernel: real pipelines put PIL/opencv here.  Emits the
+    post-resize metadata deterministically; the Arrow batch flow is real."""
+    import pandas as pd
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": target_w,
+                "height": target_h,
+                "scale_x": target_w / pdf["fake_width"],
+                "scale_y": target_h / pdf["fake_height"],
+            }
+        )
+
+
+def resize_features(decoded: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    return decoded.mapInPandas(
+        lambda it: resize_stub(it, target_w, target_h),
+        schema="doc_id bigint, width int, height int, scale_x double, scale_y double",
+    )

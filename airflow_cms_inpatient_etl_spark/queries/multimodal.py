@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from airflow_cms_inpatient_etl_spark.operators.multimodal import (
     attach_binary_payload,
     decode_features,
+    sample_frames,
 )
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
@@ -52,3 +53,29 @@ def multimodal_decode_stub(spark, sf_dir):
     deterministic fake features are oracle-checkable arithmetic on byte length."""
     d = load_table(spark, sf_dir, "documents")
     return decode_features(attach_binary_payload(d))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(FLOOR(OCTET_LENGTH(CAST(text AS BLOB)) / 100) AS BIGINT) + 1 AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, n_frames, CAST(UNNEST(RANGE(0, n_frames, 7)) AS BIGINT) AS frame_idx
+    FROM meta
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling (video-style): metadata-driven explode of every-7th
+    frame index — one row per sampled frame, payload column never read."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sample_frames(decode_features(attach_binary_payload(d)), every_k=7)
+    return out.select(
+        "doc_id",
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+    )

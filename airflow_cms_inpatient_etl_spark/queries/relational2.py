@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.functions.exact import dec
 from airflow_cms_inpatient_etl_spark.queries.base import register
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table, register_views
 
 
 @register(
@@ -241,6 +241,32 @@ def conditional_aggregation(spark, sf_dir):
         .cast("double")
         .alias("qty_finished"),
         (F.count_if(F.col("l_quantity") > 25) / F.count(F.lit(1))).alias("frac_large"),
+    )
+
+
+@register(
+    "lateral_correlated_agg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, l.n_items, l.max_qty
+    FROM orders o,
+    LATERAL (SELECT COUNT(*) AS n_items, MAX(l_quantity) AS max_qty
+             FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+    WHERE l.n_items > 0
+    """,
+)
+def lateral_correlated_agg(spark, sf_dir):
+    """LATERAL correlated subquery (per-order aggregate).  Catalyst
+    decorrelates this into an aggregate + equi-join — same plan you'd write by
+    hand, so the convenient form is also the scalable form."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice, l.n_items, l.max_qty
+        FROM orders o,
+        LATERAL (SELECT COUNT(*) AS n_items, MAX(l_quantity) AS max_qty
+                 FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+        WHERE l.n_items > 0
+        """
     )
 
 

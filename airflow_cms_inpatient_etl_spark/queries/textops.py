@@ -205,6 +205,36 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           LIST_REDUCE(
+               LIST_TRANSFORM(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                              t -> CAST('0x' || SUBSTR(MD5(t), 1, 15) AS BIGINT) % 2147483647),
+               (a, h) -> (a * 31 + h) % 2147483647
+           ) AS rolling_hash
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark, sf_dir):
+    """Order-sensitive document fingerprint: polynomial rolling hash over the
+    token sequence (acc·31 + h(token) mod 2³¹−1).  Unlike the bag-of-words md5
+    fingerprint, token reordering changes this hash.  Arithmetic stays under
+    2³⁶ so the fold is overflow-free and engine-portable; the left fold with
+    zero seed equals DuckDB's seedless list_reduce because 0·31+h₁ = h₁."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = _words(F.col("text"))
+    hashed = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % 2147483647,
+    )
+    rolling = F.aggregate(
+        hashed, F.lit(0).cast("long"), lambda acc, h: (acc * 31 + h) % 2147483647
+    )
+    return d.select("doc_id", rolling.alias("rolling_hash"))
+
+
+@register(
     "text_corpus_rollup",
     oracle="""
     SELECT lang, source,
