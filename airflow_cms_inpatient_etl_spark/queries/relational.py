@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.functions.exact import davg, dec, dsum
 from airflow_cms_inpatient_etl_spark.queries.base import register
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table, register_views
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 
 
 # --------------------------------------------------------------------------- #
@@ -487,13 +487,18 @@ def rollup_region_nation(spark, sf_dir):
     """,
 )
 def grouping_sets_events(spark, sf_dir):
-    """Explicit GROUPING SETS via the SQL surface (same Catalyst Expand node)."""
-    register_views(spark, sf_dir)
+    """Explicit GROUPING SETS via the SQL surface (same Catalyst Expand node).
+    Uses a call-scoped view name so concurrent calls with different sf_dirs
+    cannot race on a shared temp view."""
+    import uuid
+
+    view = f"events_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT event_type, user_id, COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
-        FROM events
+        FROM {view}
         GROUP BY GROUPING SETS ((event_type), (user_id), ())
         """
     )

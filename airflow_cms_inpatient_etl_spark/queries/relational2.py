@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.functions.exact import dec
 from airflow_cms_inpatient_etl_spark.queries.base import register
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table, register_views
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 
 
 @register(
@@ -257,14 +257,19 @@ def conditional_aggregation(spark, sf_dir):
 def lateral_correlated_agg(spark, sf_dir):
     """LATERAL correlated subquery (per-order aggregate).  Catalyst
     decorrelates this into an aggregate + equi-join — same plan you'd write by
-    hand, so the convenient form is also the scalable form."""
-    register_views(spark, sf_dir)
+    hand, so the convenient form is also the scalable form.  Views are
+    call-scoped so concurrent sf_dirs cannot race."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(f"orders_{sfx}")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(f"lineitem_{sfx}")
     return spark.sql(
-        """
+        f"""
         SELECT o.o_orderkey, o.o_totalprice, l.n_items, l.max_qty
-        FROM orders o,
+        FROM orders_{sfx} o,
         LATERAL (SELECT COUNT(*) AS n_items, MAX(l_quantity) AS max_qty
-                 FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+                 FROM lineitem_{sfx} WHERE l_orderkey = o.o_orderkey) l
         WHERE l.n_items > 0
         """
     )
