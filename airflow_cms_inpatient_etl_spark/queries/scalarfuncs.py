@@ -181,6 +181,53 @@ def explode_token_counts(spark, sf_dir):
 
 
 @register(
+    "date_spine_monthly",
+    oracle="""
+    WITH bounds AS (
+        SELECT DATE_TRUNC('month', MIN(o_orderdate)) AS lo,
+               DATE_TRUNC('month', MAX(o_orderdate)) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL '1 month')) AS month_start FROM bounds
+    ),
+    m AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS month_start,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY 1
+    )
+    SELECT s.month_start, COALESCE(m.n_orders, 0) AS n_orders,
+           COALESCE(m.sum_price, 0.0) AS sum_price
+    FROM spine s LEFT JOIN m USING (month_start)
+    """,
+)
+def date_spine_monthly(spark, sf_dir):
+    """Date spine (generated month scaffold LEFT JOIN aggregates): zero-filled
+    months even where no orders exist — the gap-free time-series shape.
+    The spine derives from the data's own bounds via ``sequence`` + explode;
+    no driver-side date loop."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month_start")
+    )
+    m = o.groupBy(month.alias("month_start")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+    )
+    return spine.join(m, "month_start", "left").select(
+        "month_start",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("sum_price"), F.lit(0.0)).alias("sum_price"),
+    )
+
+
+@register(
     "posexplode_tokens",
     oracle="""
     SELECT doc_id,
