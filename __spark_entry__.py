@@ -7,12 +7,20 @@ SURVEY.md §2 with its DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from airflow_cms_inpatient_etl_spark.plans.patient_claims import flagship_testdata
-from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+# the engine package lives next to this file; make the import robust to the
+# driver loading this module by path from a different working directory
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from airflow_cms_inpatient_etl_spark.plans.patient_claims import flagship_testdata  # noqa: E402
+from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
