@@ -118,6 +118,31 @@ def agg_exact_moments(spark, sf_dir):
 
 
 @register(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           QUANTILE_CONT(l_extendedprice, 0.25) AS p25,
+           QUANTILE_CONT(l_extendedprice, 0.50) AS p50,
+           QUANTILE_CONT(l_extendedprice, 0.90) AS p90,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (both engines use lower+(upper−lower)·f
+    on the sorted values, so results are bit-identical — contrast with the
+    sketch-based approx_percentile, which is rows-only checked)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.90)).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "agg_median_price",
     oracle="""
     SELECT o_orderpriority, MEDIAN(o_totalprice) AS median_price, COUNT(*) AS n

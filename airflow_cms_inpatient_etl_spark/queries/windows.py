@@ -186,6 +186,31 @@ def window_range_frame_1h(spark, sf_dir):
 
 
 @register(
+    "window_cume_dist_nth",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey) AS cdist,
+           NTH_VALUE(s_suppkey, 3) OVER (ORDER BY s_acctbal, s_suppkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS third_poorest
+    FROM supplier
+    """,
+)
+def window_cume_dist_nth(spark, sf_dir):
+    """cume_dist + nth_value over a total ordering (n/total fractions are
+    exact integer divisions → deterministic doubles)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.cume_dist().over(w).alias("cdist"),
+        F.nth_value("s_suppkey", 3).over(wfull).alias("third_poorest"),
+    )
+
+
+@register(
     "window_first_last_value",
     oracle="""
     SELECT o_custkey, o_orderkey,

@@ -39,6 +39,9 @@ HEADLINE = [
     "sim_cosine_topk_brute",
     "sim_ann_lsh_topk",
     "text_quality_scores",
+    "text_tfidf_top_terms",
+    "sim_ann_ivf_topk",
+    "lateral_correlated_agg",
     "multimodal_decode_stub",
 ]
 
