@@ -113,6 +113,42 @@ def test_foreach_batch_exactly_once_style_sink(spark, events_stream_dir, tmp_pat
     assert written.count() == expected_windows
 
 
+def test_checkpoint_restart_processes_each_file_once(spark, tmp_path):
+    """Checkpointed restart semantics: after a stop, a restarted query resumes
+    from the checkpoint and processes only NEW files — no reprocessing."""
+    import shutil as _sh
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _sh.copy(f"{SF_SMOKE}/events.parquet", src / "a.parquet")
+
+    seen_batches = []
+
+    def sink(batch_df, epoch_id):
+        seen_batches.append((epoch_id, batch_df.count()))
+
+    def run_once():
+        q = (
+            stream_events(spark, str(src))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first_total = sum(n for _, n in seen_batches)
+    assert first_total == 1000  # sf0.001 events
+
+    _sh.copy(f"{SF_SMOKE}/events.parquet", src / "b.parquet")
+    run_once()
+    second_total = sum(n for _, n in seen_batches) - first_total
+    assert second_total == 1000  # only the new file; no reprocessing of a.parquet
+
+
 def test_stateful_running_profile(spark, events_stream_dir):
     """applyInPandasWithState: final per-user totals equal the batch aggregate."""
     events = stream_events(spark, events_stream_dir)
