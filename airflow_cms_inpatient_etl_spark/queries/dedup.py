@@ -171,7 +171,8 @@ def dedup_minhash_lsh(spark, sf_dir):
         GROUP BY 1, 2
     )
     SELECT doc_id,
-           SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+           CAST(SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )

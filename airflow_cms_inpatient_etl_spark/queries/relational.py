@@ -129,11 +129,19 @@ def count_distinct_segments(spark, sf_dir):
 def approx_aggregates(spark, sf_dir):
     """approx_count_distinct (HLL++) + approx percentiles — the 100 TB-scale
     substitutes for exact COUNT(DISTINCT)/percentile.  Rows-only check: sketch
-    results are engine-specific by design."""
+    results are engine-specific by design.  Quantiles are surfaced as three
+    scalar columns (not one array) so rows-only canonicalizers can sort them."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agged = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_quantiles"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("_pq"),
+    )
+    return agged.select(
+        "l_returnflag",
+        "approx_parts",
+        F.element_at("_pq", 1).alias("price_q50"),
+        F.element_at("_pq", 2).alias("price_q90"),
+        F.element_at("_pq", 3).alias("price_q99"),
     )
 
 

@@ -243,10 +243,10 @@ def null_handling(spark, sf_dir):
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           COUNT_IF(l_quantity > 25) AS n_large,
+           CAST(COUNT_IF(l_quantity > 25) AS BIGINT) AS n_large,
            CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(27,6))
                          ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE) AS qty_finished,
-           COUNT_IF(l_quantity > 25) / COUNT(*) AS frac_large
+           CAST(COUNT_IF(l_quantity > 25) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_large
     FROM lineitem
     GROUP BY l_returnflag
     """,

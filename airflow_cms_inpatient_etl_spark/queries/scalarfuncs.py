@@ -93,12 +93,12 @@ def date_functions(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ABS(l_discount - 0.05) AS disc_dev,
-           FLOOR(l_extendedprice) AS price_floor,
-           CEIL(l_extendedprice) AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
            SQRT(l_quantity) AS qty_sqrt,
            l_quantity * l_quantity AS qty_sq,
            l_orderkey % 7 AS key_mod,
-           SIGN(l_discount - 0.05) AS disc_sign,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            GREATEST(l_discount, l_tax) AS max_rate,
            LEAST(l_discount, l_tax) AS min_rate
     FROM lineitem

@@ -239,7 +239,7 @@ def text_rolling_hash(spark, sf_dir):
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars

@@ -52,10 +52,33 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_family(s: pd.Series) -> str:
+    """Driver-equivalence dtype class.  Round-1 driver evidence: integer WIDTH
+    (int32 vs int64) and datetime UNIT (ns vs us) differences hash equal, but
+    cross-family differences (int64 vs float64 — e.g. DuckDB HUGEINT sums
+    surfacing as float64) hash UNEQUAL.  So families are strict, widths not."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> None:
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
     )
+    for c in sorted(spark_pdf.columns):
+        fa, fb = _dtype_family(spark_pdf[c]), _dtype_family(oracle_pdf[c])
+        assert fa == fb, (
+            f"{name}: dtype family mismatch on {c!r}: spark {spark_pdf[c].dtype} ({fa}) "
+            f"vs oracle {oracle_pdf[c].dtype} ({fb}) — the driver hashes these differently; "
+            f"CAST the oracle (or the Spark side) so families agree"
+        )
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
     )
