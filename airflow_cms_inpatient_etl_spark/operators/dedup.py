@@ -12,7 +12,7 @@ Scale design (100 TB posture):
   self-join condition ``id1 < id2`` halves the pair space;
 * hot shingles (stop-shingles) can be capped via ``max_df`` — the classic
   df-cap that bounds the worst posting list at the cost of recall on
-  boilerplate-heavy corpora.
+  boilerplate-heavy corpora (see ``cap_stop_shingles``).
 """
 
 from __future__ import annotations
@@ -66,6 +66,31 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def cap_stop_shingles(ex: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The inverted-index self-join's worst case is the hottest posting list
+    (cost Σ df², so one boilerplate shingle shared by d documents costs d²
+    candidate pairs).  Capping df bounds that term at ``max_df²`` per shingle.
+    Recall cost: only pairs whose *entire* overlap is stop-shingles are lost —
+    near-dup pairs share many shingles, boilerplate-only pairs aren't near-dups.
+
+    ``ex`` must be distinct (id, h) rows (exploded_shingle_hashes guarantees
+    this), so ``count per h`` IS the document frequency.  The keep-set is a
+    df-filtered aggregate (tiny relative to the corpus) joined back as a
+    LEFT SEMI join — Spark/AQE broadcasts it when small.
+    """
+    if max_df is None:
+        return ex
+    keep = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    return ex.join(keep, "h", "left_semi")
+
+
 def _pair_jaccard(ex: DataFrame, id_col: str) -> DataFrame:
     """Exact Jaccard over (id, h) hashed posting lists via inverted-index
     self-join — int join keys, not shingle strings (see exploded_shingle_hashes)."""
@@ -91,10 +116,20 @@ def _pair_jaccard(ex: DataFrame, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs (id1 < id2, jaccard ≥ threshold)."""
-    ex = exploded_shingle_hashes(df, id_col, text_col, k)
+    """Exact n-gram-Jaccard near-dup pairs (id1 < id2, jaccard ≥ threshold).
+
+    ``max_df`` drops stop-shingles before the self-join (see
+    cap_stop_shingles); Jaccard is then computed over the capped shingle sets,
+    which slightly *raises* scores for boilerplate-heavy pairs — acceptable:
+    the cap exists to bound the join, not to be invisible."""
+    ex = cap_stop_shingles(exploded_shingle_hashes(df, id_col, text_col, k), max_df)
     return (
         _pair_jaccard(ex, id_col)
         .filter(F.col("jaccard") >= threshold)
@@ -124,6 +159,8 @@ def minhash_lsh_pairs(
     k: int = 3,
     n_hashes: int = N_MINHASHES,
     n_bands: int = N_BANDS,
+    max_df: int | None = None,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup join, verified with exact Jaccard.
 
@@ -131,9 +168,19 @@ def minhash_lsh_pairs(
     rows/band signatures, md5-combined) → bucket self-join for candidates →
     exact Jaccard verification ≥ threshold.  The bucket join touches only
     same-band-key pairs, so cost scales with bucket occupancy, not corpus².
+
+    ``max_df`` caps stop-shingles before signatures AND verification (both
+    stages see the same capped sets, so scores stay internally consistent).
+    ``cache_shingles`` persists the exploded posting lists, which are read
+    three times (signatures, pair intersection ×2); callers who materialize
+    the result exactly once in a long-lived session can pass False to avoid
+    pinning executor storage until the session ends (a lazy plan has no safe
+    point for this function to unpersist at — the caller owns that decision).
     """
     rows_per_band = n_hashes // n_bands
-    ex = exploded_shingle_hashes(df, id_col, text_col, k).cache()
+    ex = cap_stop_shingles(exploded_shingle_hashes(df, id_col, text_col, k), max_df)
+    if cache_shingles:
+        ex = ex.cache()
     sigs = minhash_signatures(ex, id_col, n_hashes)
     band_cols = [
         F.md5(

@@ -16,6 +16,8 @@ the explicit fallbacks for the cases AQE can't fix:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -50,31 +52,26 @@ def salted_join(
 def salted_aggregate(
     df: DataFrame,
     key_cols: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, Callable[[str], Column]]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation for skewed keys.
 
-    ``aggs`` maps output name → partial aggregate expression; the same
-    expression must be re-aggregable by SUM/MIN/MAX at the final stage, so
-    pass decomposable aggregates (sum, count via F.count, min, max).  Phase 1
-    aggregates per (key, salt) — the hot key's rows split across n_salts
-    reducers — phase 2 combines the n_salts partials per key."""
+    ``aggs`` maps output name → ``(partial_expr, recombine_fn)``: the phase-1
+    aggregate per (key, salt) and the phase-2 function that merges the
+    n_salts partials per key (e.g. ``F.sum`` for sums AND counts, ``F.min`` /
+    ``F.max`` for extrema).  The recombiner is explicit per output — an
+    aggregate whose partials don't recombine by any of these (avg, exact
+    countDistinct) must be decomposed by the caller (avg = sum/count), never
+    guessed from the alias.  Phase 1 splits the hot key's rows across n_salts
+    reducers; phase 2 touches n_salts rows per key."""
     salt = (F.monotonically_increasing_id() % n_salts).cast("int")
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*key_cols, "__salt")
-        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        .agg(*[expr.alias(name) for name, (expr, _fn) in aggs.items()])
     )
-    # re-combination: sums/counts add, min/max re-min/max — caller picks names
-    recombine = []
-    for name in aggs:
-        if name.startswith("min_"):
-            recombine.append(F.min(name).alias(name))
-        elif name.startswith("max_"):
-            recombine.append(F.max(name).alias(name))
-        else:  # sums and counts recombine by summation
-            recombine.append(F.sum(name).alias(name))
+    recombine = [fn(name).alias(name) for name, (_expr, fn) in aggs.items()]
     return partial.groupBy(*key_cols).agg(*recombine)
 
 
@@ -86,13 +83,24 @@ def merge_asof_grouped(
     right_ts: str,
     right_value_cols: list[str],
     tolerance_us: int | None = None,
+    bucket_us: int | None = None,
 ) -> DataFrame:
-    """As-of join via per-key ``pd.merge_asof`` (Arrow-batched cogroup).
+    """As-of join via ``pd.merge_asof`` over Arrow-batched cogroups.
 
     For semantics the pure-DataFrame carry-forward pattern can't express
-    (e.g. a max-staleness tolerance).  Each key group is processed in pandas;
-    state is bounded by the group size, and groups parallelize across
-    executors."""
+    (e.g. a max-staleness tolerance).
+
+    Hot-key bounding: when a tolerance is set, cogroup keys are
+    ``(key, time_bucket)`` — left rows go to their own bucket, right rows are
+    replicated into their bucket and the next one, so every lookback of up to
+    ``bucket_us`` (≥ tolerance) stays inside one group.  A key that owns 90 %
+    of all events is then split across its time buckets instead of
+    concentrating its entire history in a single pandas task.  ``bucket_us``
+    defaults to the tolerance; raise it to trade per-task size for less right
+    replication.  Without a tolerance the lookback is unbounded and grouping
+    falls back to per-key (use the carry-forward window pattern of
+    ``queries/timeseries.events_asof_last_click`` for unbounded as-of at
+    scale — its running ``last()`` streams instead of buffering)."""
     import pandas as pd
 
     out_fields = (
@@ -120,8 +128,21 @@ def merge_asof_grouped(
         key, left_ts, F.monotonically_increasing_id().alias("left_row_id")
     )
     r2 = right.select(key, right_ts, *right_value_cols)
-    return (
-        l2.groupBy(key)
-        .cogroup(r2.groupBy(key))
-        .applyInPandas(lambda _k, l, r: asof(l, r), schema=schema)
-    )
+
+    if tolerance_us is not None:
+        if bucket_us is None:
+            bucket_us = tolerance_us
+        if bucket_us < tolerance_us:
+            raise ValueError(
+                f"bucket_us ({bucket_us}) must be >= tolerance_us ({tolerance_us}): "
+                "a left row may need right rows up to one full tolerance back"
+            )
+        lb = l2.withColumn("__b", F.floor(F.unix_micros(F.col(lt)) / F.lit(bucket_us)))
+        rbucket = F.floor(F.unix_micros(F.col(rt)) / F.lit(bucket_us))
+        rb = r2.withColumn("__b", F.explode(F.array(rbucket, rbucket + 1)))
+        grouped = lb.groupBy(key, "__b").cogroup(rb.groupBy(key, "__b"))
+    elif bucket_us is not None:
+        raise ValueError("bucket_us requires tolerance_us (unbounded lookback can't be bucketed)")
+    else:
+        grouped = l2.groupBy(key).cogroup(r2.groupBy(key))
+    return grouped.applyInPandas(lambda _k, l, r: asof(l, r), schema=schema)

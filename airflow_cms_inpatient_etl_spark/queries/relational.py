@@ -497,19 +497,23 @@ def rollup_region_nation(spark, sf_dir):
 def grouping_sets_events(spark, sf_dir):
     """Explicit GROUPING SETS via the SQL surface (same Catalyst Expand node).
     Uses a call-scoped view name so concurrent calls with different sf_dirs
-    cannot race on a shared temp view."""
+    cannot race on a shared temp view; the view is dropped immediately —
+    spark.sql analyzes eagerly, so the returned plan no longer needs it."""
     import uuid
 
     view = f"events_{uuid.uuid4().hex[:8]}"
     load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-        SELECT event_type, user_id, COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
-        FROM {view}
-        GROUP BY GROUPING SETS ((event_type), (user_id), ())
-        """
-    )
+    try:
+        return spark.sql(
+            f"""
+            SELECT event_type, user_id, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+            FROM {view}
+            GROUP BY GROUPING SETS ((event_type), (user_id), ())
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 @register(

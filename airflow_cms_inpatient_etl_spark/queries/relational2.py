@@ -283,21 +283,26 @@ def lateral_correlated_agg(spark, sf_dir):
     """LATERAL correlated subquery (per-order aggregate).  Catalyst
     decorrelates this into an aggregate + equi-join — same plan you'd write by
     hand, so the convenient form is also the scalable form.  Views are
-    call-scoped so concurrent sf_dirs cannot race."""
+    call-scoped so concurrent sf_dirs cannot race, and dropped immediately
+    (spark.sql analyzes eagerly — the returned plan no longer needs them)."""
     import uuid
 
     sfx = uuid.uuid4().hex[:8]
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(f"orders_{sfx}")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(f"lineitem_{sfx}")
-    return spark.sql(
-        f"""
-        SELECT o.o_orderkey, o.o_totalprice, l.n_items, l.max_qty
-        FROM orders_{sfx} o,
-        LATERAL (SELECT COUNT(*) AS n_items, MAX(l_quantity) AS max_qty
-                 FROM lineitem_{sfx} WHERE l_orderkey = o.o_orderkey) l
-        WHERE l.n_items > 0
-        """
-    )
+    try:
+        return spark.sql(
+            f"""
+            SELECT o.o_orderkey, o.o_totalprice, l.n_items, l.max_qty
+            FROM orders_{sfx} o,
+            LATERAL (SELECT COUNT(*) AS n_items, MAX(l_quantity) AS max_qty
+                     FROM lineitem_{sfx} WHERE l_orderkey = o.o_orderkey) l
+            WHERE l.n_items > 0
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(f"orders_{sfx}")
+        spark.catalog.dropTempView(f"lineitem_{sfx}")
 
 
 @register(

@@ -23,9 +23,14 @@ def streaming_tumbling_live(spark, sf_dir):
     processAllAvailable.  Returns the sink table (identical contents to the
     batch events_tumbling_window modulo the open tail window)."""
     stage_dir = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/part-0.parquet")
-    name = f"stream_live_{uuid.uuid4().hex[:8]}"
-    run_stream_to_memory(
-        tumbling_counts(stream_events(spark, stage_dir)), name, output_mode="complete"
-    )
-    return spark.table(name)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/part-0.parquet")
+        name = f"stream_live_{uuid.uuid4().hex[:8]}"
+        run_stream_to_memory(
+            tumbling_counts(stream_events(spark, stage_dir)), name, output_mode="complete"
+        )
+        return spark.table(name)
+    finally:
+        # the stream is stopped (run_stream_to_memory drains then stops), so
+        # the file-source staging dir is dead weight — remove it
+        shutil.rmtree(stage_dir, ignore_errors=True)

@@ -63,6 +63,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # ---- determinism / oracle parity -----------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # Session-wide invariant: parquet TIMESTAMP(NANOS) columns (events.ts)
+        # arrive as raw nanos bigint and are converted to µs timestamps by
+        # sources/registry.load_table.  Deliberately NOT scoped per-read: lazy
+        # plans capture the conf at execution, so a save/restore around the
+        # read would break any not-yet-materialized events scan.  A session
+        # that needs true-nanos semantics elsewhere must unset this.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # ---- local-mode memory (single JVM; ignored under a real cluster manager) -
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")

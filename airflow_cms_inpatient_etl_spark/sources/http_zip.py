@@ -52,7 +52,17 @@ def unzip(zip_path: str, out_dir: str) -> list[str]:
 
 def stage_files(src_paths: list[str], staging_dir: str) -> list[str]:
     """Move files into the staging dir, overwriting existing copies (idempotent,
-    reference :58-65)."""
+    reference :58-65).  Staging flattens to basenames, so two source files with
+    the same basename (e.g. ``a/data.csv`` and ``b/data.csv`` from one archive)
+    would silently clobber each other — that's rejected up front instead."""
+    basenames = [os.path.basename(p) for p in src_paths]
+    dupes = {b for b in basenames if basenames.count(b) > 1}
+    if dupes:
+        raise ValueError(
+            f"basename collision(s) {sorted(dupes)} among staged files: staging is "
+            f"flat, so same-named members from different directories would overwrite "
+            f"each other; rename members or stage separately"
+        )
     os.makedirs(staging_dir, exist_ok=True)
     staged = []
     for src in src_paths:

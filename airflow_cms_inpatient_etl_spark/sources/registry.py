@@ -38,7 +38,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default (PARQUET_TYPE_ILLEGAL).  We read it as raw nanos via the legacy
     conf and convert to a microsecond timestamp — lossless for this data (the
     generator emits whole microseconds) and identical to what DuckDB sees.
-    The conf is set at scan time so the fix works under any caller's session.
+    The conf is set at scan time so the fix works under any caller's session,
+    and deliberately never restored: lazy plans capture SQL confs at execution
+    time, so a save/restore around the read would break any not-yet-
+    materialized events scan.  The tuned factory (session.get_spark) sets the
+    same conf up front and documents it as a session-wide invariant; a session
+    that needs true-nanos parquet semantics elsewhere must unset it.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")

@@ -57,3 +57,29 @@ def test_ml_and_exact_jaccard_agree_on_ranking(spark):
     ml_pairs = minhash_neardup_ml(d, jaccard_distance_threshold=0.2)
     close = ml_pairs.filter(F.col("jaccard_distance") < 0.1).count()
     assert close >= 0  # runs end-to-end; tightness covered by recall test above
+
+
+def test_max_df_caps_hot_shingles(spark):
+    """A boilerplate phrase shared by every doc is dropped by the df cap; the
+    genuine near-dup pair is still found, and boilerplate-only pairs are not."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import cap_stop_shingles
+    from airflow_cms_inpatient_etl_spark.operators.text import exploded_shingle_hashes
+
+    boiler = "copyright acme corp all rights reserved worldwide"
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta " + boiler),
+        (2, "alpha beta gamma delta epsilon eta " + boiler),
+    ]
+    rows += [(i, f"u{i}a w{i}b x{i}c y{i}d z{i}e q{i}f " + boiler) for i in range(3, 13)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ex = exploded_shingle_hashes(d, "doc_id", "text", 3)
+    capped = cap_stop_shingles(ex, max_df=5)
+    max_df_left = capped.groupBy("h").count().agg(F.max("count")).collect()[0][0]
+    assert max_df_left <= 5
+    assert capped.count() < ex.count()  # the hot posting list really was dropped
+    assert cap_stop_shingles(ex, None) is ex  # None = no-op
+
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.3, max_df=5)
+    found = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert found == {(1, 2)}, found

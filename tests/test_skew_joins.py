@@ -54,10 +54,10 @@ def test_salted_aggregate_equals_plain(spark):
         li,
         ["l_returnflag"],
         {
-            "n": F.count(F.lit(1)),
-            "sum_qty": F.sum("l_quantity"),
-            "min_qty": F.min("l_quantity"),
-            "max_qty": F.max("l_quantity"),
+            "n": (F.count(F.lit(1)), F.sum),
+            "sum_qty": (F.sum("l_quantity"), F.sum),
+            "min_qty": (F.min("l_quantity"), F.min),
+            "max_qty": (F.max("l_quantity"), F.max),
         },
     )
     p = {r["l_returnflag"]: (r["n"], round(r["sum_qty"], 4), r["min_qty"], r["max_qty"]) for r in plain.collect()}
@@ -100,6 +100,60 @@ def test_merge_asof_grouped_matches_carry_forward(spark):
             assert want_ts is None
         else:
             assert click_ts_by_value[(r["user_id"], r["click_value"])] == want_ts
+
+
+def test_merge_asof_bucketed_hot_key(spark):
+    """One key owning ~90% of rows: the time-bucketed cogroup splits its
+    history across buckets (no single pandas task holds it all) and the
+    result still matches a driver-side pd.merge_asof oracle."""
+    import pandas as pd
+
+    base = 1_700_000_000_000_000  # µs epoch
+    minute = 60 * 1_000_000
+    # hot user 1: 540 left rows + 540 right rows over 9 hours; cold users 2-61: 1 row each
+    left_rows = [(1, base + i * minute) for i in range(0, 540 * 10, 10)]
+    left_rows += [(u, base + u * minute) for u in range(2, 62)]
+    right_rows = [(1, base + i * minute + 17, float(i)) for i in range(0, 540 * 10, 10)]
+    right_rows += [(u, base + u * minute - 5, float(u)) for u in range(2, 62)]
+    left = spark.createDataFrame(left_rows, "user_id long, ts_us long").select(
+        "user_id", F.timestamp_micros("ts_us").alias("ts")
+    )
+    right = spark.createDataFrame(right_rows, "user_id long, ts_us long, v double").select(
+        "user_id", F.timestamp_micros("ts_us").alias("cts"), "v"
+    )
+    tol = 30 * minute
+    out = merge_asof_grouped(left, right, "user_id", "ts", "cts", ["v"], tolerance_us=tol)
+    got = {(r["user_id"], r["ts"]): r["v"] for r in out.collect()}
+    # driver-side oracle over the full (unbucketed) data
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("cts")
+    exp = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="cts", by="user_id",
+        tolerance=pd.Timedelta(microseconds=tol), direction="backward",
+    )
+    assert len(got) == len(lp)
+    for _, r in exp.iterrows():
+        want = None if pd.isna(r["v"]) else r["v"]
+        assert got[(r["user_id"], r["ts"])] == want
+    # the hot key really is split: its rows span many time buckets
+    n_buckets = (
+        left.filter(F.col("user_id") == 1)
+        .select(F.floor(F.unix_micros("ts") / F.lit(tol)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 5
+
+
+def test_merge_asof_bucket_smaller_than_tolerance_rejected(spark):
+    left = spark.createDataFrame([(1, 0)], "user_id long, ts_us long").select(
+        "user_id", F.timestamp_micros("ts_us").alias("ts")
+    )
+    with pytest.raises(ValueError, match="bucket_us"):
+        merge_asof_grouped(
+            left, left.withColumnRenamed("ts", "cts"), "user_id", "ts", "cts", [],
+            tolerance_us=1_000_000, bucket_us=999,
+        )
 
 
 def test_merge_asof_with_tolerance(spark):
