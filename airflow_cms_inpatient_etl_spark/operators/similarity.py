@@ -70,13 +70,62 @@ def sign_lsh_bucket(vec: Column, dims: tuple[int, ...] = (1, 17, 33, 49)) -> Col
     """Sign-bit LSH bucket key from fixed coordinate hyperplanes.
 
     Axis-aligned hyperplanes keep the bucket function engine-portable (no
-    random projection matrix to ship); for production, swap in seeded random
-    hyperplanes broadcast as a literal array — the operator shape is identical.
+    random projection matrix to ship) — this is the oracle-checkable variant.
+    For recall-tuned production buckets use ``random_hyperplanes`` +
+    ``sign_lsh_bucket_planes`` / ``multiprobe_buckets`` below.
     """
     bits = [
         F.when(F.element_at(vec, d) >= 0, F.lit("1")).otherwise(F.lit("0")) for d in dims
     ]
     return F.concat(*bits)
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 13) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes for sign-LSH (SimHash for cosine).
+
+    Generated driver-side and embedded as plan literals, so the bucket
+    function ships with the plan — no side-channel state, deterministic
+    across runs and executors (RandomState pins the generator algorithm)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def _plane_dots(vec: Column, planes: list[list[float]]) -> list[Column]:
+    return [dot(vec, F.array(*[F.lit(x) for x in p])) for p in planes]
+
+
+def _bit(d: Column, flip: bool = False) -> Column:
+    hi, lo = ("0", "1") if flip else ("1", "0")
+    return F.when(d >= 0, F.lit(hi)).otherwise(F.lit(lo))
+
+
+def sign_lsh_bucket_planes(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket key = sign bits of the vector against each hyperplane."""
+    return F.concat(*[_bit(d) for d in _plane_dots(vec, planes)])
+
+
+def multiprobe_buckets(vec: Column, planes: list[list[float]], n_probes: int) -> Column:
+    """Query-adaptive multiprobe: the exact bucket plus the (n_probes-1)
+    buckets reached by flipping the lowest-|margin| sign bits — the bits most
+    likely to differ for a true neighbor sitting near a hyperplane.  Returns
+    an array of bucket keys; candidates stay single-bucket, so probing
+    multiplies only the (small) query side of the bucket join."""
+    dots = _plane_dots(vec, planes)
+    n_bits = len(planes)
+    exact = F.concat(*[_bit(d) for d in dots])
+    if n_probes <= 1:
+        return F.array(exact)
+    flips = [
+        F.struct(
+            F.abs(dots[i]).alias("m"),
+            F.concat(*[_bit(dots[j], flip=(j == i)) for j in range(n_bits)]).alias("b"),
+        )
+        for i in range(n_bits)
+    ]
+    by_margin = F.transform(F.array_sort(F.array(*flips)), lambda s: s["b"])
+    return F.concat(F.array(exact), F.slice(by_margin, 1, min(n_probes - 1, n_bits)))
 
 
 def ann_lsh_topk(
@@ -86,30 +135,50 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
+    planes: list[list[float]] | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing the query's LSH bucket.
 
     The bucket equi-join replaces the cross join — at scale, candidates are
     pre-bucketed (partitioned/bucketed table) so each query touches one bucket.
-    Recall is tunable via bucket bits / multi-probe; exactness is *not* the
-    contract here (the oracle replicates the same algorithm)."""
+
+    Recall knobs: ``planes`` (from ``random_hyperplanes``) replaces the fixed
+    axis-aligned bits — more planes = finer buckets; ``n_probes`` expands each
+    query to its exact bucket plus the lowest-margin bit-flip buckets
+    (``multiprobe_buckets``), recovering neighbors that landed one sign bit
+    away.  Candidate volume per query ≈ |corpus| · n_probes / 2^n_planes, so
+    doubling planes and probes together keeps volume flat while recall rises.
+    The default (no planes, single probe) is the engine-portable
+    oracle-checked variant."""
     from pyspark.sql import Window as W
 
+    if planes is None:
+        if n_probes != 1:
+            raise ValueError("multi-probe requires explicit hyperplanes (pass planes=...)")
+        q_bucket = sign_lsh_bucket(F.col(vec_col))
+        c_bucket = sign_lsh_bucket(F.col(vec_col))
+        multi = False
+    else:
+        q_bucket = F.explode(multiprobe_buckets(F.col(vec_col), planes, n_probes))
+        c_bucket = sign_lsh_bucket_planes(F.col(vec_col), planes)
+        multi = n_probes > 1
     q = queries.select(
         F.col(id_col).alias(qid_col),
         F.col(vec_col).alias("qvec"),
-        sign_lsh_bucket(F.col(vec_col)).alias("bucket"),
+        q_bucket.alias("bucket"),
     )
     c = embeddings.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),
-        sign_lsh_bucket(F.col(vec_col)).alias("bucket"),
+        c_bucket.alias("bucket"),
     )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("cid") != F.col(qid_col))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
-    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("cid") != F.col(qid_col))
+    if multi:
+        # a candidate can match the same query via several probed buckets;
+        # dedup (qid, cid) before scoring so each pair is scored once
+        pairs = pairs.drop("bucket").dropDuplicates([qid_col, "cid"])
+    scored = pairs.withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
     w = W.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -123,10 +192,13 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest centroid
-    (max cosine, centroid-id tie-break).  Centroids are a tiny broadcast side;
-    at scale the assignment is a write-time column and the posting lists are
+    """IVF coarse quantization: assign every vector to its ``n_probes`` nearest
+    centroids (max cosine, centroid-id tie-break).  Candidates use n_probes=1
+    (each vector lives in exactly one inverted list); the query side raises it
+    to probe several lists.  Centroids are a tiny broadcast side; at scale the
+    top-1 assignment is a write-time column and the posting lists are
     partition-pruned."""
     from pyspark.sql import Window as W
 
@@ -137,7 +209,7 @@ def ivf_assign(
     w = W.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_probes)
         .select(id_col, vec_col, "centroid_id")
     )
 
@@ -150,15 +222,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """IVF ANN top-k: both sides are coarse-quantized; each query scores only
-    the vectors in its own (top-1 probe) inverted list.  Recall improves with
-    more probes — the operator shape (quantize → list equi-join → rank) is the
-    scale path for embedding search when sign-LSH buckets are too coarse."""
+    """IVF ANN top-k: candidates are coarse-quantized into one inverted list
+    each; every query scores the vectors in its ``n_probes`` nearest lists.
+    Raising n_probes multiplies candidate volume by ~n_probes and recall
+    approaches exact as n_probes → |centroids| — the standard IVF trade.  The
+    operator shape (quantize → list equi-join → rank) is the scale path for
+    embedding search when sign-LSH buckets are too coarse.  Pairs are unique
+    by construction (a candidate lives in exactly one list), so no dedup is
+    needed after the join."""
     from pyspark.sql import Window as W
 
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
-    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+    q = ivf_assign(queries, centroids, id_col, vec_col, n_probes=n_probes).select(
         F.col(id_col).alias(qid_col), F.col(vec_col).alias("qvec"), "centroid_id"
     )
     c = assigned.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "centroid_id")

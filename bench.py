@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -64,12 +65,19 @@ def main() -> None:
         except Exception:
             pass  # a warm-up failure must not kill the measured run
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERY_REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    # p50 of 3 runs per query: single-shot numbers drift ~15% run-to-run
+    # (GC, codegen cache warmth), which is larger than most optimizations
+    # being measured.  Rounds interleave (run 1 of all queries, then run 2,
+    # ...) so same-query runs don't share just-touched OS page cache state.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn = QUERY_REGISTRY[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(statistics.median(s), 4) for name, s in samples.items()}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
