@@ -82,6 +82,7 @@ _PRIORITY = [
     "sim_embedding_neardup",
     "multimodal_metadata",
     "multimodal_frame_sample",
+    "streaming_late_data_live",
     # -- 3. one query per remaining relational family ----------------------- #
     "dq_rowcount_flag",
     "projection_typed_cast",
@@ -94,7 +95,6 @@ _PRIORITY = [
     "dedup_keep_latest_event",
     "string_functions",
     "date_functions",
-    "json_functions",
     # -- 4. tail: remaining variants keep registration order ---------------- #
 ]
 

@@ -4,6 +4,8 @@ tests/test_streaming.py instead)."""
 
 from __future__ import annotations
 
+import glob
+import os
 import shutil
 import tempfile
 import uuid
@@ -33,4 +35,77 @@ def streaming_tumbling_live(spark, sf_dir):
     finally:
         # the stream is stopped (run_stream_to_memory drains then stops), so
         # the file-source staging dir is dead weight — remove it
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def _stage_single_parquet(df, stage_dir: str, name: str, mtime: float) -> None:
+    """Write df as ONE parquet file at stage_dir/name with a controlled mtime
+    (the file stream source picks files oldest-mtime-first, which is how the
+    late batch is forced to arrive second)."""
+    tmp = os.path.join(stage_dir, f"_tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dest = os.path.join(stage_dir, name)
+    shutil.move(part, dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.utime(dest, (mtime, mtime))
+
+
+@register("streaming_late_data_live")  # no oracle: real incremental execution
+def streaming_late_data_live(spark, sf_dir):
+    """Watermark late-data semantics observed LIVE, not batch-emulated: the
+    events fixture is split into two on-time files (newest 80 % of event
+    time, split again at 60 %) and a late file (oldest 20 %), streamed one
+    file per micro-batch in that order.  Spark filters late events with the
+    watermark as of the PREVIOUS batch (``eventTimeWatermarkForLateEvents``
+    lags eviction by one batch — verified empirically: a late file arriving
+    in batch 1 is NOT filtered, in batch 2 it is), so on-time data spans two
+    batches to establish the watermark at max(on-time ts) − 10 min before
+    the late file arrives.  Batch 3's events are all far older, so every row
+    targets a window already closed by the watermark and is dropped
+    (numRowsDroppedByWatermark = full late file) — bounded state, the whole
+    point of watermarks at 100 TB stream scale.  Append mode then emits
+    exactly the closed windows with on-time-only counts.  Deterministic
+    because file order is pinned via mtime and each file is one micro-batch."""
+    from pyspark.sql import functions as F
+
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cutoff = lo + (hi - lo) * 0.2
+    mid = lo + (hi - lo) * 0.6
+    stage_dir = tempfile.mkdtemp(prefix="events_late_")
+    try:
+        # staged files carry ts as µs longs so the stream schema is explicit
+        as_long = ev.withColumn("ts", F.unix_micros("ts"))
+        cut_us = F.lit(int(cutoff.timestamp() * 1_000_000))
+        mid_us = F.lit(int(mid.timestamp() * 1_000_000))
+        _stage_single_parquet(
+            as_long.filter((F.col("ts") >= cut_us) & (F.col("ts") < mid_us)),
+            stage_dir, "a_ontime1.parquet", mtime=1_000_000_000.0,
+        )
+        _stage_single_parquet(
+            as_long.filter(F.col("ts") >= mid_us),
+            stage_dir, "b_ontime2.parquet", mtime=1_000_000_100.0,
+        )
+        _stage_single_parquet(
+            as_long.filter(F.col("ts") < cut_us),
+            stage_dir, "c_late.parquet", mtime=1_000_000_200.0,
+        )
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        events = raw.withColumn("ts", F.timestamp_micros("ts"))
+        name = f"stream_late_{uuid.uuid4().hex[:8]}"
+        run_stream_to_memory(tumbling_counts(events), name, output_mode="append")
+        return spark.table(name)
+    finally:
         shutil.rmtree(stage_dir, ignore_errors=True)

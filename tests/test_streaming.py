@@ -163,3 +163,35 @@ def test_stateful_running_profile(spark, events_stream_dir):
     )
     expected = {r["user_id"]: (r["n"], round(r["s"], 2)) for r in batch.collect()}
     assert got == expected
+
+
+def test_streaming_late_data_dropped_live(spark):
+    """The registered live late-data query: micro-batch 2's late events (all
+    older than the batch-1 watermark) are dropped, so every emitted window
+    carries the on-time-only count and no late-only window appears."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    out = QUERY_REGISTRY["streaming_late_data_live"].fn(spark, SF_SMOKE)
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n"] for r in out.collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cutoff = lo + (hi - lo) * 0.2
+
+    def windowed(df):
+        return {
+            (r["window"]["start"], r["event_type"]): r["n"]
+            for r in df.groupBy(F.window("ts", "5 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    ontime = windowed(ev.filter(F.col("ts") >= F.lit(cutoff)))
+    full = windowed(ev)
+    assert len(streamed) > 0
+    # emitted windows match the on-time-only counts ...
+    assert streamed.items() <= ontime.items()
+    # ... and no window that exists only because of late data is emitted
+    late_only = set(full) - set(ontime)
+    assert late_only and set(streamed).isdisjoint(late_only)
