@@ -23,6 +23,7 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
     similarity,
     multimodal,
     streaming_live,
+    pipeline,
 )
 
 # --------------------------------------------------------------------------- #
@@ -83,6 +84,9 @@ _PRIORITY = [
     "multimodal_metadata",
     "multimodal_frame_sample",
     "streaming_late_data_live",
+    "split_train_test_hash",
+    "decontaminate_ngram_overlap",
+    "corpus_curation_pipeline",
     # -- 3. one query per remaining relational family ----------------------- #
     "dq_rowcount_flag",
     "projection_typed_cast",
@@ -91,10 +95,10 @@ _PRIORITY = [
     "filter_complex_predicates",
     "grouping_sets_events",
     "cube_flag_status",
-    "agg_exact_percentiles",
     "dedup_keep_latest_event",
-    "string_functions",
-    "date_functions",
+    # (string/date/json_functions, agg_exact_percentiles etc. were driver-
+    # verified green in round 1 and yield their window slots to newer,
+    # never-checked queries — they remain locally oracle-checked in the tail)
     # -- 4. tail: remaining variants keep registration order ---------------- #
 ]
 

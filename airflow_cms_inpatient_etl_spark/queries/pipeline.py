@@ -1,0 +1,168 @@
+"""Training-data pipeline compositions over ``documents``: deterministic
+train/test splitting, test-set decontamination, and an end-to-end corpus
+curation pass (quality filter → language filter → dedup → representative
+selection).
+
+These are the glue queries an LLM data pipeline actually runs — each is a
+composition of the engine's primitive operators, registered with a DuckDB
+oracle so the whole pipeline (not just its stages) is value-checked.
+
+Scale posture: every stage is a built-in-expression projection, a hash
+aggregation, or an equi-join on int64 shingle hashes — no Python in the row
+path, no all-pairs joins; the decontamination join broadcasts the (small)
+eval-set posting list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.operators.text import (
+    exploded_shingle_hashes,
+    normalized_fingerprint,
+)
+from airflow_cms_inpatient_etl_spark.queries.base import register
+from airflow_cms_inpatient_etl_spark.queries.dedup import _SHINGLES_CTE
+from airflow_cms_inpatient_etl_spark.queries.textops import _LEXICONS
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+
+@register(
+    "split_train_test_hash",
+    oracle="""
+    SELECT doc_id,
+           CAST('0x' || SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 100 AS bucket,
+           CASE WHEN CAST('0x' || SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_test_hash(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment via a salted portable
+    hash of the document id.  Hash-based (not random) so the split is stable
+    across runs, engines, and repartitioning — the property a training
+    pipeline needs for reproducible experiments — and adding documents never
+    reassigns existing ones.  The 60-bit md5-prefix hash is the same portable
+    construction used by the dedup operators."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    bucket = (h % 100).alias("bucket")
+    return d.select(
+        "doc_id",
+        bucket,
+        F.when(h % 100 < 80, "train").when(h % 100 < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    tr AS (SELECT doc_id, h FROM ex WHERE doc_id >= 50),
+    te AS (SELECT doc_id AS test_id, h FROM ex WHERE doc_id < 50)
+    SELECT tr.doc_id,
+           COUNT(DISTINCT tr.h) AS n_shared_shingles,
+           COUNT(DISTINCT te.test_id) AS n_test_docs
+    FROM tr JOIN te ON tr.h = te.h
+    GROUP BY tr.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Test-set decontamination: flag training documents sharing any word
+    3-gram with the held-out eval set (doc_id < 50), with overlap counts.
+
+    The contamination check is an equi-join on int64 shingle hashes — the
+    eval-set posting list is small (|eval| ≪ |train|) and broadcast, so at
+    100 TB this is one scan of the training shingles against a map-side hash
+    table, never a shuffle of the big side.  Flagged docs are then dropped
+    (anti-join) or quarantined by the caller."""
+    ex = exploded_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    train = ex.filter(F.col("doc_id") >= 50)
+    test = ex.filter(F.col("doc_id") < 50).select(F.col("doc_id").alias("test_id"), "h")
+    return (
+        train.join(F.broadcast(test), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_shingles"),
+            F.countDistinct("test_id").alias("n_test_docs"),
+        )
+    )
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, text, w, LEN(w) AS n_tokens, LEN(LIST_DISTINCT(w)) AS n_distinct
+        FROM toks
+    ),
+    filtered AS (
+        SELECT doc_id, text, n_tokens FROM stats
+        WHERE n_tokens BETWEEN 10 AND 1000
+          AND 5 * n_distinct >= n_tokens
+          AND LEN(LIST_INTERSECT(LIST_DISTINCT(w),
+                  {sorted(set(t for lex in _LEXICONS.values() for t in lex))!r})) > 0
+    ),
+    fp AS (
+        SELECT doc_id, n_tokens,
+               MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fingerprint
+        FROM filtered
+    ),
+    reps AS (
+        SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM fp GROUP BY fingerprint
+    )
+    SELECT r.doc_id, r.fingerprint, r.n_copies, f.n_tokens
+    FROM reps r JOIN fp f ON r.doc_id = f.doc_id
+    """,
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """End-to-end curation pass, the composition a pretraining pipeline runs
+    per snapshot: (1) quality gate — token count in [10, 1000] and lexical
+    diversity ≥ 0.2 (integer form ``5·distinct ≥ tokens``: no float-tie
+    hazards); (2) language gate — at least one known-lexicon stopword hit
+    (the ``predicted_lang != 'und'`` rule of text_langid_heuristic); (3)
+    exact near-dup collapse via normalized fingerprint, keeping the min-id
+    representative with its copy count.
+
+    Each stage is a narrow projection/filter that fuses into one codegen'd
+    scan; the only shuffles are the fingerprint groupBy and the (rep ⋈ stats)
+    join back — both on keys that AQE handles at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    all_lex = sorted({t for lex in _LEXICONS.values() for t in lex})
+    stats = d.select(
+        "doc_id",
+        "text",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.size(F.array_intersect(F.array_distinct(w), F.array(*[F.lit(t) for t in all_lex]))).alias(
+            "n_lex_hits"
+        ),
+    )
+    filtered = stats.filter(
+        F.col("n_tokens").between(10, 1000)
+        & (5 * F.col("n_distinct") >= F.col("n_tokens"))
+        & (F.col("n_lex_hits") > 0)
+    )
+    fp = filtered.select(
+        "doc_id", "n_tokens", normalized_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    reps = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return reps.join(fp.select("doc_id", "n_tokens"), "doc_id").select(
+        "doc_id", "fingerprint", "n_copies", "n_tokens"
+    )
