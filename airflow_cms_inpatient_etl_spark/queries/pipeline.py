@@ -166,3 +166,77 @@ def corpus_curation_pipeline(spark, sf_dir):
     return reps.join(fp.select("doc_id", "n_tokens"), "doc_id").select(
         "doc_id", "fingerprint", "n_copies", "n_tokens"
     )
+
+
+@register(
+    "sample_language_rebalance",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST('0x' || SUBSTR(MD5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 100 AS bucket
+    FROM documents
+    WHERE CAST('0x' || SUBSTR(MD5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 100 < CASE WHEN lang = 'en' THEN 5 ELSE 20 END
+    """,
+)
+def sample_language_rebalance(spark, sf_dir):
+    """Stratified downsampling with per-stratum rates — the language-rebalance
+    pass of a multilingual corpus (keep 5 % of dominant 'en', 20 % of the
+    rest).  Hash-based like split_train_test_hash, so membership is stable
+    under reruns and growth; the predicate is a pure projection filter that
+    pushes into the scan — no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    rate = F.when(F.col("lang") == "en", 5).otherwise(20)
+    return d.select("doc_id", "lang", (h % 100).alias("bucket")).filter(F.col("bucket") < rate)
+
+
+@register(
+    "pack_token_budget",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // 2000 AS shard
+    FROM c
+    """,
+)
+def pack_token_budget(spark, sf_dir):
+    """Greedy shard packing for training batches: documents are packed in
+    doc_id order into ~2000-token shards via a running token total — a doc
+    starts the shard its cumulative prefix falls in.  Packing is PER LANGUAGE
+    (window partitioned by lang), so strata pack in parallel; at 100 TB the
+    partition key is whatever unit fits one task's sort (lang × date, split
+    × bucket, ...) — a global unpartitioned packing order would serialize
+    into one task and is exactly what this shape avoids.  Integer division
+    only — no float-tie hazards in shard boundaries."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        F.expr("(cum_tokens - n_tokens) DIV 2000").alias("shard"),
+    )
