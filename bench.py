@@ -44,6 +44,8 @@ HEADLINE = [
     "sim_ann_ivf_topk",
     "lateral_correlated_agg",
     "multimodal_decode_stub",
+    "decontaminate_ngram_overlap",
+    "corpus_curation_pipeline",
 ]
 
 
