@@ -183,8 +183,10 @@ def sample_language_rebalance(spark, sf_dir):
     """Stratified downsampling with per-stratum rates — the language-rebalance
     pass of a multilingual corpus (keep 5 % of dominant 'en', 20 % of the
     rest).  Hash-based like split_train_test_hash, so membership is stable
-    under reruns and growth; the predicate is a pure projection filter that
-    pushes into the scan — no shuffle at any scale."""
+    under reruns and growth.  The hash predicate can't push into parquet (it
+    derives from md5), but the scan is pruned to (doc_id, lang) and the
+    filter runs fused in the scan stage — zero shuffles at any scale
+    (asserted in tests/test_plans.py)."""
     d = load_table(spark, sf_dir, "documents")
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 15),

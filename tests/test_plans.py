@@ -83,3 +83,21 @@ def test_whole_stage_codegen_active(spark, name):
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     simple = df._jdf.queryExecution().explainString(mode)
     assert "*" in simple  # codegen'd spans marked with *
+
+
+def test_pipeline_glue_plan_shapes(spark):
+    """Round-2 pipeline queries keep their designed physical shapes: the
+    stratified sample is shuffle-free with a 2-column pruned scan, the
+    decontamination join broadcasts the eval side (never sort-merges the
+    training shingles), and shard packing shuffles exactly once (the
+    per-language window)."""
+    plan = _formatted_plan(spark, "sample_language_rebalance")
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+    plan = _formatted_plan(spark, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    plan = _formatted_plan(spark, "pack_token_budget")
+    # formatted mode prints each node twice (tree + detail) → one Exchange node
+    assert plan.count("Exchange") == 2 and "Window" in plan
