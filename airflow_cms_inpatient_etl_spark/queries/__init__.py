@@ -87,6 +87,7 @@ _PRIORITY = [
     "split_train_test_hash",
     "decontaminate_ngram_overlap",
     "corpus_curation_pipeline",
+    "embedding_kmeans_iteration",
     # -- 3. one query per remaining relational family ----------------------- #
     "dq_rowcount_flag",
     "projection_typed_cast",
@@ -95,10 +96,9 @@ _PRIORITY = [
     "filter_complex_predicates",
     "grouping_sets_events",
     "cube_flag_status",
-    "dedup_keep_latest_event",
-    # (string/date/json_functions, agg_exact_percentiles etc. were driver-
-    # verified green in round 1 and yield their window slots to newer,
-    # never-checked queries — they remain locally oracle-checked in the tail)
+    # (string/date/json_functions, agg_exact_percentiles, dedup_keep_latest
+    # etc. were driver-verified green in round 1 and yield their window slots
+    # to newer, never-checked queries — they stay locally checked in the tail)
     # -- 4. tail: remaining variants keep registration order ---------------- #
 ]
 

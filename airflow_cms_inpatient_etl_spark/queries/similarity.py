@@ -7,6 +7,8 @@ are stable under ties via the candidate-id tie-breaker.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from airflow_cms_inpatient_etl_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
@@ -128,6 +130,68 @@ def sim_ann_ivf_topk(spark, sf_dir):
     queries = e.filter(e.vec_id < 8)
     centroids = e.filter(e.vec_id.between(100, 107))
     return ivf_topk(e, queries, centroids, k=3)
+
+
+@register(
+    "embedding_kmeans_iteration",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id BETWEEN 100 AND 107
+    ),
+    all_assign AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cosine("e.embedding", "c.cvec")} DESC,
+                                           c.centroid_id) AS crn
+        FROM embeddings e, cent c
+    ),
+    assigned AS (SELECT vec_id, embedding, centroid_id FROM all_assign WHERE crn = 1),
+    ex AS (
+        SELECT vec_id, centroid_id, d.i AS dim,
+               CAST(embedding[d.i] AS DOUBLE) AS v
+        FROM assigned, (SELECT UNNEST(RANGE(1, 65)) AS i) d
+    )
+    SELECT centroid_id, dim,
+           COUNT(*) AS n_assigned,
+           LIST_REDUCE(LIST(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS mean_value
+    FROM ex GROUP BY centroid_id, dim
+    """,
+)
+def embedding_kmeans_iteration(spark, sf_dir):
+    """One spherical k-means iteration, fully distributed: assign every vector
+    to its max-cosine centroid (broadcast centroids — the IVF assignment), then
+    recompute each centroid as the per-dimension mean of its members.  The
+    iterative-ML pattern in pure DataFrame ops: a training loop is this query
+    run to fixation with the output fed back as the next centroid set.
+
+    Exactness: member values are summed as doubles via an ORDERED left fold
+    (sorted by vec_id) — the same bit-deterministic pattern as the cosine
+    dot products — so the per-dimension means hash-match the oracle with no
+    epsilon tolerance even though this is 'ML'.  (Decimal-cast sums are NOT
+    usable here: float32 binary expansions can land exactly on the decimal
+    rounding grid, where Spark's HALF_UP and DuckDB's tie rule diverge —
+    observed as a 1e-12 mean drift before the switch to ordered folds.)
+    Shuffles: one for the assignment's per-vector rank, one for the
+    (centroid, dim) mean — both on bounded keys (|centroids| × 64 rows out)."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import ivf_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(e.vec_id.between(100, 107))
+    assigned = ivf_assign(e, centroids)
+    ex = assigned.select(
+        "vec_id", "centroid_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("vec_id").alias("i"), F.col("val").cast("double").alias("v")))
+    )
+    ordered_sum = F.aggregate(
+        F.transform(pairs, lambda p: p["v"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return ex.groupBy("centroid_id", (F.col("pos") + 1).alias("dim")).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        (ordered_sum / F.count(F.lit(1))).alias("mean_value"),
+    )
 
 
 @register(
