@@ -88,6 +88,7 @@ _PRIORITY = [
     "decontaminate_ngram_overlap",
     "corpus_curation_pipeline",
     "embedding_kmeans_iteration",
+    "dedup_connected_components",
     # -- 3. one query per remaining relational family ----------------------- #
     "dq_rowcount_flag",
     "projection_typed_cast",
@@ -95,7 +96,6 @@ _PRIORITY = [
     "join_multiway_revenue",
     "filter_complex_predicates",
     "grouping_sets_events",
-    "cube_flag_status",
     # (string/date/json_functions, agg_exact_percentiles, dedup_keep_latest
     # etc. were driver-verified green in round 1 and yield their window slots
     # to newer, never-checked queries — they stay locally checked in the tail)

@@ -180,3 +180,41 @@ def dedup_simhash(spark, sf_dir):
     """16-bit SimHash fingerprint per document from signed shingle-hash bit votes."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_fingerprints(d, "doc_id", "text", n_bits=16)
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_CTES},
+    pairs AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.8),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labeled AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a)
+    SELECT l.doc_id, l.cluster_rep, c.cluster_size
+    FROM labeled l
+    JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size FROM labeled GROUP BY 1) c
+      USING (cluster_rep)
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup PAIRS → dedup CLUSTERS: connected components over the exact
+    n-gram-Jaccard pair graph (>= 0.8), labeling every involved document with
+    its component's min doc_id plus the cluster size — the form a dedup
+    pipeline consumes (keep rep, drop the rest).  Spark side is iterative
+    min-label propagation (operators/graph.py, one join+agg per round,
+    driver coordinates rounds only); the oracle computes the same components
+    via a recursive-CTE transitive closure — different algorithm, identical
+    fixpoint, so the iterative machinery is value-checked end-to-end."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"), "cluster_size"
+    )

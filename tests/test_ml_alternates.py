@@ -124,3 +124,20 @@ def test_ann_recall_knobs(spark):
 
     with pytest.raises(ValueError, match="hyperplanes"):
         ann_lsh_topk(e, q, k=5, n_probes=2)
+
+
+def test_connected_components_synthetic(spark):
+    """Path, triangle, and isolated pair all collapse to min-id labels; the
+    path exercises multi-round propagation (diameter 4 > 1 round)."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # path: all -> 1
+         (10, 11), (11, 12), (10, 12),        # triangle: all -> 10
+         (20, 21)],                           # pair: both -> 20
+        "id1 long, id2 long",
+    )
+    got = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
