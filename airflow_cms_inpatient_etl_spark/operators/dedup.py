@@ -42,6 +42,17 @@ MINHASH_PERMS: list[tuple[int, int]] = [
     (224737, 11111),
     (245771, 77777),
     (268439, 31415),
+    # bank extends to 16 so callers can raise n_hashes/n_bands for finer
+    # recall (e.g. 16 hashes / 4 bands) without new constants; defaults stay
+    # 8/2 to keep the registered oracle queries unchanged
+    (290317, 16180),
+    (312583, 27182),
+    (331999, 14142),
+    (350377, 17320),
+    (368633, 22360),
+    (386093, 26457),
+    (401987, 28284),
+    (419651, 31622),
 ]
 MINHASH_MOD = 2147483647  # 2^31 - 1
 MINHASH_DOMAIN = 2147483648  # 2^31

@@ -129,7 +129,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         SELECT doc_id,
                {", ".join(
                    f"MIN(({a} * (h % {MINHASH_DOMAIN}) + {b}) % {MINHASH_MOD}) AS sig{j}"
-                   for j, (a, b) in enumerate(MINHASH_PERMS)
+                   for j, (a, b) in enumerate(MINHASH_PERMS[:8])
                )}
         FROM ex GROUP BY doc_id
     ),

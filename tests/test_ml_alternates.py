@@ -141,3 +141,38 @@ def test_connected_components_synthetic(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_minhash_band_knobs_recall(spark):
+    """Banded-LSH recall responds to the knobs as theory says: more, narrower
+    bands can only widen the candidate set (8/2 recovers every true pair that
+    stricter 8/1 misses; the extended 16-perm bank supports 16/4), and the
+    exact-Jaccard verification keeps precision at 1.0 in every config."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import (
+        MINHASH_PERMS,
+        minhash_lsh_pairs,
+    )
+
+    assert len(MINHASH_PERMS) >= 16
+    d = load_table(spark, SF_SMOKE, "documents")
+    truth = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.7).collect()
+    }
+    if not truth:
+        return  # sf0.001 may lack planted pairs
+
+    def pairs(nh, nb):
+        return {
+            (r["id1"], r["id2"])
+            for r in minhash_lsh_pairs(
+                d, "doc_id", "text", 0.7, n_hashes=nh, n_bands=nb
+            ).collect()
+        }
+
+    strict, default, fine = pairs(8, 1), pairs(8, 2), pairs(16, 4)
+    for got in (strict, default, fine):
+        assert got <= truth  # exact verification: no false positives, ever
+    assert strict <= default  # fewer bands = strictly harder candidacy
+    assert len(default & truth) >= len(strict & truth)
+    assert len(fine & truth) >= len(strict & truth)
