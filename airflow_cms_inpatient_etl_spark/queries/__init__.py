@@ -24,6 +24,7 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
     multimodal,
     streaming_live,
     pipeline,
+    cdc,
 )
 
 # --------------------------------------------------------------------------- #
@@ -89,13 +90,13 @@ _PRIORITY = [
     "corpus_curation_pipeline",
     "embedding_kmeans_iteration",
     "dedup_connected_components",
+    "cdc_upsert_orders",
+    "cdc_scd2_segment_history",
     # -- 3. one query per remaining relational family ----------------------- #
     "dq_rowcount_flag",
     "projection_typed_cast",
     "null_default_decode",
     "join_multiway_revenue",
-    "filter_complex_predicates",
-    "grouping_sets_events",
     # (string/date/json_functions, agg_exact_percentiles, dedup_keep_latest
     # etc. were driver-verified green in round 1 and yield their window slots
     # to newer, never-checked queries — they stay locally checked in the tail)

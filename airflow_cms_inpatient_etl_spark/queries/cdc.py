@@ -1,0 +1,105 @@
+"""CDC queries: the incremental-merge layer, driver-checked.
+
+The reference drops and fully reloads its tables every run
+(``/root/reference/dags/patient_claims_plus_postgres.py:63-68``); these
+queries exercise the engine's incremental equivalents
+(``operators/upsert.py``) on deterministic testdata slices so the CDC
+surface gets the same hash-level oracle verification as the relational
+queries.  The oracles derive the expected states from the MERGE semantics
+directly (NOT by replaying the operator's join plan), so the anti-join +
+union machinery is checked against an independent formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.operators.upsert import apply_scd2, scd2_init, upsert
+from airflow_cms_inpatient_etl_spark.queries.base import register
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+
+@register(
+    "cdc_upsert_orders",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000 AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+    FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM updates
+    """,
+)
+def cdc_upsert_orders(spark, sf_dir):
+    """Type-1 MERGE (last-write-wins upsert): a CDC batch of repriced orders
+    replaces same-key rows in the base table and inserts the rest — the
+    operators/upsert.upsert anti-join + union, which at 100 TB is one
+    key-shuffle (co-located if the target is bucketed on the key).  The
+    price bump is double + integer, IEEE-exact in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = o.filter(F.col("o_orderkey") % 3 != 0)
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    return upsert(target, updates, ["o_orderkey"])
+
+
+@register(
+    "cdc_scd2_segment_history",
+    oracle="""
+    WITH snap AS (SELECT c_custkey, c_mktsegment FROM customer),
+    upd AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN 'CHURNED' ELSE c_mktsegment END
+                   AS c_mktsegment
+        FROM customer
+    )
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           TIMESTAMP '2024-06-01 00:00:00' AS valid_to,
+           FALSE AS is_current
+    FROM snap WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+    FROM snap WHERE c_custkey % 5 <> 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+    FROM upd WHERE c_custkey % 5 = 0
+    """,
+)
+def cdc_scd2_segment_history(spark, sf_dir):
+    """SCD2 history build: open a dimension from the initial customer
+    snapshot, then apply a second snapshot where every fifth customer churned
+    segment — changed keys get their current version closed
+    (valid_to = as_of) and a fresh open version appended; unchanged keys pass
+    through.  Runs the real operators (scd2_init + apply_scd2); the oracle
+    states the expected history rows directly from SCD2 semantics, so the
+    operator's join machinery is verified against an independent derivation."""
+    snap = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    history = scd2_init(snap, "2024-01-01 00:00:00")
+    updates = snap.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, "CHURNED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    return apply_scd2(
+        history,
+        updates,
+        key_cols=["c_custkey"],
+        compare_cols=["c_mktsegment"],
+        as_of="2024-06-01 00:00:00",
+    )
