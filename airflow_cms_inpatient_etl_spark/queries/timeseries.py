@@ -194,3 +194,69 @@ def events_dedup_within_window(spark, sf_dir):
             "n_dups",
         )
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          AND e.ts <= c.t2 + INTERVAL 2 DAY
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL
+    SELECT '2_click_after_view', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT '3_purchase_after_click', (SELECT COUNT(*) FROM p)
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered, time-bounded funnel: users with a view, a click strictly
+    after their first view, and a purchase within (0, 2 days] of that first
+    qualifying click.  Each stage is an aggregate + equi-join back to the
+    event stream (ordering and deadline constraints ride the join filter),
+    so the whole funnel is three keyed shuffles regardless of corpus size —
+    no per-user event sorting, no sessionization state."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 2 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def stage(label, df):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+    return stage("1_view", v).unionByName(stage("2_click_after_view", c)).unionByName(
+        stage("3_purchase_after_click", p)
+    )
