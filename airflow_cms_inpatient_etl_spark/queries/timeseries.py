@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from airflow_cms_inpatient_etl_spark.functions.exact import dsum
+from airflow_cms_inpatient_etl_spark.functions.exact import davg, dsum, oracle_davg
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 
@@ -259,4 +259,63 @@ def events_funnel_conversion(spark, sf_dir):
         )
     return stage("1_view", v).unionByName(stage("2_click_after_view", c)).unionByName(
         stage("3_purchase_after_click", p)
+    )
+
+
+@register(
+    "events_gap_fill_hourly",
+    oracle=f"""
+    WITH b AS (
+        SELECT user_id, TIME_BUCKET(INTERVAL '1 hour', ts) AS bucket_ts,
+               {oracle_davg("value", "value_avg")}
+        FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT user_id,
+               UNNEST(GENERATE_SERIES(MIN(bucket_ts), MAX(bucket_ts), INTERVAL 1 HOUR))
+                   AS bucket_ts
+        FROM b GROUP BY user_id
+    )
+    SELECT s.user_id, s.bucket_ts, b.value_avg,
+           LAST_VALUE(b.value_avg IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           b.value_avg IS NULL AS is_gap
+    FROM spine s
+    LEFT JOIN b ON s.user_id = b.user_id AND s.bucket_ts = b.bucket_ts
+    """,
+)
+def events_gap_fill_hourly(spark, sf_dir):
+    """Time-series regularization: resample each user's events to an hourly
+    grid (order-independent decimal-exact hour averages), materialize the
+    gap-free hour spine per user (sequence + explode — no cross join against
+    a global calendar), and forward-fill gaps with the last observed value
+    (``last(..., ignorenulls)`` over a running frame).  The spine is bounded
+    per user by its own [min, max] activity, so the explode output is
+    O(active-hours), and the only wide operations are the hour-bucket
+    aggregate and the per-user window sort."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.groupBy("user_id", F.window("ts", "1 hour"))
+        .agg(davg("value", "value_avg"))
+        .select("user_id", F.col("window.start").alias("bucket_ts"), "value_avg")
+    )
+    spine = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket_ts"),
+        )
+    )
+    joined = spine.join(b, ["user_id", "bucket_ts"], "left")
+    w = W.partitionBy("user_id").orderBy("bucket_ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return joined.select(
+        "user_id",
+        "bucket_ts",
+        "value_avg",
+        F.last("value_avg", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("value_avg").isNull().alias("is_gap"),
     )
