@@ -74,8 +74,6 @@ _PRIORITY = [
     "text_token_counts",
     "text_rolling_hash",
     "text_corpus_rollup",
-    "dedup_exact_distinct",
-    "dedup_exact_text",
     "dedup_fingerprint",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -92,6 +90,8 @@ _PRIORITY = [
     "dedup_connected_components",
     "cdc_upsert_orders",
     "cdc_scd2_segment_history",
+    "events_funnel_conversion",
+    "events_gap_fill_hourly",
     # -- 3. one query per remaining relational family ----------------------- #
     "dq_rowcount_flag",
     "projection_typed_cast",
