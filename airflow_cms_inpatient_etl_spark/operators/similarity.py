@@ -39,6 +39,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
 
 
+def norm(a: Column) -> Column:
+    """√⟨a,a⟩ — precompute this ONCE per side before a pairwise join: cosine()
+    recomputes both norms per pair (3 folds over the dimension per pair);
+    ``dot(a,b) / (na * nb)`` with precomputed norms does 1 fold per pair and
+    is bit-identical (same float ops, just not repeated)."""
+    return F.sqrt(norm_sq(a))
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -51,12 +59,20 @@ def brute_force_topk(
     then per-query top-k via row_number (tie-broken on candidate id)."""
     from pyspark.sql import Window as W
 
-    q = queries.select(F.col(id_col).alias(qid_col), F.col(vec_col).alias("qvec"))
-    c = embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    q = queries.select(
+        F.col(id_col).alias(qid_col),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cid") != F.col(qid_col))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("cosine", dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")))
     )
     w = W.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
@@ -166,11 +182,13 @@ def ann_lsh_topk(
     q = queries.select(
         F.col(id_col).alias(qid_col),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
         q_bucket.alias("bucket"),
     )
     c = embeddings.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
         c_bucket.alias("bucket"),
     )
     pairs = c.join(F.broadcast(q), "bucket").filter(F.col("cid") != F.col(qid_col))
@@ -178,7 +196,9 @@ def ann_lsh_topk(
         # a candidate can match the same query via several probed buckets;
         # dedup (qid, cid) before scoring so each pair is scored once
         pairs = pairs.drop("bucket").dropDuplicates([qid_col, "cid"])
-    scored = pairs.withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+    scored = pairs.withColumn(
+        "cosine", dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+    )
     w = W.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -202,10 +222,16 @@ def ivf_assign(
     partition-pruned."""
     from pyspark.sql import Window as W
 
-    c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
-    scored = embeddings.select(F.col(id_col), F.col(vec_col)).crossJoin(
-        F.broadcast(c)
-    ).withColumn("c_cos", cosine(F.col(vec_col), F.col("cvec")))
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        embeddings.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vn"))
+        .crossJoin(F.broadcast(c))
+        .withColumn("c_cos", dot(F.col(vec_col), F.col("cvec")) / (F.col("vn") * F.col("cn")))
+    )
     w = W.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -236,13 +262,21 @@ def ivf_topk(
 
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     q = ivf_assign(queries, centroids, id_col, vec_col, n_probes=n_probes).select(
-        F.col(id_col).alias(qid_col), F.col(vec_col).alias("qvec"), "centroid_id"
+        F.col(id_col).alias(qid_col),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
+        "centroid_id",
     )
-    c = assigned.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "centroid_id")
+    c = assigned.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
+        "centroid_id",
+    )
     scored = (
         c.join(F.broadcast(q), "centroid_id")
         .filter(F.col("cid") != F.col(qid_col))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("cosine", dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")))
     )
     w = W.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
@@ -263,17 +297,19 @@ def embedding_neardup_pairs(
     a = embeddings.select(
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("v1"),
+        norm(F.col(vec_col)).alias("n1"),
         sign_lsh_bucket(F.col(vec_col)).alias("bucket"),
     )
     b = embeddings.select(
         F.col(id_col).alias("id2"),
         F.col(vec_col).alias("v2"),
+        norm(F.col(vec_col)).alias("n2"),
         sign_lsh_bucket(F.col(vec_col)).alias("bucket"),
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", cosine(F.col("v1"), F.col("v2")))
+        .withColumn("cosine", dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")))
         .filter(F.col("cosine") > threshold)
         .select("id1", "id2", "cosine")
     )
