@@ -103,3 +103,60 @@ def cdc_scd2_segment_history(spark, sf_dir):
         compare_cols=["c_mktsegment"],
         as_of="2024-06-01 00:00:00",
     )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance for insert-only deltas: the
+    standing aggregate (80% of lineitem) is merged with a delta batch's
+    partial aggregate via a FULL OUTER join on the group key — counts and
+    decimal-exact sums add, extrema combine with least/greatest (valid
+    because inserts can only extend a min/max, never retract it; deletions
+    would need a full or two-level recompute).  Merge cost is O(|groups|),
+    not O(|history|) — the point of incremental maintenance at 100 TB.  The
+    oracle recomputes the aggregate over the FULL table, so the merge
+    arithmetic is checked against an independent derivation."""
+    from airflow_cms_inpatient_etl_spark.functions.exact import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    delta = li.filter(F.col("l_orderkey") % 5 == 0)
+
+    def partial(df):
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_quantity")).alias("sum_dec"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+
+    b = partial(base)
+    d = partial(delta)
+    zero = F.lit(0).cast("decimal(37,6)")
+    return (
+        b.withColumnsRenamed({c: f"b_{c}" for c in b.columns if c != "l_returnflag"})
+        .join(
+            d.withColumnsRenamed({c: f"d_{c}" for c in d.columns if c != "l_returnflag"}),
+            "l_returnflag",
+            "full_outer",
+        )
+        .select(
+            "l_returnflag",
+            (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
+            (F.coalesce(F.col("b_sum_dec"), zero) + F.coalesce(F.col("d_sum_dec"), zero))
+            .cast("double")
+            .alias("sum_qty"),
+            F.least("b_min_qty", "d_min_qty").alias("min_qty"),
+            F.greatest("b_max_qty", "d_max_qty").alias("max_qty"),
+        )
+    )
