@@ -550,3 +550,31 @@ def unpivot_part_attrs(spark, sf_dir):
     return p.select(
         "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
     ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+@register("approx_distinct_sketch_merge")  # no oracle: sketches are engine-specific
+def approx_distinct_sketch_merge(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): per-shard partial sketches union into
+    the same estimate a single global pass produces — the property that lets
+    100 TB pipelines maintain distinct counts incrementally (per partition,
+    per micro-batch) and merge at read time instead of re-scanning history.
+    Returns per-flag merged and direct estimates plus the exact count; both
+    estimates land within HLL error bounds of exact (asserted <2% in tests —
+    note the union path is NOT bit-identical to the single-pass sketch:
+    sparse→dense promotion during union shifts the estimate slightly).
+    Rows-only driver check: sketch internals are engine-specific by design."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = li.groupBy(
+        "l_returnflag", (F.col("l_orderkey") % 8).alias("shard")
+    ).agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    merged = partials.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate")
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("direct_estimate"),
+        F.countDistinct("l_partkey").alias("exact_distinct"),
+    )
+    return merged.join(direct, "l_returnflag").select(
+        "l_returnflag", "merged_estimate", "direct_estimate", "exact_distinct"
+    )

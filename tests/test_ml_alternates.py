@@ -176,3 +176,17 @@ def test_minhash_band_knobs_recall(spark):
     assert strict <= default  # fewer bands = strictly harder candidacy
     assert len(default & truth) >= len(strict & truth)
     assert len(fine & truth) >= len(strict & truth)
+
+
+def test_hll_sketch_merge_accuracy(spark):
+    """Per-shard HLL sketches merged via hll_union_agg estimate within 2% of
+    the exact distinct count (as does the single-pass sketch); merge-time
+    unioning is what makes distinct counts incrementally maintainable."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    rows = QUERY_REGISTRY["approx_distinct_sketch_merge"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        for est in ("merged_estimate", "direct_estimate"):
+            assert abs(r[est] - r["exact_distinct"]) / r["exact_distinct"] < 0.02, r
