@@ -190,3 +190,20 @@ def test_hll_sketch_merge_accuracy(spark):
     for r in rows:
         for est in ("merged_estimate", "direct_estimate"):
             assert abs(r[est] - r["exact_distinct"]) / r["exact_distinct"] < 0.02, r
+
+
+def test_pack_token_budget_invariants(spark):
+    """Beyond the hash oracle: every shard's token total stays under
+    budget + its largest doc (greedy prefix packing can overshoot by at most
+    the doc that crosses the boundary), and shards number consecutively from
+    0 within each language."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    pdf = QUERY_REGISTRY["pack_token_budget"].fn(spark, SF_ORACLE).toPandas()
+    budget = 2000
+    for (_lang, _shard), g in pdf.groupby(["lang", "shard"]):
+        assert g["n_tokens"].sum() <= budget + g["n_tokens"].max()
+    for _lang, g in pdf.groupby("lang"):
+        shards = sorted(g["shard"].unique())
+        assert shards == list(range(len(shards)))
