@@ -267,3 +267,49 @@ def json_functions(spark, sf_dir):
         parsed.getField("k").alias("k_int"),
         (parsed.getField("k") % 10).alias("k_bucket"),
     )
+
+
+@register(
+    "error_safe_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(CASE WHEN l_linenumber % 2 = 1 THEN '42'
+                         ELSE l_returnflag END AS INTEGER) AS parsed_or_null,
+           l_quantity / NULLIF(l_linenumber % 2, 0) AS qty_over_odd,
+           CASE WHEN l_orderkey % 2 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE l_orderkey + 1 END AS next_key_or_null,
+           ([l_quantity, l_extendedprice])[l_linenumber] AS picked_or_null
+    FROM lineitem
+    """,
+)
+def error_safe_functions(spark, sf_dir):
+    """Error-safe expression surface: try_cast (malformed strings → NULL
+    instead of job abort), try_divide (÷0 → NULL), try_add (BIGINT overflow →
+    NULL instead of silent wrap-around), try_element_at (out-of-bounds →
+    NULL).  At 100 TB a single malformed row must quarantine itself as NULL,
+    not kill a 1000-executor job — the try_* family is how ANSI-strict
+    pipelines stay total.  The oracle derives each expected NULL from the
+    error condition itself (NULLIF guards, CASE on the overflow predicate),
+    not from DuckDB try-variants — an independent formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    maybe_num = F.when(F.col("l_linenumber") % 2 == 1, F.lit("42")).otherwise(
+        F.col("l_returnflag")
+    )
+    bigint_max = F.lit(9223372036854775807).cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        maybe_num.try_cast("int").alias("parsed_or_null"),
+        F.try_divide(F.col("l_quantity"), F.col("l_linenumber") % 2).alias("qty_over_odd"),
+        F.when(
+            F.col("l_orderkey") % 2 == 0,
+            # +1 keeps the addend strictly positive (orderkey 0 exists), so
+            # the even branch always overflows → NULL
+            F.try_add(bigint_max, F.col("l_orderkey") + 1),
+        )
+        .otherwise(F.try_add(F.col("l_orderkey"), F.lit(1)))
+        .alias("next_key_or_null"),
+        F.try_element_at(
+            F.array(F.col("l_quantity"), F.col("l_extendedprice")), F.col("l_linenumber")
+        ).alias("picked_or_null"),
+    )

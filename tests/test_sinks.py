@@ -127,3 +127,32 @@ def test_jdbc_reader_builds_partitioned_plan_options(spark):
         num_partitions=32,
     )
     assert reader is not None  # options accepted; .load() needs a driver jar
+
+
+def test_range_partitioned_sorted_write_nonoverlapping_files(spark, tmp_path):
+    """The sorted-write layout for scan pruning: repartitionByRange +
+    sortWithinPartitions produces parquet files whose [min, max] key ranges
+    do not overlap, so a point/range predicate prunes whole files (and,
+    within them, row groups) via footer statistics at 100 TB."""
+    import glob
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    out = str(tmp_path / "range_sorted")
+    (
+        li.repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(out)
+    )
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        pdf = spark.read.parquet(f).agg(
+            F.min("l_shipdate"), F.max("l_shipdate"), F.count(F.lit(1))
+        ).collect()[0]
+        if pdf[2]:
+            ranges.append((pdf[0], pdf[1]))
+    assert len(ranges) >= 3
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {hi1} > {lo2}"
