@@ -78,6 +78,26 @@ def sample_frames(decoded: DataFrame, every_k: int = 7) -> DataFrame:
     )
 
 
+def chunk_audio(multimodal: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio-style chunking: split each payload's timeline into fixed-length
+    chunks (stub duration: 1 ms per payload byte; real decoders read the
+    container header instead).  One output row per chunk via sequence +
+    explode — metadata-driven, payload column never read, no driver loops;
+    the final short chunk is clipped to the true duration."""
+    duration = F.col("meta.n_bytes").cast("bigint")
+    starts = F.sequence(F.lit(0).cast("bigint"), duration - 1, F.lit(chunk_ms).cast("bigint"))
+    return multimodal.select(
+        "doc_id",
+        duration.alias("duration_ms"),
+        F.explode(starts).alias("chunk_start_ms"),
+    ).select(
+        "doc_id",
+        "duration_ms",
+        "chunk_start_ms",
+        F.least(F.col("chunk_start_ms") + chunk_ms, F.col("duration_ms")).alias("chunk_end_ms"),
+    )
+
+
 def resize_stub(batches, target_w: int = 64, target_h: int = 64):
     """STUB resize kernel: real pipelines put PIL/opencv here.  Emits the
     post-resize metadata deterministically; the Arrow batch flow is real."""

@@ -79,3 +79,33 @@ def multimodal_frame_sample(spark, sf_dir):
         F.col("n_frames").cast("bigint").alias("n_frames"),
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
     )
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS duration_ms
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, duration_ms,
+               UNNEST(RANGE(0, duration_ms, 5000)) AS s
+        FROM meta
+    )
+    SELECT doc_id, duration_ms,
+           CAST(s AS BIGINT) AS chunk_start_ms,
+           CAST(LEAST(s + 5000, duration_ms) AS BIGINT) AS chunk_end_ms
+    FROM chunks
+    """,
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    """Audio chunking (ASR-style 5-second segments): metadata-driven explode
+    of the payload timeline, final chunk clipped to the true duration —
+    payload bytes never read; the row-expansion shape real audio pipelines
+    use before a batched transcription/feature kernel."""
+    from airflow_cms_inpatient_etl_spark.operators.multimodal import chunk_audio
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_audio(attach_binary_payload(d), chunk_ms=5000)
