@@ -45,7 +45,6 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # -- 1. one representative per family ----------------------------------- #
-    "window_rank_topk_per_group",
     "events_tumbling_window",
     "events_asof_last_click",
     "text_tfidf_top_terms",
@@ -58,14 +57,19 @@ _PRIORITY = [
     "approx_aggregates",
     "flagship_patient_claims_plus",
     "q1_pricing_summary",
-    # -- 2. remaining north-star variants ----------------------------------- #
-    "window_lag_lead_events",
-    "window_running_sum",
-    "window_sliding_frame_avg",
-    "window_ntile_percent_rank",
-    "window_range_frame_1h",
-    "window_cume_dist_nth",
-    "window_first_last_value",
+    # -- 2. round-3 rotation: the 8 queries added after the round-2 window was
+    #    pinned and therefore never driver-checked.  They displace the 8 window
+    #    functions (all driver-green in BOTH r01 and r02), so after round 3
+    #    every registry query has at least one driver-confirmed green row.
+    "error_safe_functions",
+    "incremental_agg_merge",
+    "pack_token_budget",
+    "sample_language_rebalance",
+    "multimodal_audio_chunks",
+    "dedup_exact_distinct",
+    "dedup_exact_text",
+    "approx_distinct_sketch_merge",
+    # -- 3. remaining north-star variants ----------------------------------- #
     "events_sliding_window",
     "events_session_window",
     "events_dedup_within_window",
@@ -92,15 +96,16 @@ _PRIORITY = [
     "cdc_scd2_segment_history",
     "events_funnel_conversion",
     "events_gap_fill_hourly",
-    # -- 3. one query per remaining relational family ----------------------- #
+    # -- 4. one query per remaining relational family ----------------------- #
     "dq_rowcount_flag",
     "projection_typed_cast",
     "null_default_decode",
     "join_multiway_revenue",
-    # (string/date/json_functions, agg_exact_percentiles, dedup_keep_latest
-    # etc. were driver-verified green in round 1 and yield their window slots
-    # to newer, never-checked queries — they stay locally checked in the tail)
-    # -- 4. tail: remaining variants keep registration order ---------------- #
+    # (string/date/json_functions, agg_exact_percentiles, dedup_keep_latest,
+    # and the 8 window functions were driver-verified green in rounds 1-2 and
+    # yield their window slots to never-checked queries — they stay locally
+    # checked in the tail)
+    # -- 5. tail: remaining variants keep registration order ---------------- #
 ]
 
 

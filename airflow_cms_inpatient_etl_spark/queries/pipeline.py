@@ -197,21 +197,26 @@ def sample_language_rebalance(spark, sf_dir):
     return d.select("doc_id", "lang", (h % 100).alias("bucket")).filter(F.col("bucket") < rate)
 
 
+PACK_BUCKETS = 16
+
+
 @register(
     "pack_token_budget",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT doc_id, lang,
+               CAST('0x' || SUBSTR(MD5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {PACK_BUCKETS} AS bucket,
                LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
         FROM documents
     ),
     c AS (
-        SELECT doc_id, lang, n_tokens,
-               CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        SELECT doc_id, lang, bucket, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM t
     )
-    SELECT doc_id, lang, n_tokens, cum_tokens,
+    SELECT doc_id, lang, bucket, n_tokens, cum_tokens,
            (cum_tokens - n_tokens) // 2000 AS shard
     FROM c
     """,
@@ -219,25 +224,40 @@ def sample_language_rebalance(spark, sf_dir):
 def pack_token_budget(spark, sf_dir):
     """Greedy shard packing for training batches: documents are packed in
     doc_id order into ~2000-token shards via a running token total — a doc
-    starts the shard its cumulative prefix falls in.  Packing is PER LANGUAGE
-    (window partitioned by lang), so strata pack in parallel; at 100 TB the
-    partition key is whatever unit fits one task's sort (lang × date, split
-    × bucket, ...) — a global unpartitioned packing order would serialize
-    into one task and is exactly what this shape avoids.  Integer division
-    only — no float-tie hazards in shard boundaries."""
+    starts the shard its cumulative prefix falls in.  The packing window is
+    partitioned by (lang, deterministic hash bucket of doc_id): real corpora
+    are 1-2 language dominant, so a lang-only window would sort ~half the
+    corpus in ONE task at 100 TB; the {PACK_BUCKETS}-way bucket bounds every
+    window sort to ~1/{PACK_BUCKETS} of a stratum (raise PACK_BUCKETS with
+    corpus size — it only changes which docs share a shard, never validity).
+    Each bucket packs against its own budget; a shard is globally addressed
+    by (lang, bucket, shard).  The bucket hash is the portable md5-based one
+    (stable across engines/reruns — membership survives corpus growth, unlike
+    Spark's xxhash64).  Integer division only — no float-tie hazards."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
     t = d.select(
         "doc_id",
         "lang",
+        (h % PACK_BUCKETS).alias("bucket"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
     )
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = (
+        W.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return c.select(
         "doc_id",
         "lang",
+        "bucket",
         "n_tokens",
         "cum_tokens",
         F.expr("(cum_tokens - n_tokens) DIV 2000").alias("shard"),

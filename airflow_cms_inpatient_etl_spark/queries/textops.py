@@ -182,8 +182,13 @@ def text_tfidf_top_terms(spark, sf_dir):
     """TF-IDF top-3 terms per document with a *rational* idf (N/df, no log):
     log is not bit-reproducible across libm implementations, while integer
     division is — same ranking monotonicity, deterministic everywhere.
-    Shape: token explode → (doc,token) tf agg → token df agg (broadcast) →
-    score + per-doc top-k.  At scale df is |vocab| rows — always broadcastable."""
+    Shape: token explode → (doc,token) tf agg → token df agg → score +
+    per-doc top-k.  The tf ⋈ df join carries NO broadcast hint: an uncleaned
+    web-scale corpus has a vocabulary (typos, URLs, hex blobs) far beyond
+    broadcast size, and a forced hint would OOM the executors instead of
+    letting AQE pick broadcast when the vocab side happens to be small (AQE
+    upgrades the shuffle join to broadcast at runtime from actual sizes, and
+    degrades gracefully to sort-merge on token when it is not)."""
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
@@ -192,7 +197,7 @@ def text_tfidf_top_terms(spark, sf_dir):
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.col("tf") * (F.col("n_docs") / F.col("df")))
     )

@@ -193,17 +193,26 @@ def test_hll_sketch_merge_accuracy(spark):
 
 
 def test_pack_token_budget_invariants(spark):
-    """Beyond the hash oracle: every shard's token total stays under
-    budget + its largest doc (greedy prefix packing can overshoot by at most
-    the doc that crosses the boundary), and shards number consecutively from
-    0 within each language."""
+    """Beyond the hash oracle, on the bucketed (lang, bucket) packing shape:
+    every shard's token total stays under budget + its largest doc (greedy
+    prefix packing can overshoot by at most the doc that crosses the
+    boundary), shards number consecutively from 0 within each (lang, bucket)
+    packing unit, every doc lands in exactly one shard, and the bucket fan-out
+    actually spreads the dominant language (the de-skew property)."""
     from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+    from airflow_cms_inpatient_etl_spark.queries.pipeline import PACK_BUCKETS
     from tests.conftest import SF_ORACLE
 
     pdf = QUERY_REGISTRY["pack_token_budget"].fn(spark, SF_ORACLE).toPandas()
     budget = 2000
-    for (_lang, _shard), g in pdf.groupby(["lang", "shard"]):
+    for (_lang, _bucket, _shard), g in pdf.groupby(["lang", "bucket", "shard"]):
         assert g["n_tokens"].sum() <= budget + g["n_tokens"].max()
-    for _lang, g in pdf.groupby("lang"):
+    for (_lang, _bucket), g in pdf.groupby(["lang", "bucket"]):
         shards = sorted(g["shard"].unique())
         assert shards == list(range(len(shards)))
+    assert pdf["doc_id"].is_unique
+    # de-skew: the dominant stratum spans (nearly) all buckets, so no single
+    # window sort sees more than ~1/PACK_BUCKETS of it
+    en = pdf[pdf["lang"] == pdf["lang"].mode()[0]]
+    assert en["bucket"].nunique() == PACK_BUCKETS
+    assert en["bucket"].value_counts().max() <= 2 * len(en) / PACK_BUCKETS

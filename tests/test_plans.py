@@ -85,12 +85,31 @@ def test_whole_stage_codegen_active(spark, name):
     assert "*" in simple  # codegen'd spans marked with *
 
 
+def test_tfidf_vocab_join_is_stats_driven_not_forced(spark):
+    """The tf ⋈ df (vocab) join must carry no forced broadcast hint: at 100 TB
+    an uncleaned corpus vocabulary outgrows broadcast size, so the join shape
+    has to come from runtime stats.  With the default threshold the small
+    sf0.01 vocab still broadcasts (stats-driven, free win); with broadcast
+    ruled out the same query degrades to a shuffle join instead of OOMing on
+    a forced hint.  Only the 1-row n_docs scalar keeps an explicit hint."""
+    plan = _formatted_plan(spark, "text_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan  # stats still pick broadcast when small
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _formatted_plan(spark, "text_tfidf_top_terms")
+        assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
 def test_pipeline_glue_plan_shapes(spark):
     """Round-2 pipeline queries keep their designed physical shapes: the
     stratified sample is shuffle-free with a 2-column pruned scan, the
     decontamination join broadcasts the eval side (never sort-merges the
     training shingles), and shard packing shuffles exactly once (the
-    per-language window)."""
+    (lang, bucket) packing window)."""
+    import re
     plan = _formatted_plan(spark, "sample_language_rebalance")
     assert "Exchange" not in plan
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
@@ -99,5 +118,8 @@ def test_pipeline_glue_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
     plan = _formatted_plan(spark, "pack_token_budget")
-    # formatted mode prints each node twice (tree + detail) → one Exchange node
-    assert plan.count("Exchange") == 2 and "Window" in plan
+    # exactly one shuffle node (match the detail header exactly — a raw
+    # substring count would also hit BroadcastExchange), and it must
+    # partition by the de-skewed (lang, bucket) window key
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+    assert "Window" in plan and re.search(r"hashpartitioning\(lang\S*, bucket", plan)
