@@ -2,67 +2,126 @@
 pair graphs (pairs → clusters is the step every dedup pipeline needs between
 pair generation and representative selection).
 
-Algorithm: iterative min-label propagation — every node starts labeled with
-itself; each round a node takes the min of its own label and its neighbors'
-labels; converged when no label changes.  Each round is one distributed join
-+ aggregation; the driver only coordinates rounds and checks convergence (a
-count), which is how iterative algorithms legitimately use the driver (same
-shape as GraphX/Pregel supersteps).
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — each round is two
+join+aggregate passes over the edge set, and the edge set converges to a
+forest of stars rooted at each component's minimum node id in O(log n)
+rounds REGARDLESS of graph diameter.  Naive min-label propagation (this
+module's round-1 implementation) needs diameter rounds, which a long
+path-shaped near-dup chain turns into ~n rounds at corpus scale; the star
+steps collapse such chains exponentially instead.  The driver only
+coordinates rounds and checks convergence (a count), which is how iterative
+algorithms legitimately use the driver (same shape as GraphX/Pregel
+supersteps).
 
-Scale notes: rounds needed = graph diameter.  Near-dup components are
-shallow (near-dup similarity is close to transitive), so a handful of rounds
-suffices; for adversarially long path graphs at 100 TB, swap the propagation
-body for the large-star/small-star pair of steps (Kiveris et al., "Connected
-Components in MapReduce and Beyond") which converges in O(log n) rounds with
-the same join-shape per round.  ``localCheckpoint`` truncates plan lineage
-every round (on a real cluster, use a reliable ``checkpoint`` dir so
-executor loss cannot lose the only copy).
+Scale notes: every round is shuffle-bounded by the current edge count, and
+the edge count only shrinks (stars dedupe parallel edges).  ``localCheckpoint``
+truncates plan lineage every round (on a real cluster, use a reliable
+``checkpoint`` dir so executor loss cannot lose the only copy).  ``max_iters``
+defaults to a bound derived from the node count (~2·log₂(n) + slack), so
+legal-but-adversarial inputs degrade gracefully instead of aborting a fixed
+50-round budget.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For every node u: attach each strictly-larger neighbor to
+    min(N(u) ∪ {u}).  Keeps components intact, halves long tails."""
+    nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("mn"))
+    return (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Direct every edge toward its larger endpoint; for every node u attach
+    u and all smaller neighbors to min(N(u) ∪ {u})."""
+    directed = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = directed.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("mn"))
+    joined = directed.join(mins, "src")
+    out = joined.select(F.col("dst").alias("src"), F.col("mn").alias("dst")).union(
+        mins.select(F.col("src"), F.col("mn").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
 def connected_components(
     pairs: DataFrame,
     id1: str = "id1",
     id2: str = "id2",
-    max_iters: int = 50,
+    max_iters: int | None = None,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the minimum node id
     of its connected component.  Returns (node, label) — deterministic: min
-    over a component does not depend on iteration or partition order."""
+    over a component does not depend on iteration or partition order.
+
+    ``max_iters`` defaults to ``2·ceil(log₂(n_nodes)) + 8`` — the star steps'
+    proven round bound with slack; hitting it means the input violates the
+    algorithm's contract, so it raises rather than return wrong labels.
+    """
+    labels, _ = connected_components_with_rounds(pairs, id1, id2, max_iters)
+    return labels
+
+
+def connected_components_with_rounds(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iters: int | None = None,
+) -> tuple[DataFrame, int]:
+    """``connected_components`` plus the number of large+small-star rounds it
+    took — exposed so tests can assert the O(log n) convergence property."""
     e = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select("src").union(e.select(F.col("dst").alias("src")))
+        .distinct()
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    )
+    if max_iters is None:
+        n_nodes = max(nodes.count(), 2)
+        max_iters = 2 * math.ceil(math.log2(n_nodes)) + 8
+    rounds = 0
+    converged = edges.isEmpty()
+    while not converged and rounds < max_iters:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        # both steps strictly decrease the paper's potential on any change, so
+        # an unchanged edge set after a full round means a fixed point (stars)
+        converged = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).isEmpty()
+        )
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(~2·log2(n)+8 expected); input edge list is likely unstable"
+        )
+    # at the fixed point every edge is (node, component_min); component roots
+    # and isolated nodes carry no outgoing edge and label themselves
     labels = (
-        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-            .select(F.col("src").alias("node"), "nmin")
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+        nodes.join(edges.withColumnRenamed("src", "node"), "node", "left")
+        .select("node", F.coalesce(F.col("dst"), F.col("node")).alias("label"))
+    )
+    return labels, rounds

@@ -83,9 +83,15 @@ def chunk_audio(multimodal: DataFrame, chunk_ms: int = 5000) -> DataFrame:
     chunks (stub duration: 1 ms per payload byte; real decoders read the
     container header instead).  One output row per chunk via sequence +
     explode — metadata-driven, payload column never read, no driver loops;
-    the final short chunk is clipped to the true duration."""
+    the final short chunk is clipped to the true duration.  A zero-byte
+    payload is legal input and yields zero chunks: sequence(0, -1, step) is a
+    runtime error in Spark, so the start list is guarded to an empty array
+    (explode then drops the row, matching SQL UNNEST(RANGE(0, 0, step)))."""
     duration = F.col("meta.n_bytes").cast("bigint")
-    starts = F.sequence(F.lit(0).cast("bigint"), duration - 1, F.lit(chunk_ms).cast("bigint"))
+    starts = F.when(
+        duration > 0,
+        F.sequence(F.lit(0).cast("bigint"), duration - 1, F.lit(chunk_ms).cast("bigint")),
+    ).otherwise(F.array().cast("array<bigint>"))
     return multimodal.select(
         "doc_id",
         duration.alias("duration_ms"),

@@ -143,6 +143,40 @@ def test_connected_components_synthetic(spark):
                    20: 20, 21: 20}
 
 
+def test_connected_components_path_graph_logn_rounds(spark):
+    """The O(log n) property the star algorithm exists for: a 10 000-node
+    path graph (diameter 9 999 — min-label propagation would need ~n rounds)
+    must collapse to a single min-labeled component in ≤ ~log₂(n) alternating
+    large/small-star rounds.  Also covers the shuffled-orientation case: edge
+    direction in the input must not matter."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import (
+        connected_components_with_rounds,
+    )
+
+    n = 10_000
+    ids = spark.range(n - 1)
+    # alternate orientation so the input is not pre-sorted toward the root
+    pairs = ids.selectExpr(
+        "CASE WHEN id % 2 = 0 THEN id ELSE id + 1 END AS id1",
+        "CASE WHEN id % 2 = 0 THEN id + 1 ELSE id END AS id2",
+    )
+    labels, rounds = connected_components_with_rounds(pairs)
+    assert rounds <= 17  # ceil(log2(10_000)) = 14, + slack for constant factors
+    got = labels.groupBy("label").count().collect()
+    assert len(got) == 1 and got[0]["label"] == 0 and got[0]["count"] == n
+
+
+def test_connected_components_self_loop_and_isolated(spark):
+    """Self-pairs are legal near-dup output (a doc trivially pairs itself):
+    the node must survive as its own singleton component, not vanish with the
+    degenerate edge."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([(7, 7), (1, 2)], "id1 long, id2 long")
+    got = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert got == {7: 7, 1: 1, 2: 1}
+
+
 def test_minhash_band_knobs_recall(spark):
     """Banded-LSH recall responds to the knobs as theory says: more, narrower
     bands can only widen the candidate set (8/2 recovers every true pair that

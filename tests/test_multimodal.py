@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from airflow_cms_inpatient_etl_spark.operators.multimodal import (
     attach_binary_payload,
+    chunk_audio,
     decode_features,
     resize_features,
     sample_frames,
@@ -29,6 +30,18 @@ def test_sample_frames_every_k(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     for doc_id, idxs in by_doc.items():
         assert idxs == list(range(0, max(idxs) + 1, 7))  # 0, 7, 14, ...
+
+
+def test_chunk_audio_zero_byte_payload_yields_no_chunks(spark):
+    """A zero-byte payload is legal input: it must produce zero chunk rows
+    (like UNNEST(RANGE(0, 0, step))), not an illegal-sequence runtime error.
+    Non-empty payloads chunk normally alongside it, with the tail clipped."""
+    mm = attach_binary_payload(
+        spark.createDataFrame([(1, ""), (2, "x" * 7001)], "doc_id bigint, text string")
+    )
+    rows = chunk_audio(mm, chunk_ms=5000).collect()
+    assert [r["doc_id"] for r in rows] == [2, 2]
+    assert [(r["chunk_start_ms"], r["chunk_end_ms"]) for r in rows] == [(0, 5000), (5000, 7001)]
 
 
 def test_resize_features_scales(spark):
