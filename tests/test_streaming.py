@@ -149,6 +149,68 @@ def test_checkpoint_restart_processes_each_file_once(spark, tmp_path):
     assert second_total == 1000  # only the new file; no reprocessing of a.parquet
 
 
+def test_kill_mid_batch_recovery_no_loss_no_dup(spark, tmp_path):
+    """Exactly-once under CRASH, not just clean restart: the sink dies after
+    a torn half-write of epoch 1's output but before Spark commits that batch
+    to the checkpoint.  Restarting from the same checkpoint must replay epoch
+    1 with the SAME batch id over the SAME files, so the idempotent
+    overwrite-by-epoch sink repairs the torn write — final output equals the
+    input exactly: no loss, no duplicates."""
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    # three disjoint, covering slices -> three single-file micro-batches
+    ids = load_table(spark, SF_SMOKE, "events").select("event_id")
+    for i in range(3):
+        staging = str(tmp_path / f"staging{i}")
+        ids.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(staging)
+        part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+        dest = src / f"slice{i}.parquet"
+        os.rename(os.path.join(staging, part), dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))  # stable mtime order
+
+    attempts = []
+
+    def make_sink(crash_on_epoch):
+        def sink(batch_df, epoch_id):
+            attempts.append(epoch_id)
+            if epoch_id == crash_on_epoch:
+                half = batch_df.limit(batch_df.count() // 2)
+                half.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+                raise RuntimeError("simulated crash mid-batch")
+            batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+        return sink
+
+    def run(sink):
+        q = (
+            spark.readStream.schema("event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    with pytest.raises(Exception, match="simulated crash mid-batch"):
+        run(make_sink(crash_on_epoch=1))
+    run(make_sink(crash_on_epoch=None))  # recovery run: no crash
+
+    # the crashed epoch was replayed under the same batch id
+    assert attempts == [0, 1, 1, 2]
+    got = sorted(r["event_id"] for r in spark.read.parquet(f"{out}/epoch=*").collect())
+    expected = sorted(r["event_id"] for r in ids.collect())
+    assert got == expected  # exact multiset equality: no loss, no dup
+
+
 def test_stateful_running_profile(spark, events_stream_dir):
     """applyInPandasWithState: final per-user totals equal the batch aggregate."""
     events = stream_events(spark, events_stream_dir)
