@@ -1,0 +1,130 @@
+"""Measure ANN recall@k vs the brute-force truth and candidate volume for the
+engine's two ANN paths (sign-LSH multiprobe, IVF probes) at sf0.1, and write
+the accuracy/cost table to RECALL.md.
+
+Run: python recall_report.py   (env: SPARK_GRAFT_SF_DIR to change scale)
+
+Everything is seeded/deterministic (fixed hyperplane seed, fixed centroid
+rows, tie-broken top-k), so the committed RECALL.md is reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    multiprobe_buckets,
+    random_hyperplanes,
+    sign_lsh_bucket,
+    sign_lsh_bucket_planes,
+)
+from airflow_cms_inpatient_etl_spark.session import get_spark
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = 5
+N_QUERIES = 100
+
+
+def _lsh_candidates(e, q, planes, n_probes) -> int:
+    """Scored-pair volume of the LSH bucket join (post probe-dedup) — the
+    cost knob the recall buys against."""
+    if planes is None:
+        qb = q.select(F.col("vec_id").alias("qid"), sign_lsh_bucket(F.col("embedding")).alias("bucket"))
+        cb = e.select(F.col("vec_id").alias("cid"), sign_lsh_bucket(F.col("embedding")).alias("bucket"))
+    else:
+        qb = q.select(
+            F.col("vec_id").alias("qid"),
+            F.explode(multiprobe_buckets(F.col("embedding"), planes, n_probes)).alias("bucket"),
+        )
+        cb = e.select(
+            F.col("vec_id").alias("cid"),
+            sign_lsh_bucket_planes(F.col("embedding"), planes).alias("bucket"),
+        )
+    return (
+        cb.join(qb, "bucket")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid")
+        .distinct()
+        .count()
+    )
+
+
+def main() -> None:
+    spark = get_spark()
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    n_corpus, n_q = e.count(), q.count()
+    truth = {(r["qid"], r["cid"]) for r in brute_force_topk(e, q, k=K).collect()}
+    exact_volume = n_q * (n_corpus - 1)
+
+    def recall(df) -> float:
+        got = {(r["qid"], r["cid"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    rows = []
+
+    def add(config: str, df, cands: int) -> None:
+        rows.append((config, recall(df), cands, cands / exact_volume))
+
+    add("sign-LSH axis-aligned 4 bits, 1 probe (oracle variant)",
+        ann_lsh_topk(e, q, k=K), _lsh_candidates(e, q, None, 1))
+    for n_planes in (6, 8):
+        planes = random_hyperplanes(n_planes, 64)
+        for probes in (1, 4, 8):
+            add(f"sign-LSH random {n_planes} planes, {probes} probe(s)",
+                ann_lsh_topk(e, q, k=K, planes=planes, n_probes=probes),
+                _lsh_candidates(e, q, planes, probes))
+
+    cent16 = e.filter(F.col("vec_id").between(100, 115))
+    for probes in (1, 2, 4, 8):
+        ivf = ivf_topk(e, q, cent16, k=K, n_probes=probes)
+        # one inverted list per candidate -> volume = Σ_q |probed lists|
+        sizes = {r["centroid_id"]: r["n"] for r in (
+            ivf_assign(e, cent16)
+            .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect())}
+        probed = (
+            ivf_assign(q, cent16, n_probes=probes)
+            .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("nq")).collect()
+        )
+        cands = sum(sizes.get(r["centroid_id"], 0) * r["nq"] for r in probed)
+        add(f"IVF 16 centroids, {probes} probe(s)", ivf, cands)
+
+    lines = [
+        "# ANN recall/cost report",
+        "",
+        f"Measured at `{SF_DIR}` ({n_corpus} vectors × 64 dims, {n_q} queries, "
+        f"recall@{K} vs brute-force cosine truth).  Deterministic: seeded",
+        "hyperplanes, fixed centroid rows, id-tie-broken top-k — regenerate with",
+        "`python recall_report.py`.  Candidate volume is the number of scored",
+        f"pairs; brute force scores {exact_volume} (= |Q|·(|C|−1), ratio 1.0).",
+        "",
+        "| config | recall@5 | candidates | vs brute |",
+        "|---|---|---|---|",
+    ]
+    for config, r, c, frac in rows:
+        lines.append(f"| {config} | {r:.3f} | {c} | {frac:.1%} |")
+    lines += [
+        "",
+        "Reading the trade: multiprobe buys recall linearly in candidate volume",
+        "(probing only multiplies the query side); more planes cut volume",
+        "exponentially at a recall cost that probes win back — the production",
+        "recipe is planes sized to the corpus (buckets ≈ corpus/10k) plus 4-8",
+        "probes.  IVF recall approaches exact as probes → n_centroids with",
+        "volume ≈ probes/n_centroids of brute force; its inverted lists are the",
+        "write-time-partitionable path (`operators/similarity.py:ivf_assign`).",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(__file__) or ".", "RECALL.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
