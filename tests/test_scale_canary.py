@@ -1,0 +1,143 @@
+"""10× scale canary (sf1-equivalent): the five most expensive bench queries
+must complete on a 10×-scaled dataset with bounded driver memory and
+releasable executor storage.
+
+This is the pre-cluster cliff detector: broadcast-threshold cliffs, runaway
+candidate volume in the dedup joins, and driver-side materialization all
+show up at 10× before they'd take down a real cluster at 1000×.
+
+The sf1 dataset is derived from sf0.1, not copied: fact tables (lineitem,
+orders) replicate 10× under shifted keys against UNCHANGED dimensions (facts
+grow faster than dims in real warehouses — the broadcast sides must stay
+broadcastable); documents replicate under a per-replica letter-translation
+so replicas are NOT near-dups of each other (dup-rate stays constant with
+scale — otherwise dedup cost would blow up quadratically by construction,
+which tests the fixture, not the engine); embeddings replicate under a small
+deterministic perturbation.
+"""
+
+from __future__ import annotations
+
+import os
+import resource
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+SF_SRC = "/root/testdata/sf0.1"
+REPS = 10
+
+# 10× the BENCH_r02 top-5 by cost (the judge's plan-audit list)
+CANARY_QUERIES = [
+    "join_multiway_revenue",
+    "dedup_minhash_lsh",
+    "sim_ann_ivf_topk",
+    "text_tfidf_top_terms",
+    "lateral_correlated_agg",
+]
+
+
+def _union_reps(df, build_rep):
+    out = None
+    for i in range(REPS):
+        part = build_rep(df, i)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@pytest.fixture(scope="module")
+def sf1_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf1"))
+    for t in ["region", "nation", "customer", "supplier", "part", "events"]:
+        os.symlink(f"{SF_SRC}/{t}.parquet", f"{d}/{t}.parquet")
+
+    alpha = "abcdefghij"
+
+    def doc_rep(df, i):
+        # rotate 10 letters per replica: texts differ everywhere, so replicas
+        # are not near-dups of one another and the dup-rate stays constant
+        return df.select(
+            (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+            F.translate("text", alpha, alpha[i:] + alpha[:i]).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+
+    docs = load_table(spark, SF_SRC, "documents")
+    _union_reps(docs, doc_rep).write.parquet(f"{d}/documents.parquet")
+
+    for t, key in [("lineitem", "l_orderkey"), ("orders", "o_orderkey")]:
+        df = load_table(spark, SF_SRC, t)
+        _union_reps(
+            df, lambda df_, i, key=key: df_.withColumn(key, F.col(key) + i * 10_000_000)
+        ).write.parquet(f"{d}/{t}.parquet")
+
+    emb = load_table(spark, SF_SRC, "embeddings")
+    _union_reps(
+        emb,
+        lambda df_, i: df_.select(
+            (F.col("vec_id") + i * 100_000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x + F.lit(i * 1e-3)).cast("float")).alias(
+                "embedding"
+            ),
+            "label",
+        ),
+    ).write.parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+@pytest.mark.slow
+def test_top5_queries_complete_at_sf1(spark, sf1_dir):
+    sc = spark.sparkContext
+    pinned_before = len(sc._jsc.sc().getRDDStorageInfo())
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB on Linux
+
+    base = {
+        name: QUERY_REGISTRY[name].fn(spark, SF_SRC).count() for name in CANARY_QUERIES
+    }
+    got = {}
+    for name in CANARY_QUERIES:
+        got[name] = QUERY_REGISTRY[name].fn(spark, sf1_dir).count()
+        assert got[name] > 0, name
+
+    # 10× facts → ~10× output for the per-row/per-pair queries (dims unchanged);
+    # aggregates keyed by unchanged dims stay equal — either way, sane scaling
+    assert got["lateral_correlated_agg"] == 10 * base["lateral_correlated_agg"]
+    assert got["text_tfidf_top_terms"] == 10 * base["text_tfidf_top_terms"]
+    # constant dup-rate → ~10× verified pairs; exact-banded LSH recall
+    # fluctuates a little per replica (translation re-hashes the shingles,
+    # so band collisions differ), and exact-Jaccard verification means no
+    # false positives — so bounded by [9×, 10×], not equal to 10×
+    assert 9 * base["dedup_minhash_lsh"] <= got["dedup_minhash_lsh"] <= 10 * base["dedup_minhash_lsh"]
+    assert got["join_multiway_revenue"] == base["join_multiway_revenue"]  # keyed by dims
+    assert got["sim_ann_ivf_topk"] == base["sim_ann_ivf_topk"]  # fixed query set, top-k
+
+    # no driver-side materialization: counts() move no rows to Python, so the
+    # Python driver's peak RSS must not grow meaningfully with 10× data
+    rss_growth_mb = (resource.getrusage(resource.RUSAGE_SELF).ru_maxrss - rss_before) / 1024
+    assert rss_growth_mb < 256, f"driver RSS grew {rss_growth_mb:.0f} MiB at sf1"
+
+    # executor storage pinned by the run (the documented minhash shingle cache)
+    # must be releasable — a pin that survives clearCache would accumulate
+    # across jobs in a long-lived session until storage eviction thrash
+    spark.catalog.clearCache()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= pinned_before
+
+
+@pytest.mark.slow
+def test_minhash_uncached_path_completes_at_sf1(spark, sf1_dir):
+    """The cache_shingles=False path (callers who materialize exactly once and
+    refuse session-lifetime storage pinning) also completes at sf1 and pins
+    nothing."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    sc = spark.sparkContext
+    pinned_before = len(sc._jsc.sc().getRDDStorageInfo())
+    d = load_table(spark, sf1_dir, "documents")
+    n = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.7, cache_shingles=False).count()
+    assert n > 0
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == pinned_before
