@@ -12,6 +12,10 @@ the explicit fallbacks for the cases AQE can't fix:
 * ``merge_asof_grouped`` — per-key pandas merge_asof for as-of joins whose
   semantics exceed the union-and-carry-forward pattern (tolerance windows,
   nearest-direction): Arrow-batched, state bounded per group.
+* ``binned_interval_join`` — big-big interval/range joins: Spark plans a
+  non-equi join with no equi-key as BroadcastNestedLoop/Cartesian, O(n·m);
+  binning both sides turns it into a shuffle equi-join on the bin key with an
+  exact post-filter — the standard range-join optimization.
 """
 
 from __future__ import annotations
@@ -73,6 +77,52 @@ def salted_aggregate(
     )
     recombine = [fn(name).alias(name) for name, (_expr, fn) in aggs.items()]
     return partial.groupBy(*key_cols).agg(*recombine)
+
+
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Join points to the ``[lo, hi)`` intervals containing them WITHOUT a
+    nested-loop: both sides get an integer bin key (``point DIV bin_width``;
+    intervals explode into every bin they overlap), the join is a plain
+    shuffle equi-join on the bin, and the exact containment predicate runs as
+    a post-filter.  Output equals
+    ``points.join(intervals, (point >= lo) & (point < hi))`` exactly.
+
+    Cost model: the interval side replicates ``⌈width/bin_width⌉ + 1``× and
+    the join shuffles on a key with ~uniform time distribution — at 100 TB
+    this is two bounded shuffles instead of |points|·|intervals| comparisons.
+    Pick ``bin_width`` near the typical interval width (replication ≈ 2×);
+    degenerate ``hi <= lo`` intervals match nothing and are dropped up front
+    (sequence() would reject the reversed bounds at runtime).
+
+    Column names must not collide across the two sides (select/alias first);
+    ``point_col``/``lo_col``/``hi_col`` are NON-NEGATIVE integer domain (cast
+    timestamps with ``unix_micros`` first — integer bins have no float edge
+    rounding; SQL DIV truncates toward zero, which equals floor only for
+    non-negative values)."""
+    pb = points.withColumn(
+        "__bin", F.expr(f"CAST({point_col} AS BIGINT) DIV {bin_width}")
+    )
+    ib = intervals.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({lo_col} AS BIGINT) DIV {bin_width}"),
+                F.expr(f"(CAST({hi_col} AS BIGINT) - 1) DIV {bin_width}"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "__bin")
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("__bin")
+    )
 
 
 def merge_asof_grouped(

@@ -95,7 +95,9 @@ _PRIORITY = [
     "cdc_upsert_orders",
     "cdc_scd2_segment_history",
     "events_funnel_conversion",
-    "events_gap_fill_hourly",
+    # round-3 addition: big-big non-equi interval join via bin equi-join
+    # (events_gap_fill_hourly, r02-green, yields its slot)
+    "events_interval_attribution",
     # -- 4. one query per remaining relational family ----------------------- #
     "dq_rowcount_flag",
     "projection_typed_cast",

@@ -319,3 +319,45 @@ def events_gap_fill_hourly(spark, sf_dir):
         F.last("value_avg", ignorenulls=True).over(w).alias("filled_value"),
         F.col("value_avg").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "events_interval_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           COUNT(*) AS n_views,
+           CAST(SUM(CAST(v.value AS DECIMAL(27,6))) AS DOUBLE) AS sum_view_value
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT ts, value FROM events WHERE event_type = 'view') v
+      ON v.ts >= c.ts AND v.ts < c.ts + INTERVAL '5 minutes'
+    GROUP BY c.event_id
+    """,
+)
+def events_interval_attribution(spark, sf_dir):
+    """Interval (range) join with NO equi-key, big side × big side: every view
+    landing in the 5 minutes after each click, platform-wide (the attribution
+    shape when the key linking the sides is unknown or deliberately absent).
+
+    Catalyst would plan the raw theta join as BroadcastNestedLoopJoin —
+    O(clicks·views), the non-equi scale killer.  ``binned_interval_join``
+    rewrites it: both sides get a 5-minute time-bin key (clicks explode into
+    the ≤2 bins their window overlaps), the join becomes a shuffle equi-join
+    on the bin, and exact containment filters after — identical output, cost
+    linear in rows × bin occupancy (tests/test_plans.py asserts the plan has
+    no nested loop)."""
+    from airflow_cms_inpatient_etl_spark.operators.joins import binned_interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    window_us = 5 * 60 * 1_000_000
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + window_us).alias("hi"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.unix_micros("ts").alias("v_us"), F.col("value").alias("view_value")
+    )
+    joined = binned_interval_join(views, clicks, "v_us", "lo", "hi", bin_width=window_us)
+    return joined.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_views"), dsum("view_value", "sum_view_value")
+    )

@@ -85,6 +85,15 @@ def test_whole_stage_codegen_active(spark, name):
     assert "*" in simple  # codegen'd spans marked with *
 
 
+def test_interval_attribution_avoids_nested_loop(spark):
+    """The no-equi-key interval join must plan as a bin equi-join (shuffle or
+    broadcast HASH join), never the O(n·m) nested-loop/cartesian Catalyst
+    gives a raw theta join."""
+    plan = _formatted_plan(spark, "events_interval_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_tfidf_vocab_join_is_stats_driven_not_forced(spark):
     """The tf ⋈ df (vocab) join must carry no forced broadcast hint: at 100 TB
     an uncleaned corpus vocabulary outgrows broadcast size, so the join shape

@@ -169,3 +169,39 @@ def test_merge_asof_with_tolerance(spark):
     by_ts = {str(r["ts"]): r["click_value"] for r in out}
     assert by_ts["2024-01-01 00:10:00"] == 5.0  # within 30 min
     assert by_ts["2024-01-01 02:00:00"] is None  # beyond tolerance
+
+
+def test_binned_interval_join_equals_theta_join(spark):
+    """Property: binned_interval_join output == the naive theta join for any
+    bin width, including intervals spanning many bins, empty/degenerate
+    intervals (hi <= lo match nothing, no runtime error), and boundary points
+    (lo inclusive, hi exclusive)."""
+    from airflow_cms_inpatient_etl_spark.operators.joins import binned_interval_join
+
+    points = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 5, 10, 99, 100, 101, 250, 999])],
+        "pid long, p long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, 0, 10),      # [0,10): catches 0,5 — not 10 (hi exclusive)
+            (1, 10, 11),     # single-point interval
+            (2, 90, 260),    # spans many bins
+            (3, 500, 500),   # degenerate: matches nothing
+            (4, 600, 550),   # reversed: matches nothing, must not error
+        ],
+        "iid long, lo long, hi long",
+    )
+    expected = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals, (points.p >= intervals.lo) & (points.p < intervals.hi)
+        ).collect()
+    }
+    assert expected  # the fixture actually exercises matches
+    for bin_width in (1, 7, 100, 10_000):
+        got = {
+            (r["pid"], r["iid"])
+            for r in binned_interval_join(points, intervals, "p", "lo", "hi", bin_width).collect()
+        }
+        assert got == expected, f"bin_width={bin_width}"
