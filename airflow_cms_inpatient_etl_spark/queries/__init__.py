@@ -70,7 +70,9 @@ _PRIORITY = [
     "dedup_exact_text",
     "approx_distinct_sketch_merge",
     # -- 3. remaining north-star variants ----------------------------------- #
-    "events_sliding_window",
+    # round-3 addition: live stream-stream join (events_sliding_window,
+    # r02-green, yields its slot)
+    "streaming_stream_stream_join_live",
     "events_session_window",
     "events_dedup_within_window",
     "text_quality_scores",

@@ -109,3 +109,36 @@ def streaming_late_data_live(spark, sf_dir):
         return spark.table(name)
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+@register("streaming_stream_stream_join_live")  # no oracle: real incremental execution
+def streaming_stream_stream_join_live(spark, sf_dir):
+    """LIVE stream-stream inner join (two independent file-source streams over
+    the events fixture): views attributed to same-user clicks within 6
+    hours, watermarked on both sides so join state is evictable — the
+    feature that makes stream-stream joins viable at 100 TB (unbounded state
+    otherwise).  Batch-equivalence is asserted in tests/test_streaming.py;
+    the driver records the rows-only check (streaming has no SQL oracle)."""
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import (
+        stream_stream_click_view_join,
+    )
+
+    stage_dir = tempfile.mkdtemp(prefix="events_ssj_")
+    # the symmetric-hash join runs one state-store task per shuffle partition
+    # per micro-batch; a vanilla session's 200 partitions would spend ~30 s on
+    # task dispatch for this one-shot fixture drain.  Scope the stream to 8
+    # state partitions (captured at query start; a long-lived production
+    # stream sizes this to its cluster once — the checkpoint pins it after).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/part-0.parquet")
+        name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+        joined = stream_stream_click_view_join(
+            stream_events(spark, stage_dir), stream_events(spark, stage_dir)
+        )
+        run_stream_to_memory(joined, name, output_mode="append")
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stage_dir, ignore_errors=True)

@@ -59,6 +59,47 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def stream_stream_click_view_join(
+    clicks_src: DataFrame,
+    views_src: DataFrame,
+    attribution: str = "6 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: every view by the same user within
+    ``attribution`` after each click — the streaming form of interval
+    attribution.
+
+    Both sides carry watermarks and the join condition bounds event time from
+    BOTH directions, so Spark can size the join state buffer and evict rows
+    once the other side's watermark passes them — without the time bound the
+    state would grow forever (the stream-stream join's scale contract).  The
+    equi-key (user_id) keeps the state store partitioned; the time range runs
+    as a post-filter inside each key's buffer."""
+    clicks = (
+        clicks_src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        views_src.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value"))
+        .withWatermark("view_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        F.expr(
+            f"""click_user = user_id
+            AND view_ts >= click_ts
+            AND view_ts < click_ts + INTERVAL {attribution}"""
+        ),
+        "inner",
+    ).select("click_id", "user_id", "click_ts", "view_ts", "view_value")
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
     """Drive a streaming query to completion against the memory sink (local
     test harness: processAllAvailable drains the file source synchronously)."""

@@ -149,6 +149,46 @@ def test_checkpoint_restart_processes_each_file_once(spark, tmp_path):
     assert second_total == 1000  # only the new file; no reprocessing of a.parquet
 
 
+def test_stream_stream_join_matches_batch(spark, events_stream_dir):
+    """Stream-stream inner join == the equivalent batch interval join: every
+    (click, view) attribution pair the batch join produces is emitted by the
+    streaming join (final watermark may withhold the open tail, so streamed
+    ⊆ batch; with one input batch the sets are equal)."""
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import (
+        stream_stream_click_view_join,
+    )
+
+    name = _table("ssj")
+    run_stream_to_memory(
+        stream_stream_click_view_join(
+            stream_events(spark, events_stream_dir), stream_events(spark, events_stream_dir)
+        ),
+        name,
+        output_mode="append",
+    )
+    streamed = {
+        (r["click_id"], r["user_id"], r["view_ts"]) for r in spark.table(name).collect()
+    }
+    e = load_table(spark, SF_SMOKE, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("view_ts"))
+    batch = {
+        (r["click_id"], r["user_id"], r["view_ts"])
+        for r in views.join(
+            clicks,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("view_ts") >= F.col("cts"))
+            & (F.col("view_ts") < F.col("cts") + F.expr("INTERVAL 6 HOURS")),
+        ).collect()
+    }
+    assert len(streamed) > 0
+    assert streamed <= batch
+    # one input file = one batch: the final watermark closes everything
+    assert streamed == batch
+
+
 def test_kill_mid_batch_recovery_no_loss_no_dup(spark, tmp_path):
     """Exactly-once under CRASH, not just clean restart: the sink dies after
     a torn half-write of epoch 1's output but before Spark commits that batch
