@@ -67,6 +67,25 @@ def main() -> None:
         except Exception:
             pass  # a warm-up failure must not kill the measured run
 
+    # Machine probes: fixed synthetic workloads independent of the engine
+    # code, so cross-round per-query comparisons can be normalized for
+    # environment drift (VM/boot/JIT variance has measured ±15-20% across
+    # rounds on identical code).  parallel = 32-way JVM arithmetic;
+    # serial = single-partition arithmetic (the fixtures are single-row-group
+    # parquet, so most map stages here are serial-bound).
+    def _probe(df) -> float:
+        xs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.selectExpr("sum(id * 2 + 1) AS s").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            xs.append(time.perf_counter() - t0)
+        return round(statistics.median(xs), 4)
+
+    probe_parallel = _probe(spark.range(200_000_000))
+    probe_serial = _probe(spark.range(20_000_000, numPartitions=1))
+
     # p50 of 3 runs per query: single-shot numbers drift ~15% run-to-run
     # (GC, codegen cache warmth), which is larger than most optimizations
     # being measured.  Rounds interleave (run 1 of all queries, then run 2,
@@ -89,6 +108,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "probe_parallel_sec": probe_parallel,
+                "probe_serial_sec": probe_serial,
             }
         )
     )
