@@ -247,6 +247,42 @@ def minhash_lsh_pairs(
     )
 
 
+def levenshtein_block_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rel_threshold: float = 0.2,
+    prefix_len: int = 30,
+) -> DataFrame:
+    """Edit-distance near-dup pairs (id1 < id2) with prefix blocking: only
+    documents sharing their first ``prefix_len`` normalized characters are
+    compared, and pairs pass when levenshtein ≤ rel_threshold · max(len).
+
+    The fifth near-dup family (after exact/fingerprint, Jaccard, MinHash,
+    SimHash): edit distance catches single-character corruptions that shingle
+    sets shrug off.  Levenshtein is O(len²) per pair — never affordable
+    all-pairs — so the block key bounds candidates to same-prefix groups
+    (near-dups overwhelmingly share their opening; a mid-document edit keeps
+    the prefix).  At 100 TB the block is an equi-join key like any other
+    (hot boilerplate prefixes can be df-capped the same way as stop-shingles).
+    The relative threshold multiplies len by an IEEE double — bit-identical
+    arithmetic in any engine, so the boundary comparison is portable."""
+    t = df.select(F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("t"))
+    b = t.withColumn("blk", F.substring("t", 1, prefix_len))
+    a = b.select(F.col(id_col).alias("id1"), F.col("t").alias("t1"), "blk")
+    c = b.select(F.col(id_col).alias("id2"), F.col("t").alias("t2"), "blk")
+    return (
+        a.join(c, "blk")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("edit_dist", F.levenshtein("t1", "t2").cast("bigint"))
+        .filter(
+            F.col("edit_dist")
+            <= F.lit(rel_threshold) * F.greatest(F.length("t1"), F.length("t2"))
+        )
+        .select("id1", "id2", "edit_dist")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, n_bits: int = 16, k: int = 3
 ) -> DataFrame:

@@ -80,7 +80,9 @@ _PRIORITY = [
     "text_token_counts",
     "text_rolling_hash",
     "text_corpus_rollup",
-    "dedup_fingerprint",
+    # round-3 addition: blocked edit-distance near-dup (dedup_fingerprint,
+    # r02-green, yields its slot)
+    "dedup_levenshtein_block",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_cosine_topk_brute",

@@ -15,6 +15,7 @@ from airflow_cms_inpatient_etl_spark.operators.dedup import (
     MINHASH_PERMS,
     exact_dedup_representatives,
     fingerprint_dedup,
+    levenshtein_block_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -204,11 +205,12 @@ def dedup_connected_components(spark, sf_dir):
     """Near-dup PAIRS → dedup CLUSTERS: connected components over the exact
     n-gram-Jaccard pair graph (>= 0.8), labeling every involved document with
     its component's min doc_id plus the cluster size — the form a dedup
-    pipeline consumes (keep rep, drop the rest).  Spark side is iterative
-    min-label propagation (operators/graph.py, one join+agg per round,
-    driver coordinates rounds only); the oracle computes the same components
-    via a recursive-CTE transitive closure — different algorithm, identical
-    fixpoint, so the iterative machinery is value-checked end-to-end."""
+    pipeline consumes (keep rep, drop the rest).  Spark side is alternating
+    large-star/small-star (operators/graph.py, O(log n) rounds regardless of
+    diameter, driver coordinates rounds only); the oracle computes the same
+    components via a recursive-CTE transitive closure — different algorithm,
+    identical fixpoint, so the iterative machinery is value-checked
+    end-to-end."""
     from airflow_cms_inpatient_etl_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
@@ -218,3 +220,25 @@ def dedup_connected_components(spark, sf_dir):
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"), "cluster_size"
     )
+
+
+@register(
+    "dedup_levenshtein_block",
+    oracle="""
+    WITH d AS (SELECT doc_id, LOWER(TRIM(text)) AS t FROM documents),
+    b AS (SELECT doc_id, t, SUBSTR(t, 1, 30) AS blk FROM d)
+    SELECT a.doc_id AS id1, c.doc_id AS id2,
+           CAST(levenshtein(a.t, c.t) AS BIGINT) AS edit_dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.t, c.t) <= 0.2 * GREATEST(LEN(a.t), LEN(c.t))
+    """,
+)
+def dedup_levenshtein_block(spark, sf_dir):
+    """Edit-distance near-dup pairs with prefix blocking — the fifth dedup
+    family (exact, Jaccard, MinHash, SimHash, edit distance): catches
+    character-level corruption that token-shingle methods under-weigh.
+    Levenshtein is O(len²) per pair, so candidates are bounded by a
+    30-char normalized-prefix equi-join block (operators/dedup.py:
+    levenshtein_block_pairs), never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return levenshtein_block_pairs(d, "doc_id", "text", rel_threshold=0.2, prefix_len=30)

@@ -85,6 +85,49 @@ def test_whole_stage_codegen_active(spark, name):
     assert "*" in simple  # codegen'd spans marked with *
 
 
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """The 100 TB fact ⋈ filtered-dim shape beyond broadcast size: Spark's
+    runtime bloom-filter injection must be live in the engine session
+    (enabled + AQE), so the dim filter is hashed into a bloom filter and
+    applied at the FACT SCAN (`might_contain`), cutting shuffle volume by the
+    dim selectivity.  The thresholds are cluster-calibrated (application side
+    > 10 GB), so the rewrite is dormant on local fixtures — the test stands
+    in the big-fact regime by zeroing the scan-size threshold and ruling out
+    broadcast, then asserts the rewrite actually fires."""
+    from pyspark.sql import functions as F
+
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    li = load_table(spark, SF, "lineitem")
+    orders = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_totalprice") > 500_000)
+        .select("o_orderkey")
+    )
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        plan = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan  # bloom filter applied at the fact side
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_interval_attribution_avoids_nested_loop(spark):
     """The no-equi-key interval join must plan as a bin equi-join (shuffle or
     broadcast HASH join), never the O(n·m) nested-loop/cartesian Catalyst
