@@ -42,3 +42,25 @@ def dq_flag(df: DataFrame) -> DataFrame:
         F.when(F.count(F.lit(1)) > 0, 1).otherwise(0).alias("ok"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def observe_dq(df: DataFrame, name: str, null_check_cols: list[str]):
+    """Single-pass DQ profiling via ``df.observe``: row count and per-column
+    null counts are accumulated AS the plan executes — no second scan.
+
+    At 100 TB this is the only affordable way to profile every pipeline
+    stage: ``assert_non_empty``-style checks each re-run the plan (fine for
+    gates, ruinous for monitoring), while observed metrics ride the existing
+    job like accumulators with SQL semantics (exactly-once per row even under
+    task retries, unlike raw accumulators).
+
+    Returns ``(df_with_observation, observation)``; read
+    ``observation.get`` AFTER an action has materialized the returned frame.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}") for c in null_check_cols
+    ]
+    return df.observe(obs, *metrics), obs

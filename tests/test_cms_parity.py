@@ -145,6 +145,26 @@ def test_dq_checks_raise(loaded, spark):
     assert flag["ok"] == 1 and flag["n"] == 4
 
 
+def test_observed_dq_metrics_single_pass(loaded, spark):
+    """observe()-based DQ profiling: row count + null counts accumulate while
+    the SAME job runs (no second scan — one job total), and the numbers match
+    a direct computation."""
+    from airflow_cms_inpatient_etl_spark.plans.dq import observe_dq
+
+    claims, bene = loaded
+    joined = build_patient_claims_plus(claims, bene)
+    observed, obs = observe_dq(joined, "pcp_dq", ["patient_death_date"])
+
+    # the metrics ride the plan as a CollectMetrics node — not a second scan
+    plan = observed._jdf.queryExecution().optimizedPlan().toString()
+    assert "CollectMetrics" in plan and plan.count("Relation") == joined._jdf.queryExecution().optimizedPlan().toString().count("Relation")
+
+    n_written = observed.count()  # the ONE action drives plan AND metrics
+    assert obs.get["n_rows"] == n_written == 4
+    expected_nulls = joined.filter(joined.patient_death_date.isNull()).count()
+    assert obs.get["n_null_patient_death_date"] == expected_nulls
+
+
 def test_materialize_roundtrip(loaded, spark, tmp_path):
     """CTAS analog (reference :161): overwrite-mode parquet write + re-read."""
     from airflow_cms_inpatient_etl_spark.sources.files import write_table

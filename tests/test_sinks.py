@@ -3,6 +3,8 @@ catalog tables, CSV/JSON roundtrips, JDBC reader construction."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -156,3 +158,55 @@ def test_range_partitioned_sorted_write_nonoverlapping_files(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges overlap: {hi1} > {lo2}"
+
+
+def test_zorder_write_skips_on_every_dimension(spark, tmp_path):
+    """Z-order layout: after clustering orders on (o_custkey, o_totalprice),
+    a point-range predicate on EITHER column excludes most files by footer
+    min-max alone — whereas a single-column sort only prunes its own column
+    (the other column's per-file ranges span the full domain, 0 skipped)."""
+    import pyarrow.parquet as pq
+
+    from airflow_cms_inpatient_etl_spark.operators.layout import write_zordered
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    zdir = str(tmp_path / "z")
+    write_zordered(orders, zdir, ["o_custkey", "o_totalprice"], n_files=8)
+    ldir = str(tmp_path / "linear")
+    (
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def file_ranges(d, col):
+        out = []
+        for p in os.listdir(d):
+            if not p.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, p)).metadata
+            idx = md.schema.names.index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return out
+
+    def n_skipped(ranges, lo, hi):
+        return sum(1 for flo, fhi in ranges if fhi < lo or flo > hi)
+
+    lo_ck, hi_ck = 100, 120            # narrow o_custkey probe
+    lo_tp, hi_tp = 50_000.0, 60_000.0  # narrow o_totalprice probe
+
+    z_ck = n_skipped(file_ranges(zdir, "o_custkey"), lo_ck, hi_ck)
+    z_tp = n_skipped(file_ranges(zdir, "o_totalprice"), lo_tp, hi_tp)
+    l_ck = n_skipped(file_ranges(ldir, "o_custkey"), lo_ck, hi_ck)
+    l_tp = n_skipped(file_ranges(ldir, "o_totalprice"), lo_tp, hi_tp)
+
+    assert l_ck >= 6      # its own sort column prunes well
+    assert l_tp == 0      # ...but the other dimension prunes NOTHING
+    assert z_ck >= 3 and z_tp >= 3  # z-order prunes on BOTH dimensions
