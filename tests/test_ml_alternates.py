@@ -250,3 +250,28 @@ def test_pack_token_budget_invariants(spark):
     en = pdf[pdf["lang"] == pdf["lang"].mode()[0]]
     assert en["bucket"].nunique() == PACK_BUCKETS
     assert en["bucket"].value_counts().max() <= 2 * len(en) / PACK_BUCKETS
+
+
+def test_kmeans_fit_converges_and_is_stable(spark):
+    """Full Lloyd's loop: converges on the sf0.01 embeddings well before the
+    iteration cap, partitions every vector, uses every cluster, and is a
+    fixpoint — re-assigning against the final centroids changes nothing."""
+    from airflow_cms_inpatient_etl_spark.operators.ml import kmeans_fit
+    from airflow_cms_inpatient_etl_spark.operators.similarity import ivf_assign
+    from tests.conftest import SF_ORACLE
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    n = e.count()
+    assignments, centroids, iters = kmeans_fit(e, k=4, max_iters=20)
+    assert 0 < iters < 20                      # actually iterated, then stopped
+    assert assignments.count() == n            # every vector assigned
+    assert assignments.select("vec_id").distinct().count() == n
+    assert assignments.select("centroid_id").distinct().count() == 4
+    refit = ivf_assign(e, centroids.withColumnRenamed("centroid_id", "vec_id"))
+    moved = (
+        refit.withColumnRenamed("centroid_id", "re_cid")
+        .join(assignments, "vec_id")
+        .filter(F.col("re_cid") != F.col("centroid_id"))
+        .count()
+    )
+    assert moved == 0                          # fixpoint reached
