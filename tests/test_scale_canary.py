@@ -30,13 +30,16 @@ from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 SF_SRC = "/root/testdata/sf0.1"
 REPS = 10
 
-# 10× the BENCH_r02 top-5 by cost (the judge's plan-audit list)
+# 10× the BENCH_r02 top-5 by cost (the judge's plan-audit list), plus the
+# round-3 big-big interval join — the shape whose cost is most sensitive to
+# fact growth (both join sides scale)
 CANARY_QUERIES = [
     "join_multiway_revenue",
     "dedup_minhash_lsh",
     "sim_ann_ivf_topk",
     "text_tfidf_top_terms",
     "lateral_correlated_agg",
+    "events_interval_attribution",
 ]
 
 
@@ -51,8 +54,18 @@ def _union_reps(df, build_rep):
 @pytest.fixture(scope="module")
 def sf1_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("sf1"))
-    for t in ["region", "nation", "customer", "supplier", "part", "events"]:
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         os.symlink(f"{SF_SRC}/{t}.parquet", f"{d}/{t}.parquet")
+
+    # events ×10 under shifted user/event ids: same per-user time structure,
+    # so click→view pair counts scale exactly linearly (shared user ids
+    # would square them).  ts stays raw nanos (int64) — the fixture dtype.
+    ev = spark.read.option("mergeSchema", "false").parquet(f"{SF_SRC}/events.parquet")
+    _union_reps(
+        ev,
+        lambda df_, i: df_.withColumn("event_id", F.col("event_id") + i * 10_000_000)
+        .withColumn("user_id", F.col("user_id") + i * 10_000_000),
+    ).write.parquet(f"{d}/events.parquet")
 
     alpha = "abcdefghij"
 
@@ -115,6 +128,11 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     assert 9 * base["dedup_minhash_lsh"] <= got["dedup_minhash_lsh"] <= 10 * base["dedup_minhash_lsh"]
     assert got["join_multiway_revenue"] == base["join_multiway_revenue"]  # keyed by dims
     assert got["sim_ann_ivf_topk"] == base["sim_ann_ivf_topk"]  # fixed query set, top-k
+    # replicated timestamps: each click copy sees 10x the views, so the
+    # grouped output is exactly 10x the clicks-with-views rows (the pair
+    # volume underneath is 100x — the quadratic a keyless interval join
+    # really has, and the binned shape absorbs it without a nested loop)
+    assert got["events_interval_attribution"] == 10 * base["events_interval_attribution"]
 
     # no driver-side materialization: counts() move no rows to Python, so the
     # Python driver's peak RSS must not grow meaningfully with 10× data
