@@ -102,15 +102,19 @@ _PRIORITY = [
     # round-3 addition: big-big non-equi interval join via bin equi-join
     # (events_gap_fill_hourly, r02-green, yields its slot)
     "events_interval_attribution",
-    # -- 4. one query per remaining relational family ----------------------- #
-    "dq_rowcount_flag",
-    "projection_typed_cast",
-    "null_default_decode",
-    "join_multiway_revenue",
+    # -- 4. round-3 late additions: new capabilities must enter the window so
+    #    they get a driver-confirmed row in the round they ship (displacing
+    #    dq_rowcount_flag / projection_typed_cast / null_default_decode /
+    #    join_multiway_revenue — all driver-green in r02; their families stay
+    #    covered by flagship_patient_claims_plus + q1_pricing_summary).
+    "text_repetition_metrics",
+    "text_pii_scrub",
+    "docs_source_cap",
+    "streaming_stateful_profile_live",
     # (string/date/json_functions, agg_exact_percentiles, dedup_keep_latest,
-    # and the 8 window functions were driver-verified green in rounds 1-2 and
-    # yield their window slots to never-checked queries — they stay locally
-    # checked in the tail)
+    # the 8 window functions, and the four r02 greens above were
+    # driver-verified in rounds 1-2 and yield their window slots — they stay
+    # locally checked in the tail)
     # -- 5. tail: remaining variants keep registration order ---------------- #
 ]
 

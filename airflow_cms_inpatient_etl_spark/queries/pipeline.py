@@ -262,3 +262,53 @@ def pack_token_budget(spark, sf_dir):
         "cum_tokens",
         F.expr("(cum_tokens - n_tokens) DIV 2000").alias("shard"),
     )
+
+
+SOURCE_CAP = 10
+
+
+@register(
+    "docs_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST('0x' || SUBSTR(MD5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                                AS BIGINT),
+                            doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, lang, n_chars, rn FROM ranked WHERE rn <= {SOURCE_CAP}
+    """,
+)
+def docs_source_cap(spark, sf_dir):
+    """Per-source document cap — the per-domain quota step of web-corpus
+    curation (keep at most K docs per domain so no single crawl host dominates
+    the training mix).  The kept set is the K smallest *portable md5 hashes*
+    per source: a deterministic uniform sample that is stable across engines,
+    reruns, AND corpus growth — re-crawling a domain only ever evicts docs in
+    favor of lower-hash newcomers, it never reshuffles the whole quota (the
+    property incremental recrawls need; Spark-internal xxhash64 would pin the
+    sample to one engine).  Shape: one hash projection (map-only) + a
+    per-source window rank — the shuffle keys on source, and K is tiny.  A
+    pathologically hot domain (10⁹ docs at web scale) would make one window
+    sort huge; the documented mitigation is a lossless two-phase pass: rank
+    only docs whose hash falls under an over-sampled threshold learned from
+    per-source counts (keeps ≥K with overwhelming probability, verified by a
+    count), then window-rank the survivors.  The registered shape is the
+    exact single-pass form."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SOURCE_CAP)
+    )

@@ -142,3 +142,32 @@ def streaming_stream_stream_join_live(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+@register("streaming_stateful_profile_live")  # no oracle: real incremental execution
+def streaming_stateful_profile_live(spark, sf_dir):
+    """LIVE custom stateful operator (``applyInPandasWithState``): per-user
+    running profile (event count + value sum) over the events stream — the
+    escape hatch for stateful semantics Spark's built-in windows can't
+    express (session carts, feature accumulators).  State is one tuple per
+    user (O(|users|) regardless of stream length) and the update function is
+    Arrow-batched, not per-row.  Batch-equivalence of the final state is
+    asserted in tests/test_streaming.py; the driver records the rows-only
+    check (streaming execution has no SQL-oracle form).  Shuffle partitions
+    are scoped to 8 for the same state-store task-dispatch reason as the
+    stream-stream join above."""
+    from airflow_cms_inpatient_etl_spark.streaming.stateful import running_user_profile
+
+    stage_dir = tempfile.mkdtemp(prefix="events_stateful_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/part-0.parquet")
+        name = f"stream_state_{uuid.uuid4().hex[:8]}"
+        run_stream_to_memory(
+            running_user_profile(stream_events(spark, stage_dir)), name, output_mode="update"
+        )
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stage_dir, ignore_errors=True)

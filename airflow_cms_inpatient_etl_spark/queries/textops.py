@@ -9,6 +9,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from airflow_cms_inpatient_etl_spark.operators.scrub import (
+    PII_PATTERNS,
+    denylist_pattern,
+    scrub_counts,
+    scrub_text,
+)
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 
@@ -237,6 +243,137 @@ def text_rolling_hash(spark, sf_dir):
         hashed, F.lit(0).cast("long"), lambda acc, h: (acc * 31 + h) % 2147483647
     )
     return d.select("doc_id", rolling.alias("rolling_hash"))
+
+
+@register(
+    "text_repetition_metrics",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS w FROM documents
+    ),
+    tok AS (SELECT doc_id, UNNEST(w) AS t FROM toks),
+    tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+    ta AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_tokens
+           FROM tc GROUP BY doc_id),
+    bigr AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i + 1])) AS b
+        FROM toks
+    ),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bigr GROUP BY doc_id, b),
+    ba AS (SELECT doc_id, MAX(c) AS top_b, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ
+           FROM bc GROUP BY doc_id)
+    SELECT ta.doc_id, n_tokens,
+           top_c / n_tokens AS top_token_frac,
+           top_b / n_bigrams AS top_bigram_frac,
+           dup_occ / n_bigrams AS dup_bigram_frac,
+           top_c / n_tokens <= 0.10 AND dup_occ / n_bigrams <= 0.05 AS keep
+    FROM ta JOIN ba USING (doc_id)
+    """,
+)
+def text_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition signals per document: most-frequent-token
+    fraction, most-frequent-bigram fraction, and the fraction of bigram
+    occurrences belonging to a repeated bigram — the standard boilerplate /
+    template-spam detectors for pre-training curation (Rae et al. 2021,
+    table A1, public paper).  Shape: one map-side pass builds the token and
+    bigram streams (zip_with over two slices — no self-join), then two
+    (doc_id, term) count aggregations with map-side partial aggregation and a
+    final doc-keyed join of the two per-doc profiles; both shuffles key on
+    doc_id+term so no single task ever sees more than one document's terms —
+    safe under any document-length or corpus-size scale-up.  Fractions are
+    int/int IEEE divisions (bit-identical across engines; no libm)."""
+    d = load_table(spark, sf_dir, "documents")
+    # materialize the token array once — Catalyst does not CSE inside
+    # higher-order-function lambdas (10× measured; see text_rolling_hash)
+    toks = d.select("doc_id", _words(F.col("text")).alias("w"))
+    n = F.size("w")
+    bigrams = F.zip_with(
+        F.slice("w", F.lit(1), n - 1),
+        F.slice("w", F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tc = (
+        toks.select("doc_id", F.explode("w").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ta = tc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").cast("bigint").alias("n_tokens")
+    )
+    bc = (
+        toks.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ba = bc.groupBy("doc_id").agg(
+        F.max("c").alias("top_b"),
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("bigint").alias("dup_occ"),
+    )
+    ttf = F.col("top_c") / F.col("n_tokens")
+    dbf = F.col("dup_occ") / F.col("n_bigrams")
+    return ta.join(ba, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        ttf.alias("top_token_frac"),
+        (F.col("top_b") / F.col("n_bigrams")).alias("top_bigram_frac"),
+        dbf.alias("dup_bigram_frac"),
+        ((ttf <= 0.10) & (dbf <= 0.05)).alias("keep"),
+    )
+
+
+_DENYLIST = ["customer", "value"]
+_SCRUB_CHAIN = PII_PATTERNS + [("denylist", denylist_pattern(_DENYLIST), "[TERM]")]
+
+
+def _scrub_sql(col: str) -> str:
+    out = col
+    for _, pat, rep in _SCRUB_CHAIN:
+        out = f"REGEXP_REPLACE({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+def _count_sql(pat: str) -> str:
+    return f"LEN(REGEXP_EXTRACT_ALL(text, '{pat}'))"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           {_scrub_sql("text")} AS clean_text,
+           CAST({" + ".join(_count_sql(p) for _, p, _ in PII_PATTERNS)} AS BIGINT) AS n_pii,
+           CAST({_count_sql(_SCRUB_CHAIN[-1][1])} AS BIGINT) AS n_denylist,
+           CAST({" + ".join(_count_sql(p) for _, p, _ in _SCRUB_CHAIN)} AS BIGINT) AS n_redactions,
+           {" + ".join(_count_sql(p) for _, p, _ in _SCRUB_CHAIN)} > 0 AS was_redacted
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII + denylist redaction over the corpus (``operators/scrub.py``):
+    emails / SSNs / phones / IPv4s → typed placeholders, plus a configurable
+    whole-word denylist — the redaction stage every public pre-training
+    pipeline runs before tokenization.  Pure ``regexp_replace`` chain:
+    map-only, zero shuffle, whole-stage-codegen JVM regex at 100 TB.  The
+    synthetic fixture's word-salad contains no PII-shaped strings (the PII
+    counts exercise the full pattern set and provably return 0 — asserted
+    against the oracle), so the denylist terms are chosen from the fixture
+    vocabulary to make the replacement path itself observable; crafted-PII
+    behavior is unit-tested in tests/test_textops_extra.py."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = scrub_counts(F.col("text"), _SCRUB_CHAIN)
+    n_pii = sum(counts[name] for name, _, _ in PII_PATTERNS)
+    n_all = n_pii + counts["denylist"]
+    return d.select(
+        "doc_id",
+        scrub_text(F.col("text"), _SCRUB_CHAIN).alias("clean_text"),
+        n_pii.cast("bigint").alias("n_pii"),
+        counts["denylist"].cast("bigint").alias("n_denylist"),
+        n_all.cast("bigint").alias("n_redactions"),
+        (n_all > 0).alias("was_redacted"),
+    )
 
 
 @register(
