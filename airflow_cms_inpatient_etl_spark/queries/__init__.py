@@ -74,7 +74,6 @@ _PRIORITY = [
     # r02-green, yields its slot)
     "streaming_stream_stream_join_live",
     "events_session_window",
-    "events_dedup_within_window",
     "text_quality_scores",
     "text_langid_heuristic",
     "text_token_counts",
@@ -85,6 +84,11 @@ _PRIORITY = [
     "dedup_levenshtein_block",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    # late round-3: delta-vs-corpus-index incremental dedup must enter the
+    # window (events_dedup_within_window, r02-green, yields its slot; the
+    # streaming-dedup family stays covered by events_session_window + the
+    # live streaming rows)
+    "dedup_incremental_index",
     "sim_cosine_topk_brute",
     "sim_ann_ivf_topk",
     "sim_embedding_neardup",

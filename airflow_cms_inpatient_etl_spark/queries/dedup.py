@@ -20,6 +20,7 @@ from airflow_cms_inpatient_etl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from airflow_cms_inpatient_etl_spark.operators.text import exploded_shingle_hashes
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 
@@ -242,3 +243,59 @@ def dedup_levenshtein_block(spark, sf_dir):
     levenshtein_block_pairs), never all-pairs."""
     d = load_table(spark, sf_dir, "documents")
     return levenshtein_block_pairs(d, "doc_id", "text", rel_threshold=0.2, prefix_len=30)
+
+
+@register(
+    "dedup_incremental_index",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    delta AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    dsh AS (SELECT doc_id, h FROM ex WHERE doc_id % 10 = 0),
+    idx AS (SELECT DISTINCT h FROM ex WHERE doc_id % 10 != 0),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM dsh GROUP BY doc_id),
+    hit AS (SELECT dsh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM dsh JOIN idx USING (h) GROUP BY dsh.doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_shingles, 0) AS n_shingles,
+           COALESCE(n_shared, 0) AS n_shared,
+           COALESCE(n_shared, 0) / GREATEST(COALESCE(n_shingles, 0), 1) AS shared_frac,
+           COALESCE(n_shared, 0) / GREATEST(COALESCE(n_shingles, 0), 1) >= 0.5
+               AS near_dup_of_corpus
+    FROM delta d LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+    """,
+)
+def dedup_incremental_index(spark, sf_dir):
+    """Incremental dedup of a NEW batch against the standing corpus — the
+    shape a daily crawl ingest actually runs: never re-shingle the whole
+    corpus, join the delta's shingles against the precomputed corpus shingle
+    index (here both sides derive from the fixture, split delta = doc_id%10==0
+    vs standing = rest; in production the index is a bucketed table on the
+    int64 hash, appended per ingest).  Per delta doc: distinct-shingle total,
+    how many also occur in the corpus index, and a ≥50%-overlap near-dup
+    flag.  Complements decontaminate_ngram_overlap (broadcast vs a SMALL eval
+    set): this is the BIG-big variant — a shuffle equi-join on the int64
+    shingle hash, skew-safe under AQE, with map-side partial counts; cost is
+    O(delta shingles), not O(corpus), which is what makes daily ingest at
+    100 TB affordable.  Left join from the delta doc list so shingle-less
+    (<3-token) docs still appear with zeros."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingle_hashes(d, "doc_id", "text")
+    dsh = sh.filter(F.col("doc_id") % 10 == 0)
+    idx = sh.filter(F.col("doc_id") % 10 != 0).select("h").distinct()
+    tot = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = dsh.join(idx, "h").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+    delta = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0).cast("bigint"))
+    n_hit = F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint"))
+    frac = n_hit / F.greatest(n_sh, F.lit(1).cast("bigint"))
+    return (
+        delta.join(tot, "doc_id", "left")
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sh.alias("n_shingles"),
+            n_hit.alias("n_shared"),
+            frac.alias("shared_frac"),
+            (frac >= 0.5).alias("near_dup_of_corpus"),
+        )
+    )

@@ -46,6 +46,10 @@ HEADLINE = [
     "multimodal_decode_stub",
     "decontaminate_ngram_overlap",
     "corpus_curation_pipeline",
+    # round-3 additions: the big-big non-equi interval join and the
+    # repetition-metrics double-explode are the heaviest new plans
+    "events_interval_attribution",
+    "text_repetition_metrics",
 ]
 
 

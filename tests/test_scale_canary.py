@@ -40,6 +40,10 @@ CANARY_QUERIES = [
     "text_tfidf_top_terms",
     "lateral_correlated_agg",
     "events_interval_attribution",
+    # round-3 curation additions: the double-explode repetition profile and
+    # the per-source quota window (the shapes a hot domain would stress)
+    "text_repetition_metrics",
+    "docs_source_cap",
 ]
 
 
@@ -133,6 +137,12 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     # volume underneath is 100x — the quadratic a keyless interval join
     # really has, and the binned shape absorbs it without a nested loop)
     assert got["events_interval_attribution"] == 10 * base["events_interval_attribution"]
+    # letter translation is a character bijection → per-doc token/bigram
+    # counts are replica-invariant, so exactly 10× profile rows
+    assert got["text_repetition_metrics"] == 10 * base["text_repetition_metrics"]
+    # per-source quota: sources unchanged, docs per source ×10 — the cap keeps
+    # output CONSTANT (that's the point of a domain quota under a recrawl)
+    assert got["docs_source_cap"] == base["docs_source_cap"]
 
     # no driver-side materialization: counts() move no rows to Python, so the
     # Python driver's peak RSS must not grow meaningfully with 10× data

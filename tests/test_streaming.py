@@ -297,3 +297,51 @@ def test_streaming_late_data_dropped_live(spark):
     # ... and no window that exists only because of late data is emitted
     late_only = set(full) - set(ontime)
     assert late_only and set(streamed).isdisjoint(late_only)
+
+
+def test_stream_upsert_to_parquet_matches_batch_merge(spark, tmp_path):
+    """Streaming CDC materialization: a two-micro-batch change feed merged
+    into a parquet table via foreachBatch + type-1 upsert must land the same
+    final state as merging the batches offline — including within-batch
+    compaction (two updates for one key in one batch keep the later seq)."""
+    import os
+
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import stream_upsert_to_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = [(1, "a1", 1), (2, "b1", 2), (3, "c1", 3), (4, "d1", 4)]
+    b2 = [(3, "c2", 10), (4, "d2", 11), (5, "e1", 12), (5, "e2", 13), (6, "f1", 14)]
+    for i, rows in enumerate([b1, b2]):
+        staging = str(tmp_path / f"staging{i}")
+        spark.createDataFrame(rows, "key long, val string, seq long").coalesce(1).write.parquet(
+            staging
+        )
+        part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+        dest = src / f"batch{i}.parquet"
+        os.rename(os.path.join(staging, part), dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    updates = (
+        spark.readStream.schema("key long, val string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_upsert_to_parquet(updates, target, ckpt, ["key"], "seq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["key"]: (r["val"], r["seq"]) for r in spark.read.parquet(target).collect()}
+    assert got == {
+        1: ("a1", 1),
+        2: ("b1", 2),
+        3: ("c2", 10),  # updated by batch 2
+        4: ("d2", 11),
+        5: ("e2", 13),  # within-batch compaction kept the later seq
+        6: ("f1", 14),
+    }
