@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -72,3 +72,52 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Compact a parquet directory's small files toward ``target_file_bytes``
+    per output file; returns the output file count.
+
+    The small-files problem is the silent killer of streaming/incremental
+    sinks at scale: a foreachBatch or per-ingest append writes O(partitions)
+    files per batch, and a year of 5-minute batches turns every downstream
+    scan into millions of opens (NameNode/S3 LIST pressure, one task per
+    tiny file).  Periodic compaction is the standard fix (what Delta's
+    OPTIMIZE does); this is the plain-parquet equivalent.
+
+    File count comes from the directory's actual on-disk bytes (filesystem
+    metadata, no data read), so the result lands near the parquet row-group /
+    HDFS-block sweet spot regardless of row width.  The rewrite itself is one
+    distributed pass: plain ``coalesce`` when shrinking (no shuffle) or a
+    ``repartition`` when a sort/cluster is requested.  Write-audit-publish
+    (stage to a temp dir, swap on success) would wrap this in production; the
+    in-place overwrite here keeps the operator self-contained.
+    """
+    import math
+
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    hadoop_path = jvm.Path(path)
+    fs = hadoop_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hadoop_path).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    if sort_within_by:
+        out = df.repartition(n_files).sortWithinPartitions(*sort_within_by)
+    else:
+        out = df.coalesce(n_files)
+    # parquet overwrite would truncate its own input mid-read; stage then swap
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    fs.delete(hadoop_path, True)
+    if not fs.rename(jvm.Path(tmp), hadoop_path):
+        raise IOError(f"compaction rename failed: {tmp} -> {path}")
+    return n_files

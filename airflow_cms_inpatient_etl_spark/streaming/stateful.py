@@ -37,3 +37,70 @@ def running_user_profile(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint"
+
+
+def make_session_update(gap_ms: int):
+    """Update function for timeout-driven sessionization: each user's open
+    session extends while events keep arriving; when the event-time watermark
+    passes last-event + gap, the state TIMES OUT and the closed session is
+    emitted exactly once.  Emission-on-timeout (not on every batch) is what
+    makes the output append-safe, and timeout-driven state removal is what
+    bounds memory: an idle user costs nothing after one gap."""
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, end_us, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+            n += len(pdf)
+        state.update((start_us, end_us, n))
+        # EventTimeTimeout fires on the first trigger whose watermark exceeds this
+        state.setTimeoutTimestamp(end_us // 1000 + gap_ms)
+
+    return update
+
+
+def sessionize_with_timeout(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Custom gap-based sessionization via event-time TIMEOUTS — the stateful
+    pattern Spark's built-in ``session_window`` can't give you when the
+    per-session output needs custom accumulation or exactly-one-emission
+    semantics.  Requires a watermark on ``ts`` (it drives both timeout firing
+    and state eviction).  Output: one row per CLOSED session (append mode)."""
+    n = int(gap.split()[0])
+    unit = gap.split()[1]
+    gap_ms = n * {"minutes": 60_000, "minute": 60_000, "seconds": 1_000, "second": 1_000}[unit]
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_session_update(gap_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -210,3 +210,42 @@ def test_zorder_write_skips_on_every_dimension(spark, tmp_path):
     assert l_ck >= 6      # its own sort column prunes well
     assert l_tp == 0      # ...but the other dimension prunes NOTHING
     assert z_ck >= 3 and z_tp >= 3  # z-order prunes on BOTH dimensions
+
+
+def test_compact_small_files_preserves_data_and_hits_target(spark, tmp_path):
+    """64 tiny files -> a handful sized by actual on-disk bytes; contents
+    identical; optional within-file clustering applied."""
+    import glob
+
+    from airflow_cms_inpatient_etl_spark.operators.layout import compact_small_files
+
+    path = str(tmp_path / "orders_small")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.repartition(64).write.parquet(path)
+    n_small = len(glob.glob(f"{path}/part-*.parquet"))
+    assert n_small == 64
+    before = orders.count()
+    bytes_total = sum(
+        __import__("os").path.getsize(p) for p in glob.glob(f"{path}/part-*.parquet")
+    )
+
+    n_out = compact_small_files(spark, path, target_file_bytes=bytes_total // 3 + 1)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == n_out <= 4  # ceil(total/target) = 3, +1 slack for overhead
+    assert spark.read.parquet(path).count() == before
+
+    # clustered variant: each output file's o_orderkey range is tight
+    n_out = compact_small_files(
+        spark, path, target_file_bytes=bytes_total // 3 + 1, sort_within_by=["o_orderkey"]
+    )
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for p in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(p).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index("o_orderkey")
+        rg = md.row_group(0).column(idx).statistics
+        ranges.append((rg.min, rg.max))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files -> skippable scans

@@ -345,3 +345,73 @@ def test_stream_upsert_to_parquet_matches_batch_merge(spark, tmp_path):
         5: ("e2", 13),  # within-batch compaction kept the later seq
         6: ("f1", 14),
     }
+
+
+def test_stateful_sessionize_with_timeout(spark, tmp_path):
+    """EventTimeTimeout sessionization: sessions close (and emit exactly once)
+    when the watermark passes last-event + gap; open sessions emit nothing;
+    timed-out state is removed (bounded memory)."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from airflow_cms_inpatient_etl_spark.streaming.stateful import sessionize_with_timeout
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000  # µs
+    minute = 60_000_000
+    batches = [
+        # user 1: three events over 2 min; user 2: single event
+        [(1, t0), (1, t0 + minute), (1, t0 + 2 * minute), (2, t0)],
+        # 2 h later: advances the watermark past user 1/2's timeout
+        [(3, t0 + 120 * minute)],
+        # any further batch triggers the timed-out emissions
+        [(3, t0 + 240 * minute)],
+    ]
+    for i, rows in enumerate(batches):
+        staging = str(tmp_path / f"staging{i}")
+        spark.createDataFrame(rows, "user_id long, ts long").coalesce(1).write.parquet(staging)
+        part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+        dest = src / f"b{i}.parquet"
+        os.rename(os.path.join(staging, part), dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, ts long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withColumn("ts", SF.timestamp_micros("ts"))
+        )
+        name = _table("sessions_timeout")
+        q = (
+            sessionize_with_timeout(stream, gap="30 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    got = {
+        r["user_id"]: (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table(name).collect()
+    }
+    from datetime import datetime, timezone
+
+    def us(v):
+        return datetime.fromtimestamp(v / 1e6, tz=timezone.utc).replace(tzinfo=None)
+
+    # users 1 and 2 closed by watermark; user 3's session is still open
+    assert got == {
+        1: (us(t0), us(t0 + 2 * minute), 3),
+        2: (us(t0), us(t0), 1),
+    }
