@@ -73,7 +73,10 @@ _PRIORITY = [
     # round-3 addition: live stream-stream join (events_sliding_window,
     # r02-green, yields its slot)
     "streaming_stream_stream_join_live",
-    "events_session_window",
+    # late round-3: the end-to-end curation composition enters the window
+    # (events_session_window, green r01+r02, yields its slot; session
+    # semantics stay covered by the live streaming + stateful rows)
+    "corpus_curation_v2",
     "text_quality_scores",
     "text_langid_heuristic",
     "text_token_counts",

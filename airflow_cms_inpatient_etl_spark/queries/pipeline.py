@@ -23,7 +23,8 @@ from airflow_cms_inpatient_etl_spark.operators.text import (
 )
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.queries.dedup import _SHINGLES_CTE
-from airflow_cms_inpatient_etl_spark.queries.textops import _LEXICONS
+from airflow_cms_inpatient_etl_spark.operators.scrub import scrub_text
+from airflow_cms_inpatient_etl_spark.queries.textops import _LEXICONS, _SCRUB_CHAIN, _scrub_sql
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 
 
@@ -311,4 +312,125 @@ def docs_source_cap(spark, sf_dir):
     return (
         d.select("doc_id", "source", "lang", "n_chars", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= SOURCE_CAP)
+    )
+
+
+_ALL_LEX = sorted({t for lex in _LEXICONS.values() for t in lex})
+
+
+@register(
+    "corpus_curation_v2",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text, source, lang,
+               STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, text, source, lang, LEN(w) AS n_tokens,
+               LEN(LIST_DISTINCT(w)) AS n_distinct,
+               LEN(LIST_INTERSECT(LIST_DISTINCT(w), {_ALL_LEX!r})) AS n_lex_hits
+        FROM toks
+    ),
+    tc AS (
+        SELECT doc_id, t, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(w) AS t FROM toks) GROUP BY doc_id, t
+    ),
+    rep AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_tok_sum
+            FROM tc GROUP BY doc_id),
+    gated AS (
+        SELECT s.doc_id, s.text, s.source, s.lang, s.n_tokens
+        FROM stats s JOIN rep r USING (doc_id)
+        WHERE s.n_tokens BETWEEN 10 AND 1000
+          AND 5 * s.n_distinct >= s.n_tokens
+          AND s.n_lex_hits > 0
+          AND r.top_c / r.n_tok_sum <= 0.10
+    ),
+    fp AS (SELECT doc_id, text, source, lang, n_tokens,
+                  MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fingerprint
+           FROM gated),
+    reps AS (SELECT fingerprint, MIN(doc_id) AS doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_copies
+             FROM fp GROUP BY fingerprint),
+    kept AS (SELECT f.doc_id, f.text, f.source, f.lang, f.n_tokens, r.n_copies
+             FROM reps r JOIN fp f ON r.doc_id = f.doc_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST('0x' || SUBSTR(MD5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                                AS BIGINT),
+                            doc_id) AS rn
+        FROM kept
+    )
+    SELECT doc_id, source, lang, n_tokens, n_copies, rn, {_scrub_sql("text")} AS clean_text
+    FROM ranked WHERE rn <= {SOURCE_CAP}
+    """,
+)
+def corpus_curation_v2(spark, sf_dir):
+    """The COMPLETE curation pass a pretraining snapshot runs, composing every
+    round-3 curation primitive end-to-end: (1) v1's quality + language gates
+    (token count, lexical diversity, lexicon hit); (2) the Gopher repetition
+    gate (most-frequent-token fraction ≤ 0.10); (3) exact near-dup collapse
+    to the min-id representative with copy count; (4) the per-source domain
+    quota (K smallest portable hashes per source); (5) PII + denylist
+    redaction of the surviving text.  Output: one row per kept doc with its
+    provenance (source, lang), stats (n_tokens, n_copies), quota rank, and
+    the scrubbed text.
+
+    Scale shape: stages 1-2 are one corpus scan + one (doc_id, token) count
+    aggregation; stage 3 is a fingerprint groupBy; stage 4 a per-source
+    window over the (already heavily filtered) survivors; stage 5 a map-only
+    regex chain.  Nothing re-reads the corpus; every shuffle keys on doc/
+    fingerprint/source."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stats = d.select(
+        "doc_id",
+        "text",
+        "source",
+        "lang",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.size(F.array_intersect(F.array_distinct(w), F.array(*[F.lit(t) for t in _ALL_LEX]))).alias(
+            "n_lex_hits"
+        ),
+    )
+    rep = (
+        d.select("doc_id", F.explode(w).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").cast("bigint").alias("n_tok_sum"))
+    )
+    gated = stats.join(rep, "doc_id").filter(
+        F.col("n_tokens").between(10, 1000)
+        & (5 * F.col("n_distinct") >= F.col("n_tokens"))
+        & (F.col("n_lex_hits") > 0)
+        & (F.col("top_c") / F.col("n_tok_sum") <= 0.10)
+    )
+    fp = gated.select(
+        "doc_id", "text", "source", "lang", "n_tokens",
+        normalized_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    reps = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    kept = reps.select("doc_id", "n_copies").join(fp, "doc_id")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    win = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    capped = kept.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") <= SOURCE_CAP)
+    return capped.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        "n_copies",
+        "rn",
+        scrub_text(F.col("text"), _SCRUB_CHAIN).alias("clean_text"),
     )
