@@ -80,3 +80,38 @@ def test_repetition_metrics_flag_spammy_doc(spark, tmp_path):
     }
     assert out[0].keep is False and out[0].top_token_frac >= 0.4
     assert out[1].keep is True and out[1].dup_bigram_frac == 0.0
+
+
+def test_pii_scrub_chain_is_idempotent(spark):
+    """Scrubbing already-scrubbed text is a no-op (replacements introduce no
+    characters any pattern can match), and scrubbed text carries zero
+    residual PII matches — the property that makes re-running the redaction
+    stage over a partially-processed corpus safe.  Deterministic corpus:
+    fixed-seed random strings over a PII-shaped alphabet plus crafted
+    near-miss juxtapositions."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "ab5. -@x0"
+    rows = ["".join(rng.choice(alphabet) for _ in range(rng.randint(5, 60))) for _ in range(300)]
+    rows += [
+        "12alice@b.co3-45-6789",        # replacement juxtaposes digit runs
+        "555-867-al@b.co5309",
+        "prefix10.0.0.1suffix 999-99-9999",
+        "a@b.cc a@b.cc a@b.cc",          # repeated matches
+    ]
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    pats = PII_PATTERNS
+    once = scrub_text(F.col("text"), pats)
+    twice = scrub_text(once, pats)
+    residual = None
+    for _, pat, _ in pats:
+        c = F.regexp_count(once, F.lit(pat))
+        residual = c if residual is None else residual + c
+    bad = df.select(
+        F.col("text"),
+        once.alias("once"),
+        twice.alias("twice"),
+        residual.alias("residual"),
+    ).filter((F.col("once") != F.col("twice")) | (F.col("residual") > 0))
+    assert bad.count() == 0, bad.limit(5).collect()
