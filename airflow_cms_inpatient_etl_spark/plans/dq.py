@@ -64,3 +64,20 @@ def observe_dq(df: DataFrame, name: str, null_check_cols: list[str]):
         F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}") for c in null_check_cols
     ]
     return df.observe(obs, *metrics), obs
+
+
+def k_anonymity_profile(df, quasi_identifiers: list[str], k: int = 5):
+    """Per-equivalence-class k-anonymity profile over a set of
+    quasi-identifier columns: group size and an at-risk flag for classes
+    smaller than ``k``.  The privacy counterpart of the PII scrub
+    (operators/scrub.py): scrubbing removes direct identifiers, while rare
+    quasi-identifier combinations can still single out individuals — the
+    release gate is "no equivalence class below k" (Sweeney 2002, public
+    literature).  One hash aggregation with map-side partial counts: the same
+    cost/shape as any groupBy at 100 TB, no per-row state."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        (F.count(F.lit(1)) < k).alias("at_risk"),
+    )

@@ -95,7 +95,10 @@ _PRIORITY = [
     "sim_cosine_topk_brute",
     "sim_ann_ivf_topk",
     "sim_embedding_neardup",
-    "multimodal_metadata",
+    # late round-3: privacy-DQ release gate enters the window
+    # (multimodal_metadata, r02-green, yields its slot; the multimodal family
+    # stays covered by decode_stub + frame_sample + audio_chunks)
+    "dq_k_anonymity",
     "multimodal_frame_sample",
     "streaming_late_data_live",
     "split_train_test_hash",

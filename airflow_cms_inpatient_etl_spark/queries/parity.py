@@ -80,3 +80,27 @@ def null_default_decode(spark, sf_dir):
         F.coalesce(F.col("props"), F.lit("")).alias("props_filled"),
         F.when(F.col("value").isNull(), 0.0).otherwise(F.col("value")).alias("value_filled"),
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS class_size,
+           COUNT(*) < 8 AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity release gate (plans/dq.py:k_anonymity_profile) over the
+    customer table with (nation, market segment) as the quasi-identifier set:
+    every equivalence class's size plus an at-risk flag for classes under
+    k=8 — the check a privacy-aware data release runs after PII scrubbing
+    (rare attribute combinations re-identify even scrubbed rows).  k=8 is
+    chosen so the flag is non-trivially exercised at the sf0.01 gate scale
+    (smallest class there is 5)."""
+    from airflow_cms_inpatient_etl_spark.plans.dq import k_anonymity_profile
+
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    return k_anonymity_profile(c, ["c_nationkey", "c_mktsegment"], k=8)
