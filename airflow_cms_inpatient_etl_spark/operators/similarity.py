@@ -313,3 +313,149 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") > threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+# --------------------------------------------------------------------------- #
+# Product quantization (PQ) — the third ANN tier: compress each vector into   #
+# m byte codes (here 8 sub-codes over 64 dims = 8 bytes vs 256 float32 bytes, #
+# 32×), then answer queries with asymmetric distance computation (ADC): one   #
+# 16-entry lookup table per (query, subspace), approximate distance = sum of  #
+# table hits — a full-corpus scan that touches only bytes, the memory shape   #
+# that lets a 100 TB embedding corpus live in RAM (Jégou et al. 2011, public  #
+# paper).  Codebooks here are seeded from fixed corpus samples so the whole   #
+# pipeline stays engine-portable and oracle-exact; production would train     #
+# them offline with operators/ml.kmeans_fit and broadcast the (m × 16 × d/m)  #
+# codebook exactly the same way.                                              #
+# --------------------------------------------------------------------------- #
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Ordered-fold squared L2 distance (no libm: (x−y)·(x−y), not pow)."""
+    return _fold_sum(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+    )
+
+
+def pq_subvectors(
+    df: DataFrame, m: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, sub, svec) rows: the vector split into ``m`` contiguous subspaces."""
+    d_sub = F.size(F.col(vec_col)) / m  # plan-time constant per fixture
+    subs = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
+    out = df.select(F.col(id_col), F.col(vec_col), subs)
+    return out.select(
+        id_col,
+        "sub",
+        F.slice(
+            F.col(vec_col), (F.col("sub") * d_sub + 1).cast("int"), d_sub.cast("int")
+        ).alias("svec"),
+    )
+
+
+def pq_codebook(embeddings: DataFrame, seed_ids: tuple[int, int], m: int) -> DataFrame:
+    """(sub, code, cvec): codewords = subvectors of the fixed seed rows
+    ``seed_ids`` (inclusive range); code = seed offset.  16 seeds → 4-bit
+    codes.  Tiny by construction (m × n_seeds rows) — always broadcast."""
+    lo, hi = seed_ids
+    seeds = embeddings.filter(F.col("vec_id").between(lo, hi))
+    return pq_subvectors(seeds, m).select(
+        "sub", (F.col("vec_id") - lo).cast("int").alias("code"), F.col("svec").alias("cvec")
+    )
+
+
+def pq_encode(embeddings: DataFrame, codebook: DataFrame, m: int) -> DataFrame:
+    """(vec_id, sub, code): nearest codeword per subspace (argmin L2², ties to
+    the smaller code — MAX/MIN-of-struct argmin, engine-deterministic).  The
+    codebook side is broadcast; the scan is map-side — encoding is a single
+    pass over the corpus and the codes are writable as 1-byte columns."""
+    sv = pq_subvectors(embeddings, m)
+    scored = sv.join(F.broadcast(codebook), "sub").select(
+        "vec_id", "sub", F.struct(l2_sq("svec", "cvec").alias("d"), "code").alias("dc")
+    )
+    return scored.groupBy("vec_id", "sub").agg(
+        F.min("dc").getField("code").alias("code")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k: per (query, subspace) a 16-entry LUT of exact sub-distances
+    to every codeword, then approximate distance per candidate = ordered-fold
+    sum of its codes' LUT hits.  The candidate side carries ONLY (vec_id,
+    sub, code) — at scale the precomputed code table IS the index."""
+    enc = pq_encode(embeddings, codebook, m)
+    qsv = pq_subvectors(queries, m).withColumnRenamed("vec_id", "qid")
+    lut = qsv.join(F.broadcast(codebook), "sub").select(
+        "qid", "sub", "code", l2_sq("svec", "cvec").alias("d")
+    )
+    hits = enc.join(F.broadcast(lut), ["sub", "code"]).select(
+        "qid", F.col("vec_id").alias("cid"), "sub", "d"
+    )
+    adist = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("sub", "d"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x.getField("d"),
+    )
+    scored = (
+        hits.groupBy("qid", "cid")
+        .agg(adist.alias("approx_dist"))
+        .filter(F.col("cid") != F.col("qid"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("approx_dist").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "approx_dist", "rn")
+    )
+
+
+def pq_train(
+    embeddings: DataFrame, seed_ids: tuple[int, int], m: int, iters: int = 3
+) -> DataFrame:
+    """Train the PQ codebooks: per-subspace Lloyd iterations (assign every
+    subvector to its nearest codeword, recenter each codeword on the mean of
+    its assignments; empty codewords keep their previous value).  Assignment
+    is the same broadcast map-side pass as pq_encode; recentering is one
+    (sub, code, dim) aggregation — per iteration cost is O(corpus), the same
+    as encoding, so training on a sample and broadcasting the result is the
+    production shape.  The codebook is a model parameter (m × 16 tiny rows):
+    it is materialized on the driver between iterations exactly like k-means
+    centroids (operators/ml.kmeans_fit), keeping the lineage flat."""
+    spark = embeddings.sparkSession
+    cb = pq_codebook(embeddings, seed_ids, m)
+    sv = pq_subvectors(embeddings, m)
+    for _ in range(iters):
+        enc = pq_encode(embeddings, cb, m)
+        dims = sv.join(enc, ["vec_id", "sub"]).select(
+            "sub", "code", F.posexplode("svec").alias("i", "v")
+        )
+        new = (
+            dims.groupBy("sub", "code", "i")
+            .agg(F.avg("v").alias("mv"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "mv"))).alias("pairs"))
+            .select(
+                "sub",
+                "code",
+                F.transform("pairs", lambda p: p.getField("mv").cast("float")).alias("cvec"),
+            )
+        )
+        merged = (
+            cb.withColumnRenamed("cvec", "old")
+            .join(new, ["sub", "code"], "left")
+            .select("sub", "code", F.coalesce("cvec", "old").alias("cvec"))
+        )
+        cb = spark.createDataFrame(merged.collect(), merged.schema)
+    return cb

@@ -92,7 +92,10 @@ _PRIORITY = [
     # streaming-dedup family stays covered by events_session_window + the
     # live streaming rows)
     "dedup_incremental_index",
-    "sim_cosine_topk_brute",
+    # late round-3: PQ/ADC third ANN tier enters the window
+    # (sim_cosine_topk_brute, r02-green, yields its slot; it remains the
+    # exactness baseline in the tail and the recall-truth source)
+    "sim_pq_adc_topk",
     "sim_ann_ivf_topk",
     "sim_embedding_neardup",
     # late round-3: privacy-DQ release gate enters the window

@@ -211,3 +211,77 @@ def sim_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (> 0.95), blocked by LSH bucket."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(e, threshold=0.95)
+
+
+_PQ_SUBDIST = (
+    "LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 9), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH sv AS (
+        SELECT vec_id, s.sub, LIST_SLICE(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS svec
+        FROM embeddings, (SELECT UNNEST(RANGE(0, 8)) AS sub) s
+    ),
+    cb AS (
+        SELECT sub, CAST(vec_id - 200 AS INTEGER) AS code, svec AS cvec
+        FROM sv WHERE vec_id BETWEEN 200 AND 215
+    ),
+    enc_scored AS (
+        SELECT sv.vec_id, sv.sub, cb.code,
+               {_PQ_SUBDIST.format(a="sv.svec", b="cb.cvec")} AS d
+        FROM sv JOIN cb USING (sub)
+    ),
+    enc AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS crn
+            FROM enc_scored) WHERE crn = 1
+    ),
+    lut AS (
+        SELECT sv.vec_id AS qid, sv.sub, cb.code,
+               {_PQ_SUBDIST.format(a="sv.svec", b="cb.cvec")} AS d
+        FROM sv JOIN cb USING (sub) WHERE sv.vec_id < 8
+    ),
+    hits AS (
+        SELECT lut.qid, enc.vec_id AS cid, enc.sub, lut.d
+        FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+        WHERE enc.vec_id <> lut.qid
+    ),
+    scored AS (
+        SELECT qid, cid, LIST_REDUCE(LIST(d ORDER BY sub), (x, y) -> x + y) AS approx_dist
+        FROM hits GROUP BY qid, cid
+    ),
+    ranked AS (
+        SELECT qid, cid, approx_dist,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dist, cid) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, approx_dist, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def sim_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (third tier after LSH and IVF): every vector
+    compressed to 8 four-bit sub-codes (32× smaller than float32), queries
+    answered by asymmetric distance computation — one 16-entry LUT per
+    (query, subspace), candidate distance = ordered-fold sum of LUT hits over
+    its codes.  Codebooks are subvectors of fixed corpus seeds (vec 200-215)
+    so the full pipeline is engine-deterministic and oracle-exact; production
+    trains them with operators/ml.kmeans_fit and broadcasts them identically.
+    The candidate side of the ADC join carries only (vec_id, sub, code) —
+    at 100 TB the precomputed byte-code table IS the index, scanned without
+    touching the float vectors.  Recall vs the brute-force truth is recorded
+    in RECALL.md."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e, (200, 215), m=8)
+    queries = e.filter(e.vec_id < 8)
+    return pq_adc_topk(e, queries, cb, m=8, k=5)

@@ -96,6 +96,71 @@ def main() -> None:
         cands = sum(sizes.get(r["centroid_id"], 0) * r["nq"] for r in probed)
         add(f"IVF 16 centroids, {probes} probe(s)", ivf, cands)
 
+    # PQ/ADC approximates L2, so its recall is measured against the EXACT-L2
+    # truth (cosine truth would conflate metric mismatch with quantization
+    # error).  ADC is a full scan — its cost axis is memory, not candidate
+    # count: 8 one-byte codes per vector vs 64 float32s (32×).
+    from pyspark.sql import Window as W
+
+    from airflow_cms_inpatient_etl_spark.operators.similarity import (
+        l2_sq,
+        pq_adc_topk,
+        pq_codebook,
+    )
+
+    qs = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    l2w = W.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
+    truth_l2 = {
+        (r["qid"], r["cid"])
+        for r in (
+            e.select(F.col("vec_id").alias("cid"), "embedding")
+            .crossJoin(F.broadcast(qs))
+            .filter(F.col("cid") != F.col("qid"))
+            .select("qid", "cid", l2_sq("embedding", "qvec").alias("d"))
+            .withColumn("rn", F.row_number().over(l2w))
+            .filter(F.col("rn") <= K)
+            .collect()
+        )
+    }
+    cb = pq_codebook(e, (200, 215), m=8)
+    pq_got = {
+        (r["qid"], r["cid"]) for r in pq_adc_topk(e, q, cb, m=8, k=K).collect()
+    }
+    rows.append(
+        (
+            "PQ 8×4-bit codes, corpus-seeded codebooks (vs exact-L2 truth)",
+            len(pq_got & truth_l2) / len(truth_l2),
+            exact_volume,
+            1.0,
+        )
+    )
+    from airflow_cms_inpatient_etl_spark.operators.similarity import pq_train
+
+    cb3 = pq_train(e, (200, 215), m=8, iters=3)
+    pq3_got = {
+        (r["qid"], r["cid"]) for r in pq_adc_topk(e, q, cb3, m=8, k=K).collect()
+    }
+    rows.append(
+        (
+            "PQ 8×4-bit codes, 3 Lloyd iterations/subspace (vs exact-L2 truth)",
+            len(pq3_got & truth_l2) / len(truth_l2),
+            exact_volume,
+            1.0,
+        )
+    )
+    cb8 = pq_train(e, (200, 455), m=8, iters=3)  # 256 codewords -> 8-bit codes, 16x
+    pq8_got = {
+        (r["qid"], r["cid"]) for r in pq_adc_topk(e, q, cb8, m=8, k=K).collect()
+    }
+    rows.append(
+        (
+            "PQ 8×8-bit codes, 3 Lloyd iterations/subspace (vs exact-L2 truth)",
+            len(pq8_got & truth_l2) / len(truth_l2),
+            exact_volume,
+            1.0,
+        )
+    )
+
     lines = [
         "# ANN recall/cost report",
         "",
@@ -119,6 +184,18 @@ def main() -> None:
         "probes.  IVF recall approaches exact as probes → n_centroids with",
         "volume ≈ probes/n_centroids of brute force; its inverted lists are the",
         "write-time-partitionable path (`operators/similarity.py:ivf_assign`).",
+        "PQ's axis is different: it scans everything but touches 1-8 bytes per",
+        "vector instead of 256 (32×/16×) — its rows are measured against the",
+        "exact-L2 truth (ADC approximates L2, not cosine).  Absolute PQ recall",
+        "is LOW on this fixture by construction: i.i.d.-random 64-dim vectors",
+        "are PQ's adversarial case (pairwise distances concentrate, so the",
+        "quantization error overwhelms the tiny gap between true neighbors and",
+        "the bulk).  The rows still demonstrate both knobs the real corpus",
+        "would tune — Lloyd training roughly doubles recall over seeded",
+        "codebooks at equal size, and 8-bit codes buy a further multiple at",
+        "half the compression.  Real embedding corpora (clustered, on a",
+        "low-dimensional manifold) sit far from this worst case.  IVF×PQ",
+        "composes: IVF prunes the scan, PQ shrinks what the scan touches.",
         "",
     ]
     with open(os.path.join(os.path.dirname(__file__) or ".", "RECALL.md"), "w") as f:

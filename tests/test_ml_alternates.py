@@ -275,3 +275,59 @@ def test_kmeans_fit_converges_and_is_stable(spark):
         .count()
     )
     assert moved == 0                          # fixpoint reached
+
+
+def test_pq_adc_properties(spark):
+    """PQ invariants: every vector gets exactly m codes in [0, n_codes);
+    ADC returns exactly k rows per query; Lloyd training does not reduce
+    (and on this fixture strictly improves) recall vs the exact-L2 truth."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from airflow_cms_inpatient_etl_spark.operators.similarity import (
+        l2_sq,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+        pq_train,
+    )
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter(F.col("vec_id") < 32)
+    k, m = 5, 8
+
+    cb = pq_codebook(e, (200, 215), m)
+    enc = pq_encode(e, cb, m)
+    n_vec = e.count()
+    assert enc.count() == n_vec * m  # one code per (vector, subspace)
+    assert enc.groupBy("vec_id").count().filter(F.col("count") != m).count() == 0
+    bad = enc.filter((F.col("code") < 0) | (F.col("code") > 15)).count()
+    assert bad == 0
+
+    topk = pq_adc_topk(e, q, cb, m, k=k)
+    per_q = topk.groupBy("qid").count().collect()
+    assert len(per_q) == 32 and all(r["count"] == k for r in per_q)
+
+    qs = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    w = W.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
+    truth = {
+        (r["qid"], r["cid"])
+        for r in (
+            e.select(F.col("vec_id").alias("cid"), "embedding")
+            .crossJoin(F.broadcast(qs))
+            .filter(F.col("cid") != F.col("qid"))
+            .select("qid", "cid", l2_sq("embedding", "qvec").alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        )
+    }
+
+    def recall(df):
+        got = {(r["qid"], r["cid"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    seeded = recall(topk)
+    trained = recall(pq_adc_topk(e, q, pq_train(e, (200, 215), m, iters=2), m, k=k))
+    assert trained >= seeded  # Lloyd iterations never hurt on the train set
