@@ -44,6 +44,8 @@ CANARY_QUERIES = [
     # the per-source quota window (the shapes a hot domain would stress)
     "text_repetition_metrics",
     "docs_source_cap",
+    # PQ/ADC: encode cost scales with the corpus, output is fixed-k
+    "sim_pq_adc_topk",
 ]
 
 
@@ -143,6 +145,10 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     # per-source quota: sources unchanged, docs per source ×10 — the cap keeps
     # output CONSTANT (that's the point of a domain quota under a recrawl)
     assert got["docs_source_cap"] == base["docs_source_cap"]
+    # PQ: queries and codebook seeds live in replica 0 (other replicas carry
+    # shifted ids), so the fixed-k output count is scale-invariant while the
+    # encode pass underneath is 10× — the shape a RAM-resident code table needs
+    assert got["sim_pq_adc_topk"] == base["sim_pq_adc_topk"]
 
     # no driver-side materialization: counts() move no rows to Python, so the
     # Python driver's peak RSS must not grow meaningfully with 10× data
