@@ -45,7 +45,10 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # -- 1. one representative per family ----------------------------------- #
-    "events_tumbling_window",
+    # late round-3: Spark-4 VARIANT ingestion enters the window
+    # (events_tumbling_window, green r01+r02, yields its slot; event-time
+    # windows stay covered by asof/funnel/interval + live streaming rows)
+    "variant_functions",
     "events_asof_last_click",
     "text_tfidf_top_terms",
     "dedup_minhash_lsh",

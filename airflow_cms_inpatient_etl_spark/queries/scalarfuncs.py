@@ -313,3 +313,38 @@ def error_safe_functions(spark, sf_dir):
             F.array(F.col("l_quantity"), F.col("l_extendedprice")), F.col("l_linenumber")
         ).alias("picked_or_null"),
     )
+
+
+@register(
+    "variant_functions",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(COUNT(CASE WHEN JSON_EXTRACT_STRING(props, '$.missing') IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_with_missing_field
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_functions(spark, sf_dir):
+    """Spark 4 VARIANT ingestion of semi-structured payloads: ``parse_json``
+    turns the props JSON into the binary Variant encoding once at scan time
+    (instead of re-tokenizing the JSON text per field access, the 10×
+    difference at 100 TB of telemetry), then ``variant_get`` with typed paths
+    feeds ordinary integer aggregation; absent paths are NULL, not errors.
+    The oracle reads the same values through DuckDB's JSON path functions —
+    Variant is an encoding, so results are engine-comparable."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.variant_get(v, "$.missing", "string")
+    return e.select("event_type", k.alias("k"), missing.alias("m")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count("m").alias("n_with_missing_field"),
+    )
