@@ -53,7 +53,10 @@ _PRIORITY = [
     "text_tfidf_top_terms",
     "dedup_minhash_lsh",
     "sim_ann_lsh_topk",
-    "multimodal_decode_stub",
+    # late round-3: snapshot regression diff enters the window
+    # (multimodal_decode_stub, green r01+r02, yields its slot; multimodal
+    # stays covered by frame_sample + audio_chunks)
+    "snapshot_table_diff",
     "streaming_tumbling_live",
     "math_functions",
     "conditional_aggregation",

@@ -160,3 +160,65 @@ def incremental_agg_merge(spark, sf_dir):
             F.greatest("b_max_qty", "d_max_qty").alias("max_qty"),
         )
     )
+
+
+@register(
+    "snapshot_table_diff",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    nxt AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 1 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 != 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 2
+    ),
+    j AS (
+        SELECT COALESCE(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN b.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                     AND b.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                    THEN 'unchanged'
+                    ELSE 'changed' END AS change_type,
+               b.o_orderstatus AS old_o_orderstatus,
+               n.o_orderstatus AS new_o_orderstatus,
+               b.o_totalprice AS old_o_totalprice,
+               n.o_totalprice AS new_o_totalprice
+        FROM base b FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM j WHERE change_type != 'unchanged'
+    """,
+)
+def snapshot_table_diff(spark, sf_dir):
+    """Snapshot regression diff (operators/upsert.py:snapshot_diff): classify
+    every key across two pipeline-run snapshots as added / removed / changed
+    via a full outer key join with null-safe column comparison — the audit a
+    100 TB incremental pipeline runs to prove a code change didn't silently
+    alter yesterday's partitions.  The 'next' snapshot is derived
+    deterministically from the fixture (delete keys ≡0, reprice keys ≡1,
+    re-key-insert keys ≡2 mod 97), so the expected diff is known and
+    oracle-checkable; only non-unchanged rows materialize."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    m = F.col("o_orderkey") % 97
+    nxt = (
+        o.filter(m != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(m == 1, F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(m == 2).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 1_000_000_000
+            )
+        )
+    )
+    from airflow_cms_inpatient_etl_spark.operators.upsert import snapshot_diff
+
+    return snapshot_diff(
+        o, nxt, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    ).filter(F.col("change_type") != "unchanged")
