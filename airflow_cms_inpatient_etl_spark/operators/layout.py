@@ -114,10 +114,21 @@ def compact_small_files(
         out = df.repartition(n_files).sortWithinPartitions(*sort_within_by)
     else:
         out = df.coalesce(n_files)
-    # parquet overwrite would truncate its own input mid-read; stage then swap
+    # parquet overwrite would truncate its own input mid-read; stage then swap.
+    # Swap order is crash-safe: the live table is renamed ASIDE (not deleted)
+    # before the compacted dir takes its place, so at every intermediate point
+    # a full copy of the data exists under either `path` or `path__old` — a
+    # crash never leaves only the tmp dir.  The aside copy is deleted last.
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     out.write.mode("overwrite").parquet(tmp)
-    fs.delete(hadoop_path, True)
+    if fs.exists(jvm.Path(old)):
+        fs.delete(jvm.Path(old), True)  # leftover from a previous crash
+    if not fs.rename(hadoop_path, jvm.Path(old)):
+        raise IOError(f"compaction aside-rename failed: {path} -> {old}")
     if not fs.rename(jvm.Path(tmp), hadoop_path):
+        # roll back so the table stays live at its original path
+        fs.rename(jvm.Path(old), hadoop_path)
         raise IOError(f"compaction rename failed: {tmp} -> {path}")
+    fs.delete(jvm.Path(old), True)
     return n_files

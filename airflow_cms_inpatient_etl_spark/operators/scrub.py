@@ -18,6 +18,8 @@ consume — counting and replacing can therefore both be single-pass.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -31,10 +33,25 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def denylist_pattern(terms: list[str]) -> str:
-    """Whole-word alternation for a list of literal denylist terms."""
+    """Whole-word alternation for a list of literal denylist terms.
+
+    Terms are regex-escaped (``re.escape`` emits only backslash escapes of
+    ASCII punctuation, which Java regex and RE2 both accept identically), so a
+    term like ``c++`` or ``a.b`` matches literally instead of over-matching or
+    breaking the pattern.  ``\\b`` only has its intended meaning next to a
+    word character — before a term starting with ``+`` it would *invert* to
+    "preceded by a word char" — so the anchor is applied per-edge only where
+    the term's edge is a word character (RE2 has no lookaround, so the
+    non-word edge is left unanchored rather than approximated).
+    """
     if not terms:
         raise ValueError("denylist needs at least one term")
-    return r"\b(?:" + "|".join(terms) + r")\b"
+    parts = []
+    for t in terms:
+        lead = r"\b" if re.match(r"\w", t) else ""
+        tail = r"\b" if re.search(r"\w$", t) else ""
+        parts.append(lead + re.escape(t) + tail)
+    return "(?:" + "|".join(parts) + ")"
 
 
 def scrub_text(col: Column, patterns: list[tuple[str, str, str]]) -> Column:

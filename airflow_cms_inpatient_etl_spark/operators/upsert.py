@@ -136,15 +136,21 @@ def snapshot_diff(
     b = base.select(
         *[F.col(k).alias(f"__k_{k}") for k in key_cols],
         *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_base"),
     )
     n = nxt.select(
         *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_next"),
     )
-    cond = [b[f"__k_{k}"] == n[f"__nk_{k}"] for k in key_cols]
+    # eqNullSafe join + literal presence markers: a NULL key value matches a
+    # NULL key value (so NULL-key rows present in both snapshots pair up), and
+    # presence is read from the marker, never inferred from key nullness — a
+    # base-only row with a NULL key classifies correctly as 'removed'.
+    cond = [b[f"__k_{k}"].eqNullSafe(n[f"__nk_{k}"]) for k in key_cols]
     j = b.join(n, cond, "full_outer")
-    in_base = F.col(f"__k_{key_cols[0]}").isNotNull()
-    in_next = F.col(f"__nk_{key_cols[0]}").isNotNull()
+    in_base = F.coalesce(F.col("__in_base"), F.lit(False))
+    in_next = F.coalesce(F.col("__in_next"), F.lit(False))
     same = None
     for c in compare_cols:
         eq = F.col(f"__b_{c}").eqNullSafe(F.col(f"__n_{c}"))

@@ -152,10 +152,18 @@ def stream_upsert_to_parquet(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
+        # The first-batch case (no table yet) is detected EXPLICITLY via the
+        # filesystem, never by catching read errors: a transient read failure
+        # (corrupt footer, FS hiccup) must propagate so the batch fails and the
+        # checkpoint replays it — swallowing it would silently replace the
+        # accumulated table with just this micro-batch.
+        jvm = spark.sparkContext._jvm
+        target_path = jvm.org.apache.hadoop.fs.Path(target_dir)
+        fs = target_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(target_path):
             target = spark.read.parquet(target_dir)
             merged = upsert(target, compacted, key_cols)
-        except Exception:  # first batch: no table yet
+        else:  # genuinely the first batch
             merged = compacted
         # rows must be materialized before the overwrite truncates the input
         # (plain parquet has no snapshot isolation; Delta/Iceberg would)

@@ -249,3 +249,22 @@ def test_compact_small_files_preserves_data_and_hits_target(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint key ranges across files -> skippable scans
+
+
+def test_compact_leaves_no_staging_dirs_and_survives_swap(spark, tmp_path):
+    """Round-3 advice (low): the compaction swap renames the live dir aside
+    before publishing, so data always exists at `path` or `path__old`; after
+    success neither staging dir remains."""
+    import glob
+    import os
+
+    from airflow_cms_inpatient_etl_spark.operators.layout import compact_small_files
+
+    path = str(tmp_path / "t")
+    spark.range(1000).repartition(8).write.parquet(path)
+    before = spark.read.parquet(path).count()
+    compact_small_files(spark, path, target_file_bytes=10**9)
+    assert spark.read.parquet(path).count() == before
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 1

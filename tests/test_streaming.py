@@ -415,3 +415,46 @@ def test_stateful_sessionize_with_timeout(spark, tmp_path):
         1: (us(t0), us(t0 + 2 * minute), 3),
         2: (us(t0), us(t0), 1),
     }
+
+
+def test_stream_upsert_corrupt_target_fails_batch(spark, tmp_path):
+    """Round-3 advice (medium): a target dir that EXISTS but cannot be read
+    (corrupt file, FS hiccup) must fail the batch for checkpoint replay — the
+    old catch-all silently replaced the accumulated table with just the
+    current micro-batch.  Only a genuinely-absent target is 'first batch'."""
+    import os
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import stream_upsert_to_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = tmp_path / "target"
+    ckpt = str(tmp_path / "ckpt")
+
+    # corrupt pre-existing table: dir exists, parquet footer is garbage
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"not a parquet file")
+
+    staging = str(tmp_path / "staging")
+    spark.createDataFrame(
+        [(1, "a1", 1)], "key long, val string, seq long"
+    ).coalesce(1).write.parquet(staging)
+    part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+    os.rename(os.path.join(staging, part), src / "batch0.parquet")
+
+    updates = (
+        spark.readStream.schema("key long, val string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_upsert_to_parquet(updates, str(target), ckpt, ["key"], "seq")
+    try:
+        with pytest.raises((StreamingQueryException, Py4JJavaError)):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # the corrupt table was NOT silently overwritten by the micro-batch
+    assert (target / "part-00000.parquet").read_bytes() == b"not a parquet file"

@@ -115,3 +115,25 @@ def test_pii_scrub_chain_is_idempotent(spark):
         residual.alias("residual"),
     ).filter((F.col("once") != F.col("twice")) | (F.col("residual") > 0))
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_denylist_escapes_regex_metacharacters(spark):
+    """Round-3 advice: terms with regex metacharacters must match literally —
+    'c++' is not 'c' + quantifier, 'a.b' does not match 'axb' — and terms with
+    non-word edges drop the \\b anchor on that side instead of inverting it."""
+    pats = [("denylist", denylist_pattern(["c++", "a.b", "plain"]), "[TERM]")]
+    df = spark.createDataFrame(
+        [("we write c++ here, axb stays, a.b goes, ccc stays, plain goes",)],
+        "text string",
+    )
+    row = df.select(scrub_text(F.col("text"), pats).alias("clean")).first()
+    assert row.clean == "we write [TERM] here, axb stays, [TERM] goes, ccc stays, [TERM] goes"
+
+    # word-edged terms still refuse substring matches after the rewrite
+    pats2 = [("denylist", denylist_pattern(["plain"]), "[TERM]")]
+    row2 = (
+        spark.createDataFrame([("explained plain plains",)], "text string")
+        .select(scrub_text(F.col("text"), pats2).alias("clean"))
+        .first()
+    )
+    assert row2.clean == "explained [TERM] plains"

@@ -76,3 +76,30 @@ def test_scd2_lifecycle(spark):
     )
     assert hist2.count() == hist.count()
     assert hist2.filter("is_current").count() == 3
+
+
+def test_snapshot_diff_null_keys(spark):
+    """NULL key values must pair via eqNullSafe and presence must come from
+    marker columns, not key nullness (round-3 advice): a NULL-key row only in
+    the base is 'removed', NULL-key rows in both snapshots match each other."""
+    from airflow_cms_inpatient_etl_spark.operators.upsert import snapshot_diff
+
+    base = spark.createDataFrame(
+        [(None, 1.0), ("K1", 2.0), ("K2", 3.0)], "k string, v double"
+    )
+    nxt = spark.createDataFrame(
+        [("K1", 2.0), ("K3", 4.0)], "k string, v double"
+    )
+    d = {r["k"]: r for r in snapshot_diff(base, nxt, ["k"], ["v"]).collect()}
+    assert d[None]["change_type"] == "removed"
+    assert d["K1"]["change_type"] == "unchanged"
+    assert d["K2"]["change_type"] == "removed"
+    assert d["K3"]["change_type"] == "added"
+
+    # NULL-key present in BOTH snapshots pairs to one row, not added+removed
+    nxt2 = spark.createDataFrame([(None, 9.0)], "k string, v double")
+    base2 = spark.createDataFrame([(None, 1.0)], "k string, v double")
+    rows = snapshot_diff(base2, nxt2, ["k"], ["v"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["change_type"] == "changed"
+    assert rows[0]["old_v"] == 1.0 and rows[0]["new_v"] == 9.0
