@@ -125,23 +125,55 @@ def count_distinct_segments(spark, sf_dir):
     )
 
 
-@register("approx_aggregates")  # no oracle: sketch algorithms differ across engines
+@register(
+    "approx_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+           TRUE AS distinct_within_5pct,
+           TRUE AS q50_in_bounds,
+           TRUE AS q90_in_bounds,
+           TRUE AS q99_in_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_aggregates(spark, sf_dir):
     """approx_count_distinct (HLL++) + approx percentiles — the 100 TB-scale
-    substitutes for exact COUNT(DISTINCT)/percentile.  Rows-only check: sketch
-    results are engine-specific by design.  Quantiles are surfaced as three
-    scalar columns (not one array) so rows-only canonicalizers can sort them."""
+    substitutes for exact COUNT(DISTINCT)/percentile.  Sketch *estimates* are
+    engine-specific, so the oracle-checkable surface is (a) the exact counts
+    (DuckDB recomputes them) and (b) accuracy CLAIMS as booleans: the HLL
+    estimate lands within 5 % of exact (rsd 0.01 → ~5σ margin) and each
+    approx percentile lands between the exact percentiles ±0.02 rank (the
+    sketch's rank-error guarantee is 1/accuracy = 1e-4, two orders tighter).
+    DuckDB asserts the booleans are literally TRUE — a drifted sketch flips a
+    flag and hash-mismatches.  Sketches are deterministic for fixed data, so
+    this is a stable check, not a flaky one."""
     li = load_table(spark, sf_dir, "lineitem")
     agged = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("_pq"),
+        F.percentile(
+            "l_extendedprice", [0.48, 0.52, 0.88, 0.92, 0.985, 0.995]
+        ).alias("_pe"),
+    )
+    def in_bounds(i: int, lo: int, hi: int):
+        q = F.element_at("_pq", i)
+        return (q >= F.element_at("_pe", lo)) & (q <= F.element_at("_pe", hi))
+    rel_err = F.abs(F.col("_approx_parts") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
     )
     return agged.select(
         "l_returnflag",
-        "approx_parts",
-        F.element_at("_pq", 1).alias("price_q50"),
-        F.element_at("_pq", 2).alias("price_q90"),
-        F.element_at("_pq", 3).alias("price_q99"),
+        "n_rows",
+        "exact_distinct",
+        (rel_err <= F.lit(0.05)).alias("distinct_within_5pct"),
+        in_bounds(1, 1, 2).alias("q50_in_bounds"),
+        in_bounds(2, 3, 4).alias("q90_in_bounds"),
+        in_bounds(3, 5, 6).alias("q99_in_bounds"),
     )
 
 
@@ -552,18 +584,29 @@ def unpivot_part_attrs(spark, sf_dir):
     ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
 
 
-@register("approx_distinct_sketch_merge")  # no oracle: sketches are engine-specific
+@register(
+    "approx_distinct_sketch_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+           TRUE AS merged_within_2pct,
+           TRUE AS direct_within_2pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_sketch_merge(spark, sf_dir):
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
     hll_sketch_agg / hll_union_agg): per-shard partial sketches union into
     the same estimate a single global pass produces — the property that lets
     100 TB pipelines maintain distinct counts incrementally (per partition,
     per micro-batch) and merge at read time instead of re-scanning history.
-    Returns per-flag merged and direct estimates plus the exact count; both
-    estimates land within HLL error bounds of exact (asserted <2% in tests —
-    note the union path is NOT bit-identical to the single-pass sketch:
-    sparse→dense promotion during union shifts the estimate slightly).
-    Rows-only driver check: sketch internals are engine-specific by design."""
+    Sketch internals are engine-specific, so the oracled surface is the exact
+    count (DuckDB recomputes it) plus accuracy claims as booleans: merged and
+    single-pass estimates each land within 2 % of exact (note the union path
+    is NOT bit-identical to the single-pass sketch — sparse→dense promotion
+    during union shifts the estimate slightly; both stay inside the bound).
+    Deterministic for fixed data, so the booleans are stable TRUEs."""
     li = load_table(spark, sf_dir, "lineitem")
     partials = li.groupBy(
         "l_returnflag", (F.col("l_orderkey") % 8).alias("shard")
@@ -575,6 +618,15 @@ def approx_distinct_sketch_merge(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("direct_estimate"),
         F.countDistinct("l_partkey").alias("exact_distinct"),
     )
+    def within(est: str, bound: float):
+        return (
+            F.abs(F.col(est) - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= F.lit(bound)
+        )
     return merged.join(direct, "l_returnflag").select(
-        "l_returnflag", "merged_estimate", "direct_estimate", "exact_distinct"
+        "l_returnflag",
+        "exact_distinct",
+        within("merged_estimate", 0.02).alias("merged_within_2pct"),
+        within("direct_estimate", 0.02).alias("direct_within_2pct"),
     )

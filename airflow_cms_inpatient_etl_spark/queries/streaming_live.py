@@ -1,6 +1,11 @@
-"""Live Structured Streaming queries in the graded registry (rows-only checks:
-a streaming execution has no SQL oracle; batch-equivalence is asserted in
-tests/test_streaming.py instead)."""
+"""Live Structured Streaming queries in the graded registry.
+
+The tumbling and late-data runs are deterministic functions of the fixture
+(complete-mode retention / pinned file order + integer-µs quantile cuts), so
+their final sink tables ARE batch-SQL-expressible and carry real DuckDB
+oracles.  The stream-stream join and the custom stateful operator keep
+rows-only checks (their incremental emission has no SQL form); their
+batch-equivalence is asserted in tests/test_streaming.py instead."""
 
 from __future__ import annotations
 
@@ -18,12 +23,25 @@ from airflow_cms_inpatient_etl_spark.streaming.jobs import (
 )
 
 
-@register("streaming_tumbling_live")  # no oracle: real incremental execution
+@register(
+    "streaming_tumbling_live",
+    oracle="""
+    SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) AS window_start,
+           TIME_BUCKET(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
 def streaming_tumbling_live(spark, sf_dir):
     """End-to-end Structured Streaming run: file-source stream over the events
     fixture → watermark → tumbling window counts → memory sink, drained with
-    processAllAvailable.  Returns the sink table (identical contents to the
-    batch events_tumbling_window modulo the open tail window)."""
+    processAllAvailable.  Complete output mode retains every window in state
+    (the watermark never evicts in complete mode), so the drained sink table
+    is deterministically equal to the batch tumbling aggregation — which is
+    exactly the SQL oracle: a live incremental execution whose final answer
+    is still hash-checkable against DuckDB."""
     stage_dir = tempfile.mkdtemp(prefix="events_stream_")
     try:
         shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/part-0.parquet")
@@ -51,7 +69,29 @@ def _stage_single_parquet(df, stage_dir: str, name: str, mtime: float) -> None:
     os.utime(dest, (mtime, mtime))
 
 
-@register("streaming_late_data_live")  # no oracle: real incremental execution
+@register(
+    "streaming_late_data_live",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    ontime AS (
+        SELECT ts, event_type FROM events, b
+        WHERE epoch_us(ts) >= b.lo + (b.hi - b.lo) // 5
+    ),
+    agged AS (
+        SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) AS window_start,
+               TIME_BUCKET(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ontime
+        GROUP BY 1, 2, 3
+    )
+    SELECT window_start, window_end, event_type, n
+    FROM agged, b
+    WHERE epoch_us(window_end) <= b.hi - 600000000
+    """,
+)
 def streaming_late_data_live(spark, sf_dir):
     """Watermark late-data semantics observed LIVE, not batch-emulated: the
     events fixture is split into two on-time files (newest 80 % of event
@@ -66,7 +106,10 @@ def streaming_late_data_live(spark, sf_dir):
     (numRowsDroppedByWatermark = full late file) — bounded state, the whole
     point of watermarks at 100 TB stream scale.  Append mode then emits
     exactly the closed windows with on-time-only counts.  Deterministic
-    because file order is pinned via mtime and each file is one micro-batch."""
+    because file order is pinned via mtime and each file is one micro-batch —
+    which is what makes the run SQL-oracle-able: on-time membership is an
+    integer-µs range predicate and the emitted set is the windows whose end
+    precedes the final watermark (max on-time ts − 10 min)."""
     from pyspark.sql import functions as F
 
     from airflow_cms_inpatient_etl_spark.sources.registry import load_table
@@ -74,15 +117,18 @@ def streaming_late_data_live(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    cutoff = lo + (hi - lo) * 0.2
-    mid = lo + (hi - lo) * 0.6
+    # integer-µs quantile cuts (20 % / 60 % of the time range) so the SQL
+    # oracle reproduces the exact same boundaries with integer arithmetic —
+    # float timestamp math rounds differently across engines, bigints don't
+    lo_us, hi_us = ev.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).collect()[0]
     stage_dir = tempfile.mkdtemp(prefix="events_late_")
     try:
         # staged files carry ts as µs longs so the stream schema is explicit
         as_long = ev.withColumn("ts", F.unix_micros("ts"))
-        cut_us = F.lit(int(cutoff.timestamp() * 1_000_000))
-        mid_us = F.lit(int(mid.timestamp() * 1_000_000))
+        cut_us = F.lit(lo_us + (hi_us - lo_us) // 5)
+        mid_us = F.lit(lo_us + (hi_us - lo_us) * 3 // 5)
         _stage_single_parquet(
             as_long.filter((F.col("ts") >= cut_us) & (F.col("ts") < mid_us)),
             stage_dir, "a_ontime1.parquet", mtime=1_000_000_000.0,
