@@ -9,9 +9,9 @@ the explicit fallbacks for the cases AQE can't fix:
 * ``salted_aggregate`` — the same trick for aggregations: two-phase agg via a
   random-ish salt (here a deterministic hash salt, keeping runs reproducible),
   partial per (key, salt) then final per key.
-* ``merge_asof_grouped`` — per-key pandas merge_asof for as-of joins whose
-  semantics exceed the union-and-carry-forward pattern (tolerance windows,
-  nearest-direction): Arrow-batched, state bounded per group.
+* ``merge_asof_grouped`` — as-of join with pd.merge_asof semantics
+  (backward + tolerance) as a pure-JVM union + carry-forward window over
+  (key, time-bucket) partitions: hot keys split across buckets, no Python.
 * ``binned_interval_join`` — big-big interval/range joins: Spark plans a
   non-equi join with no equi-key as BroadcastNestedLoop/Cartesian, O(n·m);
   binning both sides turns it into a shuffle equi-join on the bin key with an
@@ -135,50 +135,59 @@ def merge_asof_grouped(
     tolerance_us: int | None = None,
     bucket_us: int | None = None,
 ) -> DataFrame:
-    """As-of join via ``pd.merge_asof`` over Arrow-batched cogroups.
+    """As-of join with ``pd.merge_asof`` semantics (backward direction,
+    inclusive tolerance), executed ENTIRELY JVM-side: both sides union into
+    one event stream and a running ``last(ignorenulls)`` window carries the
+    most recent right row forward onto each left row — zero Python stages,
+    so the whole operator lives inside whole-stage codegen instead of paying
+    an Arrow round-trip per group (the round-3 plan audit's one remaining
+    Python join stage, now retired).
 
-    For semantics the pure-DataFrame carry-forward pattern can't express
-    (e.g. a max-staleness tolerance).
+    Each left row at time t matches the latest right row with
+    ``rt <= t`` and, when ``tolerance_us`` is set, ``t - rt <= tolerance``
+    (both inclusive, exactly ``pd.merge_asof(..., direction='backward')``).
+    Right rows are ordered before left rows at equal timestamps so an
+    ``rt == t`` row matches; equal-``rt`` duplicates within a key break ties
+    by value order (pandas breaks them by input order — both are arbitrary;
+    dedup the right side first when ties are possible and meaningful).
 
-    Hot-key bounding: when a tolerance is set, cogroup keys are
+    Hot-key bounding: when a tolerance is set, the window partitions on
     ``(key, time_bucket)`` — left rows go to their own bucket, right rows are
     replicated into their bucket and the next one, so every lookback of up to
-    ``bucket_us`` (≥ tolerance) stays inside one group.  A key that owns 90 %
-    of all events is then split across its time buckets instead of
-    concentrating its entire history in a single pandas task.  ``bucket_us``
-    defaults to the tolerance; raise it to trade per-task size for less right
-    replication.  Without a tolerance the lookback is unbounded and grouping
-    falls back to per-key (use the carry-forward window pattern of
-    ``queries/timeseries.events_asof_last_click`` for unbounded as-of at
-    scale — its running ``last()`` streams instead of buffering)."""
-    import pandas as pd
+    ``bucket_us`` (≥ tolerance) stays inside one partition.  A key that owns
+    90 % of all events is then split across its time buckets instead of
+    concentrating its entire history (and its sort) in one task.
+    ``bucket_us`` defaults to the tolerance; raise it to trade per-partition
+    size for less right replication.  Without a tolerance the lookback is
+    unbounded and the window falls back to per-key partitioning (the same
+    shape as ``queries/timeseries.events_asof_last_click``)."""
+    from pyspark.sql import Window as W
 
-    out_fields = (
-        [f"{key} bigint", f"{left_ts} timestamp", "left_row_id bigint"]
-        + [f"{c} double" for c in right_value_cols]
-    )
-    schema = ", ".join(out_fields)
-
-    lt, rt = left_ts, right_ts
-
-    def asof(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
-        l_sorted = l_pdf.sort_values(lt)
-        r_sorted = r_pdf.sort_values(rt)
-        merged = pd.merge_asof(
-            l_sorted,
-            r_sorted[[rt] + right_value_cols],
-            left_on=lt,
-            right_on=rt,
-            tolerance=pd.Timedelta(microseconds=tolerance_us) if tolerance_us else None,
-            direction="backward",
+    if tolerance_us is None and bucket_us is not None:
+        raise ValueError(
+            "bucket_us requires tolerance_us (unbounded lookback can't be bucketed)"
         )
-        return merged[[key, lt, "left_row_id"] + right_value_cols]
 
     l2 = left.select(
-        key, left_ts, F.monotonically_increasing_id().alias("left_row_id")
+        F.col(key).cast("bigint").alias(key),
+        F.col(left_ts).alias("__ts"),
+        F.monotonically_increasing_id().alias("left_row_id"),
+        F.lit(1).alias("__is_left"),
     )
-    r2 = right.select(key, right_ts, *right_value_cols)
+    # one struct keeps (rt, values) atomic: the carried values always come
+    # from the SAME right row whose timestamp the tolerance check inspects
+    rv = F.struct(
+        F.col(right_ts).alias("__rt"),
+        *[F.col(c).cast("double").alias(c) for c in right_value_cols],
+    )
+    r2 = right.select(
+        F.col(key).cast("bigint").alias(key),
+        F.col(right_ts).alias("__ts"),
+        rv.alias("__rv"),
+        F.lit(0).alias("__is_left"),
+    )
 
+    part_cols = [key]
     if tolerance_us is not None:
         if bucket_us is None:
             bucket_us = tolerance_us
@@ -187,12 +196,32 @@ def merge_asof_grouped(
                 f"bucket_us ({bucket_us}) must be >= tolerance_us ({tolerance_us}): "
                 "a left row may need right rows up to one full tolerance back"
             )
-        lb = l2.withColumn("__b", F.floor(F.unix_micros(F.col(lt)) / F.lit(bucket_us)))
-        rbucket = F.floor(F.unix_micros(F.col(rt)) / F.lit(bucket_us))
-        rb = r2.withColumn("__b", F.explode(F.array(rbucket, rbucket + 1)))
-        grouped = lb.groupBy(key, "__b").cogroup(rb.groupBy(key, "__b"))
-    elif bucket_us is not None:
-        raise ValueError("bucket_us requires tolerance_us (unbounded lookback can't be bucketed)")
-    else:
-        grouped = l2.groupBy(key).cogroup(r2.groupBy(key))
-    return grouped.applyInPandas(lambda _k, l, r: asof(l, r), schema=schema)
+        l2 = l2.withColumn("__b", F.floor(F.unix_micros("__ts") / F.lit(bucket_us)))
+        rbucket = F.floor(F.unix_micros("__ts") / F.lit(bucket_us))
+        r2 = r2.withColumn("__b", F.explode(F.array(rbucket, rbucket + 1)))
+        part_cols.append("__b")
+
+    l3 = l2.withColumn("__rv", F.lit(None).cast(r2.schema["__rv"].dataType))
+    r3 = r2.withColumn("left_row_id", F.lit(None).cast("bigint"))
+    unioned = l3.unionByName(r3.select(*l3.columns))
+
+    # right (0) sorts before left (1) at equal __ts → rt == t matches; the
+    # trailing __rv order makes equal-rt duplicates deterministic per run
+    w = (
+        W.partitionBy(*part_cols)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__rv").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumn("__last", F.last("__rv", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__is_left") == 1)
+    if tolerance_us is not None:
+        within = (
+            F.unix_micros("__ts") - F.unix_micros(F.col("__last.__rt"))
+        ) <= F.lit(tolerance_us)
+        out = out.withColumn("__last", F.when(within, F.col("__last")))
+    return out.select(
+        key,
+        F.col("__ts").alias(left_ts),
+        "left_row_id",
+        *[F.col(f"__last.{c}").alias(c) for c in right_value_cols],
+    )

@@ -71,6 +71,28 @@ def test_no_python_udf_in_relational_hot_paths(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_merge_asof_grouped_is_jvm_only(spark):
+    """The tolerance as-of join (round-3 verdict item #4) must plan with zero
+    Python stages: union + carry-forward window, no FlatMapCoGroupsInPandas."""
+    from airflow_cms_inpatient_etl_spark.operators.joins import merge_asof_grouped
+    from pyspark.sql import functions as SF
+
+    left = spark.range(10).select(
+        (SF.col("id") % 3).alias("k"), SF.timestamp_micros(SF.col("id") * 1000).alias("ts")
+    )
+    right = spark.range(10).select(
+        (SF.col("id") % 3).alias("k"),
+        SF.timestamp_micros(SF.col("id") * 977).alias("cts"),
+        SF.col("id").cast("double").alias("v"),
+    )
+    out = merge_asof_grouped(left, right, "k", "ts", "cts", ["v"], tolerance_us=5000)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    for marker in ("FlatMapCoGroupsInPandas", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
 def test_scalar_subquery_is_broadcast(spark):
     plan = _formatted_plan(spark, "filter_scalar_subquery")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
