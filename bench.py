@@ -50,6 +50,11 @@ HEADLINE = [
     # repetition-metrics double-explode are the heaviest new plans
     "events_interval_attribution",
     "text_repetition_metrics",
+    # round-4 (verdict #6): remaining heavy round-3 additions measured
+    # per-round from here on
+    "corpus_curation_v2",
+    "sim_pq_adc_topk",
+    "dedup_incremental_index",
 ]
 
 

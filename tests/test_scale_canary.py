@@ -46,6 +46,10 @@ CANARY_QUERIES = [
     "docs_source_cap",
     # PQ/ADC: encode cost scales with the corpus, output is fixed-k
     "sim_pq_adc_topk",
+    # round-4 (verdict #6): the two remaining heavy round-3 additions join the
+    # canary so a regression in them is measured, not inferred
+    "dedup_incremental_index",
+    "corpus_curation_v2",
 ]
 
 
@@ -149,6 +153,18 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     # shifted ids), so the fixed-k output count is scale-invariant while the
     # encode pass underneath is 10× — the shape a RAM-resident code table needs
     assert got["sim_pq_adc_topk"] == base["sim_pq_adc_topk"]
+    # incremental index: doc_id shifts are ≡0 mod 10, so each replica splits
+    # delta/corpus identically, and the letter translation is a string
+    # bijection (shingle equality preserved within a replica, no equality
+    # across replicas) → the delta⋈index join output is exactly 10×
+    assert got["dedup_incremental_index"] == 10 * base["dedup_incremental_index"]
+    # curation v2: the lexicon/langid gate only passes replica-0 text (the
+    # translation de-words the stopword lexicon), so a 10× corpus with 9×
+    # off-language content curates to the SAME snapshot — gate + dedup + cap
+    # cost scale 10× underneath while the output stays bounded, which is
+    # exactly how a language-filtered pretraining snapshot behaves on a
+    # growing multilingual crawl
+    assert got["corpus_curation_v2"] == base["corpus_curation_v2"]
 
     # no driver-side materialization: counts() move no rows to Python, so the
     # Python driver's peak RSS must not grow meaningfully with 10× data
@@ -175,3 +191,29 @@ def test_minhash_uncached_path_completes_at_sf1(spark, sf1_dir):
     n = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.7, cache_shingles=False).count()
     assert n > 0
     assert len(sc._jsc.sc().getRDDStorageInfo()) == pinned_before
+
+
+@pytest.mark.slow
+def test_connected_components_100k_path_logn_rounds(spark):
+    """Verdict #7: the O(log n) large-star/small-star claim at canary scale —
+    a 100 000-node PATH (the adversarial diameter case: naive propagation
+    needs 100 000 rounds) must converge in ≤ 2·log₂(n) rounds and label every
+    node with the path's minimum id."""
+    import math
+
+    from airflow_cms_inpatient_etl_spark.operators.graph import (
+        connected_components_with_rounds,
+    )
+
+    n = 100_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+    )
+    labels, rounds = connected_components_with_rounds(pairs)
+    assert rounds <= 2 * math.ceil(math.log2(n))  # = 34
+    agg = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("label").alias("n_labels"),
+        F.max("label").alias("max_label"),
+    ).first()
+    assert (agg["n"], agg["n_labels"], agg["max_label"]) == (n, 1, 0)
