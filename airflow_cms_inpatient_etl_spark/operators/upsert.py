@@ -20,6 +20,8 @@ are rewritten — pass ``partition_pruning_keys`` to restrict).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,24 +36,35 @@ def upsert(
     unmatched update rows are inserts.  Equivalent to
     ``MERGE INTO t USING u ON keys WHEN MATCHED UPDATE * WHEN NOT MATCHED INSERT *``.
 
-    Contract: ``updates`` must be key-unique — a dirty CDC feed with repeated
-    keys would land multiple rows per key in the target (like MERGE, which
-    errors on multiple matches).  Pre-compact feeds with the keep-latest
-    pattern (descending row_number over the key); ``validate_unique=True``
-    enforces the contract with one extra aggregate pass.
+    Contract: ``updates`` must be key-unique AND key-non-null — a dirty CDC
+    feed with repeated keys would land multiple rows per key in the target
+    (like MERGE, which errors on multiple matches), and a NULL key never
+    equi-joins, so a NULL-key update would append forever instead of
+    replacing (``snapshot_diff`` handles NULL keys via eqNullSafe because a
+    diff must describe any input; a merge KEY is an identity and a NULL
+    identity is a data bug).  Pre-compact feeds with the keep-latest pattern
+    (descending row_number over the key); ``validate_unique=True`` enforces
+    both contract halves in one extra aggregate pass.
     """
     if validate_unique:
         from airflow_cms_inpatient_etl_spark.plans.dq import DataQualityError
 
-        dups = (
+        bad = (
             updates.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > 1)
+            .filter(
+                (F.col("n") > 1)
+                | functools.reduce(
+                    lambda a, b: a | b, [F.col(k).isNull() for k in key_cols]
+                )
+            )
             .limit(1)
             .count()
         )
-        if dups:
-            raise DataQualityError(f"upsert updates not unique on {key_cols}")
+        if bad:
+            raise DataQualityError(
+                f"upsert updates not unique or contain NULL keys on {key_cols}"
+            )
     surviving = target.join(updates, key_cols, "left_anti")
     return surviving.unionByName(updates.select(*target.columns))
 
@@ -81,6 +94,9 @@ def apply_scd2(
     Changed or new keys get a fresh current version; the previous current
     version of changed keys is closed (valid_to = as_of, is_current = False).
     Unchanged keys pass through untouched — the no-op case costs one join.
+    Keys share ``upsert``'s non-null contract (a NULL key would re-insert on
+    every snapshot); compare columns are null-safe (eqNullSafe), so NULL
+    attribute values diff correctly.
     """
     ts = F.lit(as_of).cast("timestamp")
     current = history.filter(F.col("is_current"))

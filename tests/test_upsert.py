@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from airflow_cms_inpatient_etl_spark.operators.upsert import apply_scd2, scd2_init, upsert
 
 
@@ -103,3 +105,15 @@ def test_snapshot_diff_null_keys(spark):
     assert len(rows) == 1
     assert rows[0]["change_type"] == "changed"
     assert rows[0]["old_v"] == 1.0 and rows[0]["new_v"] == 9.0
+
+
+def test_upsert_validate_rejects_null_keys(spark):
+    """A NULL merge key never equi-joins (it would append forever instead of
+    replacing); validate_unique enforces the non-null half of the contract in
+    the same aggregate pass as uniqueness."""
+    from airflow_cms_inpatient_etl_spark.plans.dq import DataQualityError
+
+    target = spark.createDataFrame([("C1", 1.0)], "claim_id string, amount double")
+    nullkey = spark.createDataFrame([(None, 2.0)], "claim_id string, amount double")
+    with pytest.raises(DataQualityError, match="NULL keys"):
+        upsert(target, nullkey, ["claim_id"], validate_unique=True)
