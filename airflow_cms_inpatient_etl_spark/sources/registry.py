@@ -55,8 +55,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _normalize_ntz(df)
+    return _normalize_ntz(spark.read.parquet(path))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-tz TIMESTAMP.
+
+    The fixture generator has shipped ``events.ts`` as TIMESTAMP(NANOS)
+    (bigint under ``nanosAsLong``), tz-aware TIMESTAMP(MICROS), and naive
+    TIMESTAMP(MICROS) (inferred as TIMESTAMP_NTZ) across rounds.  The engine
+    standardizes on TIMESTAMP_LTZ with the session timezone pinned to UTC
+    (session.py), under which this cast is wall-clock-preserving and matches
+    DuckDB's naive-timestamp arithmetic — and functions like ``unix_micros``
+    that require LTZ keep working regardless of which variant the generator
+    produced."""
+    from pyspark.sql import functions as F
+
+    for cname, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -31,10 +31,27 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over events parquet (ts arrives as nanos → timestamp)."""
+    """File-source stream over events parquet, normalized to a µs TIMESTAMP.
+
+    The fixture generator has shipped ``ts`` as TIMESTAMP(NANOS) (bigint under
+    the ``nanosAsLong`` conf), naive TIMESTAMP(MICROS) (TIMESTAMP_NTZ), and
+    tz-aware micros.  The file source needs a declared schema, so probe the
+    already-staged footer with a batch read and adapt; every variant lands as
+    session-tz TIMESTAMP (UTC — wall-clock-preserving for naive inputs)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "bigint")
+    if ts_type == "bigint":
+        raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    fields = [
+        T.StructField(f.name, T.TimestampNTZType() if f.name == "ts" else f.dataType)
+        for f in EVENTS_SCHEMA.fields
+    ] if ts_type == "timestamp_ntz" else [
+        T.StructField(f.name, T.TimestampType() if f.name == "ts" else f.dataType)
+        for f in EVENTS_SCHEMA.fields
+    ]
+    raw = spark.readStream.schema(T.StructType(fields)).parquet(path)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
