@@ -125,3 +125,59 @@ def connected_components_with_rounds(
         .select("node", F.coalesce(F.col("dst"), F.col("node")).alias("label"))
     )
     return labels, rounds
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 6,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank with INTEGER arithmetic — bit-reproducible across
+    engines, partitionings, and runs.
+
+    Ranks are carried as BIGINT in units of ``1/scale``; every step is
+    integer multiply/divide (``div``), so there is no floating-point
+    accumulation order to disagree about — the property that lets an
+    iterative algorithm be value-checked against an independent SQL oracle,
+    and that makes reruns of a 1000-executor job byte-identical.  Per
+    iteration: contribution(u→v) = (rank_u * w_uv) div out_wsum_u;
+    rank'(v) = ((100-d)·(scale div N)) div 100 + (d·Σ contrib) div 100.
+    Dangling-node mass is dropped (the "sink drop" PageRank variant) —
+    identically on both sides.  Truncation bias is ≤ outdeg ulps of 1e-12
+    per node per round: irrelevant for ranking, priceless for determinism.
+
+    Spark shape: ``edges``/``nodes``/out-degree are computed once and
+    cached; each iteration is one shuffle (groupBy dst) plus one broadcast
+    of the (tiny) node-count row.  Rank lineage is truncated every
+    iteration with ``localCheckpoint`` so the plan does not grow O(iters)
+    deep (on a real cluster, use reliable ``checkpoint`` instead).
+
+    ``edges``: (src, dst, w) BIGINT columns.  ``nodes``: (node,) — must
+    cover every src/dst.  Returns (node, rank) with SUM(rank) <= scale.
+    """
+    ncnt = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    outd = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    edges = edges.join(outd, "src").persist()
+    base = F.expr(f"(100 - {damping_pct}) * ({scale} div n_nodes) div 100")
+    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "node", F.expr(f"{scale} div n_nodes").alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank * w div wsum").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "node",
+                (base + F.expr(f"{damping_pct} * coalesce(inbound, 0L) div 100")).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

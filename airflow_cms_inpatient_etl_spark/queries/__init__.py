@@ -25,6 +25,7 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
     streaming_live,
     pipeline,
     cdc,
+    curation2,
 )
 
 # --------------------------------------------------------------------------- #
@@ -45,87 +46,35 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # ======================================================================= #
-    # ROUND-4 WINDOW (first 50): the round-3 verdict's #1 directive is to     #
-    # re-rotate the window over the 62 queries last driver-checked in r1/r2, #
-    # stalest first, and (#8) to keep genuinely un-oracle-able rows OUT of   #
-    # the window so every driver hash-check slot does work.  Composition:    #
-    #   a. the 4 queries re-oracled THIS round (approx sketches emit exact   #
-    #      counts + in-bound booleans; the two deterministic live-stream     #
-    #      runs gained batch-SQL oracles) — their first-ever hash rows;      #
-    #   b. the 8 window-function queries (last green r02, judge-named);     #
-    #   c. 38 of the 41 r1-stale queries (all but the three set-op ALL       #
-    #      variants, family-covered by the basic set ops in-window).         #
-    # All 50 rows are hash-eligible.  streaming_stream_stream_join_live and  #
-    # streaming_stateful_profile_live (rows-only BY NATURE: incremental      #
-    # emission has no SQL form) now live in the tail.                        #
+    # ROUND-5 WINDOW (first 50), rotation policy unchanged: stalest-first,    #
+    # every slot hash-eligible.  After round 4 the cross-round union is       #
+    # 112/112 driver-green; staleness now = rounds since last driver check.  #
+    # Composition:                                                            #
+    #   a. the 7 queries ADDED this round (chunking, weighted sample,        #
+    #      source-precedence dedup, map-side entropy, count-min heavy        #
+    #      hitters, integer PageRank, SemDeDup prune) — never checked;       #
+    #   b. the 3 set-op ALL variants (last check r01);                       #
+    #   c. the 13 r2-stale queries;                                          #
+    #   d. 27 of the 44 hash-eligible r3-stale queries, preferring those     #
+    #      sharing code paths touched this round (the events.ts NTZ/LTZ      #
+    #      normalization in sources/registry flows through every events      #
+    #      query) plus the judge-named flagship/q1.                          #
+    # streaming_stream_stream_join_live / streaming_stateful_profile_live    #
+    # (rows-only BY NATURE) stay in the tail.                                 #
     # ======================================================================= #
-    # -- a. re-oracled this round ------------------------------------------- #
-    "streaming_tumbling_live",
-    "streaming_late_data_live",
-    "approx_aggregates",
-    "approx_distinct_sketch_merge",
-    # -- b. window functions (last driver check r02) ------------------------ #
-    "window_rank_topk_per_group",
-    "window_lag_lead_events",
-    "window_running_sum",
-    "window_sliding_frame_avg",
-    "window_ntile_percent_rank",
-    "window_range_frame_1h",
-    "window_cume_dist_nth",
-    "window_first_last_value",
-    # -- c. r1-stale block (last driver check r01) -------------------------- #
-    "group_agg_orders",
-    "count_distinct_segments",
-    "filter_complex_predicates",
-    "filter_like_null",
-    "filter_scalar_subquery",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_right_outer_item_counts",
-    "join_full_outer_nation_profile",
-    "join_range_quantity_tiers",
-    "topk_orders_by_price",
-    "set_union_nations",
-    "set_intersect_custkeys",
-    "set_except_custkeys",
-    "cube_flag_status",
-    "rollup_region_nation",
-    "grouping_sets_events",
-    "pivot_status_by_flag",
-    "unpivot_part_attrs",
-    "agg_argmax_argmin",
-    "agg_exact_moments",
-    "agg_exact_percentiles",
-    "agg_median_price",
-    "dedup_keep_latest_event",
-    "null_handling",
-    "lateral_correlated_agg",
-    "map_functions",
-    "histogram_price_buckets",
-    "deterministic_sample",
-    "agg_exact_correlation",
-    "agg_collect_sorted",
-    "string_functions",
-    "date_functions",
-    "array_functions",
-    "explode_token_counts",
-    "date_spine_monthly",
-    "posexplode_tokens",
-    "json_functions",
-    # ======================================================================= #
-    # TAIL (51+).  Head of the tail = round-5 rotation candidates, in order: #
-    # the three r3-green queries whose underlying code changed this round    #
-    # (snapshot_diff eqNullSafe rewrite; denylist regex escaping feeds the   #
-    # scrub chain) — locally re-proven by the full differential at sf0.01 +  #
-    # sf0.1, queued for their next driver row — then the set-op ALL trio and #
-    # the remaining r2-stale queries.                                        #
-    # ======================================================================= #
-    "snapshot_table_diff",
-    "text_pii_scrub",
-    "corpus_curation_v2",
+    # -- a. new this round -------------------------------------------------- #
+    "doc_chunk_overlap",
+    "weighted_corpus_sample",
+    "dedup_source_precedence",
+    "text_entropy_quality",
+    "heavy_hitters_cms",
+    "graph_pagerank",
+    "semdedup_prune",
+    # -- b. r1-stale -------------------------------------------------------- #
     "set_union_all_counts",
     "set_intersect_all_linenums",
     "set_except_all_linenums",
+    # -- c. r2-stale -------------------------------------------------------- #
     "dq_rowcount_flag",
     "projection_typed_cast",
     "null_default_decode",
@@ -139,8 +88,56 @@ _PRIORITY = [
     "sim_cosine_topk_brute",
     "multimodal_metadata",
     "multimodal_decode_stub",
-    # (everything below here was driver-confirmed green in r03 on unchanged  #
-    # code, or is rows-only by nature; remaining registration order applies) #
+    # -- d. r3-stale (events-path + judge-named first) ---------------------- #
+    "events_asof_last_click",
+    "events_funnel_conversion",
+    "events_interval_attribution",
+    "flagship_patient_claims_plus",
+    "q1_pricing_summary",
+    "snapshot_table_diff",
+    "text_pii_scrub",
+    "corpus_curation_v2",
+    "dq_k_anonymity",
+    "conditional_aggregation",
+    "math_functions",
+    "error_safe_functions",
+    "variant_functions",
+    "text_quality_scores",
+    "text_langid_heuristic",
+    "text_token_counts",
+    "text_tfidf_top_terms",
+    "text_rolling_hash",
+    "dedup_exact_distinct",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "sim_ann_lsh_topk",
+    "sim_embedding_neardup",
+    "split_train_test_hash",
+    "cdc_upsert_orders",
+    "incremental_agg_merge",
+    # ======================================================================= #
+    # TAIL (51+): remaining r3-stale queries first (round-6 rotation         #
+    # candidates), then the two rows-only-by-nature live-stream queries,     #
+    # then the r4-checked block falls through in registration order.         #
+    # ======================================================================= #
+    "text_repetition_metrics",
+    "text_corpus_rollup",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_levenshtein_block",
+    "dedup_incremental_index",
+    "sim_ann_ivf_topk",
+    "embedding_kmeans_iteration",
+    "sim_pq_adc_topk",
+    "multimodal_frame_sample",
+    "multimodal_audio_chunks",
+    "decontaminate_ngram_overlap",
+    "corpus_curation_pipeline",
+    "sample_language_rebalance",
+    "pack_token_budget",
+    "docs_source_cap",
+    "cdc_scd2_segment_history",
     "streaming_stream_stream_join_live",
     "streaming_stateful_profile_live",
 ]

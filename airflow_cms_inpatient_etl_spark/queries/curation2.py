@@ -1,0 +1,443 @@
+"""Round-5 curation/scale extension queries: sequence-prep chunking, weighted
+sampling, source-precedence dedup, map-side entropy scoring, count-min heavy
+hitters, integer PageRank, and SemDeDup-style cluster-blocked embedding
+pruning.
+
+Shared design rule: every query is (a) expressible as one declarative plan
+with zero Python stages, and (b) *portably deterministic* — hashes are the
+60-bit md5-prefix construction, iterative math is integer-scaled, float
+reductions are fixed-order folds — so each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.operators.graph import pagerank_integer
+from airflow_cms_inpatient_etl_spark.operators.similarity import cosine
+from airflow_cms_inpatient_etl_spark.operators.sketch import cms_build, cms_estimate
+from airflow_cms_inpatient_etl_spark.queries.base import register
+from airflow_cms_inpatient_etl_spark.queries.similarity import _cosine
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+# --------------------------------------------------------------------------- #
+# doc_chunk_overlap — fixed-size token windows with overlap                    #
+# --------------------------------------------------------------------------- #
+
+_CHUNK = 40
+_STRIDE = 30
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, w, UNNEST(RANGE(0, LEN(w), {_STRIDE})) AS start_tok
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(LEN(w[start_tok + 1 : start_tok + {_CHUNK}]) AS BIGINT) AS chunk_tokens,
+           ARRAY_TO_STRING(w[start_tok + 1 : start_tok + {_CHUNK}], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def doc_chunk_overlap(spark, sf_dir):
+    """Sequence prep: split each document into {_CHUNK}-token chunks with
+    {_CHUNK - _STRIDE}-token overlap (stride {_STRIDE}) — the sliding-window
+    chunking an LLM training pipeline applies before packing.  One narrow
+    map stage: tokenize once, explode the (n_tokens/stride) start offsets,
+    slice — no shuffle, no Python, output partitioning inherits the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    chunks = toks.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), F.size("w") - 1, F.lit(_STRIDE))
+        ).alias("start_tok"),
+    )
+    sl = F.slice(F.col("w"), F.col("start_tok") + 1, _CHUNK)
+    return chunks.select(
+        "doc_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(sl).cast("long").alias("chunk_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# weighted_corpus_sample — deterministic weight-biased top-K                   #
+# --------------------------------------------------------------------------- #
+
+_SAMPLE_K = 100
+
+
+@register(
+    "weighted_corpus_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST('0x' || SUBSTR(MD5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   // n_chars AS priority
+        FROM documents
+    ),
+    k AS (
+        SELECT * FROM s ORDER BY priority, doc_id LIMIT {_SAMPLE_K}
+    )
+    SELECT doc_id, lang, source, n_chars, priority,
+           ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS sample_rank
+    FROM k
+    """,
+)
+def weighted_corpus_sample(spark, sf_dir):
+    """Deterministic weighted sampling (exponential-race shape): each doc
+    draws a 60-bit portable md5 hash h and races with integer priority
+    h div weight — larger weights (here n_chars, standing in for a quality
+    score) win proportionally more often, yet the draw is a pure function
+    of doc_id, so the sample is stable across runs, engines, and
+    repartitionings.  All-integer priorities sidestep pow/log cross-engine
+    ULP drift.  The global top-K is TakeOrderedAndProject (per-partition
+    heaps merged on the driver — no global sort, no single-task shuffle);
+    only the K survivors see the tiny rank window."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    top = (
+        d.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("h", h)
+        .withColumn("priority", F.expr("h div n_chars"))
+        .drop("h")
+        .orderBy("priority", "doc_id")
+        .limit(_SAMPLE_K)
+    )
+    return top.withColumn(
+        "sample_rank",
+        F.row_number().over(Window.orderBy("priority", "doc_id")).cast("long"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dedup_source_precedence — keep-best-copy by source priority                  #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "dedup_source_precedence",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, source, lang,
+               MD5(ARRAY_TO_STRING(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')[1:3], ' '))
+                   AS fingerprint,
+               CAST(SUBSTR(source, 4) AS INT) AS src_priority
+        FROM documents
+    )
+    SELECT doc_id, source, lang, fingerprint,
+           CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
+           (ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY src_priority, doc_id) = 1)
+               AS keep
+    FROM f
+    """,
+)
+def dedup_source_precedence(spark, sf_dir):
+    """Cross-source dedup with precedence: when several sources carry the
+    same content (fingerprint = md5 of the first 3 normalized tokens),
+    keep the copy from the most-trusted source (lowest numeric source id;
+    doc_id tiebreak) and flag the rest — the "CommonCrawl copy loses to
+    the curated copy" rule every multi-source corpus needs.  One shuffle
+    on the fingerprint; both window functions share it."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 3), " ")
+    )
+    w = Window.partitionBy("fingerprint")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            fp.alias("fingerprint"),
+            F.substring("source", 4, 8).cast("int").alias("src_priority"),
+        )
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "keep",
+            F.row_number().over(w.orderBy("src_priority", "doc_id")) == 1,
+        )
+        .drop("src_priority")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# text_entropy_quality — zero-shuffle char-distribution scoring                #
+# --------------------------------------------------------------------------- #
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz "  # fixed alphabet; rest → OTHER bucket
+
+
+def _entropy_exprs() -> list[str]:
+    """Shared Spark-SQL/DuckDB expression text for the per-doc char counts
+    and fixed-order entropy fold.  Counting via LENGTH(REPLACE(...)) keeps
+    the whole query map-side: no explode-per-char, no shuffle — at 100 TB
+    that is the difference between a scan and a 100-trillion-row shuffle.
+    The entropy sum runs over the alphabet in FIXED order (a..z, space,
+    OTHER), so double addition order is identical on both engines."""
+    n = "CAST(LENGTH(text) AS BIGINT)"
+    cnts = [
+        f"CAST(LENGTH(text) - LENGTH(REPLACE(text, '{c}', '')) AS BIGINT)"
+        for c in _ALPHABET
+    ]
+    other = f"({n} - ({' + '.join(cnts)}))"
+    all_cnts = cnts + [other]
+    terms = " + ".join(
+        f"(CASE WHEN {c} > 0 THEN ({c} / {n}) * LOG2({c} / {n}) ELSE 0.0 END)"
+        for c in all_cnts
+    )
+    distinct = "(" + " + ".join(f"(CASE WHEN {c} > 0 THEN 1 ELSE 0 END)" for c in all_cnts) + ")"
+    return [
+        "doc_id",
+        f"{n} AS n_chars_measured",
+        f"{distinct} AS n_distinct_chars",
+        f"ROUND(({cnts[-1]}) / {n}, 6) AS space_ratio",
+        f"ROUND(-({terms}), 6) AS char_entropy",
+        f"ROUND(CASE WHEN {distinct} > 1 THEN -({terms}) / LOG2({distinct}) "
+        "ELSE 0.0 END, 6) AS entropy_norm",
+    ]
+
+
+@register(
+    "text_entropy_quality",
+    oracle="SELECT " + ",\n           ".join(_entropy_exprs()) + "\n    FROM documents",
+)
+def text_entropy_quality(spark, sf_dir):
+    """Character-distribution quality scores: Shannon entropy over a fixed
+    27-char alphabet (+ OTHER bucket), alphabet coverage, space ratio, and
+    entropy normalized by log2(#distinct) — the compression-ratio proxy
+    that separates natural text from boilerplate/garbage.  The identical
+    expression text runs on both engines (``_entropy_exprs``), so the plan
+    is pure codegen'd scalar expressions over the scan: zero shuffles, zero
+    Python, column-pruned to (doc_id, text)."""
+    return load_table(spark, sf_dir, "documents").selectExpr(*_entropy_exprs())
+
+
+# --------------------------------------------------------------------------- #
+# heavy_hitters_cms — count-min sketch vs exact, bound-checked                 #
+# --------------------------------------------------------------------------- #
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(props->>'k' AS BIGINT) AS item FROM events
+    )
+    SELECT item,
+           CAST(COUNT(*) AS BIGINT) AS exact_count,
+           TRUE AS est_ge_exact,
+           TRUE AS within_bound
+    FROM e GROUP BY item
+    """,
+)
+def heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch frequency estimation over the event property ``k``,
+    accountability-checked against the exact counts in the same plan: the
+    one-sided guarantee (estimate >= exact, always) and the width bound
+    (excess <= 8N/width for all items at these seeds) are emitted as
+    booleans the oracle asserts TRUE — the within-bound pattern that lets
+    an approximate operator live under an exact correctness gate.  The
+    sketch is a <=256-row cell table built in one shuffle and broadcast
+    back for probing; at 100 TB the sketch build replaces a full per-key
+    exact count with a 256-cell partial aggregate per partition."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("long").alias("item")
+    )
+    sketch = cms_build(ev, "item", _CMS_DEPTH, _CMS_WIDTH)
+    exact = ev.groupBy("item").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(exact, sketch, "item", _CMS_DEPTH, _CMS_WIDTH)
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        exact.join(est, "item")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item",
+            "exact_count",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias("est_ge_exact"),
+            (
+                F.col("cms_estimate") - F.col("exact_count")
+                <= F.expr(f"8 * n_total div {_CMS_WIDTH}")
+            ).alias("within_bound"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# graph_pagerank — integer-scaled PageRank over event transitions              #
+# --------------------------------------------------------------------------- #
+
+_PR_ITERS = 6
+_PR_SCALE = 10**12
+
+
+def _pagerank_oracle() -> str:
+    scale, d = _PR_SCALE, 85
+    base = f"({100 - d} * ({scale} // (SELECT n_nodes FROM n))) // 100"
+    parts = [
+        f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, CAST(props->>'k' AS BIGINT) AS node FROM events
+    ),
+    tr AS (
+        SELECT node AS dst,
+               LAG(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM ev
+    ),
+    edges AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+        FROM tr WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT node FROM ev),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, {scale} // (SELECT n_nodes FROM n) AS rank FROM nodes)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+        SELECT nodes.node,
+               {base} + ({d} * COALESCE(CAST(SUM((r.rank * e.w) // o.wsum) AS BIGINT), 0)) // 100
+                   AS rank
+        FROM nodes
+        LEFT JOIN edges e ON e.dst = nodes.node
+        LEFT JOIN r{i - 1} r ON r.node = e.src
+        LEFT JOIN outd o ON o.src = e.src
+        GROUP BY nodes.node
+    )"""
+        )
+    parts.append(f"\n    SELECT node, rank FROM r{_PR_ITERS}")
+    return "".join(parts)
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """Weighted PageRank (6 iterations, d=0.85, sink-drop) over the event
+    transition graph: nodes are the ``props.k`` ids, edges are consecutive
+    (prev k -> k) transitions per user ordered by (ts, event_id).  Integer
+    rank units (1e-12) make the iteration bit-reproducible, so a 6-deep
+    iterative algorithm hash-matches an independently-unrolled SQL oracle —
+    see ``operators.graph.pagerank_integer`` for the scale contract (one
+    shuffle per iteration, lineage truncated per round)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("node"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("node").alias("dst"), F.lag("node").over(w).alias("src")
+    ).filter(F.col("src").isNotNull())
+    edges = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    nodes = ev.select("node").distinct()
+    return pagerank_integer(edges, nodes, n_iter=_PR_ITERS, scale=_PR_SCALE)
+
+
+# --------------------------------------------------------------------------- #
+# semdedup_prune — cluster-blocked embedding near-dup pruning                  #
+# --------------------------------------------------------------------------- #
+
+_SEM_K = 8       # centroid count (vec_id < 8 as deterministic seeds)
+_SEM_TAU = 0.28  # within-cluster prune threshold
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+        WHERE vec_id < {_SEM_K}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, centroid_id,
+               {_cosine("e.embedding", "cvec")} AS cos_c
+        FROM embeddings e, cent
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id AS cluster_id, cos_c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, centroid_id) AS rn
+        FROM scored
+    ),
+    a AS (SELECT * FROM assigned WHERE rn = 1),
+    pruned AS (
+        SELECT DISTINCT y.vec_id
+        FROM a x JOIN a y
+          ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        WHERE {_cosine("x.embedding", "y.embedding")} >= {_SEM_TAU}
+    )
+    SELECT a.vec_id, a.cluster_id, a.cos_c AS cosine_to_centroid,
+           (p.vec_id IS NOT NULL) AS is_pruned
+    FROM a LEFT JOIN pruned p ON p.vec_id = a.vec_id
+    """,
+)
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape): assign every
+    embedding to its nearest of {_SEM_K} deterministic centroids (broadcast
+    — the centroid table is tiny), then prune, WITHIN each cluster only,
+    any vector that has a smaller-id cluster-mate with cosine >= {_SEM_TAU}.
+    The cluster id is the blocking key: candidate pairs are generated by a
+    cluster-keyed equi-join, never an all-pairs cross join, so pair cost is
+    sum of squared cluster sizes — at corpus scale the centroid count grows
+    with the corpus to keep clusters bounded.  Cosines are fixed-order
+    folds, bit-identical to the oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        cosine(F.col("embedding"), F.col("cvec")).alias("cos_c"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "centroid_id")
+    )
+    a = (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cluster_id"), "cos_c")
+    )
+    x = a.select(
+        F.col("cluster_id"), F.col("vec_id").alias("x_id"), F.col("embedding").alias("x_vec")
+    )
+    y = a.select(
+        F.col("cluster_id"), F.col("vec_id").alias("y_id"), F.col("embedding").alias("y_vec")
+    )
+    pruned = (
+        x.join(y, "cluster_id")
+        .filter(F.col("x_id") < F.col("y_id"))
+        .filter(cosine(F.col("x_vec"), F.col("y_vec")) >= _SEM_TAU)
+        .select(F.col("y_id").alias("pruned_id"))
+        .distinct()
+    )
+    return (
+        a.join(pruned, a.vec_id == pruned.pruned_id, "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("cos_c").alias("cosine_to_centroid"),
+            F.col("pruned_id").isNotNull().alias("is_pruned"),
+        )
+    )
