@@ -75,3 +75,40 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by:
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """The avro format ships as an EXTERNAL module (org.apache.spark:spark-avro),
+    deliberately not bundled with Spark core — availability depends on the
+    deployment's classpath, so the engine probes instead of assuming."""
+    try:
+        # the authoritative resolution Spark itself performs for format("avro");
+        # a bare Class.forName probe false-positives because catalyst bundles
+        # some avro helper classes without the DataSource provider
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan (row-oriented interchange format — the common Kafka/ingest
+    landing format).  Raises a clear error when the spark-avro module is not
+    on the classpath rather than an opaque ClassNotFound from the JVM."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro is not on this deployment's classpath; submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    if not avro_available(df.sparkSession):
+        raise NotImplementedError(
+            "spark-avro is not on this deployment's classpath; submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    df.write.mode(mode).format("avro").save(path)

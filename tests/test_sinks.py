@@ -268,3 +268,25 @@ def test_compact_leaves_no_staging_dirs_and_survives_swap(spark, tmp_path):
     assert not os.path.exists(path + "__compact_tmp")
     assert not os.path.exists(path + "__compact_old")
     assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+
+
+def test_avro_roundtrip_or_gated(spark, tmp_path):
+    """Avro is an external Spark module; on classpaths that carry it the
+    roundtrip must be lossless, elsewhere the gate must raise the actionable
+    NotImplementedError (never a raw JVM ClassNotFound)."""
+    from airflow_cms_inpatient_etl_spark.sources.files import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    if avro_available(spark):
+        write_avro(df, str(tmp_path / "avro_t"))
+        got = read_avro(spark, str(tmp_path / "avro_t"))
+        assert sorted(r["id"] for r in got.collect()) == [1, 2]
+    else:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            write_avro(df, str(tmp_path / "avro_t"))
