@@ -149,35 +149,53 @@ def pagerank_integer(
     per node per round: irrelevant for ranking, priceless for determinism.
 
     Spark shape: ``edges``/``nodes``/out-degree are computed once and
-    cached; each iteration is one shuffle (groupBy dst) plus one broadcast
-    of the (tiny) node-count row.  Rank lineage is truncated every
-    iteration with ``localCheckpoint`` so the plan does not grow O(iters)
-    deep (on a real cluster, use reliable ``checkpoint`` instead).
+    cached; each iteration is one shuffle (the groupBy on dst).  Ranks are
+    snapshotted (persist + materialize) every second iteration and the
+    previous snapshot released, so live storage is bounded at one snapshot
+    and everything stays ``clearCache``-releasable.
 
     ``edges``: (src, dst, w) BIGINT columns.  ``nodes``: (node,) — must
     cover every src/dst.  Returns (node, rank) with SUM(rank) <= scale.
     """
-    ncnt = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     outd = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
     edges = edges.join(outd, "src").persist()
-    base = F.expr(f"(100 - {damping_pct}) * ({scale} div n_nodes) div 100")
-    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
-        "node", F.expr(f"{scale} div n_nodes").alias("rank")
-    )
-    for _ in range(n_iter):
+    nodes = nodes.persist()
+    # ONE driver-side scalar: the node count is a model parameter, the same
+    # legitimate driver coordination connected_components uses for its
+    # convergence check — it folds the teleport term into integer literals
+    # so each iteration is exactly join + groupBy + left-join.
+    n_nodes = nodes.count()
+    init = scale // n_nodes
+    base = (100 - damping_pct) * init // 100
+    ranks = nodes.select("node", F.lit(init).alias("rank"))
+    pinned = None
+    for i in range(n_iter):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("rank * w div wsum").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inbound"))
         )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(F.broadcast(ncnt))
-            .select(
-                "node",
-                (base + F.expr(f"{damping_pct} * coalesce(inbound, 0L) div 100")).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left").select(
+            "node",
+            (F.lit(base) + F.expr(f"{damping_pct} * coalesce(inbound, 0L) div 100")).alias(
+                "rank"
+            ),
         )
+        # materialize every other round (persist + count), then drop the
+        # previous pin: bounds live storage at one rank snapshot while
+        # keeping everything catalog-releasable (localCheckpoint blocks
+        # survive clearCache and would pin executor storage for the life
+        # of the session; persist does not).  Note persist does NOT
+        # truncate lineage — fine at this iteration count; for deep
+        # iteration budgets on a real cluster, swap the snapshot for a
+        # reliable checkpoint dir (which does truncate).
+        if i % 2 == 1 or i == n_iter - 1:
+            ranks = ranks.persist()
+            ranks.count()
+            if pinned is not None:
+                pinned.unpersist(blocking=False)
+            pinned = ranks
+    edges.unpersist(blocking=False)  # iterations have materialized; cache done
+    nodes.unpersist(blocking=False)
     return ranks

@@ -50,19 +50,21 @@ _PRIORITY = [
     # every slot hash-eligible.  After round 4 the cross-round union is       #
     # 112/112 driver-green; staleness now = rounds since last driver check.  #
     # Composition:                                                            #
-    #   a. the 7 queries ADDED this round (chunking, weighted sample,        #
+    #   a. the 12 queries ADDED this round (chunking, weighted sample,       #
     #      source-precedence dedup, map-side entropy, count-min heavy        #
-    #      hitters, integer PageRank, SemDeDup prune) — never checked;       #
+    #      hitters, integer PageRank, SemDeDup prune, winsorize clip,        #
+    #      epoch shuffle, containment dedup, bloom semi-join, triangle      #
+    #      count) — never checked;                                           #
     #   b. the 3 set-op ALL variants (last check r01);                       #
     #   c. the 13 r2-stale queries;                                          #
-    #   d. 27 of the 44 hash-eligible r3-stale queries, preferring those     #
+    #   d. 22 of the 44 hash-eligible r3-stale queries, preferring those     #
     #      sharing code paths touched this round (the events.ts NTZ/LTZ      #
     #      normalization in sources/registry flows through every events      #
     #      query) plus the judge-named flagship/q1.                          #
     # streaming_stream_stream_join_live / streaming_stateful_profile_live    #
     # (rows-only BY NATURE) stay in the tail.                                 #
     # ======================================================================= #
-    # -- a. new this round -------------------------------------------------- #
+    # -- a. new this round (never driver-checked — first claim on slots) ---- #
     "doc_chunk_overlap",
     "weighted_corpus_sample",
     "dedup_source_precedence",
@@ -70,6 +72,11 @@ _PRIORITY = [
     "heavy_hitters_cms",
     "graph_pagerank",
     "semdedup_prune",
+    "winsorize_quality_clip",
+    "epoch_shuffle_order",
+    "dedup_containment",
+    "bloom_semijoin_lineitem",
+    "graph_triangle_count",
     # -- b. r1-stale -------------------------------------------------------- #
     "set_union_all_counts",
     "set_intersect_all_linenums",
@@ -103,8 +110,6 @@ _PRIORITY = [
     "error_safe_functions",
     "variant_functions",
     "text_quality_scores",
-    "text_langid_heuristic",
-    "text_token_counts",
     "text_tfidf_top_terms",
     "text_rolling_hash",
     "dedup_exact_distinct",
@@ -113,14 +118,19 @@ _PRIORITY = [
     "dedup_connected_components",
     "sim_ann_lsh_topk",
     "sim_embedding_neardup",
+    # ======================================================================= #
+    # TAIL (51+): remaining r3-stale queries first (round-6 rotation         #
+    # candidates; split_train_test_hash / cdc_upsert_orders /               #
+    # incremental_agg_merge ceded their slots to the three late round-5     #
+    # additions — they hold r3-green rows, the new queries hold none),      #
+    # then the two rows-only-by-nature live-stream queries, then the        #
+    # r4-checked block falls through in registration order.                 #
+    # ======================================================================= #
     "split_train_test_hash",
     "cdc_upsert_orders",
     "incremental_agg_merge",
-    # ======================================================================= #
-    # TAIL (51+): remaining r3-stale queries first (round-6 rotation         #
-    # candidates), then the two rows-only-by-nature live-stream queries,     #
-    # then the r4-checked block falls through in registration order.         #
-    # ======================================================================= #
+    "text_langid_heuristic",
+    "text_token_counts",
     "text_repetition_metrics",
     "text_corpus_rollup",
     "dedup_ngram_jaccard",

@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.operators.graph import pagerank_integer
-from airflow_cms_inpatient_etl_spark.operators.similarity import cosine
+from airflow_cms_inpatient_etl_spark.operators.similarity import cosine, dot, norm
 from airflow_cms_inpatient_etl_spark.operators.sketch import cms_build, cms_estimate
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.queries.similarity import _cosine
@@ -414,21 +414,43 @@ def semdedup_prune(spark, sf_dir):
     rn = F.row_number().over(
         Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "centroid_id")
     )
+    # persist the assignment: three consumers (both pair-join sides + the
+    # final projection) share one computation instead of re-deriving the
+    # crossJoin+window each.  vnorm is precomputed once per vector so the
+    # pair predicate folds ONE array per pair, not three — dot/(sqrt(na^2)
+    # *sqrt(nb^2)) is the same expression tree as the inline cosine, so the
+    # doubles (and the oracle comparison) are bit-identical.
     a = (
         scored.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("cluster_id"), "cos_c")
+        .select(
+            "vec_id",
+            "embedding",
+            norm(F.col("embedding")).alias("vnorm"),
+            F.col("centroid_id").alias("cluster_id"),
+            "cos_c",
+        )
+        .persist()
     )
     x = a.select(
-        F.col("cluster_id"), F.col("vec_id").alias("x_id"), F.col("embedding").alias("x_vec")
+        F.col("cluster_id"),
+        F.col("vec_id").alias("x_id"),
+        F.col("embedding").alias("x_vec"),
+        F.col("vnorm").alias("x_norm"),
     )
     y = a.select(
-        F.col("cluster_id"), F.col("vec_id").alias("y_id"), F.col("embedding").alias("y_vec")
+        F.col("cluster_id"),
+        F.col("vec_id").alias("y_id"),
+        F.col("embedding").alias("y_vec"),
+        F.col("vnorm").alias("y_norm"),
     )
     pruned = (
         x.join(y, "cluster_id")
         .filter(F.col("x_id") < F.col("y_id"))
-        .filter(cosine(F.col("x_vec"), F.col("y_vec")) >= _SEM_TAU)
+        .filter(
+            dot(F.col("x_vec"), F.col("y_vec")) / (F.col("x_norm") * F.col("y_norm"))
+            >= _SEM_TAU
+        )
         .select(F.col("y_id").alias("pruned_id"))
         .distinct()
     )
@@ -441,3 +463,260 @@ def semdedup_prune(spark, sf_dir):
             F.col("pruned_id").isNotNull().alias("is_pruned"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# winsorize_quality_clip — percentile-clipped robust quality filtering         #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "winsorize_quality_clip",
+    oracle="""
+    WITH pct AS (
+        SELECT lang,
+               QUANTILE_CONT(n_chars, 0.05) AS p05,
+               QUANTILE_CONT(n_chars, 0.95) AS p95
+        FROM documents GROUP BY lang
+    )
+    SELECT doc_id, d.lang, n_chars, p05, p95,
+           LEAST(GREATEST(CAST(n_chars AS DOUBLE), p05), p95) AS clipped_len,
+           (n_chars < p05 OR n_chars > p95) AS is_outlier
+    FROM documents d JOIN pct ON pct.lang = d.lang
+    """,
+)
+def winsorize_quality_clip(spark, sf_dir):
+    """Robust outlier handling for a quality signal: per-language exact p05/p95
+    of document length (both engines interpolate lower+(upper-lower)·f on the
+    sorted values, so the cut points are bit-identical), winsorized length,
+    and an outlier flag — the clip step that keeps a handful of 100 MB pages
+    from dominating a length-weighted sampler.  The percentile table is one
+    row per language and rides a broadcast back onto the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    pct = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    return d.join(F.broadcast(pct), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95")).alias(
+            "clipped_len"
+        ),
+        ((F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95"))).alias(
+            "is_outlier"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# epoch_shuffle_order — deterministic sharded training order                   #
+# --------------------------------------------------------------------------- #
+
+_SHUFFLE_SEED = "epoch17:"
+_N_SHARDS = 64
+
+
+@register(
+    "epoch_shuffle_order",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST('0x' || SUBSTR(MD5('{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM documents
+    )
+    SELECT doc_id, hv % {_N_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % {_N_SHARDS} ORDER BY hv, doc_id)
+                AS BIGINT) AS order_in_shard
+    FROM h
+    """,
+)
+def epoch_shuffle_order(spark, sf_dir):
+    """Deterministic epoch shuffle for training: the portable seeded hash
+    assigns each doc a shard and a position within it, so the read order
+    (shard-major, position-minor) is a pure function of (seed, doc_id) —
+    reproducible across runs/engines and re-drawable per epoch by bumping
+    the seed.  Sharding first is the scale shape: {_N_SHARDS} independent
+    window sorts instead of one global total order through a single task."""
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        d.select("doc_id")
+        .withColumn("hv", hv)
+        .withColumn("shard", F.pmod(F.col("hv"), F.lit(_N_SHARDS)))
+        .withColumn("order_in_shard", F.row_number().over(w).cast("long"))
+        .drop("hv")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dedup_containment — asymmetric shingle containment (subset duplicates)       #
+# --------------------------------------------------------------------------- #
+
+_CONTAIN_TAU = 0.8
+
+
+def _containment_oracle() -> str:
+    from airflow_cms_inpatient_etl_spark.queries.dedup import _SHINGLES_CTE
+
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS a_size FROM ex GROUP BY doc_id),
+    pr AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, inter, a_size, inter / a_size AS containment
+    FROM pr JOIN sz ON sz.doc_id = pr.a_id
+    WHERE inter / a_size >= {_CONTAIN_TAU}
+    """
+
+
+@register("dedup_containment", oracle=_containment_oracle())
+def dedup_containment(spark, sf_dir):
+    """Asymmetric near-dup detection: containment(A->B) = |shingles(A) ∩
+    shingles(B)| / |shingles(A)| >= {_CONTAIN_TAU} catches SUBSET duplicates
+    (a doc embedded in a longer one) that symmetric Jaccard misses — the
+    quote-page / boilerplate-wrapper case.  Same inverted-index self-join as
+    the Jaccard family: pairs come from shared shingle hashes (int64 posting
+    lists), never an all-pairs comparison."""
+    from airflow_cms_inpatient_etl_spark.operators.text import exploded_shingle_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = exploded_shingle_hashes(d, "doc_id", "text")
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("a_size"))
+    a = ex.select(F.col("doc_id").alias("a_id"), "h")
+    b = ex.select(F.col("doc_id").alias("b_id"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .withColumn("containment", F.col("inter") / F.col("a_size"))
+        .filter(F.col("containment") >= _CONTAIN_TAU)
+        .select("a_id", "b_id", "inter", "a_size", "containment")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# bloom_semijoin_lineitem — explicit runtime-filter semi join                  #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "bloom_semijoin_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    )
+    """,
+)
+def bloom_semijoin_lineitem(spark, sf_dir):
+    """Runtime-filter pattern made explicit: a 16 KiB Bloom filter built from
+    the selective orders subset prunes lineitem MAP-SIDE (literal word-array
+    bit tests, no shuffle) before the exact semi join removes the false
+    positives.  The result is bit-equal to the plain semi join — no false
+    negatives by construction — which is what lets a probabilistic structure
+    sit under the exact oracle gate.  See ``operators.bloom`` for the 100 TB
+    contract (probe shuffle volume drops to ~the matching fraction)."""
+    from airflow_cms_inpatient_etl_spark.operators.bloom import bloom_semi_join
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    build = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+    return bloom_semi_join(li, build, "l_orderkey", "o_orderkey")
+
+
+# --------------------------------------------------------------------------- #
+# graph_triangle_count — clustering structure of the transition graph          #
+# --------------------------------------------------------------------------- #
+
+
+def _transition_edges_sql() -> str:
+    """Shared CTE text: the directed (prev k -> k) transition edges per user,
+    the same graph the PageRank query walks."""
+    return """
+    ev AS (
+        SELECT user_id, ts, event_id, CAST(props->>'k' AS BIGINT) AS node FROM events
+    ),
+    tr AS (
+        SELECT node AS dst,
+               LAG(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM ev
+    )"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_transition_edges_sql()},
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM tr WHERE src IS NOT NULL AND src <> dst
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    member AS (
+        SELECT x AS node FROM tri UNION ALL
+        SELECT y FROM tri UNION ALL
+        SELECT z FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY node
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the undirected k-transition graph — the
+    clustering-structure profile that complements PageRank (centrality) and
+    connected components (reachability).  Canonical a<b<c enumeration via
+    two equi-joins on the ordered edge list (each triangle found exactly
+    once); at scale both joins shuffle on node ids and the edge list is the
+    already-aggregated distinct pair set, orders of magnitude smaller than
+    the event log."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("node"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("node").alias("dst"), F.lag("node").over(w).alias("src")
+    ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    und = tr.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    member = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -55,6 +55,22 @@ HEADLINE = [
     "corpus_curation_v2",
     "sim_pq_adc_topk",
     "dedup_incremental_index",
+    # round-5 additions: every new operator family measured from day one —
+    # the heavy ones are the SemDeDup pair join, the 6-round integer
+    # PageRank (iteration overhead dominates at bench scale), and the
+    # overlap chunker's output expansion
+    "doc_chunk_overlap",
+    "weighted_corpus_sample",
+    "dedup_source_precedence",
+    "text_entropy_quality",
+    "heavy_hitters_cms",
+    "graph_pagerank",
+    "semdedup_prune",
+    "winsorize_quality_clip",
+    "epoch_shuffle_order",
+    "dedup_containment",
+    "bloom_semijoin_lineitem",
+    "graph_triangle_count",
 ]
 
 

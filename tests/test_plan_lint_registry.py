@@ -1,0 +1,58 @@
+"""Repo-wide physical-plan lint: EVERY registered query's plan is swept for
+the two scale killers — non-broadcast cartesian products and Python
+evaluation stages — so a regression anywhere in the 119-query surface fails
+CI by name, not by a slow bench three rounds later.
+
+Allowed Python stages are exactly the documented Arrow-batched multimodal
+decode paths (the image/audio libs are stubbed, but the mapInPandas plumbing
+is the real contract).  Row-at-a-time BatchEvalPython is allowed NOWHERE.
+"""
+
+from __future__ import annotations
+
+from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+from tests.conftest import SF_SMOKE
+
+# live-streaming queries execute real micro-batch jobs at construction time;
+# their plan shapes are asserted by tests/test_streaming.py instead
+_SKIP = {
+    "streaming_tumbling_live",
+    "streaming_late_data_live",
+    "streaming_stream_stream_join_live",
+    "streaming_stateful_profile_live",
+}
+
+# the ONLY queries allowed to cross into Python, all Arrow-batched
+_ARROW_WHITELIST = {
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+}
+
+_ARROW_NODES = (
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "FlatMapCoGroupsInPandas",
+)
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_no_cartesian_and_no_python_outside_whitelist(spark):
+    violations = []
+    for name, spec in QUERY_REGISTRY.items():
+        if name in _SKIP:
+            continue
+        plan = _formatted(spec.fn(spark, SF_SMOKE))
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            violations.append(f"{name}: row-at-a-time Python UDF")
+        arrow = [n for n in _ARROW_NODES if n in plan]
+        if arrow and name not in _ARROW_WHITELIST:
+            violations.append(f"{name}: unexpected Python stage {arrow}")
+        if name in _ARROW_WHITELIST and not arrow:
+            violations.append(f"{name}: whitelist entry no longer uses Arrow — prune it")
+    assert not violations, "\n".join(violations)

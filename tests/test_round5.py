@@ -192,3 +192,63 @@ def test_source_precedence_keeps_best_source(spark):
         winner = grp[grp.keep].iloc[0]
         best = min(int(s[3:]) for s in grp.source)
         assert int(winner.source[3:]) == best
+
+
+# --------------------------------------------------------------------------- #
+# bloom semi-join / triangles                                                  #
+# --------------------------------------------------------------------------- #
+
+
+def test_bloom_prune_no_false_negatives_and_effective(spark):
+    from airflow_cms_inpatient_etl_spark.operators.bloom import bloom_build, bloom_prune
+
+    o = load_table(spark, SF_ORACLE, "orders")
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    build = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+    words = bloom_build(build, "o_orderkey")
+    true_keys = {r["o_orderkey"] for r in build.collect()}
+    surviving = {r["l_orderkey"] for r in bloom_prune(li, "l_orderkey", words).collect()}
+    matching = {r["l_orderkey"] for r in li.select("l_orderkey").distinct().collect()} & true_keys
+    assert matching <= surviving  # NO false negatives — the exactness contract
+    # and the filter actually prunes: survivors are far below the full scan
+    assert li.count() > 3 * bloom_prune(li, "l_orderkey", words).count()
+
+
+def test_bloom_prune_is_mapside(spark):
+    from airflow_cms_inpatient_etl_spark.operators.bloom import bloom_build, bloom_prune
+
+    o = load_table(spark, SF_ORACLE, "orders")
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    build = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", bloom_build(build, "o_orderkey"))
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(pruned._jdf.queryExecution(), "formatted")
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 0  # filter = scan-side only
+
+
+def test_triangle_counts_match_networkx_free_reference(spark):
+    """Independent per-node triangle check via a driver-side adjacency walk
+    (the graph is ~100 nodes, so the O(n·d²) reference is cheap)."""
+    out = {r["node"]: r["n_triangles"] for r in
+           QUERY_REGISTRY["graph_triangle_count"].fn(spark, SF_ORACLE).collect()}
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    import json as _json
+    ev["node"] = ev["props"].map(lambda s: _json.loads(s)["k"])
+    edges = set()
+    for _, grp in ev.groupby("user_id"):
+        ks = list(grp.node)
+        for a, b in zip(ks, ks[1:]):
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[int, int] = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    expect = {n: c // 3 for n, c in expect.items()}  # each triangle seen via 3 edges
+    assert out == {n: c for n, c in expect.items() if c > 0}

@@ -50,6 +50,13 @@ CANARY_QUERIES = [
     # canary so a regression in them is measured, not inferred
     "dedup_incremental_index",
     "corpus_curation_v2",
+    # round-5 additions: the chunker's output expansion, the zero-shuffle
+    # entropy scan, the fixed-node PageRank over 10× edges, and the
+    # SemDeDup pair join (the quadratic-risk shape — cluster-blocked)
+    "doc_chunk_overlap",
+    "text_entropy_quality",
+    "graph_pagerank",
+    "semdedup_prune",
 ]
 
 
@@ -165,6 +172,21 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     # exactly how a language-filtered pretraining snapshot behaves on a
     # growing multilingual crawl
     assert got["corpus_curation_v2"] == base["corpus_curation_v2"]
+
+    # letter translation preserves whitespace, so per-doc token counts (and
+    # with them chunk counts) are replica-invariant → exactly 10× chunks;
+    # entropy emits one row per doc → exactly 10×
+    assert got["doc_chunk_overlap"] == 10 * base["doc_chunk_overlap"]
+    assert got["text_entropy_quality"] == 10 * base["text_entropy_quality"]
+    # replicas reuse the same props.k values under shifted user ids, so the
+    # node set is CONSTANT while every edge weight (and wsum with it) grows
+    # 10× — rank output stays one row per node
+    assert got["graph_pagerank"] == base["graph_pagerank"]
+    # SemDeDup emits one row per vector → exactly 10×; the pair join
+    # underneath is cluster-blocked, which is what keeps 10× data from
+    # costing 100× wall-clock (at corpus scale the centroid count grows
+    # with the corpus to hold cluster sizes bounded)
+    assert got["semdedup_prune"] == 10 * base["semdedup_prune"]
 
     # no driver-side materialization: counts() move no rows to Python, so the
     # Python driver's peak RSS must not grow meaningfully with 10× data
