@@ -133,6 +133,7 @@ def pagerank_integer(
     n_iter: int = 6,
     scale: int = 10**12,
     damping_pct: int = 85,
+    materialize_every: int | None = 2,
 ) -> DataFrame:
     """Weighted PageRank with INTEGER arithmetic — bit-reproducible across
     engines, partitionings, and runs.
@@ -149,10 +150,16 @@ def pagerank_integer(
     per node per round: irrelevant for ranking, priceless for determinism.
 
     Spark shape: ``edges``/``nodes``/out-degree are computed once and
-    cached; each iteration is one shuffle (the groupBy on dst).  Ranks are
-    snapshotted (persist + materialize) every second iteration and the
-    previous snapshot released, so live storage is bounded at one snapshot
-    and everything stays ``clearCache``-releasable.
+    cached; each iteration is one shuffle (the groupBy on dst).  With
+    ``materialize_every`` set (the long-run default), ranks are snapshotted
+    (persist + materialize) on that cadence and the previous snapshot
+    released — live storage bounded at one snapshot, everything
+    ``clearCache``-releasable.  With ``materialize_every=None`` the whole
+    n_iter recurrence stays ONE lazy unrolled plan (the right mode for
+    small fixed iteration budgets: no per-round job overhead; each stage
+    is still shuffle-bounded, AQE plans the chain end-to-end) — reserve
+    the snapshot mode for deep budgets where mid-flight failure recompute
+    or plan growth matters.
 
     ``edges``: (src, dst, w) BIGINT columns.  ``nodes``: (node,) — must
     cover every src/dst.  Returns (node, rank) with SUM(rank) <= scale.
@@ -190,7 +197,7 @@ def pagerank_integer(
         # truncate lineage — fine at this iteration count; for deep
         # iteration budgets on a real cluster, swap the snapshot for a
         # reliable checkpoint dir (which does truncate).
-        if i % 2 == 1 or i == n_iter - 1:
+        if materialize_every and (i % materialize_every == materialize_every - 1 or i == n_iter - 1):
             ranks = ranks.persist()
             ranks.count()
             if pinned is not None:

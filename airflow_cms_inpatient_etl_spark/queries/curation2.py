@@ -338,7 +338,9 @@ def graph_pagerank(spark, sf_dir):
     rank units (1e-12) make the iteration bit-reproducible, so a 6-deep
     iterative algorithm hash-matches an independently-unrolled SQL oracle —
     see ``operators.graph.pagerank_integer`` for the scale contract (one
-    shuffle per iteration, lineage truncated per round)."""
+    shuffle per iteration).  A fixed 6-iteration budget runs in the
+    operator's unrolled-lazy mode: one declarative plan, no per-round
+    materialization jobs; the snapshot mode exists for deep budgets."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
@@ -351,7 +353,9 @@ def graph_pagerank(spark, sf_dir):
     ).filter(F.col("src").isNotNull())
     edges = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
     nodes = ev.select("node").distinct()
-    return pagerank_integer(edges, nodes, n_iter=_PR_ITERS, scale=_PR_SCALE)
+    return pagerank_integer(
+        edges, nodes, n_iter=_PR_ITERS, scale=_PR_SCALE, materialize_every=None
+    )
 
 
 # --------------------------------------------------------------------------- #

@@ -193,3 +193,24 @@ def stream_upsert_to_parquet(
         .outputMode("update")
         .start()
     )
+
+
+def stream_cms_cells(events: DataFrame, depth: int = 4, width: int = 64) -> DataFrame:
+    """Count-min sketch maintained AS STREAMING STATE: each micro-batch folds
+    its items into the same depth×width cell grid a batch build produces
+    (``operators.sketch``), so the running aggregation state is bounded at
+    depth·width counters NO MATTER how many distinct items the stream carries
+    — the property that makes CMS the heavy-hitters structure for unbounded
+    key domains, where an exact per-key streaming count would grow state
+    without limit.  Because cell updates are associative integer adds, the
+    streamed grid is CELL-EXACT equal to the batch sketch over the same data
+    (asserted in tests), not merely approximately equal."""
+    item = F.get_json_object("props", "$.k").cast("long").alias("item")
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
+    return (
+        events.select(item)
+        .select("item", rows)
+        .select("row", F.pmod(F.xxhash64(F.col("item"), F.col("row")), F.lit(width)).alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

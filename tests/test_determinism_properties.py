@@ -65,3 +65,46 @@ def test_dsum_differs_from_naive_double_sum_in_concept(spark):
     df = spark.range(10_000).select(F.lit(0.1).alias("x"))
     exact = df.agg(dsum("x", "s")).first()["s"]
     assert exact == 1000.0  # decimal sum of 0.1 × 10k is exactly 1000
+
+
+# word tokens over the corpus alphabet (lowercase + digits), joined by
+# messy whitespace — the chunker must be invariant to whitespace shape
+_token = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
+_ws = st.sampled_from([" ", "  ", "\t", " \t ", "\n"])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_token, min_size=1, max_size=130), st.data())
+def test_doc_chunk_overlap_covers_any_token_stream(spark, tokens, data):
+    """For ANY token stream and whitespace shape: chunk starts are exactly
+    range(0, n, stride), stride-prefixes reassemble the original stream, and
+    full chunks overlap their successor by chunk-stride tokens."""
+    text = ""
+    for i, t in enumerate(tokens):
+        text += (data.draw(_ws) if i else "") + t
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = df.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    chunks = (
+        toks.select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.size("w") - 1, F.lit(30))).alias("start_tok"),
+        )
+        .select(
+            "start_tok",
+            F.slice(F.col("w"), F.col("start_tok") + 1, 40).alias("chunk"),
+        )
+        .collect()
+    )
+    n = len(tokens)
+    got = {r["start_tok"]: list(r["chunk"]) for r in chunks}
+    assert sorted(got) == list(range(0, n, 30))
+    rebuilt = []
+    for s in sorted(got):
+        rebuilt.extend(got[s][: min(30, n - s)])
+    assert rebuilt == tokens
+    for s in sorted(got):
+        if len(got[s]) == 40 and s + 30 in got:
+            assert got[s][30:] == got[s + 30][:10]

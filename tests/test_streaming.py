@@ -458,3 +458,23 @@ def test_stream_upsert_corrupt_target_fails_batch(spark, tmp_path):
         q.stop()
     # the corrupt table was NOT silently overwritten by the micro-batch
     assert (target / "part-00000.parquet").read_bytes() == b"not a parquet file"
+
+
+def test_streaming_cms_cells_equal_batch_sketch(spark, events_stream_dir):
+    """The streamed sketch state is cell-for-cell identical to the batch
+    build — the exactness that mergeable-integer sketches give streaming
+    (state stays bounded at depth*width regardless of item cardinality)."""
+    from airflow_cms_inpatient_etl_spark.operators.sketch import cms_build
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import stream_cms_cells
+
+    events = stream_events(spark, events_stream_dir)
+    name = _table("cms")
+    run_stream_to_memory(stream_cms_cells(events), name, output_mode="complete")
+    streamed = {(r["row"], r["col"]): r["cnt"] for r in spark.table(name).collect()}
+    items = load_table(spark, SF_SMOKE, "events").select(
+        F.get_json_object("props", "$.k").cast("long").alias("item")
+    )
+    batch = {(r["row"], r["col"]): r["cnt"] for r in cms_build(items, "item").collect()}
+    assert streamed == batch and len(streamed) > 0
+    # bounded-state contract: the grid never exceeds depth*width cells
+    assert len(streamed) <= 4 * 64
