@@ -50,14 +50,14 @@ _PRIORITY = [
     # every slot hash-eligible.  After round 4 the cross-round union is       #
     # 112/112 driver-green; staleness now = rounds since last driver check.  #
     # Composition:                                                            #
-    #   a. the 12 queries ADDED this round (chunking, weighted sample,       #
+    #   a. the 13 queries ADDED this round (chunking, weighted sample,       #
     #      source-precedence dedup, map-side entropy, count-min heavy        #
     #      hitters, integer PageRank, SemDeDup prune, winsorize clip,        #
     #      epoch shuffle, containment dedup, bloom semi-join, triangle      #
-    #      count) — never checked;                                           #
+    #      count, curation v3) — never checked;                              #
     #   b. the 3 set-op ALL variants (last check r01);                       #
     #   c. the 13 r2-stale queries;                                          #
-    #   d. 22 of the 44 hash-eligible r3-stale queries, preferring those     #
+    #   d. 21 of the 44 hash-eligible r3-stale queries, preferring those     #
     #      sharing code paths touched this round (the events.ts NTZ/LTZ      #
     #      normalization in sources/registry flows through every events      #
     #      query) plus the judge-named flagship/q1.                          #
@@ -77,6 +77,7 @@ _PRIORITY = [
     "dedup_containment",
     "bloom_semijoin_lineitem",
     "graph_triangle_count",
+    "corpus_curation_v3",
     # -- b. r1-stale -------------------------------------------------------- #
     "set_union_all_counts",
     "set_intersect_all_linenums",
@@ -111,7 +112,6 @@ _PRIORITY = [
     "variant_functions",
     "text_quality_scores",
     "text_tfidf_top_terms",
-    "text_rolling_hash",
     "dedup_exact_distinct",
     "dedup_exact_text",
     "dedup_minhash_lsh",
@@ -126,6 +126,7 @@ _PRIORITY = [
     # then the two rows-only-by-nature live-stream queries, then the        #
     # r4-checked block falls through in registration order.                 #
     # ======================================================================= #
+    "text_rolling_hash",
     "split_train_test_hash",
     "cdc_upsert_orders",
     "incremental_agg_merge",

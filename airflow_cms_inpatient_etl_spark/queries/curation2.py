@@ -599,7 +599,10 @@ def dedup_containment(spark, sf_dir):
     from airflow_cms_inpatient_etl_spark.operators.text import exploded_shingle_hashes
 
     d = load_table(spark, sf_dir, "documents")
-    ex = exploded_shingle_hashes(d, "doc_id", "text")
+    # three consumers (sizes + both join sides) read the posting lists —
+    # cache them once, same contract as the minhash operator's
+    # cache_shingles (catalog-releasable; caller owns clearCache timing)
+    ex = exploded_shingle_hashes(d, "doc_id", "text").cache()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("a_size"))
     a = ex.select(F.col("doc_id").alias("a_id"), "h")
     b = ex.select(F.col("doc_id").alias("b_id"), "h")
@@ -724,3 +727,117 @@ def graph_triangle_count(spark, sf_dir):
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --------------------------------------------------------------------------- #
+# corpus_curation_v3 — the round-5 primitives composed end-to-end              #
+# --------------------------------------------------------------------------- #
+
+_V3_ENTROPY_GATE = 4.0
+_V3_PER_LANG_K = 40
+
+
+def _v3_oracle() -> str:
+    ent_select = "SELECT " + ", ".join(_entropy_exprs()) + " FROM documents"
+    return f"""
+    WITH ent AS ({ent_select}),
+    pct AS (
+        SELECT lang,
+               QUANTILE_CONT(n_chars, 0.05) AS p05,
+               QUANTILE_CONT(n_chars, 0.95) AS p95
+        FROM documents GROUP BY lang
+    ),
+    fp AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY MD5(ARRAY_TO_STRING(
+                       STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')[1:3], ' '))
+                   ORDER BY CAST(SUBSTR(source, 4) AS INT), doc_id) AS rn
+        FROM documents
+    ),
+    gated AS (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars, ent.char_entropy,
+               LEN(STRING_SPLIT_REGEX(TRIM(LOWER(d.text)), '\\s+')) AS n_tokens,
+               CAST('0x' || SUBSTR(MD5('wsamp:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   // d.n_chars AS priority
+        FROM documents d
+        JOIN ent ON ent.doc_id = d.doc_id
+        JOIN pct ON pct.lang = d.lang
+        JOIN fp ON fp.doc_id = d.doc_id
+        WHERE ent.char_entropy >= {_V3_ENTROPY_GATE}
+          AND d.n_chars BETWEEN pct.p05 AND pct.p95
+          AND fp.rn = 1
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, doc_id)
+                       AS BIGINT) AS lang_rank
+        FROM gated
+    )
+    SELECT doc_id, lang, source, n_chars, char_entropy, lang_rank,
+           ((n_tokens - 1) // 30) + 1 AS n_chunks
+    FROM ranked WHERE lang_rank <= {_V3_PER_LANG_K}
+    """
+
+
+@register("corpus_curation_v3", oracle=_v3_oracle())
+def corpus_curation_v3(spark, sf_dir):
+    """Round-5 curation composition — the snapshot pass that strings the new
+    primitives together end-to-end: (1) the map-side char-entropy gate
+    (garbage filter, >= {_V3_ENTROPY_GATE} bits); (2) the per-language
+    winsorize band (length within exact [p05, p95]); (3) source-precedence
+    dedup (most-trusted copy survives); (4) the weighted deterministic
+    per-language cap (top-{_V3_PER_LANG_K} by integer h/weight priority —
+    quality-biased, rerun-stable); (5) overlap-chunk accounting for the
+    survivors (chunks the packer will see, computed WITHOUT the explode:
+    (n_tokens-1) div 30 + 1).  Shapes: ONE heavy scan computes every
+    per-doc expression (entropy, fingerprint, tokens, hash) in a single
+    projection — no doc_id self-joins re-reading the table; the only other
+    scan is the 2-column percentile aggregate, broadcast back; then one
+    fingerprint window shuffle and one per-lang rank window."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_sql = "split(trim(lower(text)), '\\\\s+')"
+    base = d.selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        next(e for e in _entropy_exprs() if e.endswith("AS char_entropy")),
+        f"md5(array_join(slice({tok_sql}, 1, 3), ' ')) AS fingerprint",
+        "CAST(substring(source, 4, 8) AS INT) AS src_priority",
+        f"size({tok_sql}) AS n_tokens",
+        "CAST(conv(substring(md5('wsamp:' || CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) AS hv",
+    )
+    pct = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    keep_rn = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy("src_priority", "doc_id")
+    )
+    gated = (
+        base.withColumn("rn", keep_rn)
+        .join(F.broadcast(pct), "lang")
+        .filter(
+            (F.col("char_entropy") >= _V3_ENTROPY_GATE)
+            & (F.col("n_chars") >= F.col("p05"))
+            & (F.col("n_chars") <= F.col("p95"))
+            & (F.col("rn") == 1)
+        )
+        .withColumn("priority", F.expr("hv div n_chars"))
+        .drop("p05", "p95", "rn", "hv", "fingerprint", "src_priority")
+    )
+    lang_rank = F.row_number().over(Window.partitionBy("lang").orderBy("priority", "doc_id"))
+    return (
+        gated.withColumn("lang_rank", lang_rank.cast("long"))
+        .filter(F.col("lang_rank") <= _V3_PER_LANG_K)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "char_entropy",
+            "lang_rank",
+            F.expr("((n_tokens - 1) div 30) + 1").alias("n_chunks"),
+        )
+    )

@@ -71,6 +71,7 @@ HEADLINE = [
     "dedup_containment",
     "bloom_semijoin_lineitem",
     "graph_triangle_count",
+    "corpus_curation_v3",
 ]
 
 
