@@ -203,6 +203,13 @@ def pagerank_integer(
             if pinned is not None:
                 pinned.unpersist(blocking=False)
             pinned = ranks
-    edges.unpersist(blocking=False)  # iterations have materialized; cache done
-    nodes.unpersist(blocking=False)
+    if materialize_every:
+        # snapshot mode materialized every iteration — the edge/node caches
+        # have served all their reads; release them now
+        edges.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+    # unrolled mode: nothing has executed yet, so unpersisting here would
+    # cancel the cache BEFORE its first use and recompute the out-degree
+    # join once per iteration — leave both pinned (tiny: the aggregated
+    # edge list + node list); the caller releases via clearCache
     return ranks
