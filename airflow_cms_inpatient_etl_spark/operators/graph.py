@@ -134,6 +134,7 @@ def pagerank_integer(
     scale: int = 10**12,
     damping_pct: int = 85,
     materialize_every: int | None = 2,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank with INTEGER arithmetic — bit-reproducible across
     engines, partitionings, and runs.
@@ -163,6 +164,11 @@ def pagerank_integer(
 
     ``edges``: (src, dst, w) BIGINT columns.  ``nodes``: (node,) — must
     cover every src/dst.  Returns (node, rank) with SUM(rank) <= scale.
+
+    ``seeds`` switches to PERSONALIZED PageRank: initial mass and the
+    teleport term concentrate on the seed node set (scale div n_seeds
+    each; zero elsewhere), so ranks measure proximity to the seeds — the
+    "similar pages / related users" primitive.  Same integer exactness.
     """
     outd = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
     edges = edges.join(outd, "src").persist()
@@ -171,10 +177,25 @@ def pagerank_integer(
     # legitimate driver coordination connected_components uses for its
     # convergence check — it folds the teleport term into integer literals
     # so each iteration is exactly join + groupBy + left-join.
-    n_nodes = nodes.count()
-    init = scale // n_nodes
+    if seeds is None:
+        n_tele = nodes.count()
+    else:
+        seeds = seeds.select("node").distinct().persist()
+        n_tele = seeds.count()
+    init = scale // n_tele
     base = (100 - damping_pct) * init // 100
-    ranks = nodes.select("node", F.lit(init).alias("rank"))
+    if seeds is None:
+        teleport = nodes.select("node", F.lit(base).alias("tele"))
+        ranks = nodes.select("node", F.lit(init).alias("rank"))
+    else:
+        flag = seeds.withColumn("__s", F.lit(1))
+        teleport = nodes.join(flag, "node", "left").select(
+            "node", F.when(F.col("__s").isNotNull(), base).otherwise(0).alias("tele")
+        )
+        ranks = nodes.join(flag, "node", "left").select(
+            "node", F.when(F.col("__s").isNotNull(), init).otherwise(0).alias("rank")
+        )
+    teleport = teleport.persist()
     pinned = None
     for i in range(n_iter):
         contrib = (
@@ -183,9 +204,9 @@ def pagerank_integer(
             .groupBy("dst")
             .agg(F.sum("c").alias("inbound"))
         )
-        ranks = nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left").select(
+        ranks = teleport.join(contrib.withColumnRenamed("dst", "node"), "node", "left").select(
             "node",
-            (F.lit(base) + F.expr(f"{damping_pct} * coalesce(inbound, 0L) div 100")).alias(
+            (F.col("tele") + F.expr(f"{damping_pct} * coalesce(inbound, 0L) div 100")).alias(
                 "rank"
             ),
         )
@@ -208,6 +229,9 @@ def pagerank_integer(
         # have served all their reads; release them now
         edges.unpersist(blocking=False)
         nodes.unpersist(blocking=False)
+        teleport.unpersist(blocking=False)
+        if seeds is not None:
+            seeds.unpersist(blocking=False)
     # unrolled mode: nothing has executed yet, so unpersisting here would
     # cancel the cache BEFORE its first use and recompute the out-degree
     # join once per iteration — leave both pinned (tiny: the aggregated

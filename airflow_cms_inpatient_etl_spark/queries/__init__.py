@@ -50,14 +50,14 @@ _PRIORITY = [
     # every slot hash-eligible.  After round 4 the cross-round union is       #
     # 112/112 driver-green; staleness now = rounds since last driver check.  #
     # Composition:                                                            #
-    #   a. the 13 queries ADDED this round (chunking, weighted sample,       #
+    #   a. the 14 queries ADDED this round (chunking, weighted sample,       #
     #      source-precedence dedup, map-side entropy, count-min heavy        #
     #      hitters, integer PageRank, SemDeDup prune, winsorize clip,        #
     #      epoch shuffle, containment dedup, bloom semi-join, triangle      #
-    #      count, curation v3) — never checked;                              #
+    #      count, curation v3, personalized pagerank) — never checked;      #
     #   b. the 3 set-op ALL variants (last check r01);                       #
     #   c. the 13 r2-stale queries;                                          #
-    #   d. 21 of the 44 hash-eligible r3-stale queries, preferring those     #
+    #   d. 20 of the 44 hash-eligible r3-stale queries, preferring those     #
     #      sharing code paths touched this round (the events.ts NTZ/LTZ      #
     #      normalization in sources/registry flows through every events      #
     #      query) plus the judge-named flagship/q1.                          #
@@ -78,6 +78,7 @@ _PRIORITY = [
     "bloom_semijoin_lineitem",
     "graph_triangle_count",
     "corpus_curation_v3",
+    "graph_personalized_pagerank",
     # -- b. r1-stale -------------------------------------------------------- #
     "set_union_all_counts",
     "set_intersect_all_linenums",
@@ -107,7 +108,6 @@ _PRIORITY = [
     "corpus_curation_v2",
     "dq_k_anonymity",
     "conditional_aggregation",
-    "math_functions",
     "error_safe_functions",
     "variant_functions",
     "text_quality_scores",
@@ -126,6 +126,7 @@ _PRIORITY = [
     # then the two rows-only-by-nature live-stream queries, then the        #
     # r4-checked block falls through in registration order.                 #
     # ======================================================================= #
+    "math_functions",
     "text_rolling_hash",
     "split_train_test_hash",
     "cdc_upsert_orders",

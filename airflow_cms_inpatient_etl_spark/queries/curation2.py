@@ -841,3 +841,85 @@ def corpus_curation_v3(spark, sf_dir):
             F.expr("((n_tokens - 1) div 30) + 1").alias("n_chunks"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# graph_personalized_pagerank — seed-anchored proximity ranking                #
+# --------------------------------------------------------------------------- #
+
+_PPR_SEED_MAX = 10  # seed set: nodes with id < 10
+
+
+def _ppr_oracle() -> str:
+    scale, d = _PR_SCALE, 85
+    tele = (
+        f"CASE WHEN nodes.node < {_PPR_SEED_MAX} "
+        f"THEN ({100 - d} * ({scale} // (SELECT n_seeds FROM ns))) // 100 ELSE 0 END"
+    )
+    parts = [
+        f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, CAST(props->>'k' AS BIGINT) AS node FROM events
+    ),
+    tr AS (
+        SELECT node AS dst,
+               LAG(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM ev
+    ),
+    edges AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+        FROM tr WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT node FROM ev),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds FROM nodes WHERE node < {_PPR_SEED_MAX}),
+    r0 AS (
+        SELECT node,
+               CASE WHEN node < {_PPR_SEED_MAX}
+                    THEN {scale} // (SELECT n_seeds FROM ns) ELSE 0 END AS rank
+        FROM nodes
+    )"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+        SELECT nodes.node,
+               {tele} + ({d} * COALESCE(CAST(SUM((r.rank * e.w) // o.wsum) AS BIGINT), 0)) // 100
+                   AS rank
+        FROM nodes
+        LEFT JOIN edges e ON e.dst = nodes.node
+        LEFT JOIN r{i - 1} r ON r.node = e.src
+        LEFT JOIN outd o ON o.src = e.src
+        GROUP BY nodes.node
+    )"""
+        )
+    parts.append(f"\n    SELECT node, rank FROM r{_PR_ITERS}")
+    return "".join(parts)
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank: teleport mass restricted to a seed set (node
+    ids < {_PPR_SEED_MAX}), so the stationary ranks measure proximity TO THE
+    SEEDS — the related-items/related-users primitive recommendation and
+    expansion queries build on.  Same integer-exact machinery as
+    graph_pagerank (``operators.graph.pagerank_integer(seeds=...)``), so the
+    6-iteration recurrence still hash-matches an unrolled SQL oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("node"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("node").alias("dst"), F.lag("node").over(w).alias("src")
+    ).filter(F.col("src").isNotNull())
+    edges = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    nodes = ev.select("node").distinct()
+    seeds = nodes.filter(F.col("node") < _PPR_SEED_MAX)
+    return pagerank_integer(
+        edges, nodes, n_iter=_PR_ITERS, scale=_PR_SCALE,
+        materialize_every=None, seeds=seeds,
+    )

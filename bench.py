@@ -72,6 +72,7 @@ HEADLINE = [
     "bloom_semijoin_lineitem",
     "graph_triangle_count",
     "corpus_curation_v3",
+    "graph_personalized_pagerank",
 ]
 
 

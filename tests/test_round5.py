@@ -252,3 +252,20 @@ def test_triangle_counts_match_networkx_free_reference(spark):
                 expect[n] = expect.get(n, 0) + 1
     expect = {n: c // 3 for n, c in expect.items()}  # each triangle seen via 3 edges
     assert out == {n: c for n, c in expect.items() if c > 0}
+
+
+def test_personalized_pagerank_seed_anchoring(spark):
+    """Seeds-mode contract on the toy graph: a non-seed node with no
+    in-edges gets EXACTLY zero (no teleport mass off-seed), and total mass
+    stays bounded by scale; snapshot mode and unrolled mode agree bit-wise."""
+    edges, nodes = _toy_graph(spark)
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    snap = {r["node"]: r["rank"] for r in
+            pagerank_integer(edges, nodes, n_iter=6, seeds=seeds).collect()}
+    lazy = {r["node"]: r["rank"] for r in
+            pagerank_integer(edges, nodes, n_iter=6, seeds=seeds,
+                             materialize_every=None).collect()}
+    assert snap == lazy  # execution mode cannot change integer results
+    assert snap[4] == 0  # non-seed, no in-edges: zero mass
+    assert sum(snap.values()) <= 10**12
+    assert snap[1] > snap[4] and snap[2] > snap[4]

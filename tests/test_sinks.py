@@ -290,3 +290,17 @@ def test_avro_roundtrip_or_gated(spark, tmp_path):
 
         with pytest.raises(NotImplementedError):
             write_avro(df, str(tmp_path / "avro_t"))
+
+
+def test_parquet_codec_roundtrip(spark, tmp_path):
+    """Compression is a per-write choice that must not leak into semantics:
+    zstd/snappy/gzip outputs all read back row-identical."""
+    df = spark.range(1000).selectExpr("id", "CAST(id * 2.5 AS DOUBLE) AS v", "CAST(id AS STRING) AS s")
+    expect = [(r["id"], r["v"], r["s"]) for r in df.collect()]
+    for codec in ("zstd", "snappy", "gzip"):
+        path = str(tmp_path / f"codec_{codec}")
+        df.write.mode("overwrite").option("compression", codec).parquet(path)
+        got = sorted(
+            (r["id"], r["v"], r["s"]) for r in spark.read.parquet(path).collect()
+        )
+        assert got == sorted(expect), codec
