@@ -50,14 +50,15 @@ _PRIORITY = [
     # every slot hash-eligible.  After round 4 the cross-round union is       #
     # 112/112 driver-green; staleness now = rounds since last driver check.  #
     # Composition:                                                            #
-    #   a. the 14 queries ADDED this round (chunking, weighted sample,       #
+    #   a. the 15 queries ADDED this round (chunking, weighted sample,       #
     #      source-precedence dedup, map-side entropy, count-min heavy        #
     #      hitters, integer PageRank, SemDeDup prune, winsorize clip,        #
     #      epoch shuffle, containment dedup, bloom semi-join, triangle      #
-    #      count, curation v3, personalized pagerank) — never checked;      #
+    #      count, curation v3, personalized pagerank, incremental IVF)      #
+    #      — never checked;                                                  #
     #   b. the 3 set-op ALL variants (last check r01);                       #
     #   c. the 13 r2-stale queries;                                          #
-    #   d. 20 of the 44 hash-eligible r3-stale queries, preferring those     #
+    #   d. 19 of the 44 hash-eligible r3-stale queries, preferring those     #
     #      sharing code paths touched this round (the events.ts NTZ/LTZ      #
     #      normalization in sources/registry flows through every events      #
     #      query) plus the judge-named flagship/q1.                          #
@@ -79,6 +80,7 @@ _PRIORITY = [
     "graph_triangle_count",
     "corpus_curation_v3",
     "graph_personalized_pagerank",
+    "sim_incremental_ivf",
     # -- b. r1-stale -------------------------------------------------------- #
     "set_union_all_counts",
     "set_intersect_all_linenums",
@@ -107,7 +109,6 @@ _PRIORITY = [
     "text_pii_scrub",
     "corpus_curation_v2",
     "dq_k_anonymity",
-    "conditional_aggregation",
     "error_safe_functions",
     "variant_functions",
     "text_quality_scores",
@@ -126,6 +127,7 @@ _PRIORITY = [
     # then the two rows-only-by-nature live-stream queries, then the        #
     # r4-checked block falls through in registration order.                 #
     # ======================================================================= #
+    "conditional_aggregation",
     "math_functions",
     "text_rolling_hash",
     "split_train_test_hash",

@@ -923,3 +923,56 @@ def graph_personalized_pagerank(spark, sf_dir):
         edges, nodes, n_iter=_PR_ITERS, scale=_PR_SCALE,
         materialize_every=None, seeds=seeds,
     )
+
+
+# --------------------------------------------------------------------------- #
+# sim_incremental_ivf — daily-delta probe of a standing ANN index              #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "sim_incremental_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id BETWEEN 100 AND 107
+    ),
+    all_assign AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cosine("e.embedding", "c.cvec")} DESC,
+                                           c.centroid_id) AS crn
+        FROM embeddings e, cent c
+    ),
+    assigned AS (SELECT vec_id, embedding, centroid_id FROM all_assign WHERE crn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, centroid_id FROM assigned WHERE vec_id < 50),
+    cand AS (SELECT vec_id AS cid, embedding AS cvec, centroid_id
+             FROM assigned WHERE vec_id >= 50),
+    scored AS (
+        SELECT qid, cid, {_cosine("qvec", "cvec")} AS cosine
+        FROM cand JOIN q USING (centroid_id) WHERE cid <> qid
+    ),
+    ranked AS (
+        SELECT qid, cid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def sim_incremental_ivf(spark, sf_dir):
+    """Incremental ANN — the similarity-side twin of dedup_incremental_index:
+    a DELTA batch (vec_id < 50, the day's new embeddings) probes the STANDING
+    inverted lists (vec_id >= 50, coarse-quantized against the fixed
+    centroids) for its top-3 standing neighbors.  Probe cost is O(delta ×
+    list-occupancy), not O(corpus) — the daily-ingest shape where the corpus
+    index persists and only the delta is scored.  (In a stateless oracle
+    query the standing assignment is recomputed; in production it is the
+    materialized, partition-pruned posting-list table.)"""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    standing = e.filter(F.col("vec_id") >= 50)
+    delta = e.filter(F.col("vec_id") < 50)
+    centroids = e.filter(F.col("vec_id").between(100, 107))
+    return ivf_topk(standing, delta, centroids, k=3)

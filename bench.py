@@ -73,6 +73,7 @@ HEADLINE = [
     "graph_triangle_count",
     "corpus_curation_v3",
     "graph_personalized_pagerank",
+    "sim_incremental_ivf",
 ]
 
 

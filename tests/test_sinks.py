@@ -304,3 +304,18 @@ def test_parquet_codec_roundtrip(spark, tmp_path):
             (r["id"], r["v"], r["s"]) for r in spark.read.parquet(path).collect()
         )
         assert got == sorted(expect), codec
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution across partition writes: an added column surfaces
+    under mergeSchema with NULLs for pre-evolution files, and the default
+    (non-merged) read still succeeds on the first file's schema."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(f"{p}/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.parquet(f"{p}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    rows = {r["id"]: r for r in merged.collect()}
+    assert "score" in merged.columns
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
