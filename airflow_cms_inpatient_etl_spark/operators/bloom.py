@@ -43,6 +43,8 @@ def bloom_build(
     per-partition filters before the <= n_bits/64-row shuffle), collect the
     word list.  Missing words (no bits set) come back as 0.
     """
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError(f"n_bits must be a positive multiple of 64, got {n_bits}")
     n_words = n_bits // 64
     bits = F.explode(F.array(*_bit_positions(F.col("__key"), n_bits, n_hashes))).alias("bit")
     words = (

@@ -18,6 +18,7 @@ from airflow_cms_inpatient_etl_spark.operators.graph import pagerank_integer
 from airflow_cms_inpatient_etl_spark.operators.similarity import cosine, dot, norm
 from airflow_cms_inpatient_etl_spark.operators.sketch import cms_build, cms_estimate
 from airflow_cms_inpatient_etl_spark.queries.base import register
+from airflow_cms_inpatient_etl_spark.operators.text import hash60
 from airflow_cms_inpatient_etl_spark.queries.similarity import _cosine
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 
@@ -48,8 +49,8 @@ _STRIDE = 30
     """,
 )
 def doc_chunk_overlap(spark, sf_dir):
-    """Sequence prep: split each document into {_CHUNK}-token chunks with
-    {_CHUNK - _STRIDE}-token overlap (stride {_STRIDE}) — the sliding-window
+    """Sequence prep: split each document into 40-token chunks with
+    10-token overlap (stride 30) — the sliding-window
     chunking an LLM training pipeline applies before packing.  One narrow
     map stage: tokenize once, explode the (n_tokens/stride) start offsets,
     slice — no shuffle, no Python, output partitioning inherits the scan."""
@@ -108,11 +109,7 @@ def weighted_corpus_sample(spark, sf_dir):
     heaps merged on the driver — no global sort, no single-task shuffle);
     only the K survivors see the tiny rank window."""
     d = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = hash60(F.col("doc_id").cast("string"), seed="wsamp:")
     top = (
         d.select("doc_id", "lang", "source", "n_chars")
         .withColumn("h", h)
@@ -247,7 +244,7 @@ _CMS_DEPTH, _CMS_WIDTH = 4, 64
            CAST(COUNT(*) AS BIGINT) AS exact_count,
            TRUE AS est_ge_exact,
            TRUE AS within_bound
-    FROM e GROUP BY item
+    FROM e WHERE item IS NOT NULL GROUP BY item
     """,
 )
 def heavy_hitters_cms(spark, sf_dir):
@@ -260,13 +257,19 @@ def heavy_hitters_cms(spark, sf_dir):
     sketch is a <=256-row cell table built in one shuffle and broadcast
     back for probing; at 100 TB the sketch build replaces a full per-key
     exact count with a 256-cell partial aggregate per partition."""
-    ev = load_table(spark, sf_dir, "events").select(
-        F.get_json_object("props", "$.k").cast("long").alias("item")
+    # NULL items (absent/non-numeric props.k) are excluded EXPLICITLY on
+    # both sides — an inner equi-join would drop them silently Spark-side
+    # while the oracle's GROUP BY kept a NULL group
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.get_json_object("props", "$.k").cast("long").alias("item"))
+        .filter(F.col("item").isNotNull())
     )
     sketch = cms_build(ev, "item", _CMS_DEPTH, _CMS_WIDTH)
     exact = ev.groupBy("item").agg(F.count(F.lit(1)).alias("exact_count"))
     est = cms_estimate(exact, sketch, "item", _CMS_DEPTH, _CMS_WIDTH)
-    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    # N from the (tiny) exact aggregate — not a third scan of the fact table
+    total = exact.agg(F.sum("exact_count").alias("n_total"))
     return (
         exact.join(est, "item")
         .crossJoin(F.broadcast(total))
@@ -290,9 +293,13 @@ _PR_ITERS = 6
 _PR_SCALE = 10**12
 
 
-def _pagerank_oracle() -> str:
+def _unrolled_pagerank_oracle(count_cte: str, r0_rank: str, tele: str) -> str:
+    """One oracle builder for BOTH PageRank variants — the transition-graph
+    CTEs and the iteration recurrence are written once, so the global and
+    personalized oracles cannot drift apart.  ``count_cte`` supplies the
+    teleport-denominator CTE, ``r0_rank``/``tele`` the initial-rank and
+    per-iteration teleport expressions (referencing it)."""
     scale, d = _PR_SCALE, 85
-    base = f"({100 - d} * ({scale} // (SELECT n_nodes FROM n))) // 100"
     parts = [
         f"""
     WITH ev AS (
@@ -309,15 +316,15 @@ def _pagerank_oracle() -> str:
     ),
     outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM edges GROUP BY src),
     nodes AS (SELECT DISTINCT node FROM ev),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
-    r0 AS (SELECT node, {scale} // (SELECT n_nodes FROM n) AS rank FROM nodes)"""
+    {count_cte},
+    r0 AS (SELECT node, {r0_rank} AS rank FROM nodes)"""
     ]
     for i in range(1, _PR_ITERS + 1):
         parts.append(
             f""",
     r{i} AS (
         SELECT nodes.node,
-               {base} + ({d} * COALESCE(CAST(SUM((r.rank * e.w) // o.wsum) AS BIGINT), 0)) // 100
+               {tele} + ({d} * COALESCE(CAST(SUM((r.rank * e.w) // o.wsum) AS BIGINT), 0)) // 100
                    AS rank
         FROM nodes
         LEFT JOIN edges e ON e.dst = nodes.node
@@ -328,6 +335,35 @@ def _pagerank_oracle() -> str:
         )
     parts.append(f"\n    SELECT node, rank FROM r{_PR_ITERS}")
     return "".join(parts)
+
+
+def _transition_graph(spark, sf_dir):
+    """Shared Spark-side derivation of the event transition graph (the same
+    definition the oracle CTEs encode): per-user (prev k -> k) transitions
+    ordered by (ts, event_id).  Returns (tr, edges, nodes)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("node"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("node").alias("dst"), F.lag("node").over(w).alias("src")
+    ).filter(F.col("src").isNotNull())
+    edges = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    nodes = ev.select("node").distinct()
+    return tr, edges, nodes
+
+
+def _pagerank_oracle() -> str:
+    scale = _PR_SCALE
+    nref = "(SELECT n_nodes FROM n)"
+    return _unrolled_pagerank_oracle(
+        count_cte="n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)",
+        r0_rank=f"{scale} // {nref}",
+        tele=f"(15 * ({scale} // {nref})) // 100",
+    )
 
 
 @register("graph_pagerank", oracle=_pagerank_oracle())
@@ -341,18 +377,7 @@ def graph_pagerank(spark, sf_dir):
     shuffle per iteration).  A fixed 6-iteration budget runs in the
     operator's unrolled-lazy mode: one declarative plan, no per-round
     materialization jobs; the snapshot mode exists for deep budgets."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("node"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tr = ev.select(
-        F.col("node").alias("dst"), F.lag("node").over(w).alias("src")
-    ).filter(F.col("src").isNotNull())
-    edges = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
-    nodes = ev.select("node").distinct()
+    _, edges, nodes = _transition_graph(spark, sf_dir)
     return pagerank_integer(
         edges, nodes, n_iter=_PR_ITERS, scale=_PR_SCALE, materialize_every=None
     )
@@ -397,9 +422,9 @@ _SEM_TAU = 0.28  # within-cluster prune threshold
 )
 def semdedup_prune(spark, sf_dir):
     """SemDeDup-style semantic dedup (Abbas et al. 2023 shape): assign every
-    embedding to its nearest of {_SEM_K} deterministic centroids (broadcast
+    embedding to its nearest of 8 deterministic centroids (broadcast
     — the centroid table is tiny), then prune, WITHIN each cluster only,
-    any vector that has a smaller-id cluster-mate with cosine >= {_SEM_TAU}.
+    any vector that has a smaller-id cluster-mate with cosine >= 0.28.
     The cluster id is the blocking key: candidate pairs are generated by a
     cluster-keyed equi-join, never an all-pairs cross join, so pair cost is
     sum of squared cluster sizes — at corpus scale the centroid count grows
@@ -544,16 +569,10 @@ def epoch_shuffle_order(spark, sf_dir):
     assigns each doc a shard and a position within it, so the read order
     (shard-major, position-minor) is a pure function of (seed, doc_id) —
     reproducible across runs/engines and re-drawable per epoch by bumping
-    the seed.  Sharding first is the scale shape: {_N_SHARDS} independent
+    the seed.  Sharding first is the scale shape: 64 independent
     window sorts instead of one global total order through a single task."""
     d = load_table(spark, sf_dir, "documents")
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    hv = hash60(F.col("doc_id").cast("string"), seed=_SHUFFLE_SEED)
     w = Window.partitionBy("shard").orderBy("hv", "doc_id")
     return (
         d.select("doc_id")
@@ -591,7 +610,7 @@ def _containment_oracle() -> str:
 @register("dedup_containment", oracle=_containment_oracle())
 def dedup_containment(spark, sf_dir):
     """Asymmetric near-dup detection: containment(A->B) = |shingles(A) ∩
-    shingles(B)| / |shingles(A)| >= {_CONTAIN_TAU} catches SUBSET duplicates
+    shingles(B)| / |shingles(A)| >= 0.8 catches SUBSET duplicates
     (a doc embedded in a longer one) that symmetric Jaccard misses — the
     quote-page / boilerplate-wrapper case.  Same inverted-index self-join as
     the Jaccard family: pairs come from shared shingle hashes (int64 posting
@@ -704,16 +723,8 @@ def graph_triangle_count(spark, sf_dir):
     once); at scale both joins shuffle on node ids and the edge list is the
     already-aggregated distinct pair set, orders of magnitude smaller than
     the event log."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("node"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tr = ev.select(
-        F.col("node").alias("dst"), F.lag("node").over(w).alias("src")
-    ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    tr, _, _ = _transition_graph(spark, sf_dir)
+    tr = tr.filter(F.col("src") != F.col("dst"))
     und = tr.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
@@ -783,10 +794,10 @@ def _v3_oracle() -> str:
 def corpus_curation_v3(spark, sf_dir):
     """Round-5 curation composition — the snapshot pass that strings the new
     primitives together end-to-end: (1) the map-side char-entropy gate
-    (garbage filter, >= {_V3_ENTROPY_GATE} bits); (2) the per-language
+    (garbage filter, >= 4.0 bits); (2) the per-language
     winsorize band (length within exact [p05, p95]); (3) source-precedence
     dedup (most-trusted copy survives); (4) the weighted deterministic
-    per-language cap (top-{_V3_PER_LANG_K} by integer h/weight priority —
+    per-language cap (top-40 by integer h/weight priority —
     quality-biased, rerun-stable); (5) overlap-chunk accounting for the
     survivors (chunks the packer will see, computed WITHOUT the explode:
     (n_tokens-1) div 30 + 1).  Shapes: ONE heavy scan computes every
@@ -851,73 +862,28 @@ _PPR_SEED_MAX = 10  # seed set: nodes with id < 10
 
 
 def _ppr_oracle() -> str:
-    scale, d = _PR_SCALE, 85
-    tele = (
-        f"CASE WHEN nodes.node < {_PPR_SEED_MAX} "
-        f"THEN ({100 - d} * ({scale} // (SELECT n_seeds FROM ns))) // 100 ELSE 0 END"
+    scale = _PR_SCALE
+    nref = "(SELECT n_seeds FROM ns)"
+    seed = f"node < {_PPR_SEED_MAX}"
+    return _unrolled_pagerank_oracle(
+        count_cte=(
+            "ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds "
+            f"FROM nodes WHERE {seed})"
+        ),
+        r0_rank=f"CASE WHEN {seed} THEN {scale} // {nref} ELSE 0 END",
+        tele=f"CASE WHEN nodes.{seed} THEN (15 * ({scale} // {nref})) // 100 ELSE 0 END",
     )
-    parts = [
-        f"""
-    WITH ev AS (
-        SELECT user_id, ts, event_id, CAST(props->>'k' AS BIGINT) AS node FROM events
-    ),
-    tr AS (
-        SELECT node AS dst,
-               LAG(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
-        FROM ev
-    ),
-    edges AS (
-        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-        FROM tr WHERE src IS NOT NULL GROUP BY src, dst
-    ),
-    outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM edges GROUP BY src),
-    nodes AS (SELECT DISTINCT node FROM ev),
-    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds FROM nodes WHERE node < {_PPR_SEED_MAX}),
-    r0 AS (
-        SELECT node,
-               CASE WHEN node < {_PPR_SEED_MAX}
-                    THEN {scale} // (SELECT n_seeds FROM ns) ELSE 0 END AS rank
-        FROM nodes
-    )"""
-    ]
-    for i in range(1, _PR_ITERS + 1):
-        parts.append(
-            f""",
-    r{i} AS (
-        SELECT nodes.node,
-               {tele} + ({d} * COALESCE(CAST(SUM((r.rank * e.w) // o.wsum) AS BIGINT), 0)) // 100
-                   AS rank
-        FROM nodes
-        LEFT JOIN edges e ON e.dst = nodes.node
-        LEFT JOIN r{i - 1} r ON r.node = e.src
-        LEFT JOIN outd o ON o.src = e.src
-        GROUP BY nodes.node
-    )"""
-        )
-    parts.append(f"\n    SELECT node, rank FROM r{_PR_ITERS}")
-    return "".join(parts)
 
 
 @register("graph_personalized_pagerank", oracle=_ppr_oracle())
 def graph_personalized_pagerank(spark, sf_dir):
     """Personalized PageRank: teleport mass restricted to a seed set (node
-    ids < {_PPR_SEED_MAX}), so the stationary ranks measure proximity TO THE
+    ids < 10), so the stationary ranks measure proximity TO THE
     SEEDS — the related-items/related-users primitive recommendation and
     expansion queries build on.  Same integer-exact machinery as
     graph_pagerank (``operators.graph.pagerank_integer(seeds=...)``), so the
     6-iteration recurrence still hash-matches an unrolled SQL oracle."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("node"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tr = ev.select(
-        F.col("node").alias("dst"), F.lag("node").over(w).alias("src")
-    ).filter(F.col("src").isNotNull())
-    edges = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
-    nodes = ev.select("node").distinct()
+    _, edges, nodes = _transition_graph(spark, sf_dir)
     seeds = nodes.filter(F.col("node") < _PPR_SEED_MAX)
     return pagerank_integer(
         edges, nodes, n_iter=_PR_ITERS, scale=_PR_SCALE,

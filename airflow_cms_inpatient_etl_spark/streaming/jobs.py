@@ -205,12 +205,10 @@ def stream_cms_cells(events: DataFrame, depth: int = 4, width: int = 64) -> Data
     without limit.  Because cell updates are associative integer adds, the
     streamed grid is CELL-EXACT equal to the batch sketch over the same data
     (asserted in tests), not merely approximately equal."""
+    from airflow_cms_inpatient_etl_spark.operators.sketch import cms_build
+
+    # delegate to the batch builder — cms_build is pure DataFrame ops, so it
+    # works unchanged on a streaming DataFrame, and the batch/stream
+    # cell-exact equivalence the test asserts is true BY CONSTRUCTION
     item = F.get_json_object("props", "$.k").cast("long").alias("item")
-    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
-    return (
-        events.select(item)
-        .select("item", rows)
-        .select("row", F.pmod(F.xxhash64(F.col("item"), F.col("row")), F.lit(width)).alias("col"))
-        .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    return cms_build(events.select(item), "item", depth, width)
