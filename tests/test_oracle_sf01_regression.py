@@ -34,6 +34,16 @@ _HAZARD_CLASS = [
     "events_tumbling_window",
     "count_distinct_segments",
     "conditional_aggregation",
+    # round-5 float-bearing additions: LOG2 ulp (entropy), percentile
+    # interpolation (winsorize, also inside curation v3), ordered-fold
+    # cosines (semdedup, incremental IVF), integer-ratio doubles
+    # (containment) — each cleared sf0.1 on landing; this pins them
+    "text_entropy_quality",
+    "winsorize_quality_clip",
+    "corpus_curation_v3",
+    "semdedup_prune",
+    "sim_incremental_ivf",
+    "dedup_containment",
 ]
 
 _NAMES = (
