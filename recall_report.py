@@ -161,6 +161,63 @@ def main() -> None:
         )
     )
 
+
+    # --- round-5 additions: SemDeDup prune accountability + delta-IVF recall
+    from airflow_cms_inpatient_etl_spark.operators.similarity import cosine
+
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    a_w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), "centroid_id")
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "embedding", "centroid_id",
+            cosine(F.col("embedding"), F.col("cvec")).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(a_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cluster_id"))
+        .persist()
+    )
+    x = assigned.select("cluster_id", F.col("vec_id").alias("x_id"), F.col("embedding").alias("x_vec"))
+    y = assigned.select("cluster_id", F.col("vec_id").alias("y_id"), F.col("embedding").alias("y_vec"))
+    pair_cos = (
+        x.join(y, "cluster_id")
+        .filter(F.col("x_id") < F.col("y_id"))
+        .select(cosine(F.col("x_vec"), F.col("y_vec")).alias("c"), "y_id")
+        .persist()
+    )
+    sem_rows = []
+    for tau in (0.20, 0.28, 0.35):
+        pruned = pair_cos.filter(F.col("c") >= tau).select("y_id").distinct().count()
+        sem_rows.append((tau, pruned, pruned / n_corpus))
+    assigned.unpersist(); pair_cos.unpersist()
+
+    standing = e.filter(F.col("vec_id") >= 50)
+    delta = e.filter(F.col("vec_id") < 50)
+    ivf_cent = e.filter(F.col("vec_id").between(100, 107))
+    d_qs = delta.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    d_w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    delta_truth = {
+        (r["qid"], r["cid"])
+        for r in (
+            standing.select(F.col("vec_id").alias("cid"), "embedding")
+            .crossJoin(F.broadcast(d_qs))
+            .select("qid", "cid", cosine(F.col("embedding"), F.col("qvec")).alias("cos"))
+            .withColumn("rn", F.row_number().over(d_w))
+            .filter(F.col("rn") <= 3)
+            .collect()
+        )
+    }
+    inc_rows = []
+    for npr in (1, 2, 4):
+        got = {
+            (r["qid"], r["cid"])
+            for r in ivf_topk(standing, delta, ivf_cent, k=3, n_probes=npr).collect()
+        }
+        inc_rows.append((npr, len(got & delta_truth) / len(delta_truth)))
+
     lines = [
         "# ANN recall/cost report",
         "",
@@ -198,6 +255,32 @@ def main() -> None:
         "composes: IVF prunes the scan, PQ shrinks what the scan touches.",
         "",
     ]
+    lines += [
+        "",
+        "## SemDeDup prune accountability (8 clusters, cluster-blocked pairs)",
+        "",
+        "Fraction of the corpus pruned as the threshold moves — the knob a",
+        "curation run budgets against (τ=0.28 is the registry query's value):",
+        "",
+        "| τ | pruned vectors | prune rate |",
+        "|---|---|---|",
+    ]
+    for tau, pruned, rate in sem_rows:
+        lines.append(f"| {tau:.2f} | {pruned} | {rate:.1%} |")
+    lines += [
+        "",
+        "## Incremental IVF (delta batch vs standing index), recall@3",
+        "",
+        "The daily-ingest probe (`sim_incremental_ivf`): 50 delta vectors",
+        "scored only against the standing inverted lists.  Probes buy recall",
+        "exactly as in the full-corpus IVF table:",
+        "",
+        "| probes | recall@3 |",
+        "|---|---|",
+    ]
+    for npr, rec in inc_rows:
+        lines.append(f"| {npr} | {rec:.3f} |")
+    lines += [""]
     with open(os.path.join(os.path.dirname(__file__) or ".", "RECALL.md"), "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))
