@@ -588,6 +588,15 @@ def epoch_shuffle_order(spark, sf_dir):
 # --------------------------------------------------------------------------- #
 
 _CONTAIN_TAU = 0.8
+# Document-frequency cap on posting lists: a shingle shared by df documents
+# contributes df² candidate pairs to the self-join, so one boilerplate shingle
+# in a large fraction of the corpus is a single-key quadratic.  Capping bounds
+# the per-shingle term at _CONTAIN_MAX_DF² — the same approximation contract
+# the minhash/Jaccard siblings expose (operators/dedup.py cap_stop_shingles).
+# a_size is recomputed AFTER the cap so containment = |A∩B|/|A| stays exact
+# over the capped shingle universe (capping only the join side would silently
+# deflate the numerator against an uncapped denominator).
+_CONTAIN_MAX_DF = 100
 
 
 def _containment_oracle() -> str:
@@ -595,10 +604,12 @@ def _containment_oracle() -> str:
 
     return f"""
     WITH {_SHINGLES_CTE},
-    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS a_size FROM ex GROUP BY doc_id),
+    keep AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= {_CONTAIN_MAX_DF}),
+    exc AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS a_size FROM exc GROUP BY doc_id),
     pr AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter
-        FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id <> b.doc_id
+        FROM exc a JOIN exc b ON a.h = b.h AND a.doc_id <> b.doc_id
         GROUP BY 1, 2
     )
     SELECT a_id, b_id, inter, a_size, inter / a_size AS containment
@@ -614,14 +625,20 @@ def dedup_containment(spark, sf_dir):
     (a doc embedded in a longer one) that symmetric Jaccard misses — the
     quote-page / boilerplate-wrapper case.  Same inverted-index self-join as
     the Jaccard family: pairs come from shared shingle hashes (int64 posting
-    lists), never an all-pairs comparison."""
+    lists) with hot shingles capped at df ≤ _CONTAIN_MAX_DF (bounding the
+    worst posting list's pair cost at max_df²), never an all-pairs
+    comparison.  Sizes are taken over the CAPPED universe so the reported
+    containment is exact for the shingles actually joined."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import cap_stop_shingles
     from airflow_cms_inpatient_etl_spark.operators.text import exploded_shingle_hashes
 
     d = load_table(spark, sf_dir, "documents")
     # three consumers (sizes + both join sides) read the posting lists —
     # cache them once, same contract as the minhash operator's
     # cache_shingles (catalog-releasable; caller owns clearCache timing)
-    ex = exploded_shingle_hashes(d, "doc_id", "text").cache()
+    ex = cap_stop_shingles(
+        exploded_shingle_hashes(d, "doc_id", "text"), _CONTAIN_MAX_DF
+    ).cache()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("a_size"))
     a = ex.select(F.col("doc_id").alias("a_id"), "h")
     b = ex.select(F.col("doc_id").alias("b_id"), "h")

@@ -239,3 +239,40 @@ def test_connected_components_100k_path_logn_rounds(spark):
         F.max("label").alias("max_label"),
     ).first()
     assert (agg["n"], agg["n_labels"], agg["max_label"]) == (n, 1, 0)
+
+
+@pytest.mark.slow
+def test_containment_hot_shingle_candidates_bounded(spark):
+    """Verdict r5 #2: the containment dedup's posting-list self-join must not
+    go quadratic on a hot shingle.  Adversarial corpus: ONE boilerplate
+    phrase shared by 50 % of 2 000 docs (df = 1 000 ≫ cap ⇒ uncapped join
+    would emit ~10⁶ candidate rows on a single key), plus a legitimate
+    10-doc near-dup group under the cap.  After cap_stop_shingles at
+    _CONTAIN_MAX_DF, every surviving shingle has df ≤ max_df, so the
+    directed-candidate count is bounded by Σ df·(df−1) ≤ n_shingles·max_df²
+    — and the boilerplate contributes ZERO while the real group survives."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import cap_stop_shingles
+    from airflow_cms_inpatient_etl_spark.operators.text import exploded_shingle_hashes
+    from airflow_cms_inpatient_etl_spark.queries.curation2 import _CONTAIN_MAX_DF
+
+    n, hot_frac = 2000, 0.5
+    boiler = "all rights reserved by the site operator"
+    shared = "identical duplicated paragraph body here"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") < int(n * hot_frac), F.lit(boiler + " ")).otherwise(F.lit("")),
+            F.when(F.col("id") % 200 == 0, F.lit(shared + " ")).otherwise(F.lit("")),
+            F.format_string("unique token stream %d alpha %d beta %d gamma", "id", "id", "id"),
+        ).alias("text"),
+    )
+    ex = cap_stop_shingles(exploded_shingle_hashes(docs, "doc_id", "text"), _CONTAIN_MAX_DF)
+    a = ex.select(F.col("doc_id").alias("a_id"), "h")
+    b = ex.select(F.col("doc_id").alias("b_id"), "h")
+    cand = a.join(b, "h").filter(F.col("a_id") != F.col("b_id")).count()
+    # 10-doc shared group survives (df=10 <= cap): > 0 real candidates;
+    # hot shingles dropped: far below the uncapped ~1e6-per-boiler-shingle.
+    n_shingles = ex.select("h").distinct().count()
+    assert cand > 0
+    assert cand <= n_shingles * _CONTAIN_MAX_DF * _CONTAIN_MAX_DF
+    assert cand < 10_000  # absolute: boilerplate quadratic would be ~millions
