@@ -100,7 +100,21 @@ def bloom_semi_join(
 
     Correctness does not depend on the filter (no false negatives; false
     positives are removed by the exact semi join) — the filter only cuts
-    the rows that reach the join's shuffle/broadcast."""
+    the rows that reach the join's shuffle/broadcast.
+
+    Type-parity contract: xxhash64 is input-TYPE-sensitive, so a build key
+    and probe key of different types (INT vs BIGINT, string vs numeric)
+    would compute different bit positions — silent FALSE NEGATIVES the
+    exact semi join cannot recover.  Mismatched key dtypes are therefore
+    rejected; cast both sides to one canonical type at the call site."""
+    probe_t = dict(probe.dtypes)[probe_key]
+    build_t = dict(build.dtypes)[build_key]
+    if probe_t != build_t:
+        raise ValueError(
+            f"bloom_semi_join key dtype mismatch: {probe_key}:{probe_t} vs "
+            f"{build_key}:{build_t} — xxhash64 bit positions diverge across "
+            "types (silent false negatives); cast both keys to one type first"
+        )
     words = bloom_build(build, build_key, n_bits, n_hashes)
     pruned = bloom_prune(probe, probe_key, words, n_bits, n_hashes)
     return pruned.join(build, pruned[probe_key] == build[build_key], "left_semi")

@@ -165,6 +165,15 @@ def pagerank_integer(
     ``edges``: (src, dst, w) BIGINT columns.  ``nodes``: (node,) — must
     cover every src/dst.  Returns (node, rank) with SUM(rank) <= scale.
 
+    Scale contract: ``rank * w`` is BIGINT and rank can reach ``scale``,
+    so edge weights must satisfy ``max(w) < 2^63 / scale`` (~9.2e6 at the
+    default scale=1e12) or the multiply overflows — and Spark WRAPS int64
+    silently in non-ANSI mode while DuckDB errors, so an overflow diverges
+    from the oracle without failing loudly.  Deep-scale callers with heavy
+    weights (raw event counts at 100 TB volumes) should pick a smaller
+    ``scale`` or pre-normalize w; enable spark.sql.ansi.enabled to turn a
+    violation into a hard error.
+
     ``seeds`` switches to PERSONALIZED PageRank: initial mass and the
     teleport term concentrate on the seed node set (scale div n_seeds
     each; zero elsewhere), so ranks measure proximity to the seeds — the
@@ -182,6 +191,12 @@ def pagerank_integer(
     else:
         seeds = seeds.select("node").distinct().persist()
         n_tele = seeds.count()
+    if n_tele == 0:
+        raise ValueError(
+            "pagerank_integer: empty "
+            + ("nodes" if seeds is None else "seeds")
+            + " DataFrame — teleport mass has no destination"
+        )
     init = scale // n_tele
     base = (100 - damping_pct) * init // 100
     if seeds is None:

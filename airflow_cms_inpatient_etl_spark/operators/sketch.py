@@ -49,6 +49,8 @@ def cms_build(df: DataFrame, item_col: str, depth: int = 4, width: int = 64) -> 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge sketches built with the same (depth, width, hash family):
     union the cell tables and re-sum per cell."""
+    if not sketches:
+        raise ValueError("cms_merge requires at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

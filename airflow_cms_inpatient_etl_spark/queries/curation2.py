@@ -164,7 +164,10 @@ def dedup_source_precedence(spark, sf_dir):
             "source",
             "lang",
             fp.alias("fingerprint"),
-            F.substring("source", 4, 8).cast("int").alias("src_priority"),
+            # substring-to-END (no length arg) mirrors the oracle's
+            # SUBSTR(source, 4) exactly — a fixed length would silently
+            # truncate source ids longer than it
+            F.expr("substring(source, 4)").cast("int").alias("src_priority"),
         )
         .withColumn("group_size", F.count(F.lit(1)).over(w))
         .withColumn(
@@ -277,6 +280,13 @@ def heavy_hitters_cms(spark, sf_dir):
             "item",
             "exact_count",
             (F.col("cms_estimate") >= F.col("exact_count")).alias("est_ge_exact"),
+            # FIXTURE COUPLING: 8N/width is an EMPIRICAL excess bound that
+            # holds at the committed testdata + seed family, not the CMS
+            # theoretical guarantee (which is probabilistic per row: excess
+            # <= e·N/width w.p. 1-e^-depth per item).  est_ge_exact above is
+            # the unconditional one-sided guarantee; if the fixture or hash
+            # seeds are regenerated, re-derive this constant rather than
+            # treating a flip as a sketch bug.
             (
                 F.col("cms_estimate") - F.col("exact_count")
                 <= F.expr(f"8 * n_total div {_CMS_WIDTH}")
@@ -831,7 +841,7 @@ def corpus_curation_v3(spark, sf_dir):
         "n_chars",
         next(e for e in _entropy_exprs() if e.endswith("AS char_entropy")),
         f"md5(array_join(slice({tok_sql}, 1, 3), ' ')) AS fingerprint",
-        "CAST(substring(source, 4, 8) AS INT) AS src_priority",
+        "CAST(substring(source, 4) AS INT) AS src_priority",
         f"size({tok_sql}) AS n_tokens",
         "CAST(conv(substring(md5('wsamp:' || CAST(doc_id AS STRING)), 1, 15), 16, 10)"
         " AS BIGINT) AS hv",
