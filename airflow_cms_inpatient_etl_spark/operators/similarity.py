@@ -459,3 +459,100 @@ def pq_train(
         )
         cb = spark.createDataFrame(merged.collect(), merged.schema)
     return cb
+
+
+def semdedup_assign_prune(
+    e: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    target_cluster_size: int | None = None,
+    tau: float = 0.28,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape), cluster-blocked.
+
+    Assign every vector to its nearest of ``k`` deterministic seed centroids
+    (the k smallest ids — broadcast, the centroid table is tiny), then prune,
+    WITHIN each cluster only, any vector that has a smaller-id cluster-mate
+    with cosine >= ``tau``.  The cluster id is the blocking key: candidate
+    pairs come from a cluster-keyed equi-join, never an all-pairs cross join,
+    so pair cost is Σ cluster_size².
+
+    THE SCALE KNOB: pair cost with fixed k is O((n/k)²)·k — at corpus scale
+    the centroid count must GROW with the corpus to keep clusters bounded.
+    Pass ``target_cluster_size`` (the 100 TB mode) to derive
+    k = max(1, n // target_cluster_size) from the corpus size (one scalar
+    count — a model parameter, same contract as pagerank's node count), or
+    pin ``k`` explicitly (the oracle-stability mode the registry query uses).
+    Per-cluster pair volume is then ~target_cluster_size² regardless of n;
+    the 10× canary asserts exactly that invariant.
+
+    Cosines are fixed-order folds with per-side precomputed norms —
+    bit-identical to an independent SQL oracle's inline cosine.
+    """
+    from pyspark.sql import Window as W
+
+    if (k is None) == (target_cluster_size is None):
+        raise ValueError("pass exactly one of k / target_cluster_size")
+    if target_cluster_size is not None:
+        n = e.count()
+        if n == 0:
+            raise ValueError("semdedup_assign_prune: empty input")
+        k = max(1, n // target_cluster_size)
+    cent = (
+        e.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("cvec")).alias("cos_c"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.desc("cos_c"), "centroid_id")
+    )
+    # persist the assignment: three consumers (both pair-join sides + the
+    # final projection) share one computation instead of re-deriving the
+    # crossJoin+window each (Catalyst does not CSE sibling subplans).
+    a = (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("vnorm"),
+            F.col("centroid_id").alias("cluster_id"),
+            "cos_c",
+        )
+        .persist()
+    )
+    x = a.select(
+        "cluster_id",
+        F.col(id_col).alias("x_id"),
+        F.col(vec_col).alias("x_vec"),
+        F.col("vnorm").alias("x_norm"),
+    )
+    y = a.select(
+        "cluster_id",
+        F.col(id_col).alias("y_id"),
+        F.col(vec_col).alias("y_vec"),
+        F.col("vnorm").alias("y_norm"),
+    )
+    pruned = (
+        x.join(y, "cluster_id")
+        .filter(F.col("x_id") < F.col("y_id"))
+        .filter(
+            dot(F.col("x_vec"), F.col("y_vec")) / (F.col("x_norm") * F.col("y_norm"))
+            >= tau
+        )
+        .select(F.col("y_id").alias("pruned_id"))
+        .distinct()
+    )
+    return a.join(pruned, a[id_col] == pruned.pruned_id, "left").select(
+        F.col(id_col),
+        "cluster_id",
+        F.col("cos_c").alias("cosine_to_centroid"),
+        F.col("pruned_id").isNotNull().alias("is_pruned"),
+    )

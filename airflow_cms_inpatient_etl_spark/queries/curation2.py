@@ -15,7 +15,6 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.operators.graph import pagerank_integer
-from airflow_cms_inpatient_etl_spark.operators.similarity import cosine, dot, norm
 from airflow_cms_inpatient_etl_spark.operators.sketch import cms_build, cms_estimate
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.operators.text import hash60
@@ -431,77 +430,20 @@ _SEM_TAU = 0.28  # within-cluster prune threshold
     """,
 )
 def semdedup_prune(spark, sf_dir):
-    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape): assign every
-    embedding to its nearest of 8 deterministic centroids (broadcast
-    — the centroid table is tiny), then prune, WITHIN each cluster only,
-    any vector that has a smaller-id cluster-mate with cosine >= 0.28.
-    The cluster id is the blocking key: candidate pairs are generated by a
-    cluster-keyed equi-join, never an all-pairs cross join, so pair cost is
-    sum of squared cluster sizes — at corpus scale the centroid count grows
-    with the corpus to keep clusters bounded.  Cosines are fixed-order
-    folds, bit-identical to the oracle."""
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape), via
+    ``operators.similarity.semdedup_assign_prune`` with the centroid count
+    PINNED at k=8 for oracle stability (the vec_id<8 seeds of the SQL
+    oracle are exactly the 8 smallest ids the operator picks).  The
+    operator's corpus-scale mode derives k from ``target_cluster_size``
+    instead — see its docstring and the 10× canary for the bounded
+    per-cluster pair-volume invariant.  Cosines are fixed-order folds,
+    bit-identical to the oracle."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import (
+        semdedup_assign_prune,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") < _SEM_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
-    )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "centroid_id",
-        cosine(F.col("embedding"), F.col("cvec")).alias("cos_c"),
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "centroid_id")
-    )
-    # persist the assignment: three consumers (both pair-join sides + the
-    # final projection) share one computation instead of re-deriving the
-    # crossJoin+window each.  vnorm is precomputed once per vector so the
-    # pair predicate folds ONE array per pair, not three — dot/(sqrt(na^2)
-    # *sqrt(nb^2)) is the same expression tree as the inline cosine, so the
-    # doubles (and the oracle comparison) are bit-identical.
-    a = (
-        scored.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "embedding",
-            norm(F.col("embedding")).alias("vnorm"),
-            F.col("centroid_id").alias("cluster_id"),
-            "cos_c",
-        )
-        .persist()
-    )
-    x = a.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("x_id"),
-        F.col("embedding").alias("x_vec"),
-        F.col("vnorm").alias("x_norm"),
-    )
-    y = a.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("y_id"),
-        F.col("embedding").alias("y_vec"),
-        F.col("vnorm").alias("y_norm"),
-    )
-    pruned = (
-        x.join(y, "cluster_id")
-        .filter(F.col("x_id") < F.col("y_id"))
-        .filter(
-            dot(F.col("x_vec"), F.col("y_vec")) / (F.col("x_norm") * F.col("y_norm"))
-            >= _SEM_TAU
-        )
-        .select(F.col("y_id").alias("pruned_id"))
-        .distinct()
-    )
-    return (
-        a.join(pruned, a.vec_id == pruned.pruned_id, "left")
-        .select(
-            "vec_id",
-            "cluster_id",
-            F.col("cos_c").alias("cosine_to_centroid"),
-            F.col("pruned_id").isNotNull().alias("is_pruned"),
-        )
-    )
+    return semdedup_assign_prune(e, k=_SEM_K, tau=_SEM_TAU)
 
 
 # --------------------------------------------------------------------------- #

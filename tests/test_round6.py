@@ -49,3 +49,15 @@ def test_pagerank_rejects_empty_teleport_set(spark):
 def test_cms_merge_rejects_zero_sketches():
     with pytest.raises(ValueError, match="at least one sketch"):
         cms_merge()
+
+
+def test_semdedup_requires_exactly_one_sizing_knob(spark):
+    from airflow_cms_inpatient_etl_spark.operators.similarity import (
+        semdedup_assign_prune,
+    )
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    with pytest.raises(ValueError, match="exactly one"):
+        semdedup_assign_prune(e)
+    with pytest.raises(ValueError, match="exactly one"):
+        semdedup_assign_prune(e, k=8, target_cluster_size=100)
