@@ -26,6 +26,7 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
     pipeline,
     cdc,
     curation2,
+    quality,
 )
 
 # --------------------------------------------------------------------------- #

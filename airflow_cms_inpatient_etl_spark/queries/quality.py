@@ -1,0 +1,149 @@
+"""Model-based quality scoring queries (round 6): CCNet-style bigram-LM
+perplexity against a reference slice, and the curation-v4 composition that
+buckets the corpus into per-language head/middle/tail quality terciles.
+
+Reference-parity note: the reference repo's surface is Airflow/Postgres ETL
+glue (dags/patient_claims_plus_postgres.py) with no LM stage; this family is
+part of the demanded LLM-data-pipeline extension (CCNet, Wenzek et al. 2019,
+public method).  Exactness recipe: identical expression text on both engines,
+position-ordered log-prob folds, ROUND(...,6) to absorb cross-engine log2
+ulps — the contract proven by the entropy scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.operators.lm import (
+    score_bits_per_token,
+    train_bigram_lm,
+)
+from airflow_cms_inpatient_etl_spark.queries.base import register
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+_REF_LANG = "en"  # the trusted reference slice (CCNet uses Wikipedia)
+
+# Shared oracle CTE block: tokenize, explode positional bigrams, train the
+# add-one bigram model on the reference slice, score every document.  The
+# log-prob fold is LIST_REDUCE over LIST(logp ORDER BY pos) — seedless left
+# fold, equal to Spark's 0.0-seeded fold because 0.0 + x == x for the
+# nonzero logps.  vocab = |distinct ref tokens| + 1 (OOV bucket), matching
+# train_bigram_lm exactly.
+_LM_CTES = f"""
+    toks AS (
+        SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    bgl AS (
+        SELECT doc_id, lang,
+               LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 0) + 1),
+                              i -> {{'pos': i, 'w1': w[i], 'w2': w[i+1]}}) AS pairs
+        FROM toks
+    ),
+    bg AS (
+        SELECT doc_id, lang, u.pos AS pos, u.w1 AS w1, u.w2 AS w2
+        FROM (SELECT doc_id, lang, UNNEST(pairs) AS u FROM bgl)
+    ),
+    refbg AS (SELECT w1, w2 FROM bg WHERE lang = '{_REF_LANG}'),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM refbg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM refbg GROUP BY 1),
+    refu AS (
+        SELECT DISTINCT UNNEST(w) AS tok FROM toks WHERE lang = '{_REF_LANG}'
+    ),
+    vs AS (SELECT COUNT(*) + 1 AS vocab FROM refu),
+    lp AS (
+        SELECT bg.doc_id, bg.pos,
+               LOG2((COALESCE(c2.c2, 0) + 1.0)
+                    / (COALESCE(c1.c1, 0) + vocab + 0.0)) AS logp
+        FROM bg CROSS JOIN vs
+        LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+        LEFT JOIN c1 ON c1.w1 = bg.w1
+    ),
+    lm AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(-LIST_REDUCE(LIST(logp ORDER BY pos), (x, y) -> x + y)
+                     / COUNT(*), 6) AS bits_per_token
+        FROM lp GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "quality_lm_perplexity",
+    oracle=f"""
+    WITH {_LM_CTES}
+    SELECT doc_id, n_bigrams, bits_per_token FROM lm
+    """,
+)
+def quality_lm_perplexity(spark, sf_dir):
+    """Per-document bigram-LM quality score (bits-per-token = log2
+    perplexity) against the English reference slice — the model-based
+    quality stage of a CCNet-style curation pipeline.  Training is one
+    groupBy over the reference slice; scoring is explode → two BROADCAST
+    joins (the count model is the small side by construction) → one per-doc
+    aggregation whose log-prob sum folds in position order.  All JVM, one
+    scoring shuffle; see ``operators.lm`` for the 100 TB contract."""
+    d = load_table(spark, sf_dir, "documents")
+    c2, c1, vocab = train_bigram_lm(d.filter(F.col("lang") == _REF_LANG))
+    return score_bits_per_token(d, c2, c1, vocab)
+
+
+@register(
+    "corpus_curation_v4",
+    oracle=f"""
+    WITH {_LM_CTES},
+    scored AS (
+        SELECT lm.doc_id, d.lang, lm.n_bigrams, lm.bits_per_token
+        FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+    ),
+    pct AS (
+        SELECT lang,
+               ROUND(QUANTILE_CONT(bits_per_token, 0.333333), 6) AS lm_t33,
+               ROUND(QUANTILE_CONT(bits_per_token, 0.666667), 6) AS lm_t66
+        FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.n_bigrams, s.bits_per_token, lm_t33, lm_t66,
+           CASE WHEN s.bits_per_token <= lm_t33 THEN 'head'
+                WHEN s.bits_per_token <= lm_t66 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           (s.bits_per_token <= lm_t66 AND s.n_bigrams >= 5) AS keep
+    FROM scored s JOIN pct ON pct.lang = s.lang
+    """,
+)
+def corpus_curation_v4(spark, sf_dir):
+    """Curation v4 — the CCNet head/middle/tail split: score every document
+    with the bigram-LM (v4's model-based stage), then bucket into quality
+    terciles PER LANGUAGE (per-language exact tercile cut points via a
+    broadcast percentile join, the winsorize recipe) and keep the
+    head+middle.  Plan: one scoring pass (explode + broadcast model joins +
+    one per-doc aggregation), one tiny per-lang percentile aggregate
+    broadcast back — two shuffles total beyond the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    c2, c1, vocab = train_bigram_lm(d.filter(F.col("lang") == _REF_LANG))
+    # persist: the per-doc score table feeds BOTH the percentile aggregate
+    # and the final projection (Catalyst does not CSE sibling subplans —
+    # without the pin the explode+join scoring pass would run twice)
+    scored = (
+        score_bits_per_token(d, c2, c1, vocab)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .persist()
+    )
+    pct = scored.groupBy("lang").agg(
+        F.round(F.percentile("bits_per_token", F.lit(0.333333)), 6).alias("lm_t33"),
+        F.round(F.percentile("bits_per_token", F.lit(0.666667)), 6).alias("lm_t66"),
+    )
+    return scored.join(F.broadcast(pct), "lang").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "bits_per_token",
+        "lm_t33",
+        "lm_t66",
+        F.when(F.col("bits_per_token") <= F.col("lm_t33"), "head")
+        .when(F.col("bits_per_token") <= F.col("lm_t66"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        ((F.col("bits_per_token") <= F.col("lm_t66")) & (F.col("n_bigrams") >= 5)).alias(
+            "keep"
+        ),
+    )

@@ -74,6 +74,10 @@ HEADLINE = [
     "corpus_curation_v3",
     "graph_personalized_pagerank",
     "sim_incremental_ivf",
+    # round-6 additions: the bigram-LM scoring pass (explode + broadcast
+    # model joins + ordered fold) and its tercile-bucketing composition
+    "quality_lm_perplexity",
+    "corpus_curation_v4",
 ]
 
 

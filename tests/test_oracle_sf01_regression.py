@@ -44,6 +44,11 @@ _HAZARD_CLASS = [
     "semdedup_prune",
     "sim_incremental_ivf",
     "dedup_containment",
+    # round-6 float-bearing additions: LOG2 ulp inside an ordered log-prob
+    # fold (LM perplexity) + percentile interpolation over rounded doubles
+    # (curation v4 terciles)
+    "quality_lm_perplexity",
+    "corpus_curation_v4",
 ]
 
 _NAMES = (

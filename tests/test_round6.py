@@ -61,3 +61,58 @@ def test_semdedup_requires_exactly_one_sizing_knob(spark):
         semdedup_assign_prune(e)
     with pytest.raises(ValueError, match="exactly one"):
         semdedup_assign_prune(e, k=8, target_cluster_size=100)
+
+
+# --------------------------------------------------------------------------- #
+# bigram-LM quality scoring                                                    #
+# --------------------------------------------------------------------------- #
+
+
+def test_lm_score_matches_hand_computation(spark):
+    """Tiny corpus, hand-checked add-one smoothing: ref = 'a b a b' gives
+    c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1, vocab=|{a,b}|+1=3.
+    Scoring 'a b'   : p(b|a) = (2+1)/(2+3) = 0.6        -> 0.736966 bits
+    Scoring 'z z'   : p(z|z) = (0+1)/(0+3) = 1/3 (OOV)  -> 1.584963 bits
+    Scoring 'b a b' : p(a|b)=(1+1)/(1+3)=0.5, p(b|a)=0.6 -> mean 0.868483
+    """
+    from airflow_cms_inpatient_etl_spark.operators.lm import (
+        score_bits_per_token,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame([("a b a b",)], ["text"])
+    c2, c1, vocab = train_bigram_lm(ref)
+    assert vocab == 3
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "z z"), (3, "b a b"), (4, "solo")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in score_bits_per_token(docs, c2, c1, vocab).collect()}
+    assert out[1]["bits_per_token"] == pytest.approx(0.736966, abs=1e-6)
+    assert out[2]["bits_per_token"] == pytest.approx(1.584963, abs=1e-6)
+    assert out[3]["bits_per_token"] == pytest.approx(0.868483, abs=1e-6)
+    assert out[3]["n_bigrams"] == 2
+    assert 4 not in out  # single-token doc: no bigrams, no row
+
+
+def test_lm_min_count_prunes_model_but_keeps_probabilities_proper(spark):
+    """min_count shrinks the broadcast table (rare bigrams fall back to the
+    smoothed floor) without touching history counts — scores only move
+    DOWN in probability (up in bits) for pruned pairs, never above 1."""
+    from airflow_cms_inpatient_etl_spark.operators.lm import (
+        score_bits_per_token,
+        train_bigram_lm,
+    )
+
+    ref = load_table(spark, SF_ORACLE, "documents").filter(F.col("lang") == "en")
+    c2_full, c1, vocab = train_bigram_lm(ref)
+    c2_pruned, c1b, vocab_b = train_bigram_lm(ref, min_count=3)
+    assert (vocab, c1.count()) == (vocab_b, c1b.count())
+    assert c2_pruned.count() < c2_full.count()
+    docs = load_table(spark, SF_ORACLE, "documents").limit(50)
+    full = {r["doc_id"]: r["bits_per_token"]
+            for r in score_bits_per_token(docs, c2_full, c1, vocab).collect()}
+    pruned = {r["doc_id"]: r["bits_per_token"]
+              for r in score_bits_per_token(docs, c2_pruned, c1, vocab).collect()}
+    assert set(full) == set(pruned)
+    assert all(pruned[k] >= full[k] - 1e-9 for k in full)
+    assert all(v > 0 for v in pruned.values())  # every smoothed p < 1
