@@ -20,7 +20,11 @@ from airflow_cms_inpatient_etl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
-from airflow_cms_inpatient_etl_spark.operators.text import exploded_shingle_hashes
+from airflow_cms_inpatient_etl_spark.operators.text import (
+    exploded_shingle_hashes,
+    hash60,
+    words,
+)
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 
@@ -298,4 +302,124 @@ def dedup_incremental_index(spark, sf_dir):
             frac.alias("shared_frac"),
             (frac >= 0.5).alias("near_dup_of_corpus"),
         )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dedup_repeated_spans — cross-document exact substring (span) removal         #
+# --------------------------------------------------------------------------- #
+
+_SPAN_W = 10        # tokens per span (pseudo-sentence window)
+_SPAN_MIN_DOCS = 2  # a span is "repeated" once >= 2 distinct docs carry it
+
+_SPANS_CTE = f"""
+    toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               ARRAY_TO_STRING(LIST_SLICE(w, (i-1)*{_SPAN_W}+1, i*{_SPAN_W}), ' ') AS span,
+               CAST('0x' || SUBSTR(MD5(
+                   ARRAY_TO_STRING(LIST_SLICE(w, (i-1)*{_SPAN_W}+1, i*{_SPAN_W}), ' ')
+               ), 1, 15) AS BIGINT) AS h
+        FROM toks,
+             UNNEST(RANGE(1, GREATEST(CAST(CEIL(LEN(w) / {_SPAN_W}.0) AS BIGINT), 1) + 1)) AS t(i)
+    )
+"""
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH {_SPANS_CTE},
+    rep AS (
+        SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}
+    ),
+    f1 AS (
+        SELECT s.h, MIN(s.doc_id) AS fdoc
+        FROM spans s JOIN rep USING (h) GROUP BY s.h
+    ),
+    f2 AS (
+        SELECT s.h, f1.fdoc, MIN(s.pos) AS fpos
+        FROM spans s JOIN f1 ON s.h = f1.h AND s.doc_id = f1.fdoc
+        GROUP BY s.h, f1.fdoc
+    ),
+    flagged AS (
+        SELECT s.doc_id, s.pos, s.span,
+               (rep.h IS NULL OR (s.doc_id = f2.fdoc AND s.pos = f2.fpos)) AS keep
+        FROM spans s
+        LEFT JOIN rep ON rep.h = s.h
+        LEFT JOIN f2 ON f2.h = s.h
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
+           COALESCE(STRING_AGG(span, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+               AS dedup_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """Cross-document exact substring dedup at span (pseudo-sentence)
+    granularity — the Lee-et-al-2021-style stage the document-granularity
+    family misses: a paragraph pasted into 1 000 pages survives document
+    dedup (every page differs) but is removed here, keeping only its
+    corpus-wide FIRST occurrence (min (doc_id, pos) — deterministic).
+
+    Spans are non-overlapping {_SPAN_W}-token windows built MAP-SIDE from the
+    token array (no per-token explode/shuffle).  One shuffle computes
+    per-span-hash stats (distinct-doc count + canonical first occurrence as
+    a lexicographic struct-min); each span row then joins at most ONE stats
+    row — linear in corpus size by construction, no self-join, so unlike
+    the pair-generating dedups there is no hot-key quadratic to cap.  The
+    per-doc rebuild concatenates kept spans in position order (ordered
+    collect ↔ STRING_AGG ORDER BY — deterministic on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", words(F.col("text")).alias("__w"))
+    n = F.ceil(F.size("__w") / F.lit(float(_SPAN_W))).cast("int")
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.array_join(
+            F.slice(F.col("__w"), (i - 1) * _SPAN_W + 1, F.lit(_SPAN_W)), " "
+        ),
+    )
+    spans = t.select("doc_id", F.posexplode(arr).alias("pos0", "span")).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        "span",
+        hash60(F.col("span")).alias("h"),
+    )
+    stats = (
+        spans.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+        )
+        .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
+    )
+    flagged = spans.join(stats, "h", "left").select(
+        "doc_id",
+        "pos",
+        "span",
+        (
+            F.col("n_docs").isNull()
+            | (
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("pos") == F.col("first_occ.pos"))
+            )
+        ).alias("keep"),
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "span"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x.getField("span"),
+            ),
+            " ",
+        ).alias("dedup_text"),
     )

@@ -78,6 +78,7 @@ HEADLINE = [
     # model joins + ordered fold) and its tercile-bucketing composition
     "quality_lm_perplexity",
     "corpus_curation_v4",
+    "dedup_repeated_spans",
 ]
 
 

@@ -116,3 +116,32 @@ def test_lm_min_count_prunes_model_but_keeps_probabilities_proper(spark):
     assert set(full) == set(pruned)
     assert all(pruned[k] >= full[k] - 1e-9 for k in full)
     assert all(v > 0 for v in pruned.values())  # every smoothed p < 1
+
+
+# --------------------------------------------------------------------------- #
+# repeated-span (exact substring) dedup                                        #
+# --------------------------------------------------------------------------- #
+
+
+def test_repeated_spans_keeps_only_first_occurrence(spark, tmp_path):
+    """A 10-token paragraph pasted into 3 documents must survive only in the
+    lexicographically-first (doc_id, pos) slot; unique spans untouched."""
+    from airflow_cms_inpatient_etl_spark.queries.dedup import dedup_repeated_spans
+
+    boiler = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    rows = [
+        (1, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 " + boiler),  # boiler at pos 2
+        (2, boiler + " v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"),  # boiler at pos 1
+        (3, boiler),                                       # boiler at pos 1
+        (4, "w1 w2 w3"),                                   # unique short doc
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in dedup_repeated_spans(spark, str(tmp_path)).collect()}
+    # first occurrence is (doc 1, pos 2)? No: lexicographic min over
+    # (doc_id, pos) among {(1,2),(2,1),(3,1)} is (1,2) -> doc 1 keeps it
+    assert out[1]["n_removed"] == 0 and boiler in out[1]["dedup_text"]
+    assert out[2]["n_removed"] == 1 and boiler not in out[2]["dedup_text"]
+    assert out[3]["n_removed"] == 1 and out[3]["dedup_text"] == ""
+    assert out[4]["n_removed"] == 0 and out[4]["dedup_text"] == "w1 w2 w3"
