@@ -62,11 +62,28 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _lineage_snapshot(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Truncate plan lineage between iterations.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint``: blocks live in executor
+    storage — fast, but an executor loss loses the only copy and the
+    truncated lineage cannot recompute it (fine on local[], unsafe for
+    long-running cluster jobs).  With a directory → reliable ``checkpoint``:
+    blocks are written to the (fault-tolerant) filesystem, surviving
+    executor loss and any cache eviction — the mode a 100 TB cluster run
+    should use.  The caller sets the context's checkpoint dir once up front.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    return df.checkpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     id1: str = "id1",
     id2: str = "id2",
     max_iters: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the minimum node id
     of its connected component.  Returns (node, label) — deterministic: min
@@ -75,8 +92,14 @@ def connected_components(
     ``max_iters`` defaults to ``2·ceil(log₂(n_nodes)) + 8`` — the star steps'
     proven round bound with slack; hitting it means the input violates the
     algorithm's contract, so it raises rather than return wrong labels.
+
+    ``checkpoint_dir`` switches per-round lineage truncation from
+    ``localCheckpoint`` (executor-loss-unsafe) to reliable ``checkpoint``
+    into that directory — see ``_lineage_snapshot``.
     """
-    labels, _ = connected_components_with_rounds(pairs, id1, id2, max_iters)
+    labels, _ = connected_components_with_rounds(
+        pairs, id1, id2, max_iters, checkpoint_dir
+    )
     return labels
 
 
@@ -85,18 +108,22 @@ def connected_components_with_rounds(
     id1: str = "id1",
     id2: str = "id2",
     max_iters: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, int]:
     """``connected_components`` plus the number of large+small-star rounds it
     took — exposed so tests can assert the O(log n) convergence property."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-    nodes = (
-        e.select("src").union(e.select(F.col("dst").alias("src")))
+    nodes = _lineage_snapshot(
+        e.select("src")
+        .union(e.select(F.col("dst").alias("src")))
         .distinct()
-        .withColumnRenamed("src", "node")
-        .localCheckpoint(eager=True)
+        .withColumnRenamed("src", "node"),
+        checkpoint_dir,
     )
-    edges = (
-        e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    edges = _lineage_snapshot(
+        e.filter(F.col("src") != F.col("dst")).distinct(), checkpoint_dir
     )
     if max_iters is None:
         n_nodes = max(nodes.count(), 2)
@@ -104,7 +131,7 @@ def connected_components_with_rounds(
     rounds = 0
     converged = edges.isEmpty()
     while not converged and rounds < max_iters:
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_edges = _lineage_snapshot(_small_star(_large_star(edges)), checkpoint_dir)
         rounds += 1
         # both steps strictly decrease the paper's potential on any change, so
         # an unchanged edge set after a full round means a fixed point (stars)
