@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from airflow_cms_inpatient_etl_spark.operators.graph import pagerank_integer
+from airflow_cms_inpatient_etl_spark.operators.graph import kcore_peel, pagerank_integer
 from airflow_cms_inpatient_etl_spark.operators.sketch import cms_build, cms_estimate
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.operators.text import hash60
@@ -911,3 +911,82 @@ def sim_incremental_ivf(spark, sf_dir):
     delta = e.filter(F.col("vec_id") < 50)
     centroids = e.filter(F.col("vec_id").between(100, 107))
     return ivf_topk(standing, delta, centroids, k=3)
+
+
+# --------------------------------------------------------------------------- #
+# graph_kcore — cohesive-subgraph extraction over the transition graph         #
+# --------------------------------------------------------------------------- #
+
+_KCORE_K = 4       # minimum within-core degree
+_KCORE_ROUNDS = 6  # fixed peel budget (sf0.01 fixpoint is 5 rounds)
+_KCORE_MIN_W = 5   # edge weight threshold: keeps the graph sparse enough to peel
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel recurrence — same builder pattern as the pagerank
+    oracle, one CTE pair (degree, alive) per round."""
+    parts = [
+        f"""
+    WITH {_transition_edges_sql()},
+    we AS (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, COUNT(*) AS w
+        FROM tr WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2
+    ),
+    und AS (SELECT a, b FROM we WHERE w >= {_KCORE_MIN_W}),
+    adj AS MATERIALIZED (SELECT a AS s, b AS t FROM und UNION ALL SELECT b, a FROM und),
+    nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM adj),
+    alive0 AS (SELECT node FROM nodes)"""
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+    deg{i} AS MATERIALIZED (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM adj
+        WHERE s IN (SELECT node FROM alive{i - 1})
+          AND t IN (SELECT node FROM alive{i - 1})
+        GROUP BY s
+    ),
+    alive{i} AS MATERIALIZED (SELECT s AS node FROM deg{i} WHERE deg >= {_KCORE_K})"""
+        )
+    parts.append(
+        f""",
+    fdeg AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM adj
+        WHERE s IN (SELECT node FROM alive{_KCORE_ROUNDS})
+          AND t IN (SELECT node FROM alive{_KCORE_ROUNDS})
+        GROUP BY s
+    )
+    SELECT n.node, (a.node IS NOT NULL) AS in_core,
+           CAST(COALESCE(f.deg, 0) AS BIGINT) AS core_deg
+    FROM nodes n
+    LEFT JOIN alive{_KCORE_ROUNDS} a ON a.node = n.node
+    LEFT JOIN fdeg f ON f.s = n.node"""
+    )
+    return "".join(parts)
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition (k=4) of the weight-thresholded transition graph
+    — the cohesive-subgraph primitive that complements PageRank (centrality)
+    and triangles (local clustering): the surviving core is the maximal
+    subgraph where every node keeps >= k within-core neighbors, the standard
+    "dense interaction cluster" extractor.  Edges are transitions observed
+    >= 5 times (the aggregated pair list, far smaller than the event log);
+    peeling runs a fixed 6-round unrolled budget whose fixpoint at this
+    fixture is round 5 — integer degrees make the whole recurrence
+    hash-exact against the independently unrolled SQL oracle.  See
+    ``operators.graph.kcore_peel`` for the scale contract (per-round cost
+    tracks the shrinking live edge set)."""
+    tr, _, _ = _transition_graph(spark, sf_dir)
+    und = (
+        tr.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _KCORE_MIN_W)
+        .select("a", "b")
+    )
+    return kcore_peel(und, k=_KCORE_K, rounds=_KCORE_ROUNDS)

@@ -187,3 +187,95 @@ def test_connected_components_reliable_checkpoint_survives_block_loss(spark, tmp
     # and the two modes agree
     base = connected_components(path_edges)
     assert base.exceptAll(labels).isEmpty() and labels.exceptAll(base).isEmpty()
+
+
+# --------------------------------------------------------------------------- #
+# k-core peel                                                                  #
+# --------------------------------------------------------------------------- #
+
+
+def test_kcore_hand_graph(spark):
+    """Hand graph: triangle {1,2,3} plus a tail 3-4-5.  2-core = the
+    triangle (tail peels in 2 rounds: 5 first, then 4)."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["a", "b"]
+    )
+    out = {r["node"]: r for r in kcore_peel(edges, k=2, rounds=4).collect()}
+    assert {n for n, r in out.items() if r["in_core"]} == {1, 2, 3}
+    assert all(out[n]["core_deg"] == 2 for n in (1, 2, 3))
+    assert all(out[n]["core_deg"] == 0 for n in (4, 5))
+
+
+def test_kcore_registry_budget_reaches_fixpoint(spark):
+    """The registry query's fixed 6-round budget must BE the k-core at the
+    oracle fixture: one more peel round changes nothing (fixpoint), so the
+    rounds-bounded output equals the true k-core."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import kcore_peel
+    from airflow_cms_inpatient_etl_spark.queries.curation2 import (
+        _KCORE_K,
+        _KCORE_MIN_W,
+        _KCORE_ROUNDS,
+        _transition_graph,
+    )
+
+    tr, _, _ = _transition_graph(spark, SF_ORACLE)
+    und = (
+        tr.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _KCORE_MIN_W)
+        .select("a", "b")
+    )
+    at_budget = kcore_peel(und, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    one_more = kcore_peel(und, k=_KCORE_K, rounds=_KCORE_ROUNDS + 1)
+    assert at_budget.exceptAll(one_more).isEmpty()
+    assert one_more.exceptAll(at_budget).isEmpty()
+    survivors = at_budget.filter("in_core").count()
+    assert 0 < survivors < at_budget.count()  # a real cascade, not degenerate
+
+
+# --------------------------------------------------------------------------- #
+# SQ8 scalar-quantized ANN                                                     #
+# --------------------------------------------------------------------------- #
+
+
+def test_sq8_codes_are_8bit_and_deterministic(spark):
+    from airflow_cms_inpatient_etl_spark.operators.similarity import (
+        sq8_encode,
+        sq8_stats,
+    )
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    stats = sq8_stats(e)
+    enc = sq8_encode(e, stats)
+    rng = enc.select(
+        F.min(F.array_min("qcode")).alias("lo"),
+        F.max(F.array_max("qcode")).alias("hi"),
+    ).first()
+    assert 0 <= rng["lo"] and rng["hi"] <= 255
+    # global min/max dims hit the grid endpoints exactly
+    assert rng["lo"] == 0 and rng["hi"] == 255
+    a = sorted(enc.select("vec_id", "qcode").collect())
+    b = sorted(sq8_encode(e, sq8_stats(e)).select("vec_id", "qcode").collect())
+    assert a == b
+
+
+def test_sq8_recall_against_brute_force(spark):
+    """Coarse-m=20 over 8-bit codes must recover most of the true top-5:
+    corpus-level recall >= 0.8 on the fixture (recorded honestly — SQ8 is
+    an approximation; the rerank makes scores exact, not the candidate
+    set)."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    q = e.filter(e.vec_id < 8)
+    truth = {(r["qid"], r["cid"]) for r in brute_force_topk(e, q, k=5).collect()}
+    got = {(r["qid"], r["cid"]) for r in sq8_topk(e, q, k=5, coarse_m=20).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"SQ8 recall {recall:.2f} below floor"
