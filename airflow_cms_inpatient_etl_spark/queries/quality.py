@@ -147,3 +147,79 @@ def corpus_curation_v4(spark, sf_dir):
             "keep"
         ),
     )
+
+
+# --------------------------------------------------------------------------- #
+# quality_linear_score — distilled linear quality classifier, integer weights  #
+# --------------------------------------------------------------------------- #
+
+_QL_STOPS = ("the", "a", "value", "table")  # high-df function-word proxies
+_QL_THRESHOLD = 1650  # keep-gate on the milli-unit score (~60% pass at the fixture)
+
+
+@register(
+    "quality_linear_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, lang,
+               CAST(LEN(w) AS BIGINT) AS n_tokens,
+               CAST(LEN(LIST_DISTINCT(w)) AS BIGINT) AS n_uniq,
+               CAST(LEN(LIST_FILTER(w, x -> x IN {_QL_STOPS!r})) AS BIGINT) AS n_stop
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, lang, n_tokens, n_uniq, n_stop,
+               (n_uniq * 1000) // n_tokens AS ttr_milli,
+               (n_stop * 1000) // n_tokens AS stop_milli
+        FROM f WHERE n_tokens > 0
+    )
+    SELECT doc_id, lang, n_tokens, n_uniq, n_stop, ttr_milli, stop_milli,
+           3 * ttr_milli - 2 * stop_milli + 10 * LEAST(n_tokens, 100) AS score_milli,
+           (3 * ttr_milli - 2 * stop_milli + 10 * LEAST(n_tokens, 100))
+               >= {_QL_THRESHOLD} AS keep
+    FROM s
+    """,
+)
+def quality_linear_score(spark, sf_dir):
+    """Distilled linear quality classifier — the fastText/DCLM-style filter
+    stage expressed as a JVM dot product over engineered integer features:
+    type-token ratio, stopword rate (both in exact milli-units via integer
+    division) and a capped length feature, combined with integer-quantized
+    weights (w = [3, -2, 10]) and thresholded into a keep gate.  Production
+    swaps the hand-set weights for logistic-regression coefficients
+    quantized the same way; the serving plan is identical — ONE projection
+    over the scan, zero shuffles, every feature exact, so a trained
+    classifier deploys as a literal change.  Complements the generative
+    (perplexity) scorer: this is the discriminative half of the standard
+    two-model curation stack."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_uniq"),
+        F.size(
+            F.filter(w, lambda x: x.isin(*_QL_STOPS))
+        ).cast("bigint").alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    scored = feats.select(
+        "*",
+        F.expr("(n_uniq * 1000) div n_tokens").alias("ttr_milli"),
+        F.expr("(n_stop * 1000) div n_tokens").alias("stop_milli"),
+    )
+    score = (
+        F.lit(3) * F.col("ttr_milli")
+        - F.lit(2) * F.col("stop_milli")
+        + F.lit(10) * F.least(F.col("n_tokens"), F.lit(100).cast("bigint"))
+    )
+    return scored.select(
+        "*",
+        score.alias("score_milli"),
+        (score >= _QL_THRESHOLD).alias("keep"),
+    )

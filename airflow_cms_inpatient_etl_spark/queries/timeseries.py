@@ -361,3 +361,62 @@ def events_interval_attribution(spark, sf_dir):
     return joined.groupBy("click_id").agg(
         F.count(F.lit(1)).alias("n_views"), dsum("view_value", "sum_view_value")
     )
+
+
+# --------------------------------------------------------------------------- #
+# events_ewma_kernel — exponential smoothing as a fixed dyadic FIR kernel      #
+# --------------------------------------------------------------------------- #
+
+_EWMA_TAPS = 8  # kernel length; weights 2^-j are IEEE-exact scalings
+
+
+@register(
+    "events_ewma_kernel",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_id, user_id, event_type, ts, value,
+               {" + ".join(
+                   f"CASE WHEN LAG(value, {j}) OVER win IS NULL THEN 0 ELSE 1 END"
+                   for j in range(_EWMA_TAPS)
+               )} AS n_taps,
+               {" + ".join(
+                   f"COALESCE(LAG(value, {j}) OVER win, 0.0) * {2.0 ** -j!r}"
+                   for j in range(_EWMA_TAPS)
+               )} AS ewma
+        FROM events
+        WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, event_type, ts, value, CAST(n_taps AS INT) AS n_taps, ewma
+    FROM w
+    """,
+)
+def events_ewma_kernel(spark, sf_dir):
+    """Per-(user, event_type) exponential smoothing of ``value`` as an
+    8-tap FIR kernel: ewma_t = Σ_j 2^-j · x_{{t-j}} over the ordered event
+    stream (missing history contributes 0; ``n_taps`` reports how much
+    history each row actually saw).  An 8-tap truncation of the recursive
+    EWMA carries < 0.4 % of the kernel mass beyond the horizon while
+    keeping the operator a pure WINDOW expression — one shuffle on the
+    partition key, no recursion, trivially incrementalizable under
+    Structured Streaming.  Dyadic weights (2^-j) make each product an
+    IEEE exponent shift — EXACT — and the sum folds in fixed written
+    order, so the smoothed doubles hash-match the oracle bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    win = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lags = [F.lag("value", j).over(win) for j in range(_EWMA_TAPS)]
+    n_taps = None
+    ewma = None
+    for j, lg in enumerate(lags):
+        tap = F.when(lg.isNull(), 0).otherwise(1)
+        term = F.coalesce(lg, F.lit(0.0)) * F.lit(2.0 ** -j)
+        n_taps = tap if n_taps is None else n_taps + tap
+        ewma = term if ewma is None else ewma + term
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        n_taps.cast("int").alias("n_taps"),
+        ewma.alias("ewma"),
+    )
