@@ -79,6 +79,13 @@ HEADLINE = [
     "quality_lm_perplexity",
     "corpus_curation_v4",
     "dedup_repeated_spans",
+    # round-6 wave 2: SQ8 compressed-scan ANN, k-core peel (6 snapshot
+    # rounds — same fixed-overhead band as pagerank at bench scale), the
+    # 8-tap EWMA window pass, and the zero-shuffle linear quality filter
+    "sim_sq8_topk",
+    "graph_kcore",
+    "events_ewma_kernel",
+    "quality_linear_score",
 ]
 
 

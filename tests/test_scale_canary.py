@@ -57,6 +57,11 @@ CANARY_QUERIES = [
     "text_entropy_quality",
     "graph_pagerank",
     "semdedup_prune",
+    # round-6 additions: the k-core peel (iterative over a 10×-denser
+    # thresholded graph) and the SQ8 compressed-scan ANN (train + encode
+    # cost scales with the corpus, output is fixed-k)
+    "graph_kcore",
+    "sim_sq8_topk",
 ]
 
 
@@ -187,6 +192,20 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     # costing 100× wall-clock (at corpus scale the centroid count grows
     # with the corpus to hold cluster sizes bounded)
     assert got["semdedup_prune"] == 10 * base["semdedup_prune"]
+    # k-core: replicas reuse the same props.k under shifted user ids, so the
+    # node set is CONSTANT while every transition weight grows 10× — the
+    # w>=5 threshold then passes MORE pairs (denser graph), so the peel's
+    # surviving core can only grow; one row per node either way
+    assert got["graph_kcore"] >= base["graph_kcore"]
+    kc10 = QUERY_REGISTRY["graph_kcore"].fn(spark, sf1_dir)
+    kc01 = QUERY_REGISTRY["graph_kcore"].fn(spark, SF_SRC)
+    assert (
+        kc10.filter("in_core").count() >= kc01.filter("in_core").count()
+    ), "10× edge weight must not shrink the k-core"
+    # SQ8: queries (vec_id < 8) and their true neighbors live in replica 0;
+    # fixed-k output is scale-invariant while train + encode underneath are
+    # 10× — the compressed-scan shape a RAM-resident code column needs
+    assert got["sim_sq8_topk"] == base["sim_sq8_topk"]
 
     # no driver-side materialization: counts() move no rows to Python, so the
     # Python driver's peak RSS must not grow meaningfully with 10× data
