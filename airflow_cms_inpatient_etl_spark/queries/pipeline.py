@@ -434,3 +434,87 @@ def corpus_curation_v2(spark, sf_dir):
         "rn",
         scrub_text(F.col("text"), _SCRUB_CHAIN).alias("clean_text"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# corpus_range_shards — exact-boundary range sharding for output writing       #
+# --------------------------------------------------------------------------- #
+
+_N_SHARDS = 8
+
+
+def _range_shard_oracle() -> str:
+    n_ref = "(SELECT n FROM n)"
+    bounds = ", ".join(
+        f"(SELECT MIN(v) FROM cum WHERE cum >= ({i} * {n_ref} + {_N_SHARDS - 1}) // {_N_SHARDS}) AS b{i}"
+        for i in range(1, _N_SHARDS)
+    )
+    gt_sum = " + ".join(
+        f"CASE WHEN d.n_chars > b.b{i} THEN 1 ELSE 0 END" for i in range(1, _N_SHARDS)
+    )
+    return f"""
+    WITH h AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+    cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+    b AS (SELECT {bounds}),
+    assigned AS (
+        SELECT d.doc_id, d.n_chars, 1 + {gt_sum} AS shard_id
+        FROM documents d CROSS JOIN b
+    )
+    SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY shard_id
+    """
+
+
+@register("corpus_range_shards", oracle=_range_shard_oracle())
+def corpus_range_shards(spark, sf_dir):
+    """Range-shard the corpus into 8 size-balanced output shards keyed by
+    ``n_chars``, with EXACT quantile boundaries — the deterministic version
+    of ``repartitionByRange`` for writing training shards whose manifest
+    must be byte-reproducible (Spark's RangePartitioner samples, so its
+    boundaries vary run to run; a shard manifest that moves between runs
+    breaks resumable training).  Boundaries come from the value histogram
+    (distinct n_chars + counts — tiny next to the corpus), cumulated in
+    value order: boundary_i = min value whose cumulative count reaches
+    ceil(i·n/8).  Every document then gets
+    shard = 1 + #(boundaries strictly below it) via one broadcast of the
+    7-value boundary row — a single map-side pass, no global sort.  Output
+    is the shard manifest (count, char range, total chars per shard).
+    Integer arithmetic end to end ⇒ hash-exact."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy(F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    n_total = h.agg(F.sum("c").alias("n"))
+    # cumulative counts over the (small) distinct-value histogram; the
+    # single-partition window is over |distinct n_chars| rows, not the corpus
+    cum = h.select(
+        "v", F.sum("c").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)).alias("cum")
+    )
+    targets = cum.crossJoin(F.broadcast(n_total))
+    bounds = targets.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"({i} * n + {_N_SHARDS - 1}) div {_N_SHARDS}"),
+                    F.col("v"),
+                )
+            ).alias(f"b{i}")
+            for i in range(1, _N_SHARDS)
+        ]
+    )
+    shard = F.lit(1)
+    for i in range(1, _N_SHARDS):
+        shard = shard + F.when(F.col("n_chars") > F.col(f"b{i}"), 1).otherwise(0)
+    assigned = d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "n_chars", shard.alias("shard_id")
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("lo_chars"),
+        F.max("n_chars").alias("hi_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -438,3 +438,66 @@ def agg_collect_sorted(spark, sf_dir):
         F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("event_types"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# profile_table_stats — ANALYZE-style single-pass column profiling             #
+# --------------------------------------------------------------------------- #
+
+# (column, is-string) pairs; decimals/doubles excluded on purpose: their
+# engine string formatting differs ('1.00' vs '1'), while ints, dates and
+# strings cast identically.
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+@register(
+    "profile_table_stats",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_val,
+           CAST(MAX({c}) AS VARCHAR) AS max_val
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_table_stats(spark, sf_dir):
+    """ANALYZE-style data profiling: per-column row count, null count, exact
+    NDV, and min/max for 7 lineitem columns, in ONE pass over the scan —
+    the stats collection every warehouse runs before planning and every
+    pipeline runs as a DQ snapshot.  Spark computes the multi-column
+    distinct aggregates via its Expand strategy (one scan fanned to one
+    stream per distinct column — the same plan ANALYZE TABLE uses), then
+    unpivots the single stats row with ``stack`` into one row per column.
+    min/max are cast to strings AFTER aggregation so one schema carries
+    mixed column types; profiled columns are ints/strings/dates whose cast
+    formatting is engine-identical (decimals excluded — '1.00' vs '1')."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"rows_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"ndv_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', rows_{c}, nulls_{c}, ndv_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )

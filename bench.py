@@ -86,6 +86,10 @@ HEADLINE = [
     "graph_kcore",
     "events_ewma_kernel",
     "quality_linear_score",
+    # round-6 wave 3: single-pass Expand-strategy profiler and the
+    # exact-boundary range sharder (histogram cumsum + broadcast assign)
+    "profile_table_stats",
+    "corpus_range_shards",
 ]
 
 
