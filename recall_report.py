@@ -218,6 +218,14 @@ def main() -> None:
         }
         inc_rows.append((npr, len(got & delta_truth) / len(delta_truth)))
 
+    # --- round-6 addition: SQ8 compressed-scan recall vs rerank width
+    from airflow_cms_inpatient_etl_spark.operators.similarity import sq8_topk
+
+    sq8_rows = []
+    for m in (10, 20, 50):
+        got = {(r["qid"], r["cid"]) for r in sq8_topk(e, q, k=K, coarse_m=m).collect()}
+        sq8_rows.append((m, len(got & truth) / len(truth)))
+
     lines = [
         "# ANN recall/cost report",
         "",
@@ -280,6 +288,22 @@ def main() -> None:
     ]
     for npr, rec in inc_rows:
         lines.append(f"| {npr} | {rec:.3f} |")
+    lines += [
+        "",
+        "## SQ8 scalar quantization (`sim_sq8_topk`), recall@5 vs rerank width",
+        "",
+        "The coarse stage scans 8-bit codes (4× smaller than float32) with",
+        "BIGINT dequantized-centered dot products — like PQ its cost axis is",
+        "memory, not candidate count — then reranks only `coarse_m`",
+        "candidates/query with exact cosine.  Unlike PQ, one code per",
+        "dimension keeps enough geometry that the fixture's i.i.d.-Gaussian",
+        "worst case barely dents recall:",
+        "",
+        "| coarse_m | recall@5 | rerank volume (pairs) |",
+        "|---|---|---|",
+    ]
+    for m, rec in sq8_rows:
+        lines.append(f"| {m} | {rec:.3f} | {n_q * m} |")
     lines += [""]
     with open(os.path.join(os.path.dirname(__file__) or ".", "RECALL.md"), "w") as f:
         f.write("\n".join(lines))

@@ -279,3 +279,44 @@ def test_sq8_recall_against_brute_force(spark):
     got = {(r["qid"], r["cid"]) for r in sq8_topk(e, q, k=5, coarse_m=20).collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.8, f"SQ8 recall {recall:.2f} below floor"
+
+
+# --------------------------------------------------------------------------- #
+# table profiler + range sharder                                               #
+# --------------------------------------------------------------------------- #
+
+
+def test_profile_table_stats_sane(spark):
+    from airflow_cms_inpatient_etl_spark.queries.relational2 import (
+        profile_table_stats,
+    )
+
+    rows = {r["col_name"]: r for r in profile_table_stats(spark, SF_ORACLE).collect()}
+    n = {r["n_rows"] for r in rows.values()}
+    assert len(n) == 1  # one scan, one row count
+    assert rows["l_linenumber"]["n_distinct"] == 7
+    assert rows["l_linenumber"]["min_val"] == "1"
+    assert rows["l_returnflag"]["n_distinct"] == 3
+    assert all(r["n_nulls"] == 0 for r in rows.values())
+
+
+def test_range_shards_are_balanced_and_complete(spark):
+    """Exact-quantile boundaries must yield shards that (a) partition the
+    corpus completely and (b) stay within 2× of the ideal n/8 even with
+    integer ties — the property Spark's sampling RangePartitioner only
+    gives probabilistically."""
+    from airflow_cms_inpatient_etl_spark.queries.pipeline import (
+        _N_SHARDS,
+        corpus_range_shards,
+    )
+
+    shards = corpus_range_shards(spark, SF_ORACLE).collect()
+    n_docs = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r["n_docs"] for r in shards) == n_docs
+    assert {r["shard_id"] for r in shards} <= set(range(1, _N_SHARDS + 1))
+    ideal = n_docs / _N_SHARDS
+    assert max(r["n_docs"] for r in shards) <= 2 * ideal
+    # shards are contiguous, non-overlapping ranges in n_chars
+    ordered = sorted(shards, key=lambda r: r["shard_id"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["hi_chars"] <= b["lo_chars"]
