@@ -223,3 +223,162 @@ def quality_linear_score(spark, sf_dir):
         score.alias("score_milli"),
         (score >= _QL_THRESHOLD).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# corpus_curation_v5 — discriminative + generative gates → shard manifest      #
+# --------------------------------------------------------------------------- #
+
+_V5_SHARDS = 4
+
+
+def _v5_oracle() -> str:
+    n_ref = "(SELECT n FROM n)"
+    bounds = ", ".join(
+        f"(SELECT MIN(v) FROM cum WHERE cum >= ({i} * {n_ref} + {_V5_SHARDS - 1}) // {_V5_SHARDS}) AS b{i}"
+        for i in range(1, _V5_SHARDS)
+    )
+    gt_sum = " + ".join(
+        f"CASE WHEN k.n_chars > b.b{i} THEN 1 ELSE 0 END" for i in range(1, _V5_SHARDS)
+    )
+    return f"""
+    WITH {_LM_CTES},
+    lin AS (
+        SELECT doc_id,
+               (CAST(LEN(LIST_DISTINCT(w)) AS BIGINT) * 1000)
+                   // CAST(LEN(w) AS BIGINT) AS ttr_milli,
+               (CAST(LEN(LIST_FILTER(w, x -> x IN {_QL_STOPS!r})) AS BIGINT) * 1000)
+                   // CAST(LEN(w) AS BIGINT) AS stop_milli,
+               CAST(LEN(w) AS BIGINT) AS n_tokens
+        FROM toks WHERE LEN(w) > 0
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang, d.n_chars, lm.bits_per_token, lm.n_bigrams,
+               3 * lin.ttr_milli - 2 * lin.stop_milli
+                   + 10 * LEAST(lin.n_tokens, 100) AS score_milli
+        FROM documents d
+        JOIN lm ON lm.doc_id = d.doc_id
+        JOIN lin ON lin.doc_id = d.doc_id
+    ),
+    pct AS (
+        SELECT lang,
+               ROUND(QUANTILE_CONT(bits_per_token, 0.666667), 6) AS lm_t66
+        FROM scored GROUP BY lang
+    ),
+    kept AS (
+        SELECT s.doc_id, s.lang, s.n_chars
+        FROM scored s JOIN pct ON pct.lang = s.lang
+        WHERE s.score_milli >= {_QL_THRESHOLD}
+          AND s.bits_per_token <= pct.lm_t66
+          AND s.n_bigrams >= 5
+    ),
+    h AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+    cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+    b AS (SELECT {bounds}),
+    assigned AS (
+        SELECT k.doc_id, k.lang, k.n_chars, 1 + {gt_sum} AS shard_id
+        FROM kept k CROSS JOIN b
+    )
+    SELECT shard_id, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY shard_id, lang
+    """
+
+
+@register("corpus_curation_v5", oracle=_v5_oracle())
+def corpus_curation_v5(spark, sf_dir):
+    """Curation v5 — the two-model gate feeding reproducible output shards:
+    keep documents that pass BOTH the discriminative linear filter
+    (integer score >= threshold) and the generative bigram-LM gate
+    (bits-per-token within the per-language 2/3 tercile, >= 5 bigrams),
+    then range-shard the survivors into 4 size-balanced shards with EXACT
+    n_chars quantile boundaries and emit the per-(shard, lang) manifest.
+    This is the standard close of a pretraining-data pipeline: quality
+    stack → snapshot → deterministic shard manifest for the trainer.
+    Plan: one LM scoring pass + one linear-feature projection (shared
+    scan), a tiny per-lang percentile broadcast, histogram-cumsum
+    boundaries (no global sort), map-side shard assignment, final
+    aggregate — the per-doc score table is persisted once for its three
+    consumers (percentiles, boundary histogram via kept, manifest)."""
+    d = load_table(spark, sf_dir, "documents")
+    c2, c1, vocab = train_bigram_lm(d.filter(F.col("lang") == _REF_LANG))
+    lm = score_bits_per_token(d, c2, c1, vocab)
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    lin = (
+        d.select(
+            "doc_id",
+            F.size(w).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(w)).cast("bigint").alias("n_uniq"),
+            F.size(F.filter(w, lambda x: x.isin(*_QL_STOPS))).cast("bigint").alias("n_stop"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.expr("(n_uniq * 1000) div n_tokens").alias("ttr_milli"),
+            F.expr("(n_stop * 1000) div n_tokens").alias("stop_milli"),
+            "n_tokens",
+        )
+    )
+    scored = (
+        d.select("doc_id", "lang", "n_chars")
+        .join(lm, "doc_id")
+        .join(lin, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "bits_per_token",
+            "n_bigrams",
+            (
+                F.lit(3) * F.col("ttr_milli")
+                - F.lit(2) * F.col("stop_milli")
+                + F.lit(10) * F.least(F.col("n_tokens"), F.lit(100).cast("bigint"))
+            ).alias("score_milli"),
+        )
+        .persist()
+    )
+    pct = scored.groupBy("lang").agg(
+        F.round(F.percentile("bits_per_token", F.lit(0.666667)), 6).alias("lm_t66")
+    )
+    kept = (
+        scored.join(F.broadcast(pct), "lang")
+        .filter(
+            (F.col("score_milli") >= _QL_THRESHOLD)
+            & (F.col("bits_per_token") <= F.col("lm_t66"))
+            & (F.col("n_bigrams") >= 5)
+        )
+        .select("doc_id", "lang", "n_chars")
+        .persist()
+    )
+    h = kept.groupBy(F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    n_total = h.agg(F.sum("c").alias("n"))
+    from pyspark.sql import Window as W
+
+    cum = h.select(
+        "v",
+        F.sum("c").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    bounds = cum.crossJoin(F.broadcast(n_total)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({i} * n + {_V5_SHARDS - 1}) div {_V5_SHARDS}"),
+                    F.col("v"),
+                )
+            ).alias(f"b{i}")
+            for i in range(1, _V5_SHARDS)
+        ]
+    )
+    shard = F.lit(1)
+    for i in range(1, _V5_SHARDS):
+        shard = shard + F.when(F.col("n_chars") > F.col(f"b{i}"), 1).otherwise(0)
+    return (
+        kept.crossJoin(F.broadcast(bounds))
+        .select("lang", "n_chars", shard.alias("shard_id"))
+        .groupBy("shard_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

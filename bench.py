@@ -90,6 +90,7 @@ HEADLINE = [
     # exact-boundary range sharder (histogram cumsum + broadcast assign)
     "profile_table_stats",
     "corpus_range_shards",
+    "corpus_curation_v5",
 ]
 
 
