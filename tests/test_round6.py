@@ -320,3 +320,28 @@ def test_range_shards_are_balanced_and_complete(spark):
     ordered = sorted(shards, key=lambda r: r["shard_id"])
     for a, b in zip(ordered, ordered[1:]):
         assert a["hi_chars"] <= b["lo_chars"]
+
+
+def test_sq8_quantization_error_bounded_by_half_step(spark):
+    """Decode error of the min-max grid is at most half a step per
+    dimension: |x - (lo + c/255*(hi-lo))| <= (hi-lo)/510 + 1ulp — the
+    bound that justifies using code-space dots as the coarse ranking."""
+    import numpy as np
+
+    from airflow_cms_inpatient_etl_spark.operators.similarity import (
+        sq8_encode,
+        sq8_stats,
+    )
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    stats = sq8_stats(e)
+    srow = stats.first()
+    lo = np.array(srow["lo"], dtype=np.float64)
+    hi = np.array(srow["hi"], dtype=np.float64)
+    rows = sq8_encode(e, stats).select("embedding", "qcode").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = np.array([r["qcode"] for r in rows], dtype=np.int64)
+    decoded = lo + C / 255.0 * (hi - lo)
+    err = np.abs(X - decoded)
+    bound = (hi - lo) / 510.0 + 1e-12
+    assert (err <= bound).all(), float(err.max())
