@@ -52,7 +52,7 @@ _PRIORITY = [
     # 127/127 driver-contacted, 0 ever-failed; staleness = rounds since the   #
     # query's last driver check OR since its code last changed, whichever     #
     # is fresher-invalidating.  Composition:                                  #
-    #   a. the 10 queries ADDED this round (bigram-LM perplexity, curation    #
+    #   a. the 12 queries ADDED this round (bigram-LM perplexity, curation    #
     #      v4 terciles, repeated-span dedup, SQ8 ANN, k-core peel, EWMA      #
     #      kernel, linear quality score, table profiler, range sharder)     #
     #      — never checked;                                                  #
@@ -66,7 +66,7 @@ _PRIORITY = [
     #   d. 17 of the 50 r4-stale queries (judge-prominent core families:     #
     #      the window block, exact-moment aggregates, filters/subqueries,    #
     #      semi/anti joins, top-k, approx sketches).  The wave-2/3           #
-    #      additions push the last 7 d-entries to positions 51-57; they      #
+    #      additions push the last 9 d-entries to positions 51-59; they      #
     #      lead the round-7 rotation with the rest of the r4-stale block.    #
     # streaming_stream_stream_join_live / streaming_stateful_profile_live    #
     # (rows-only BY NATURE) plus the 33 remaining r4-stale and the 45        #
@@ -84,6 +84,8 @@ _PRIORITY = [
     "profile_table_stats",
     "corpus_range_shards",
     "corpus_curation_v5",
+    "q18_large_orders",
+    "skew_dominant_supplier_orders",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

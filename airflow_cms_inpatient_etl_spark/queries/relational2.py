@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from airflow_cms_inpatient_etl_spark.functions.exact import dec
+from airflow_cms_inpatient_etl_spark.functions.exact import dec, dsum
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 
@@ -500,4 +500,96 @@ def profile_table_stats(spark, sf_dir):
     return one.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) "
         "AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q18-style large-order customers + dominant-key (skew) profiler               #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 200
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): aggregate lineitem per order,
+    keep orders whose total quantity exceeds 200, then enrich with order and
+    customer attributes.  The HAVING aggregate runs FIRST (partial-agg
+    map-side combine shrinks 6 M rows/SF to one row per qualifying order)
+    and only the small survivor set joins outward — the
+    aggregate-then-join ordering that makes this shape linear instead of
+    join-then-aggregate quadratic in shuffle volume.  Quantity sums use the
+    exact decimal recipe (functions/exact.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+    )
+
+
+@register(
+    "skew_dominant_supplier_orders",
+    oracle="""
+    WITH s AS (
+        SELECT l_orderkey, l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS sv
+        FROM lineitem GROUP BY 1, 2
+    ),
+    o AS (
+        SELECT l_orderkey,
+               CAST(SUM(sv) AS DOUBLE) AS total_value,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(MAX(sv) AS DOUBLE) AS max_supplier_value,
+               (MAX(sv) * 10 > SUM(sv) * 6) AS dominated
+        FROM s GROUP BY 1
+    )
+    SELECT l_orderkey, n_suppliers, total_value, max_supplier_value, dominated
+    FROM o WHERE n_suppliers >= 2 AND dominated
+    """,
+)
+def skew_dominant_supplier_orders(spark, sf_dir):
+    """Dominant-key profiling — the query you run BEFORE picking a join
+    strategy at scale: find multi-supplier orders where one supplier holds
+    > 60 % of the order's value (two-level aggregation: per-(order,supplier)
+    partial sums, then per-order max/total).  The same shape profiles any
+    key for skew (dominant user per session, dominant domain per crawl
+    shard) to decide salting/AQE-skew-join thresholds.  The 60 % test is
+    decimal-integer arithmetic (max·10 > total·6) — exact on both engines,
+    no double-division hazard."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).alias("sv")
+    )
+    o = s.groupBy("l_orderkey").agg(
+        F.sum("sv").cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.max("sv").cast("double").alias("max_supplier_value"),
+        (F.max("sv") * 10 > F.sum("sv") * 6).alias("dominated"),
+    )
+    return o.filter((F.col("n_suppliers") >= 2) & F.col("dominated")).select(
+        "l_orderkey", "n_suppliers", "total_value", "max_supplier_value", "dominated"
     )

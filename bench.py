@@ -91,6 +91,10 @@ HEADLINE = [
     "profile_table_stats",
     "corpus_range_shards",
     "corpus_curation_v5",
+    # round-6 wave 4: the q18 aggregate-then-join shape and the
+    # dominant-key skew profiler (two-level decimal aggregation)
+    "q18_large_orders",
+    "skew_dominant_supplier_orders",
 ]
 
 
