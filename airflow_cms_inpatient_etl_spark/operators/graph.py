@@ -78,6 +78,42 @@ def _lineage_snapshot(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     return df.checkpoint(eager=True)
 
 
+def _snapshot_tracked(
+    df: DataFrame, checkpoint_dir: str | None
+) -> tuple[DataFrame, frozenset[int]]:
+    """``_lineage_snapshot`` plus the ids of the persistent RDDs the snapshot
+    pinned (empty for reliable checkpoints, which live on the filesystem).
+
+    Iterative operators use the ids to free round N-1's blocks the moment
+    round N is materialized (``_free_snapshot``), so live executor storage
+    stays O(one round's state) no matter how many rounds run — without this,
+    every round's localCheckpoint stays pinned until driver GC happens to
+    collect the dropped DataFrame, and a many-round peel on a long-lived
+    session accumulates blocks until storage eviction thrash.
+    """
+    if checkpoint_dir is not None:
+        return df.checkpoint(eager=True), frozenset()
+    jsc = df.sparkSession.sparkContext._jsc
+    before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    after = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    return out, frozenset(after - before)
+
+
+def _free_snapshot(df: DataFrame, ids: frozenset[int]) -> None:
+    """Unpersist the localCheckpoint blocks behind ``ids``.
+
+    DESTRUCTIVE: a localCheckpointed RDD has no lineage to recompute from, so
+    this must only run once nothing live depends on the snapshot — i.e. after
+    the NEXT round's eager snapshot (which consumed it) is materialized.
+    """
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def connected_components(
     pairs: DataFrame,
     id1: str = "id1",
@@ -122,7 +158,7 @@ def connected_components_with_rounds(
         .withColumnRenamed("src", "node"),
         checkpoint_dir,
     )
-    edges = _lineage_snapshot(
+    edges, prev_ids = _snapshot_tracked(
         e.filter(F.col("src") != F.col("dst")).distinct(), checkpoint_dir
     )
     if max_iters is None:
@@ -130,8 +166,12 @@ def connected_components_with_rounds(
         max_iters = 2 * math.ceil(math.log2(n_nodes)) + 8
     rounds = 0
     converged = edges.isEmpty()
+    # prev_ids = the previous round's blocks (initially the input snapshot),
+    # freed only after the round that consumed them is materialized + compared
     while not converged and rounds < max_iters:
-        new_edges = _lineage_snapshot(_small_star(_large_star(edges)), checkpoint_dir)
+        new_edges, new_ids = _snapshot_tracked(
+            _small_star(_large_star(edges)), checkpoint_dir
+        )
         rounds += 1
         # both steps strictly decrease the paper's potential on any change, so
         # an unchanged edge set after a full round means a fixed point (stars)
@@ -139,7 +179,8 @@ def connected_components_with_rounds(
             new_edges.count() == edges.count()
             and new_edges.exceptAll(edges).isEmpty()
         )
-        edges = new_edges
+        _free_snapshot(new_edges, prev_ids)  # round r-1 dead once r exists + compared
+        edges, prev_ids = new_edges, new_ids
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
@@ -342,11 +383,14 @@ def kcore_peel(
         )
 
     alive = nodes
+    prev_ids: frozenset[int] = frozenset()  # never nodes' own blocks — output needs them
     for _ in range(rounds):
-        alive = _lineage_snapshot(
+        alive, new_ids = _snapshot_tracked(
             _deg(alive).filter(F.col("deg") >= k).select(F.col("s").alias("node")),
             checkpoint_dir,
         )
+        _free_snapshot(alive, prev_ids)  # round r-1's alive set dead once r exists
+        prev_ids = new_ids
     final_deg = _deg(alive)
     return (
         nodes.join(alive.withColumn("__in", F.lit(True)), "node", "left")

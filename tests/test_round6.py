@@ -345,3 +345,40 @@ def test_sq8_quantization_error_bounded_by_half_step(spark):
     err = np.abs(X - decoded)
     bound = (hi - lo) / 510.0 + 1e-12
     assert (err <= bound).all(), float(err.max())
+
+
+# --------------------------------------------------------------------------- #
+# bounded live storage across iterative rounds                                 #
+# --------------------------------------------------------------------------- #
+
+
+def test_iterative_loops_free_intermediate_snapshots(spark):
+    """Each round's localCheckpoint must be unpersisted the moment the round
+    that consumed it is materialized — otherwise an N-round peel pins N
+    snapshots until driver GC, and a long-lived session accumulates blocks
+    until storage eviction thrash.  Live storage after the call must be only
+    the snapshots the RESULT still needs (kcore: adj + nodes + final alive;
+    CC: nodes + final edge set), not one per round."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import (
+        connected_components,
+        kcore_peel,
+    )
+
+    sc = spark.sparkContext
+    jsc = sc._jsc
+
+    # long path ⇒ many peel rounds (endpoints peel one per round at k=2)
+    n = 24
+    path = spark.createDataFrame([(i, i + 1) for i in range(n)], ["a", "b"])
+
+    before = jsc.getPersistentRDDs().size()
+    out = kcore_peel(path, k=2, rounds=13)  # 25 nodes: 2 endpoints/round, last lone node round 13
+    assert out.filter("in_core").count() == 0  # a path has no 2-core
+    pinned = jsc.getPersistentRDDs().size() - before
+    assert pinned <= 3, f"kcore left {pinned} snapshots pinned (expected <=3)"
+
+    before = jsc.getPersistentRDDs().size()
+    labels = connected_components(path.withColumnRenamed("a", "id1").withColumnRenamed("b", "id2"))
+    assert labels.select(F.countDistinct("label")).first()[0] == 1
+    pinned = jsc.getPersistentRDDs().size() - before
+    assert pinned <= 2, f"CC left {pinned} snapshots pinned (expected <=2)"

@@ -18,8 +18,10 @@ deterministic perturbation.
 
 from __future__ import annotations
 
+import gc
 import os
 import resource
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -214,8 +216,24 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
 
     # executor storage pinned by the run (the documented minhash shingle cache)
     # must be releasable — a pin that survives clearCache would accumulate
-    # across jobs in a long-lived session until storage eviction thrash
+    # across jobs in a long-lived session until storage eviction thrash.
+    # Two release paths exist and both are exercised: cached tables drop via
+    # clearCache(); the iterative graph operators' FINAL localCheckpoints
+    # (intermediates are freed deterministically inside the loops) drop via
+    # the ContextCleaner once the driver no longer references them — that
+    # path needs a Python GC (release the py4j handles) + JVM GC (enqueue
+    # the weak refs), then drains asynchronously, hence the bounded poll.
+    del kc10, kc01
     spark.catalog.clearCache()
+    gc.collect()
+    deadline = time.monotonic() + 60
+    while (
+        len(sc._jsc.sc().getRDDStorageInfo()) > pinned_before
+        and time.monotonic() < deadline
+    ):
+        sc._jvm.System.gc()
+        time.sleep(2)
+        gc.collect()
     assert len(sc._jsc.sc().getRDDStorageInfo()) <= pinned_before
 
 
