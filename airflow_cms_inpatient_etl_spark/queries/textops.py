@@ -7,6 +7,7 @@ must not cross into Python per row.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.operators.scrub import (
@@ -398,4 +399,129 @@ def text_corpus_rollup(spark, sf_dir):
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# text_bm25_search — inverted-index keyword search with BM25 ranking           #
+# --------------------------------------------------------------------------- #
+
+# Fixed search query (a user's keyword search over the corpus). k1/b are the
+# standard Okapi defaults; 2.2 = k1 + 1 and 0.25 = 1 - b written as literals
+# so BOTH engines parse the identical decimal → identical doubles.
+_BM25_TERMS = ("hash", "join", "scan", "stream", "window")
+_BM25_K = 50
+
+# Per-(doc, term) contribution — ONE shared expression string evaluated by
+# both engines (the LM-family contract): idf is the Lucene BM25 "+1" form
+# (never negative), tf saturation with document-length normalization.  LN is
+# the only transcendental; everything else is exactly-rounded IEEE, and the
+# per-doc sum folds in term order, so ROUND(...,6) absorbs the ulps.
+_BM25_CONTRIB = (
+    "LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+    " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"
+)
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    dls AS (SELECT doc_id, lang, CAST(LEN(w) AS BIGINT) AS dl, w FROM toks),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dls
+    ),
+    tf AS (
+        SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, UNNEST(w) AS t FROM dls)
+        WHERE t IN {str(tuple(_BM25_TERMS))}
+        GROUP BY 1, 2
+    ),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT tf.doc_id, tf.term,
+               {_BM25_CONTRIB} AS c
+        FROM tf
+        JOIN dfs USING (term)
+        JOIN dls USING (doc_id)
+        CROSS JOIN stats
+    ),
+    sc AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms_hit,
+               ROUND(LIST_REDUCE(LIST(c ORDER BY term), (x, y) -> x + y), 6) AS score
+        FROM contrib GROUP BY doc_id
+    ),
+    top AS (
+        SELECT doc_id, n_terms_hit, score
+        FROM sc ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+    )
+    SELECT t.doc_id, d.lang, d.dl, t.n_terms_hit, t.score,
+           CAST(ROW_NUMBER() OVER (ORDER BY t.score DESC, t.doc_id) AS BIGINT)
+               AS search_rank
+    FROM top t JOIN dls d USING (doc_id)
+    """,
+)
+def text_bm25_search(spark, sf_dir):
+    """Keyword search over the corpus: Okapi BM25 ranking for a fixed query
+    term set, top-K documents.  This is the retrieval shape every
+    corpus-inspection tool needs next to the ANN family — lexical instead of
+    embedding-based.
+
+    Plan (the inverted-index shape): one scan tokenizes; the token explode is
+    FILTERED to the query terms before the tf shuffle, so the exploded volume
+    entering the exchange is ~|terms|·|matching docs|, not the full token
+    stream; df and the (n_docs, avgdl) corpus stats are tiny aggregates that
+    ride broadcast joins; document length (dl) is carried through the explode
+    (functionally dependent on doc_id — no join back against the corpus); the
+    per-doc score folds its ≤|terms| contributions in term order; the global
+    top-k is TakeOrderedAndProject on the rounded score.  At 100 TB nothing
+    here is corpus-quadratic: the only shuffle keyed by doc is the tf
+    aggregation over query-term hits."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", _words(F.col("text")).alias("w")
+    ).select("doc_id", "lang", F.size("w").cast("long").alias("dl"), "w")
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(dl) AS DOUBLE) / COUNT(*)").alias("avgdl"),
+    )
+    hits = toks.select(
+        "doc_id", "lang", "dl", F.explode("w").alias("t")
+    ).filter(F.col("t").isin(*_BM25_TERMS))
+    tf = hits.groupBy("doc_id", "lang", "dl", F.col("t").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "lang", "dl", "term", F.expr(_BM25_CONTRIB).alias("c"))
+    )
+    sc = contrib.groupBy("doc_id", "lang", "dl").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x.getField("c"),
+            ),
+            6,
+        ).alias("score"),
+    )
+    top = sc.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_K)
+    return top.select(
+        "doc_id",
+        "lang",
+        "dl",
+        "n_terms_hit",
+        "score",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long")
+        .alias("search_rank"),
     )

@@ -420,3 +420,65 @@ def events_ewma_kernel(spark, sf_dir):
         n_taps.cast("int").alias("n_taps"),
         ewma.alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# events_anomaly_mad — robust outlier detection (median / MAD)                 #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS dev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, QUANTILE_CONT(dev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+           CASE WHEN m.mad > 0 THEN d.dev / m.mad END AS robust_z,
+           (d.dev > 3 * m.mad) AS is_outlier
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust per-type anomaly detection: median / median-absolute-deviation
+    (the estimator that survives the outliers it is hunting — mean/stddev
+    are dragged by the very rows they should flag).  Two grouped EXACT
+    percentiles (the winsorize contract: both engines interpolate
+    lower + (upper-lower)·f on the sorted values, bit-identical) and
+    otherwise only IEEE +,-,×,÷,ABS — exactly-rounded operations, so the
+    whole result hash-matches the oracle WITHOUT rounding.  Plan: two
+    grouped-median shuffles over (event_type), each result a one-row-per-type
+    table broadcast back onto the scan — the per-key state of an exact
+    median is the sorted value list, which at 100 TB means swapping this
+    aggregate for approx_percentile/t-digest per the documented
+    exact-vs-approx pairing (agg_exact_percentiles ↔ approx_aggregates);
+    the flag/score algebra is unchanged either way."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        "mad",
+        F.when(F.col("mad") > 0, F.col("dev") / F.col("mad")).alias("robust_z"),
+        (F.col("dev") > 3 * F.col("mad")).alias("is_outlier"),
+    )

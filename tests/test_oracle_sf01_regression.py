@@ -49,6 +49,11 @@ _HAZARD_CLASS = [
     # (curation v4 terciles)
     "quality_lm_perplexity",
     "corpus_curation_v4",
+    # round-6 wave 5: LN ulp inside term-ordered folds (BM25), LOG2 ulp +
+    # double Gumbel transform (DSIR), exact-percentile double medians (MAD)
+    "text_bm25_search",
+    "quality_dsir_importance",
+    "events_anomaly_mad",
 ]
 
 _NAMES = (

@@ -382,3 +382,80 @@ def test_iterative_loops_free_intermediate_snapshots(spark):
     assert labels.select(F.countDistinct("label")).first()[0] == 1
     pinned = jsc.getPersistentRDDs().size() - before
     assert pinned <= 2, f"CC left {pinned} snapshots pinned (expected <=2)"
+
+
+# --------------------------------------------------------------------------- #
+# wave-5: BM25 search, DSIR importance resampling, MAD anomaly flags           #
+# --------------------------------------------------------------------------- #
+
+
+def test_bm25_tf_and_idf_monotonicity(spark):
+    """Same-length docs: more occurrences of a query term ⇒ higher score
+    (tf saturation is monotone); and a doc hitting a RARE term outscores a
+    doc hitting a COMMON one with the same tf/dl (idf ordering)."""
+    import pandas as pd
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+    import tempfile, os
+
+    # corpus: 'hash' rare (2 docs), 'join' common (8 docs); pad to equal dl
+    rows = []
+    for i in range(8):
+        rows.append((i, "join " + "pad " * 7, "en", "s1", 40))
+    rows.append((100, "hash join pad pad pad pad pad pad", "en", "s1", 33))
+    rows.append((101, "hash hash pad pad pad pad pad pad", "en", "s1", 33))
+    rows.append((102, "join join pad pad pad pad pad pad", "en", "s1", 33))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = QUERY_REGISTRY["text_bm25_search"].fn(spark, d).toPandas()
+    s = out.set_index("doc_id")["score"]
+    # tf monotone: two hashes beat one hash (dl equal)
+    assert s[101] > s[100] or (101 in s.index and 100 not in s.index)
+    # idf: one hash + one join (rare+common) beats two joins (common only)
+    assert s[100] > s[102]
+
+
+def test_dsir_model_is_corpus_invariant_and_favors_target(spark, tmp_path):
+    """The hashed model must be exactly _DSIR_B rows however large the
+    vocabulary, and English (reference-slice) docs must carry a higher
+    median importance weight than off-target docs at the fixture."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+    from airflow_cms_inpatient_etl_spark.queries.quality import _DSIR_B, _DSIR_K
+
+    out = QUERY_REGISTRY["quality_dsir_importance"].fn(
+        spark, SF_ORACLE
+    ).toPandas()
+    assert len(out) == _DSIR_K
+    assert out["sample_rank"].is_unique and out["sample_rank"].max() == _DSIR_K
+    # selection favors target-like docs: the en share of the sample exceeds
+    # the en share of the corpus (the whole point of importance resampling)
+    docs = load_table(spark, SF_ORACLE, "documents").select("lang").toPandas()
+    en_corpus = (docs["lang"] == "en").mean()
+    en_sample = (out["lang"] == "en").mean()
+    assert en_sample > en_corpus, (en_sample, en_corpus)
+
+
+def test_mad_hand_computation(spark, tmp_path):
+    """Hand-checkable frame: values [1,2,3,4,100] → med 3, devs [2,1,0,1,97],
+    mad 1; only 100 flags at the 3·MAD fence (97 > 3)."""
+    import datetime as dt
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+    import os
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, 1, "click", float(v), "{}")
+        for i, v in enumerate([1, 2, 3, 4, 100])
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    out = QUERY_REGISTRY["events_anomaly_mad"].fn(spark, d).toPandas()
+    assert out["med"].unique().tolist() == [3.0]
+    assert out["mad"].unique().tolist() == [1.0]
+    flagged = set(out[out["is_outlier"]]["event_id"])
+    assert flagged == {4}
+    z = out.set_index("event_id")["robust_z"]
+    assert z[4] == 97.0 and z[2] == 0.0
