@@ -474,33 +474,39 @@ _PROFILE_COLS = [
 )
 def profile_table_stats(spark, sf_dir):
     """ANALYZE-style data profiling: per-column row count, null count, exact
-    NDV, and min/max for 7 lineitem columns, in ONE pass over the scan —
-    the stats collection every warehouse runs before planning and every
-    pipeline runs as a DQ snapshot.  Spark computes the multi-column
-    distinct aggregates via its Expand strategy (one scan fanned to one
-    stream per distinct column — the same plan ANALYZE TABLE uses), then
-    unpivots the single stats row with ``stack`` into one row per column.
-    min/max are cast to strings AFTER aggregation so one schema carries
-    mixed column types; profiled columns are ints/strings/dates whose cast
-    formatting is engine-identical (decimals excluded — '1.00' vs '1')."""
+    NDV, and min/max for 7 lineitem columns — the stats collection every
+    warehouse runs before planning and every pipeline runs as a DQ snapshot.
+
+    Plan: a UNION of 7 single-column branches, each a COLUMN-PRUNED scan
+    feeding a single-distinct two-phase aggregate.  The tempting
+    "one pass" alternative — all 35 aggregates in one ``agg`` — plans as
+    Catalyst's Expand strategy (the multi-distinct rewrite ANALYZE TABLE
+    uses): the scan fans to 8 streams (one per distinct column + one for
+    the plain aggregates) and pushes 8× the row volume through the
+    exchange, and its 35-aggregate generated code takes seconds of JIT on
+    first touch — measured 15.3 s cold / 0.13 s warm at sf0.1 vs 1.3 s /
+    0.07 s for the union.  On columnar storage the union reads the SAME
+    total bytes (each branch prunes to its one column — the scans'
+    ReadSchema is a single field), the branches run as independent
+    parallel stages, and no row ever expands.  min/max are cast to string
+    after aggregation so one schema carries mixed types; profiled columns
+    are ints/strings/dates whose cast formatting is engine-identical
+    (decimals excluded — '1.00' vs '1')."""
+    from functools import reduce
+
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"rows_{c}"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
-            F.countDistinct(c).alias(f"ndv_{c}"),
-            F.min(c).cast("string").alias(f"min_{c}"),
-            F.max(c).cast("string").alias(f"max_{c}"),
-        ]
-    one = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', rows_{c}, nulls_{c}, ndv_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
-    )
-    return one.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
-        "AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
-    )
+    branches = [
+        li.select(c).agg(
+            F.lit(c).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_val"),
+            F.max(c).cast("string").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return reduce(lambda a, b: a.unionAll(b), branches)
 
 
 # --------------------------------------------------------------------------- #

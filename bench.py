@@ -95,6 +95,11 @@ HEADLINE = [
     # dominant-key skew profiler (two-level decimal aggregation)
     "q18_large_orders",
     "skew_dominant_supplier_orders",
+    # round-6 wave 5: inverted-index BM25 ranking, the DSIR double-model
+    # scoring pass, and the two-median MAD robust outlier flags
+    "text_bm25_search",
+    "quality_dsir_importance",
+    "events_anomaly_mad",
 ]
 
 
