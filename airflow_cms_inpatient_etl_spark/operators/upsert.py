@@ -183,3 +183,37 @@ def snapshot_diff(
     olds = [F.col(f"__b_{c}").alias(f"old_{c}") for c in compare_cols]
     news = [F.col(f"__n_{c}").alias(f"new_{c}") for c in compare_cols]
     return j.select(*out_keys, change_type.alias("change_type"), *olds, *news)
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[tuple[str, str]],
+    ts_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Temporal (point-in-time) join: attach to each fact row the dimension
+    version that was valid AT THE FACT'S TIMESTAMP — the join every
+    event-sourced warehouse needs between a fact stream and an SCD2
+    dimension (joining the CURRENT version instead silently rewrites
+    history).
+
+    ``keys`` maps fact column → history column; ``ts_col`` is the fact's
+    event-time column.  A version matches when
+    ``ts >= valid_from AND (valid_to IS NULL OR ts < valid_to)`` —
+    half-open intervals, so version boundaries never double-match.
+
+    Scale shape: the EQUALITY keys drive the join (shuffle or broadcast on
+    the dimension key — Catalyst plans this as an equi-join with the
+    interval predicate as a post-match filter, never a nested loop); the
+    interval only prunes among a key's own versions, and SCD2's
+    non-overlapping-validity invariant makes at most ONE version match per
+    fact, so output cardinality ≤ fact cardinality with ``how='inner'``
+    (facts predating the first version drop; use ``how='left'`` to keep
+    them with NULL dimension columns).
+    """
+    cond = [facts[fk] == history[hk] for fk, hk in keys]
+    ts = facts[ts_col].cast("timestamp")
+    cond.append(ts >= history["valid_from"])
+    cond.append(history["valid_to"].isNull() | (ts < history["valid_to"]))
+    return facts.join(history, on=cond, how=how)

@@ -222,3 +222,150 @@ def snapshot_table_diff(spark, sf_dir):
     return snapshot_diff(
         o, nxt, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     ).filter(F.col("change_type") != "unchanged")
+
+
+# --------------------------------------------------------------------------- #
+# cdc_scd2_point_in_time — temporal join of facts to an SCD2 dimension         #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "cdc_scd2_point_in_time",
+    oracle="""
+    WITH hist AS (
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '1992-01-01 00:00:00' AS valid_from,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN TIMESTAMP '1996-01-01 00:00:00' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'CHURNED',
+               TIMESTAMP '1996-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        FROM customer WHERE c_custkey % 5 = 0
+    ),
+    pit AS (
+        SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate, h.c_mktsegment
+        FROM orders o JOIN hist h
+          ON h.c_custkey = o.o_custkey
+         AND CAST(o.o_orderdate AS TIMESTAMP) >= h.valid_from
+         AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < h.valid_to)
+    )
+    SELECT c_mktsegment AS segment_at_order, CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
+    FROM pit GROUP BY 1, 2
+    """,
+)
+def cdc_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time (temporal) join: revenue per market segment AS THE
+    SEGMENT WAS when each order was placed.  The dimension is a real SCD2
+    history built by the operators (scd2_init at 1992-01-01, then every
+    fifth customer churns at 1996-01-01 via apply_scd2); each order then
+    joins the version valid at its order date — churned customers' orders
+    split between their old segment (pre-1996) and CHURNED (post-1996),
+    which joining the current version would silently rewrite.  The oracle
+    derives the same history from SCD2 semantics directly, so both the
+    history build AND the temporal matching are independently checked.
+    Plan: equi-join on custkey (AQE broadcasts the dimension when small)
+    with the interval check as a post-match filter — at most one version
+    matches per fact by the SCD2 non-overlap invariant; decimal-exact
+    revenue sums."""
+    from airflow_cms_inpatient_etl_spark.functions.exact import dsum
+    from airflow_cms_inpatient_etl_spark.operators.upsert import (
+        scd2_point_in_time_join,
+    )
+
+    snap = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    history = scd2_init(snap, "1992-01-01 00:00:00")
+    updates = snap.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, "CHURNED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    history = apply_scd2(
+        history,
+        updates,
+        key_cols=["c_custkey"],
+        compare_cols=["c_mktsegment"],
+        as_of="1996-01-01 00:00:00",
+    )
+    o = load_table(spark, sf_dir, "orders")
+    pit = scd2_point_in_time_join(
+        o, history, keys=[("o_custkey", "c_custkey")], ts_col="o_orderdate"
+    )
+    return pit.groupBy(
+        F.col("c_mktsegment").alias("segment_at_order"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# cdc_delete_propagation — right-to-be-forgotten cascade                       #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "cdc_delete_propagation",
+    oracle="""
+    WITH del_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    del_o AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+    ),
+    del_l AS (
+        SELECT l_orderkey FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM del_c) AS BIGINT) AS n_deleted,
+           CAST((SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM del_c) AS BIGINT) AS n_remaining
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM del_o) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_o) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM del_l) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM del_l) AS BIGINT)
+    """,
+)
+def cdc_delete_propagation(spark, sf_dir):
+    """Right-to-be-forgotten cascade: a deletion request set (every 97th
+    customer) propagates through the foreign-key chain customer → orders →
+    lineitem via key-equality SEMI joins, and the audit summary reports
+    deleted/remaining per table — the manifest a GDPR erasure job must
+    produce before rewriting files.  Plan: each cascade level is one
+    semi-join keyed by the FK (AQE turns the small deletion side into a
+    broadcast/runtime filter; at 100 TB the same shape drives a MERGE
+    DELETE file rewrite, with the semi-join selecting which files to
+    rewrite); counts are three pairs of single-row aggregates — no level
+    materializes the surviving rows just to count them."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_c = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_o = o.join(
+        del_c, o["o_custkey"] == del_c["c_custkey"], "semi"
+    ).select("o_orderkey")
+    del_l = li.join(
+        del_o, li["l_orderkey"] == del_o["o_orderkey"], "semi"
+    ).select("l_orderkey")
+
+    def level(name, deleted, full):
+        a = deleted.agg(F.count(F.lit(1)).alias("n_deleted"))
+        b = full.agg(F.count(F.lit(1)).alias("n_total"))
+        return a.crossJoin(F.broadcast(b)).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_deleted"),
+            (F.col("n_total") - F.col("n_deleted")).alias("n_remaining"),
+        )
+
+    return (
+        level("customer", del_c, c)
+        .unionAll(level("orders", del_o, o))
+        .unionAll(level("lineitem", del_l, li))
+    )

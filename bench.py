@@ -86,7 +86,7 @@ HEADLINE = [
     "graph_kcore",
     "events_ewma_kernel",
     "quality_linear_score",
-    # round-6 wave 3: single-pass Expand-strategy profiler and the
+    # round-6 wave 3: column-pruned union-branch profiler and the
     # exact-boundary range sharder (histogram cumsum + broadcast assign)
     "profile_table_stats",
     "corpus_range_shards",
@@ -100,6 +100,7 @@ HEADLINE = [
     "text_bm25_search",
     "quality_dsir_importance",
     "events_anomaly_mad",
+    "cdc_scd2_point_in_time",
 ]
 
 

@@ -54,6 +54,8 @@ _HAZARD_CLASS = [
     "text_bm25_search",
     "quality_dsir_importance",
     "events_anomaly_mad",
+    # decimal-exact sums grouped under a temporal join
+    "cdc_scd2_point_in_time",
 ]
 
 _NAMES = (

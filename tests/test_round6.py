@@ -459,3 +459,75 @@ def test_mad_hand_computation(spark, tmp_path):
     assert flagged == {4}
     z = out.set_index("event_id")["robust_z"]
     assert z[4] == 97.0 and z[2] == 0.0
+
+
+# --------------------------------------------------------------------------- #
+# wave-6: SCD2 point-in-time join + delete propagation                         #
+# --------------------------------------------------------------------------- #
+
+
+def test_point_in_time_join_picks_version_valid_at_fact_time(spark):
+    """Half-open interval semantics on a 2-version key: a fact ON the
+    boundary takes the NEW version; pre-history facts drop under inner and
+    survive with NULLs under left."""
+    import datetime as dt
+    from airflow_cms_inpatient_etl_spark.operators.upsert import (
+        scd2_point_in_time_join,
+    )
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    hist = spark.createDataFrame(
+        [
+            (1, "OLD", T("2020-01-01"), T("2021-01-01"), False),
+            (1, "NEW", T("2021-01-01"), None, True),
+        ],
+        ["k", "seg", "valid_from", "valid_to", "is_current"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, T("2020-06-01")),  # inside v1
+            (11, 1, T("2021-01-01")),  # exactly on the boundary -> v2
+            (12, 1, T("2019-01-01")),  # before any version
+            (13, 2, T("2021-06-01")),  # unknown key
+        ],
+        ["fid", "fk", "ts"],
+    )
+    inner = {
+        r["fid"]: r["seg"]
+        for r in scd2_point_in_time_join(facts, hist, [("fk", "k")], "ts").collect()
+    }
+    assert inner == {10: "OLD", 11: "NEW"}
+    left = {
+        r["fid"]: r["seg"]
+        for r in scd2_point_in_time_join(
+            facts, hist, [("fk", "k")], "ts", how="left"
+        ).collect()
+    }
+    assert left == {10: "OLD", 11: "NEW", 12: None, 13: None}
+
+
+def test_delete_propagation_counts_are_consistent(spark):
+    """Cascade invariants at the fixture: every level's deleted+remaining
+    equals the table total, and no lineitem survives whose order was
+    deleted."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    out = {
+        r["table_name"]: r
+        for r in QUERY_REGISTRY["cdc_delete_propagation"].fn(spark, SF_ORACLE).collect()
+    }
+    for t in ("customer", "orders", "lineitem"):
+        total = load_table(spark, SF_ORACLE, t).count()
+        assert out[t]["n_deleted"] + out[t]["n_remaining"] == total, t
+    assert out["customer"]["n_deleted"] > 0  # the request set is non-empty
+    # independent check of the final level: lineitems of deleted orders
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    o = load_table(spark, SF_ORACLE, "orders")
+    c = load_table(spark, SF_ORACLE, "customer")
+    del_o = o.join(
+        c.filter(F.col("c_custkey") % 97 == 0),
+        o["o_custkey"] == c["c_custkey"],
+        "semi",
+    )
+    expect = li.join(del_o, li["l_orderkey"] == del_o["o_orderkey"], "semi").count()
+    assert out["lineitem"]["n_deleted"] == expect
