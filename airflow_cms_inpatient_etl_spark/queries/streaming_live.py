@@ -217,3 +217,66 @@ def streaming_stateful_profile_live(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+@register(
+    "streaming_dedup_within_watermark_live",
+    oracle="""
+    SELECT event_id, ts, event_type, value FROM events
+    """,
+)
+def streaming_dedup_within_watermark_live(spark, sf_dir):
+    """LIVE streaming dedup: ``dropDuplicatesWithinWatermark`` over a stream
+    that delivers the whole events fixture TWICE (an at-least-once source's
+    redelivery, micro-batch per copy) — the streaming member of the dedup
+    family.  State is one entry per key inside the watermark horizon and is
+    EVICTED as event time advances past it, which is what makes streaming
+    dedup viable at 100 TB (plain ``dropDuplicates`` on a stream keeps every
+    key forever); the horizon here is sized past the fixture's time span
+    (computed as an integer-µs range, like the late-data run) so within this
+    bounded drain NO state evicts and the run is deterministic: every first
+    arrival emits, every redelivery is suppressed, and the drained sink
+    equals the batch DISTINCT — i.e. the events table itself, which is the
+    SQL oracle.  Eviction-under-advancing-watermark is covered separately in
+    tests/test_streaming.py, where determinism is not required."""
+    from pyspark.sql import functions as F
+
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    lo_us, hi_us = ev.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).collect()[0]
+    horizon_min = (hi_us - lo_us) // 60_000_000 + 11
+    stage_dir = tempfile.mkdtemp(prefix="events_dedup_")
+    # stateful dedup runs one state-store task per shuffle partition per
+    # micro-batch; scope the one-shot drain to 8 state partitions (same
+    # rationale as the stream-stream join above)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        as_long = ev.withColumn("ts", F.unix_micros("ts"))
+        _stage_single_parquet(as_long, stage_dir, "a_first.parquet", 1_000_000_000.0)
+        _stage_single_parquet(as_long, stage_dir, "b_redelivery.parquet", 1_000_000_100.0)
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        deduped = (
+            raw.withColumn("ts", F.timestamp_micros("ts"))
+            .withWatermark("ts", f"{horizon_min} minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "ts", "event_type", "value")
+        )
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        run_stream_to_memory(deduped, name, output_mode="append")
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stage_dir, ignore_errors=True)

@@ -478,3 +478,72 @@ def test_streaming_cms_cells_equal_batch_sketch(spark, events_stream_dir):
     assert streamed == batch and len(streamed) > 0
     # bounded-state contract: the grid never exceeds depth*width cells
     assert len(streamed) <= 4 * 64
+
+
+def test_dedup_state_evicts_past_watermark(spark, tmp_path):
+    """The 100 TB property behind dropDuplicatesWithinWatermark: key state is
+    EVICTED once event time passes the horizon, so state is O(keys inside
+    the horizon), not O(all keys ever seen).  Three micro-batches (mtime-
+    ordered files, 10-min horizon): batch-1 keys become evictable when
+    batch 2 advances the watermark an hour, so by batch 3 the store holds
+    only the keys still inside the horizon."""
+    import datetime as dt
+    import glob as _glob
+    import os as _os
+    import shutil as _sh
+
+    d = tmp_path / "evict"
+    d.mkdir()
+
+    def stage(rows, name, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        tmp = str(tmp_path / f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(tmp + "/part-*.parquet")[0]
+        dest = str(d / name)
+        _sh.move(part, dest)
+        _os.utime(dest, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    H = dt.timedelta
+    stage([(i, t0, 1, "a", 0.0, "{}") for i in range(10)], "a.parquet", 1e9)
+    stage([(i, t0 + H(hours=1), 1, "a", 0.0, "{}") for i in range(10, 20)], "b.parquet", 1e9 + 100)
+    stage([(20, t0 + H(hours=2), 1, "a", 0.0, "{}")], "c.parquet", 1e9 + 200)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        deduped = (
+            raw.withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id")
+        )
+        name = _table("evict")
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progresses = [p for p in q.recentProgress if p["stateOperators"]]
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    assert spark.table(name).count() == 21  # every key unique -> all emitted
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progresses)
+    final_total = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert removed >= 10, removed  # batch-1 keys left the store
+    assert final_total <= 11, final_total  # only keys inside the horizon remain
