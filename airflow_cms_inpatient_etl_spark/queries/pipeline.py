@@ -518,3 +518,69 @@ def corpus_range_shards(spark, sf_dir):
         F.max("n_chars").alias("hi_chars"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# global_rank_via_sharding — total order without a single-task sort            #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "global_rank_via_sharding",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS global_rank
+    FROM documents
+    """,
+)
+def global_rank_via_sharding(spark, sf_dir):
+    """Exact GLOBAL rank of every document by (n_chars, doc_id) — computed
+    WITHOUT a global sort.  A naive ``ROW_NUMBER() OVER (ORDER BY ...)``
+    (exactly what the oracle runs) plans as a single-partition window: one
+    task sorts the entire corpus — the canonical 100 TB scale-killer.  The
+    distributed identity instead:
+
+        global_rank = (rows in all earlier shards) + rank within own shard
+
+    using the exact-boundary machinery of ``corpus_range_shards``: the
+    value histogram (tiny) yields 7 boundary values AND the cumulative row
+    count at each boundary in ONE aggregate; every row gets its shard and
+    its shard's prefix offset from one broadcast row (the offset telescopes
+    as Σ (n_chars > bᵢ ? cumᵢ − cumᵢ₋₁ : 0) = cum at the shard's lower
+    boundary); then 8 INDEPENDENT per-shard window sorts run in parallel.
+    All integer arithmetic, so the hash match against the single-window
+    oracle proves the decomposition exact — ties broken by doc_id make the
+    order total."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = d.groupBy(F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    n_total = h.agg(F.sum("c").alias("n"))
+    cum = h.select(
+        "v",
+        F.sum("c").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    targets = cum.crossJoin(F.broadcast(n_total))
+    aggs = []
+    for i in range(1, _N_SHARDS):
+        tgt = F.expr(f"({i} * n + {_N_SHARDS - 1}) div {_N_SHARDS}")
+        aggs.append(F.min(F.when(F.col("cum") >= tgt, F.col("v"))).alias(f"b{i}"))
+        aggs.append(F.min(F.when(F.col("cum") >= tgt, F.col("cum"))).alias(f"c{i}"))
+    bounds = targets.agg(*aggs)
+    shard = F.lit(1)
+    offset = F.lit(0).cast("long")
+    for i in range(1, _N_SHARDS):
+        past = F.col("n_chars") > F.col(f"b{i}")
+        shard = shard + F.when(past, 1).otherwise(0)
+        prev = F.col(f"c{i-1}") if i > 1 else F.lit(0).cast("long")
+        offset = offset + F.when(past, F.col(f"c{i}") - prev).otherwise(0)
+    assigned = d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "n_chars", shard.alias("shard_id"), offset.alias("offset")
+    )
+    w = W.partitionBy("shard_id").orderBy("n_chars", "doc_id")
+    return assigned.select(
+        "doc_id",
+        "n_chars",
+        (F.col("offset") + F.row_number().over(w)).cast("long").alias("global_rank"),
+    )

@@ -101,6 +101,7 @@ HEADLINE = [
     "quality_dsir_importance",
     "events_anomaly_mad",
     "cdc_scd2_point_in_time",
+    "global_rank_via_sharding",
 ]
 
 

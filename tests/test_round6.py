@@ -531,3 +531,16 @@ def test_delete_propagation_counts_are_consistent(spark):
     )
     expect = li.join(del_o, li["l_orderkey"] == del_o["o_orderkey"], "semi").count()
     assert out["lineitem"]["n_deleted"] == expect
+
+
+def test_global_rank_sharded_window_never_single_partition(spark):
+    """The corpus-sized window must hash-partition by shard (8 independent
+    sorts); only the tiny histogram cumsum may use a single partition.  Also:
+    the output ranks are exactly the permutation 1..n."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["global_rank_via_sharding"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard_id" in plan
+    ranks = [r["global_rank"] for r in df.select("global_rank").collect()]
+    assert sorted(ranks) == list(range(1, len(ranks) + 1))
