@@ -544,3 +544,19 @@ def test_global_rank_sharded_window_never_single_partition(spark):
     assert "hashpartitioning(shard_id" in plan
     ranks = [r["global_rank"] for r in df.select("global_rank").collect()]
     assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_global_rank_survives_total_ties(spark, tmp_path):
+    """All documents the same length → every boundary collapses onto the one
+    value, all rows land in shard 1 with offset 0, and doc_id alone breaks
+    ties: ranks must still be the exact permutation."""
+    import os
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    rows = [(i, "x", "en", "s1", 42) for i in (5, 3, 9, 1, 7)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = QUERY_REGISTRY["global_rank_via_sharding"].fn(spark, str(tmp_path)).collect()
+    got = {r["doc_id"]: r["global_rank"] for r in out}
+    assert got == {1: 1, 3: 2, 5: 3, 7: 4, 9: 5}

@@ -205,3 +205,47 @@ def test_binned_interval_join_equals_theta_join(spark):
             for r in binned_interval_join(points, intervals, "p", "lo", "hi", bin_width).collect()
         }
         assert got == expected, f"bin_width={bin_width}"
+
+
+def test_aqe_splits_skewed_sort_merge_join_at_runtime(spark):
+    """The runtime complement to the explicit salted operators: when one key
+    owns 90 % of a big-big join's rows, AQE must detect the oversized
+    shuffle partition from ACTUAL map output sizes and split it across
+    tasks (SortMergeJoin(skew=true) reading an 'AQEShuffleRead skewed')
+    with byte-identical results.  Thresholds are scoped down so fixture-
+    sized data crosses them; a production cluster keeps the defaults and
+    gets the same behavior at real partition sizes — this is the engine's
+    no-code-change answer to skew, with salting as the explicit fallback
+    for the aggregation case AQE does not cover."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ path
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(150_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 100 + 1)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(101).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("rv")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()  # executes THIS QueryExecution -> final AQE plan
+        assert len(rows) == 150_000  # every left row matches exactly one right
+        assert all(r["rv"] == r["k"] * 7 for r in rows[:1000])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:800]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
