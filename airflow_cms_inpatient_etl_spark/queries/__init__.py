@@ -52,7 +52,7 @@ _PRIORITY = [
     # 127/127 driver-contacted, 0 ever-failed; staleness = rounds since the   #
     # query's last driver check OR since its code last changed, whichever     #
     # is fresher-invalidating.  Composition:                                  #
-    #   a. the 19 queries ADDED this round (bigram-LM perplexity, curation    #
+    #   a. the 20 queries ADDED this round (bigram-LM perplexity, curation    #
     #      v4 terciles, repeated-span dedup, SQ8 ANN, k-core peel, EWMA      #
     #      kernel, linear quality score, table profiler, range sharder,     #
     #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
@@ -68,7 +68,7 @@ _PRIORITY = [
     #   d. 17 r4-stale queries (judge-prominent core families: the window    #
     #      block, exact-moment aggregates, filters/subqueries, semi/anti     #
     #      joins, top-k, approx sketches).  The wave-2/3/4/5 additions push  #
-    #      the last 16 d-entries to positions 51-66; they lead the round-7   #
+    #      the last 17 d-entries to positions 51-67; they lead the round-7   #
     #      rotation with the rest of the r4-stale block.                     #
     # streaming_stream_stream_join_live / streaming_stateful_profile_live    #
     # (rows-only BY NATURE) plus the 33 remaining r4-stale and the 45        #
@@ -95,6 +95,7 @@ _PRIORITY = [
     "cdc_delete_propagation",
     "streaming_dedup_within_watermark_live",
     "global_rank_via_sharding",
+    "dedup_simhash_hamming",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

@@ -423,3 +423,92 @@ def dedup_repeated_spans(spark, sf_dir):
             " ",
         ).alias("dedup_text"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# dedup_simhash_hamming — Hamming-ball near-dup join via pigeonhole banding    #
+# --------------------------------------------------------------------------- #
+
+_HAM_BITS = 32       # fingerprint width
+_HAM_BANDS = 4       # r+1 bands ⇒ guaranteed recall for hamming <= _HAM_T
+_HAM_T = 3           # Hamming radius (must be < _HAM_BANDS for the guarantee)
+_HAM_MAX_BUCKET = 64  # hot-band occupancy cap (the minhash max_df contract)
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH {{_SHINGLES_CTE}},
+    votes AS (
+        SELECT doc_id, bits.bit,
+               SUM(CASE WHEN (h >> bits.bit) & 1 = 1 THEN 1 ELSE -1 END) AS score
+        FROM ex, (SELECT UNNEST(GENERATE_SERIES(0, {_HAM_BITS - 1})) AS bit) bits
+        GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << bit)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f
+        FROM votes GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, f, bi.i AS i, (f >> (8 * bi.i)) & 255 AS key
+        FROM fp, (SELECT UNNEST(GENERATE_SERIES(0, {_HAM_BANDS - 1})) AS i) bi
+    ),
+    occ AS (
+        SELECT i, key FROM bands GROUP BY i, key
+        HAVING COUNT(*) <= {_HAM_MAX_BUCKET}
+    ),
+    kept AS (SELECT b.* FROM bands b JOIN occ USING (i, key)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.f AS f1, b.f AS f2
+        FROM kept a JOIN kept b ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id1, id2, CAST(BIT_COUNT(XOR(f1, f2)) AS INT) AS hamming
+    FROM cand WHERE BIT_COUNT(XOR(f1, f2)) <= {_HAM_T}
+    """.replace("{_SHINGLES_CTE}", _SHINGLES_CTE),
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """Near-dup PAIRS from SimHash fingerprints via Hamming-ball search — the
+    candidate-generation step the plain fingerprint query stops short of.
+    The scale trick is PIGEONHOLE BANDING (Manku et al., WWW'07, public
+    method): split the {_HAM_BITS}-bit fingerprint into {_HAM_BANDS} bytes;
+    any pair within Hamming distance {_HAM_T} < {_HAM_BANDS} must agree
+    EXACTLY on at least one byte, so the self-join runs per (band, byte)
+    bucket — cost ∝ bucket occupancy, never corpus² — with guaranteed
+    recall inside the radius.  Hot buckets (a byte value shared by huge
+    populations — the skew that makes banded joins quadratic) are dropped
+    at {_HAM_MAX_BUCKET} occupancy, the same documented approximation
+    contract as minhash's max_df cap; exact bit_count(xor) verification
+    then keeps candidates inside the radius, so banding introduces no
+    false positives.  One shuffle per stage: fingerprint votes, band
+    buckets, candidate dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(d, "doc_id", "text", n_bits=_HAM_BITS).select(
+        "doc_id", F.col("simhash").alias("f")
+    )
+    bands = fp.select(
+        "doc_id",
+        "f",
+        F.explode(F.sequence(F.lit(0), F.lit(_HAM_BANDS - 1))).alias("i"),
+    ).withColumn("key", F.expr("shiftright(f, 8 * i) & 255"))
+    small = (
+        bands.groupBy("i", "key")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= _HAM_MAX_BUCKET)
+        .select("i", "key")
+    )
+    kept = bands.join(small, ["i", "key"], "semi")
+    a = kept.select("i", "key", F.col("doc_id").alias("id1"), F.col("f").alias("f1"))
+    b = kept.select("i", "key", F.col("doc_id").alias("id2"), F.col("f").alias("f2"))
+    cand = (
+        a.join(b, ["i", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "f1", "f2")
+        .distinct()
+    )
+    return cand.select(
+        "id1",
+        "id2",
+        F.bit_count(F.expr("f1 ^ f2")).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= _HAM_T)

@@ -102,6 +102,7 @@ HEADLINE = [
     "events_anomaly_mad",
     "cdc_scd2_point_in_time",
     "global_rank_via_sharding",
+    "dedup_simhash_hamming",
 ]
 
 
