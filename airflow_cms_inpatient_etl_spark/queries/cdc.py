@@ -369,3 +369,64 @@ def cdc_delete_propagation(spark, sf_dir):
         .unionAll(level("orders", del_o, o))
         .unionAll(level("lineitem", del_l, li))
     )
+
+
+# --------------------------------------------------------------------------- #
+# cdc_apply_change_feed — full I/U/D merge from an ordered change log          #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "cdc_apply_change_feed",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, 'N', 42.0
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def cdc_apply_change_feed(spark, sf_dir):
+    """Debezium-style CDC apply: a change log with all THREE verbs — updates
+    (every 5th order doubles its price, seq 1), deletes (every 7th order,
+    seq 2), inserts (new keys at +1e8 for every 11th order, seq 1) — lands
+    on the orders snapshot via ``apply_change_feed``.  Keys divisible by 35
+    receive an update THEN a delete, so the per-key compaction must let the
+    later delete win; the oracle derives the final state independently from
+    the rules (rows %7 gone, rows %5 re-priced, inserts appended), so the
+    window-compaction + anti-join + union machinery is value-checked, not
+    replayed.  All payload arithmetic is exactly-rounded IEEE (×2, literal
+    42.0) — hash-exact with no rounding."""
+    from airflow_cms_inpatient_etl_spark.operators.upsert import apply_change_feed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(42.0).alias("o_totalprice"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return apply_change_feed(o, changes, ["o_orderkey"])

@@ -103,6 +103,7 @@ HEADLINE = [
     "cdc_scd2_point_in_time",
     "global_rank_via_sharding",
     "dedup_simhash_hamming",
+    "cdc_apply_change_feed",
 ]
 
 

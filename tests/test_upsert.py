@@ -117,3 +117,24 @@ def test_upsert_validate_rejects_null_keys(spark):
     nullkey = spark.createDataFrame([(None, 2.0)], "claim_id string, amount double")
     with pytest.raises(DataQualityError, match="NULL keys"):
         upsert(target, nullkey, ["claim_id"], validate_unique=True)
+
+
+def test_apply_change_feed_three_verbs_and_last_write_wins(spark):
+    """Hand frame: update-then-delete nets to delete; delete-then-reinsert
+    nets to the reinsert; plain update replaces; untouched rows survive."""
+    from airflow_cms_inpatient_etl_spark.operators.upsert import apply_change_feed
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1), (1, None, "D", 2),      # U then D -> gone
+            (2, None, "D", 1), (2, "b2", "I", 2),      # D then I -> b2
+            (3, "c2", "U", 1),                          # plain update
+            (9, "new", "I", 1),                         # fresh insert
+        ],
+        ["k", "v", "op", "seq"],
+    )
+    got = {r["k"]: r["v"] for r in apply_change_feed(snap, changes, ["k"]).collect()}
+    assert got == {2: "b2", 3: "c2", 4: "d", 9: "new"}
