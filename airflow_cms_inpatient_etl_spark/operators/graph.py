@@ -401,3 +401,78 @@ def kcore_peel(
             F.coalesce(F.col("deg"), F.lit(0).cast("bigint")).alias("core_deg"),
         )
     )
+
+
+def ancestor_closure(
+    parents: DataFrame,
+    node: str = "node",
+    parent: str = "parent",
+    max_depth: int | None = None,
+    checkpoint_dir: str | None = None,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Transitive ancestor closure of a forest: every (node, anc) pair where
+    ``anc`` lies on the node's path to its root, INCLUDING (node, node) —
+    the relation a recursive CTE builds, which Spark SQL has no native verb
+    for.  Input is the parent-pointer table (roots simply have no row).
+
+    Algorithm: POINTER DOUBLING, not level-by-level walking.  Round i holds
+    cl = all ancestors within distance < 2^i and J = the ancestor at exactly
+    2^i; one round computes cl ∪ (J ⋈ cl) and J ⋈ J, reaching depth d in
+    ceil(log2(d)) rounds instead of d — the difference between 14 rounds
+    and 4 on a million-node hierarchy, and the same reason the
+    connected-components operator uses star contraction instead of label
+    propagation.  ``max_depth`` bounds the doubling budget (derive it from
+    domain knowledge, e.g. floor(log2(max key)) for a heap-shaped tree);
+    when None, one aggregate measures the longest parent chain ceiling via
+    node count (a forest path cannot exceed |nodes|).  Per round: two
+    key-equality joins, each lineage-snapshotted with round r-1's blocks
+    freed once round r materializes (the bounded-storage contract shared
+    with connected_components / kcore_peel).  Output size is
+    Σ depth(node) — the same relation the CTE materializes; downstream
+    rollups aggregate it without ever holding more.
+
+    ``nodes`` (single-column) names the node universe explicitly; without
+    it the universe is inferred from the parent table, which silently
+    misses ISOLATED nodes (a root with no children and no parent row never
+    appears in ``parents`` at all) — pass it whenever the hierarchy can
+    have singletons.
+    """
+    if checkpoint_dir is not None:
+        parents.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    p = parents.select(F.col(node).alias("d"), F.col(parent).alias("a"))
+    if max_depth is None:
+        max_depth = max(p.count(), 1)
+    rounds = max(1, math.ceil(math.log2(max(max_depth, 2))))
+    if nodes is None:
+        universe = p.select("d").union(p.select(F.col("a").alias("d"))).distinct()
+    else:
+        universe = nodes.select(F.col(nodes.columns[0]).alias("d")).distinct()
+    cl, cl_ids = _snapshot_tracked(
+        universe.select("d", F.col("d").alias("a")).union(p), checkpoint_dir
+    )
+    jmp, jmp_ids = _snapshot_tracked(p, checkpoint_dir)
+    for _ in range(rounds):
+        hop = jmp.select(F.col("d").alias("__d"), F.col("a").alias("__m"))
+        new_cl, new_cl_ids = _snapshot_tracked(
+            cl.union(
+                hop.join(cl, hop["__m"] == cl["d"]).select(
+                    F.col("__d").alias("d"), "a"
+                )
+            ).distinct(),
+            checkpoint_dir,
+        )
+        jmp2 = jmp.select(F.col("d").alias("__d"), F.col("a").alias("__m"))
+        new_jmp, new_jmp_ids = _snapshot_tracked(
+            jmp2.join(jmp, jmp2["__m"] == jmp["d"]).select(
+                F.col("__d").alias("d"), "a"
+            ),
+            checkpoint_dir,
+        )
+        _free_snapshot(new_cl, cl_ids)
+        _free_snapshot(new_jmp, jmp_ids)
+        cl, cl_ids = new_cl, new_cl_ids
+        jmp, jmp_ids = new_jmp, new_jmp_ids
+        if jmp.isEmpty():  # every pointer has sailed past its root: converged
+            break
+    return cl.select(F.col("d").alias(node), F.col("a").alias("anc"))

@@ -599,3 +599,64 @@ def skew_dominant_supplier_orders(spark, sf_dir):
     return o.filter((F.col("n_suppliers") >= 2) & F.col("dominated")).select(
         "l_orderkey", "n_suppliers", "total_value", "max_supplier_value", "dominated"
     )
+
+
+# --------------------------------------------------------------------------- #
+# hierarchy_rollup_subtree — recursive-CTE-shaped closure + rollup             #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "hierarchy_rollup_subtree",
+    oracle="""
+    WITH RECURSIVE anc AS (
+        SELECT c_custkey AS node, c_custkey AS anc FROM customer
+        UNION ALL
+        SELECT node, anc // 2 FROM anc WHERE anc >= 2
+    )
+    SELECT a.anc AS node, CAST(COUNT(*) AS BIGINT) AS n_subtree,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS subtree_bal
+    FROM anc a JOIN customer c ON c.c_custkey = a.node
+    GROUP BY a.anc
+    """,
+)
+def hierarchy_rollup_subtree(spark, sf_dir):
+    """Hierarchy (BOM/org-chart) subtree rollup — the workload recursive CTEs
+    exist for, which Spark SQL has no native verb for.  The hierarchy is the
+    heap-shaped tree parent(k) = k div 2 over customer keys; for every node,
+    roll up its ENTIRE subtree (descendant count + decimal-exact account
+    balance, self included).  Spark side: ``operators.graph.ancestor_closure``
+    builds the (node, ancestor) closure by POINTER DOUBLING —
+    ceil(log2(depth)) snapshot rounds, each freeing the previous round's
+    blocks, instead of the depth-many rounds a level-walker needs — then ONE
+    grouped aggregate over the closure keyed by ancestor.  The DuckDB oracle
+    builds the same closure with a real WITH RECURSIVE walk (a different
+    algorithm entirely — depth-many sequential steps), so the doubling
+    machinery is value-checked against the semantics it re-implements.
+    ``max_depth`` is floor(log2(max key)) — the heap-tree bound, a domain
+    constant derived from one MAX aggregate (a model parameter, same
+    contract as pagerank's node count)."""
+    import math as _math
+
+    from airflow_cms_inpatient_etl_spark.functions.exact import dsum
+    from airflow_cms_inpatient_etl_spark.operators.graph import ancestor_closure
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    parents = c.filter(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("node"),
+        (F.col("c_custkey") / F.lit(2)).cast("long").alias("parent"),
+    )
+    max_key = c.agg(F.max("c_custkey")).first()[0]
+    closure = ancestor_closure(
+        parents,
+        max_depth=max(1, int(_math.log2(max(max_key, 2)))),
+        nodes=c.select("c_custkey"),  # custkey 0 is isolated (no parent row)
+    )
+    return (
+        closure.join(c, closure["node"] == c["c_custkey"])
+        .groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("n_subtree"),
+            dsum("c_acctbal", "subtree_bal"),
+        )
+    )

@@ -104,6 +104,7 @@ HEADLINE = [
     "global_rank_via_sharding",
     "dedup_simhash_hamming",
     "cdc_apply_change_feed",
+    "hierarchy_rollup_subtree",
 ]
 
 

@@ -613,3 +613,24 @@ def test_hamming_banding_pigeonhole_recall_and_hot_bucket_cap(spark):
     # so the skewed population contributes ZERO candidates
     hot = [(i, (i << 8) | 0x42) for i in range(_HAM_MAX_BUCKET + 2)]
     assert pairs(hot) == set()
+
+
+def test_ancestor_closure_hand_tree_and_isolated_node(spark):
+    """Hand forest: chain 5->4->2->1, plus 3->1, plus isolated 9 (present
+    only via the nodes universe).  Closure = every path-to-root pair plus
+    self pairs; the isolated node appears only as (9,9)."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import ancestor_closure
+
+    parents = spark.createDataFrame(
+        [(5, 4), (4, 2), (2, 1), (3, 1)], ["node", "parent"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 9)], ["node"])
+    got = {
+        (r["node"], r["anc"])
+        for r in ancestor_closure(parents, max_depth=4, nodes=nodes).collect()
+    }
+    expect = {
+        (1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (9, 9),
+        (2, 1), (3, 1), (4, 2), (4, 1), (5, 4), (5, 2), (5, 1),
+    }
+    assert got == expect
