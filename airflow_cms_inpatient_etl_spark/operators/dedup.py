@@ -289,26 +289,26 @@ def simhash_fingerprints(
     """SimHash: per-document n_bit fingerprint from signed bit-votes of shingle
     hashes.  Near-dup docs land on nearby (often equal) fingerprints.
 
-    Expressed as shingle-explode × bit-explode → conditional sum → sign →
-    weighted bit reassembly; entirely built-in expressions, one shuffle on
-    (id, bit) then one on id.
+    Votes are n_bits AGGREGATE EXPRESSIONS over the shingle rows — one
+    conditional sum per bit position in a single groupBy(id) — NOT a bit
+    explode: multiplying every shingle row ×n_bits before the shuffle
+    (the round-3 formulation) pushed 32× the row volume through the
+    exchange and measured 3.6 s vs 1.3 s at sf0.1 for the 32-bit Hamming
+    query.  The per-bit sums combine map-side, so shuffle volume is one
+    row per document regardless of n_bits; values are identical (same
+    votes, same sign rule), keeping the fingerprints oracle-stable.
     """
     ex = exploded_shingle_hashes(df, id_col, text_col, k)
-    votes = (
-        ex.select(
-            F.col(id_col), F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"), "h"
-        )
-        .withColumn(
-            "vote",
-            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("score"))
-    )
-    return votes.groupBy(id_col).agg(
+    aggs = [
         F.sum(
-            F.when(F.col("score") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"__s{b}")
+        for b in range(n_bits)
+    ]
+    votes = ex.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(n_bits):
+        fp = fp + F.when(F.col(f"__s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), fp.alias("simhash"))

@@ -487,11 +487,19 @@ def dedup_simhash_hamming(spark, sf_dir):
     fp = simhash_fingerprints(d, "doc_id", "text", n_bits=_HAM_BITS).select(
         "doc_id", F.col("simhash").alias("f")
     )
-    bands = fp.select(
-        "doc_id",
-        "f",
-        F.explode(F.sequence(F.lit(0), F.lit(_HAM_BANDS - 1))).alias("i"),
-    ).withColumn("key", F.expr("shiftright(f, 8 * i) & 255"))
+    # persist: the band table feeds the occupancy aggregate AND both sides of
+    # the bucket self-join — without the pin Catalyst re-runs the whole
+    # shingle→fingerprint pipeline per consumer (no sibling-subplan CSE);
+    # the pinned table is 4 small rows per document
+    bands = (
+        fp.select(
+            "doc_id",
+            "f",
+            F.explode(F.sequence(F.lit(0), F.lit(_HAM_BANDS - 1))).alias("i"),
+        )
+        .withColumn("key", F.expr("shiftright(f, 8 * i) & 255"))
+        .persist()
+    )
     small = (
         bands.groupBy("i", "key")
         .agg(F.count(F.lit(1)).alias("occ"))
