@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.operators.text import (
     exploded_shingle_hashes,
+    hash60,
     normalized_fingerprint,
 )
 from airflow_cms_inpatient_etl_spark.queries.base import register
@@ -583,4 +584,54 @@ def global_rank_via_sharding(spark, sf_dir):
         "doc_id",
         "n_chars",
         (F.col("offset") + F.row_number().over(w)).cast("long").alias("global_rank"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# stratified_sample_exact_k — per-stratum deterministic reservoir              #
+# --------------------------------------------------------------------------- #
+
+_STRAT_K = 20
+
+
+@register(
+    "stratified_sample_exact_k",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST('0x' || SUBSTR(MD5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars,
+           CAST(rn AS BIGINT) AS stratum_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+        FROM h
+    ) WHERE rn <= {_STRAT_K}
+    """,
+)
+def stratified_sample_exact_k(spark, sf_dir):
+    """Deterministic stratified sampling: EXACTLY min(k, |stratum|) documents
+    per language, drawn by portable-hash order — the eval-set / holdout
+    carve every corpus needs where proportional sampling would starve small
+    strata (Spark's ``sampleBy`` is probabilistic per row: it returns
+    *approximately* fraction·n and a different set under a different
+    partitioning; this is exact-k and byte-stable).  One window shuffle
+    keyed by the stratum; the per-stratum sort is a top-k heap, not a
+    global sort, and at 100 TB the rank window only ever materializes
+    per-stratum state.  The hash makes inclusion a pure function of
+    (seed, doc_id) — re-runs, engines, and repartitionings agree."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string"), seed="strat:")
+    w = W.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        d.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("hv", h)
+        .withColumn("stratum_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("stratum_rank") <= _STRAT_K)
+        .drop("hv")
+        .select("doc_id", "lang", "source", "n_chars", "stratum_rank")
     )
