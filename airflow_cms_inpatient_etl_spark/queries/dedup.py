@@ -429,8 +429,9 @@ def dedup_repeated_spans(spark, sf_dir):
 # dedup_simhash_hamming — Hamming-ball near-dup join via pigeonhole banding    #
 # --------------------------------------------------------------------------- #
 
-_HAM_BITS = 32       # fingerprint width
+_HAM_BITS = 60       # fingerprint width (hash60 carries 60 meaningful bits)
 _HAM_BANDS = 4       # r+1 bands ⇒ guaranteed recall for hamming <= _HAM_T
+_HAM_BAND_BITS = 15  # band key space 2^15 — see the scale note in the docstring
 _HAM_T = 3           # Hamming radius (must be < _HAM_BANDS for the guarantee)
 _HAM_MAX_BUCKET = 64  # hot-band occupancy cap (the minhash max_df contract)
 
@@ -452,7 +453,8 @@ _HAM_MAX_BUCKET = 64  # hot-band occupancy cap (the minhash max_df contract)
         FROM votes GROUP BY doc_id
     ),
     bands AS (
-        SELECT doc_id, f, bi.i AS i, (f >> (8 * bi.i)) & 255 AS key
+        SELECT doc_id, f, bi.i AS i,
+               (f >> (15 * bi.i)) & 32767 AS key
         FROM fp, (SELECT UNNEST(GENERATE_SERIES(0, {_HAM_BANDS - 1})) AS i) bi
     ),
     occ AS (
@@ -472,17 +474,23 @@ def dedup_simhash_hamming(spark, sf_dir):
     """Near-dup PAIRS from SimHash fingerprints via Hamming-ball search — the
     candidate-generation step the plain fingerprint query stops short of.
     The scale trick is PIGEONHOLE BANDING (Manku et al., WWW'07, public
-    method): split the {_HAM_BITS}-bit fingerprint into {_HAM_BANDS} bytes;
-    any pair within Hamming distance {_HAM_T} < {_HAM_BANDS} must agree
-    EXACTLY on at least one byte, so the self-join runs per (band, byte)
-    bucket — cost ∝ bucket occupancy, never corpus² — with guaranteed
-    recall inside the radius.  Hot buckets (a byte value shared by huge
-    populations — the skew that makes banded joins quadratic) are dropped
-    at {_HAM_MAX_BUCKET} occupancy, the same documented approximation
-    contract as minhash's max_df cap; exact bit_count(xor) verification
-    then keeps candidates inside the radius, so banding introduces no
-    false positives.  One shuffle per stage: fingerprint votes, band
-    buckets, candidate dedup."""
+    method): split the 60-bit fingerprint into 4 bands of 15 bits; any
+    pair within Hamming distance 3 < 4 bands must agree EXACTLY on at
+    least one band, so the self-join runs per (band, key) bucket — cost ∝
+    bucket occupancy, never corpus² — with guaranteed recall inside the
+    radius.  BAND KEY SPACE MUST SCALE WITH THE CORPUS: an earlier 8-bit
+    band design collapsed at the 10× canary (50 k docs / 256 keys ⇒ every
+    bucket over the cap ⇒ zero pairs); 2^15 keys hold average occupancy
+    ~1 up to ~10^5 docs per partition of the corpus, and beyond that the
+    knobs are wider bands (more fingerprint bits per band) or a coarse
+    pre-partition (by language/source) so each partition's population fits
+    its key space — Manku's production design is exactly such a table
+    family.  Hot buckets (one band value shared by a huge population —
+    the skew that makes banded joins quadratic) are dropped at the
+    occupancy cap, the same documented approximation contract as
+    minhash's max_df; exact bit_count(xor) verification keeps candidates
+    inside the radius, so banding introduces no false positives.  One
+    shuffle per stage: fingerprint votes, band buckets, candidate dedup."""
     d = load_table(spark, sf_dir, "documents")
     fp = simhash_fingerprints(d, "doc_id", "text", n_bits=_HAM_BITS).select(
         "doc_id", F.col("simhash").alias("f")
@@ -497,7 +505,9 @@ def dedup_simhash_hamming(spark, sf_dir):
             "f",
             F.explode(F.sequence(F.lit(0), F.lit(_HAM_BANDS - 1))).alias("i"),
         )
-        .withColumn("key", F.expr("shiftright(f, 8 * i) & 255"))
+        .withColumn(
+            "key", F.expr(f"shiftright(f, {_HAM_BAND_BITS} * i) & {2**_HAM_BAND_BITS - 1}")
+        )
         .persist()
     )
     small = (

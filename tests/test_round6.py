@@ -569,6 +569,7 @@ def test_hamming_banding_pigeonhole_recall_and_hot_bucket_cap(spark):
     candidate.  And a band byte shared by more docs than the occupancy cap
     contributes no candidates (the hot-bucket skew bound)."""
     from airflow_cms_inpatient_etl_spark.queries.dedup import (
+        _HAM_BAND_BITS,
         _HAM_BANDS,
         _HAM_MAX_BUCKET,
         _HAM_T,
@@ -582,7 +583,10 @@ def test_hamming_banding_pigeonhole_recall_and_hot_bucket_cap(spark):
         bands = fp.select(
             "doc_id", "f",
             F.explode(F.sequence(F.lit(0), F.lit(_HAM_BANDS - 1))).alias("i"),
-        ).withColumn("key", F.expr("shiftright(f, 8 * i) & 255"))
+        ).withColumn(
+            "key",
+            F.expr(f"shiftright(f, {_HAM_BAND_BITS} * i) & {2**_HAM_BAND_BITS - 1}"),
+        )
         small = (
             bands.groupBy("i", "key").agg(F.count(F.lit(1)).alias("occ"))
             .filter(F.col("occ") <= _HAM_MAX_BUCKET).select("i", "key")
@@ -598,20 +602,20 @@ def test_hamming_banding_pigeonhole_recall_and_hot_bucket_cap(spark):
             .filter(F.col("h") <= _HAM_T).collect()
         }
 
-    base = 0x12345678
+    base = 0x123456789ABCDEF  # < 2^60
     flip = lambda bits: base ^ sum(1 << b for b in bits)
     got = pairs([
         (1, base),
-        (2, flip([0])),          # hamming 1
-        (3, flip([0, 9, 17])),   # hamming 3, spread over 3 bands
-        (4, flip([0, 9, 17, 25])),  # hamming 4, one flip in EVERY band
+        (2, flip([0])),           # hamming 1
+        (3, flip([0, 16, 31])),   # hamming 3, spread over 3 of the 15-bit bands
+        (4, flip([0, 16, 31, 46])),  # hamming 4, one flip in EVERY band
     ])
     assert (1, 2) in got and (1, 3) in got  # pigeonhole recall inside radius
     assert (1, 4) not in got  # no shared band -> not even a candidate
     # hot buckets: cap+2 docs sharing bytes 0, 2 and 3 (all over-occupied ->
     # dropped) while byte 1 is unique per doc -> no kept band is ever shared,
     # so the skewed population contributes ZERO candidates
-    hot = [(i, (i << 8) | 0x42) for i in range(_HAM_MAX_BUCKET + 2)]
+    hot = [(i, (i << _HAM_BAND_BITS) | 0x42) for i in range(_HAM_MAX_BUCKET + 2)]
     assert pairs(hot) == set()
 
 

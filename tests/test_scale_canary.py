@@ -64,6 +64,11 @@ CANARY_QUERIES = [
     # cost scales with the corpus, output is fixed-k)
     "graph_kcore",
     "sim_sq8_topk",
+    # round-6 late waves: Hamming-banded near-dup (bucketed self-join — the
+    # quadratic-risk shape) and the pointer-doubling hierarchy rollup (dims
+    # unchanged at 10× ⇒ output must be constant)
+    "dedup_simhash_hamming",
+    "hierarchy_rollup_subtree",
 ]
 
 
@@ -204,6 +209,16 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     assert (
         kc10.filter("in_core").count() >= kc01.filter("in_core").count()
     ), "10× edge weight must not shrink the k-core"
+    # Hamming banding: each replica's letter translation preserves shingle
+    # EQUALITY within the replica, so replica-0 near-dup structure recurs in
+    # every replica under different hashes; per-replica fingerprint distances
+    # vary a little (votes re-randomize per replica), and chance cross-replica
+    # collisions are possible but rare — bounded band, like minhash above
+    assert 8 * base["dedup_simhash_hamming"] <= got["dedup_simhash_hamming"] \
+        <= 12 * base["dedup_simhash_hamming"] + 10
+    # hierarchy rollup runs on the customer DIMENSION, which the sf1 fixture
+    # keeps unchanged — a 10× fact volume must not move it at all
+    assert got["hierarchy_rollup_subtree"] == base["hierarchy_rollup_subtree"]
     # SQ8: queries (vec_id < 8) and their true neighbors live in replica 0;
     # fixed-k output is scale-invariant while train + encode underneath are
     # 10× — the compressed-scan shape a RAM-resident code column needs
