@@ -108,3 +108,41 @@ def test_doc_chunk_overlap_covers_any_token_stream(spark, tokens, data):
     for s in sorted(got):
         if len(got[s]) == 40 and s + 30 in got:
             assert got[s][30:] == got[s + 30][:10]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    snap=st.dictionaries(st.integers(0, 6), st.text("ab", min_size=1, max_size=3), max_size=5),
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 6),
+            st.sampled_from(["I", "U", "D"]),
+            st.text("cd", min_size=1, max_size=3),
+        ),
+        max_size=8,
+    ),
+)
+def test_change_feed_matches_sequential_dict_replay(spark, snap, ops):
+    """apply_change_feed must equal a sequential replay of the log against a
+    dict: for ANY snapshot and ANY op sequence (seq = position), per-key
+    last-write-wins compaction + anti join + union == fold the ops in
+    order.  This is the compaction soundness property: one pass over the
+    feed is equivalent to applying every change one at a time."""
+    from airflow_cms_inpatient_etl_spark.operators.upsert import apply_change_feed
+
+    expected = dict(snap)
+    for k, op, v in ops:
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+
+    snap_df = spark.createDataFrame(
+        [(k, v) for k, v in snap.items()], "k int, v string"
+    )
+    ch_df = spark.createDataFrame(
+        [(k, v, op, seq) for seq, (k, op, v) in enumerate(ops)],
+        "k int, v string, op string, seq int",
+    )
+    got = {r["k"]: r["v"] for r in apply_change_feed(snap_df, ch_df, ["k"]).collect()}
+    assert got == expected
