@@ -549,3 +549,121 @@ def quality_dsir_importance(spark, sf_dir):
         .cast("long")
         .alias("sample_rank"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# quality_quantile_normalize — map per-source score distributions onto the     #
+# global distribution (rank-based quantile normalization)                      #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "quality_quantile_normalize",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+                    AS BIGINT) AS r_src,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        FROM documents
+    ),
+    gstat AS (
+        SELECT n_chars AS gv,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS idx0
+        FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents),
+    pos AS (
+        SELECT doc_id, source, n_chars, r_src, n_src,
+               CASE WHEN n_src > 1
+                    THEN (CAST(r_src - 1 AS DOUBLE) / (n_src - 1)) * (n_tot - 1)
+                    ELSE (CAST(n_tot - 1 AS DOUBLE)) / 2 END AS gpos
+        FROM src CROSS JOIN n
+    ),
+    ix AS (
+        SELECT *, CAST(FLOOR(gpos) AS BIGINT) AS i, gpos - FLOOR(gpos) AS frac
+        FROM pos
+    )
+    SELECT ix.doc_id, ix.source, ix.n_chars,
+           ROUND(ix.gpos, 6) AS gpos,
+           lo.gv + ix.frac * (COALESCE(hi.gv, lo.gv) - lo.gv) AS norm_score
+    FROM ix
+    JOIN gstat lo ON lo.idx0 = ix.i
+    LEFT JOIN gstat hi ON hi.idx0 = ix.i + 1
+    """,
+)
+def quality_quantile_normalize(spark, sf_dir):
+    """Rank-based QUANTILE NORMALIZATION of a per-source quality signal: each
+    document's score is replaced by the GLOBAL distribution's value at the
+    document's within-source percentile — after it, every source has the
+    same score distribution, so a downstream threshold can't favor sources
+    whose crawler happened to produce longer pages (the cross-batch
+    calibration step quality-filtered corpora need; same construction as
+    microarray quantile normalization, a public method).
+
+    Mechanics: within-source percent position (rank-1)/(n-1) maps to a
+    fractional index into the global order statistics, linearly
+    interpolated between the two neighboring values — all IEEE +,-,×,÷
+    after integer ranks, so results hash bit-exactly (only the fractional
+    position itself is rounded for display).  The per-source window is an
+    ordinary partitioned sort; the GLOBAL order statistics reuse the
+    single-window formulation in the oracle but at scale come from the
+    ``global_rank_via_sharding`` decomposition (shard offsets + per-shard
+    windows — same machinery, same exact ranks); the index joins are
+    keyed equi-joins.  Single-doc sources park at the median position
+    rather than dividing by zero."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_src).cast("long").alias("r_src"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).cast("long").alias("n_src"),
+    )
+    w_glob = W.orderBy("n_chars", "doc_id")
+    glob = d.select(
+        F.col("n_chars").alias("gv"),
+        (F.row_number().over(w_glob) - 1).cast("long").alias("idx0"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_tot"))
+    pos = src.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("n_src") > 1,
+            (
+                (F.col("r_src") - 1).cast("double") / (F.col("n_src") - 1)
+            )
+            * (F.col("n_tot") - 1),
+        )
+        .otherwise((F.col("n_tot") - 1).cast("double") / 2)
+        .alias("gpos"),
+    )
+    ix = pos.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "gpos",
+        F.floor("gpos").cast("long").alias("i"),
+        (F.col("gpos") - F.floor("gpos")).alias("frac"),
+    )
+    lo = glob.select(F.col("idx0").alias("i"), F.col("gv").alias("lo_gv"))
+    hi = glob.select((F.col("idx0") - 1).alias("i"), F.col("gv").alias("hi_gv"))
+    return (
+        ix.join(lo, "i")
+        .join(hi, "i", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("gpos", 6).alias("gpos"),
+            (
+                F.col("lo_gv")
+                + F.col("frac") * (F.coalesce("hi_gv", "lo_gv") - F.col("lo_gv"))
+            ).alias("norm_score"),
+        )
+    )

@@ -105,6 +105,7 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "cdc_apply_change_feed",
     "hierarchy_rollup_subtree",
+    "quality_quantile_normalize",
 ]
 
 

@@ -56,6 +56,8 @@ _HAZARD_CLASS = [
     "events_anomaly_mad",
     # decimal-exact sums grouped under a temporal join
     "cdc_scd2_point_in_time",
+    # fractional-index interpolation over global order statistics
+    "quality_quantile_normalize",
 ]
 
 _NAMES = (

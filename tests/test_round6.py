@@ -638,3 +638,18 @@ def test_ancestor_closure_hand_tree_and_isolated_node(spark):
         (2, 1), (3, 1), (4, 2), (4, 1), (5, 4), (5, 2), (5, 1),
     }
     assert got == expect
+
+
+def test_quantile_normalize_equalizes_source_distributions(spark):
+    """The point of quantile normalization: after it, per-source score
+    distributions collapse onto the global one — cross-source mean spread
+    must shrink dramatically vs the raw signal, and every normalized value
+    must lie inside the global raw range."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    out = QUERY_REGISTRY["quality_quantile_normalize"].fn(spark, SF_ORACLE).toPandas()
+    raw_spread = out.groupby("source")["n_chars"].mean().std()
+    norm_spread = out.groupby("source")["norm_score"].mean().std()
+    assert norm_spread < raw_spread * 0.5, (norm_spread, raw_spread)
+    assert out["norm_score"].min() >= out["n_chars"].min()
+    assert out["norm_score"].max() <= out["n_chars"].max()
