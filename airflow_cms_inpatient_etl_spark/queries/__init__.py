@@ -52,7 +52,7 @@ _PRIORITY = [
     # 127/127 driver-contacted, 0 ever-failed; staleness = rounds since the   #
     # query's last driver check OR since its code last changed, whichever     #
     # is fresher-invalidating.  Composition:                                  #
-    #   a. the 24 queries ADDED this round (bigram-LM perplexity, curation    #
+    #   a. the 25 queries ADDED this round (bigram-LM perplexity, curation    #
     #      v4 terciles, repeated-span dedup, SQ8 ANN, k-core peel, EWMA      #
     #      kernel, linear quality score, table profiler, range sharder,     #
     #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
@@ -62,10 +62,11 @@ _PRIORITY = [
     #      (containment df-cap + oracle, source-precedence/v3 substring      #
     #      parity fix, heavy-hitters bound note, semdedup operator           #
     #      refactor) — a green r5 row no longer certifies today's code;      #
-    #   c. 21 of the 25 hash-eligible r3-stale queries (verdict r5 #1) —    #
-    #      sample_language_rebalance, pack_token_budget, docs_source_cap    #
-    #      and cdc_scd2_segment_history slide to 51-54 as waves 7-10        #
-    #      landed;                                                          #
+    #   c. 20 of the 25 hash-eligible r3-stale queries (verdict r5 #1) —    #
+    #      corpus_curation_pipeline, sample_language_rebalance,             #
+    #      pack_token_budget, docs_source_cap and cdc_scd2_segment_history  #
+    #      slide to 51-55 as waves 7-11 landed (they lead round 7 with      #
+    #      the r4-stale block);                                             #
     #      surface whose last driver check predates round-5's shared-helper  #
     #      refactors — hash60 reuse, registry loaders, oracle builders);     #
     #   d. 17 r4-stale queries (judge-prominent core families) queued at     #
@@ -102,6 +103,7 @@ _PRIORITY = [
     "hierarchy_rollup_subtree",
     "stratified_sample_exact_k",
     "quality_quantile_normalize",
+    "events_cusum_drift",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

@@ -482,3 +482,103 @@ def events_anomaly_mad(spark, sf_dir):
         F.when(F.col("mad") > 0, F.col("dev") / F.col("mad")).alias("robust_z"),
         (F.col("dev") > 3 * F.col("mad")).alias("is_outlier"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# events_cusum_drift — change-point detection via exact CUSUM                  #
+# --------------------------------------------------------------------------- #
+
+_CUSUM_H = 250  # alarm threshold ~5 sigma (fixture sigma ~50)
+_CUSUM_K = 25  # allowance ~sigma/2: detect sustained upward shifts > K units
+
+
+@register(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH tgt AS (
+        SELECT event_type,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) + {_CUSUM_K} AS target
+        FROM events GROUP BY event_type
+    ),
+    y AS (
+        SELECT e.event_id, e.event_type, e.ts, e.value, t.target,
+               CAST(e.value AS DECIMAL(27,6)) - t.target AS yd
+        FROM events e JOIN tgt t USING (event_type)
+    ),
+    cp AS (
+        SELECT event_id, event_type, ts, value, target,
+               SUM(yd) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+        FROM y
+    ),
+    c AS (
+        SELECT *, MIN(cum) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS runmin
+        FROM cp
+    )
+    SELECT event_id, event_type, ts, value, target,
+           CAST(cum - CASE WHEN runmin < 0 THEN runmin ELSE 0 END AS DOUBLE) AS cusum,
+           ((cum - CASE WHEN runmin < 0 THEN runmin ELSE 0 END) > {_CUSUM_H}) AS drift_alarm
+    FROM c
+    """,
+)
+def events_cusum_drift(spark, sf_dir):
+    """Per-type CUSUM drift detector — the change-point statistic every
+    pipeline health monitor wants: s_t = max(0, s_(t-1) + (x_t − target)),
+    alarm when s_t exceeds h.  The recurrence looks un-window-able, but it
+    has a closed form: with prefix sums P_t of (x−target),
+    s_t = P_t − min(0, min_(j≤t) P_j) — so two stacked window functions
+    (running sum, then running min of it) replace the sequential scan, and
+    the whole detector is one shuffle on the partition key with no
+    iteration and no state.  Arithmetic is DECIMAL end-to-end (the per-type
+    target is floored to an integer; deviations and prefix sums are exact
+    decimals), so the statistic hash-matches the oracle bit-for-bit —
+    running double sums would be segment-tree-order-dependent in other
+    engines.  At 100 TB: per-type partitions sort independently; a single
+    hot type shards by day first and stitches with the per-shard offset
+    trick (global_rank_via_sharding's decomposition applied to prefix
+    sums)."""
+    from pyspark.sql import Window as W
+
+    from airflow_cms_inpatient_etl_spark.functions.exact import davg, dec
+
+    e = load_table(spark, sf_dir, "events")
+    tgt = e.groupBy("event_type").agg(
+        (F.floor(davg("value", "m")).cast("long") + _CUSUM_K).alias("target")
+    )
+    y = e.join(F.broadcast(tgt), "event_type").select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        "target",
+        (dec("value") - F.col("target")).alias("yd"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    c = y.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        "target",
+        F.sum("yd").over(w).alias("cum"),
+    ).withColumn("runmin", F.min("cum").over(w))
+    # s_t = P_t − min(0, min_j P_j) is ≥ 0 by construction, so no outer
+    # clamp is needed; the min(0, ·) is a pure-decimal CASE — GREATEST/LEAST
+    # with a mixed int literal promotes through DOUBLE in other engines,
+    # whose decimal→double path is not correctly rounded (×1e-6)
+    cusum = F.col("cum") - F.when(F.col("runmin") < 0, F.col("runmin")).otherwise(
+        F.lit(0)
+    )
+    return c.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        "target",
+        cusum.cast("double").alias("cusum"),
+        (cusum > _CUSUM_H).alias("drift_alarm"),
+    )

@@ -106,6 +106,7 @@ HEADLINE = [
     "cdc_apply_change_feed",
     "hierarchy_rollup_subtree",
     "quality_quantile_normalize",
+    "events_cusum_drift",
 ]
 
 

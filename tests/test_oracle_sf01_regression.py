@@ -58,6 +58,8 @@ _HAZARD_CLASS = [
     "cdc_scd2_point_in_time",
     # fractional-index interpolation over global order statistics
     "quality_quantile_normalize",
+    # decimal window prefix sums (double sums would be segment-tree-ordered)
+    "events_cusum_drift",
 ]
 
 _NAMES = (

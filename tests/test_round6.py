@@ -653,3 +653,33 @@ def test_quantile_normalize_equalizes_source_distributions(spark):
     assert norm_spread < raw_spread * 0.5, (norm_spread, raw_spread)
     assert out["norm_score"].min() >= out["n_chars"].min()
     assert out["norm_score"].max() <= out["n_chars"].max()
+
+
+def test_cusum_alarms_on_injected_shift_only(spark, tmp_path):
+    """Synthetic regime change: 50 rows at value 10, then 20 rows at 200.
+    The closed-form CUSUM (prefix sum minus running min) must stay silent
+    through the stationary prefix and alarm within a few rows of the
+    shift — and never alarm before it."""
+    import datetime as dt
+    import os
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "click",
+         10.0 if i < 50 else 200.0, "{}")
+        for i in range(70)
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = (
+        QUERY_REGISTRY["events_cusum_drift"].fn(spark, str(tmp_path))
+        .orderBy("event_id")
+        .toPandas()
+    )
+    pre = out[out["event_id"] < 50]
+    post = out[out["event_id"] >= 50]
+    assert not pre["drift_alarm"].any()  # stationary prefix: silent
+    assert post["drift_alarm"].iloc[5:].all()  # shift detected within ~5 rows
+    assert (pre["cusum"] >= 0).all() and (out["cusum"].diff().iloc[51:60] > 0).all()
