@@ -27,6 +27,7 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
     cdc,
     curation2,
     quality,
+    analytics,
 )
 
 # --------------------------------------------------------------------------- #
@@ -58,21 +59,21 @@ _PRIORITY = [
     #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
     #      join, GDPR delete cascade, live streaming dedup) — never        #
     #      checked;                                                         #
+    #   a2. 12 further never-checked additions (behavioral analytics,       #
+    #      DQ audits, hard-negative mining, neighbor-Jaccard) — never-      #
+    #      checked outranks once-green-but-stale, so these claim slots      #
+    #      ahead of block c;                                                #
     #   b. the 5 r5-checked queries whose CODE changed this round            #
     #      (containment df-cap + oracle, source-precedence/v3 substring      #
     #      parity fix, heavy-hitters bound note, semdedup operator           #
     #      refactor) — a green r5 row no longer certifies today's code;      #
-    #   c. 20 of the 25 hash-eligible r3-stale queries (verdict r5 #1) —    #
-    #      corpus_curation_pipeline, sample_language_rebalance,             #
-    #      pack_token_budget, docs_source_cap and cdc_scd2_segment_history  #
-    #      slide to 51-55 as waves 7-11 landed (they lead round 7 with      #
-    #      the r4-stale block);                                             #
-    #      surface whose last driver check predates round-5's shared-helper  #
-    #      refactors — hash60 reuse, registry loaders, oracle builders);     #
-    #   d. 17 r4-stale queries (judge-prominent core families) queued at     #
-    #      positions 51-67: waves 2-7 filled the window to exactly          #
-    #      20a + 5b + 25c = 50, so the whole d block now LEADS the round-7  #
-    #      rotation together with the rest of the r4-stale remainder.       #
+    #   c. the 8 stalest of the 25 hash-eligible r3-stale queries fill the  #
+    #      window to 25a + 12a2 + 5b + 8c = 50; the remaining 17 r3-stale   #
+    #      (from text_repetition_metrics down) plus block d lead round 7 —  #
+    #      all are re-proven locally each run by the full sf0.01            #
+    #      differential in tests/test_oracle_differential.py;               #
+    #   d. 17 r4-stale queries (judge-prominent core families) queued       #
+    #      behind c for the round-7 rotation.                               #
     # streaming_stream_stream_join_live / streaming_stateful_profile_live    #
     # (rows-only BY NATURE) plus the 33 remaining r4-stale and the 45        #
     # unchanged r5-green queries fall through in registration order — the    #
@@ -104,6 +105,20 @@ _PRIORITY = [
     "stratified_sample_exact_k",
     "quality_quantile_normalize",
     "events_cusum_drift",
+    # -- a2. round-6 wave-12+ additions (never driver-checked): behavioral   #
+    #    analytics / DQ-audit / ML-mining families ------------------------- #
+    "events_gaps_islands",
+    "events_time_weighted_avg",
+    "events_markov_transitions",
+    "events_cohort_retention",
+    "window_sliding_distinct_users",
+    "dq_referential_integrity",
+    "dq_benford_first_digit",
+    "contribution_pct_of_total",
+    "customer_rfm_segments",
+    "events_ab_test_zscore",
+    "sim_hard_negatives",
+    "graph_jaccard_neighbors",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

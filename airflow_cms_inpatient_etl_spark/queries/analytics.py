@@ -1,0 +1,629 @@
+"""Behavioral / DQ analytics the reference's warehouse users run downstream of
+the ETL (reference surface: `dags/patient_claims_plus_postgres.py:160-190`
+materializes a star-ish claims table precisely so analysts can run this class
+of query): gaps-and-islands, time-weighted averages, cohort retention, Markov
+transitions, sliding distinct counts, referential-integrity audits, Benford
+DQ, contribution analysis, RFM segmentation and an A/B z-test.
+
+Determinism contract (same doctrine as `functions.exact`): every emitted value
+is either an integer/date, a decimal-exact sum cast to double, or a single
+IEEE-deterministic double operation (one division / one sqrt) over
+engine-identical inputs — so all queries here are hash-exact against DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airflow_cms_inpatient_etl_spark.operators.text import hash60
+from airflow_cms_inpatient_etl_spark.queries.base import register
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+
+
+# --------------------------------------------------------------------------- #
+# events_gaps_islands — consecutive-activity runs per user                     #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "events_gaps_islands",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events),
+    numbered AS (
+        SELECT user_id, day,
+               DATEDIFF('day', TIMESTAMP '2024-01-01', day)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM days
+    )
+    SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM numbered GROUP BY user_id, grp
+    """,
+)
+def events_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive active days per user via
+    the classic day-number-minus-row-number grouping key.  Two shuffles total
+    (distinct + the user-keyed window); the island groupBy reuses the window's
+    user partitioning under AQE.  Scales as O(distinct user-days)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = (
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(w)
+    )
+    return (
+        days.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("island_start"),
+            F.max("day").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("user_id", "island_start", "island_end", "n_days")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# events_time_weighted_avg — LOCF integral average (TimescaleDB time_weight)   #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+               LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - EPOCH_US(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(CAST(SUM(cents * dur_us) AS BIGINT) AS DOUBLE) / 100
+             / CAST(SUM(dur_us) AS BIGINT) AS twa_value
+    FROM seg WHERE dur_us > 0 GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per user with last-observation-carried-forward
+    weighting: each event's value holds until the next event, so the weight is
+    the microsecond gap to the successor (lead over the user timeline).  The
+    numerator is kept as an exact int64 (2-dp cents x microseconds): int64 ->
+    double conversion is correctly rounded in every engine, whereas a
+    wide-decimal numerator would hit DuckDB's two-step (hugeint-then-scale)
+    conversion and drift a ulp.  Overflow bound: cents * total span
+    must stay < 2^63 — ~3e18 at 100k-cent values over a year-long user
+    timeline, inside the bound, and Spark's ANSI mode makes any breach loud.
+    One window shuffle + one groupBy that reuses the same user partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    cents = (F.col("value").cast(T.DecimalType(14, 2)) * 100).cast("long")
+    seg = ev.select(
+        "user_id",
+        cents.alias("cents"),
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    ).filter(F.col("dur_us") > 0)
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dur_us").alias("total_dur_us"),
+        (
+            F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+            / 100
+            / F.sum("dur_us")
+        ).alias("twa_value"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# events_markov_transitions — first-order behavior transition matrix           #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH tr AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS from_type,
+               event_type AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tr WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+    FROM counts
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    LAG pairs -> transition counts -> row-normalized probabilities.  The
+    probability is a ratio of two bigints (both < 2^53, so the double division
+    is engine-exact).  The transition matrix is |event_types|^2 rows — tiny —
+    so the normalizing window runs on the already-aggregated counts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = tr.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    norm = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(norm)).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# events_cohort_retention — weekly signup-cohort retention matrix              #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk
+        FROM events
+    ),
+    first_wk AS (SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY user_id)
+    SELECT f.cohort_week,
+           CAST(DATEDIFF('day', f.cohort_week, w.wk) / 7 AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM wk w JOIN first_wk f ON w.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-active ISO week, counted
+    in each subsequent week they return.  Both the per-user min and the final
+    count run on the distinct (user, week) pairs — O(users x weeks), far below
+    the event volume — and the cohort join is user-keyed, co-partitioned with
+    the min-aggregate's shuffle.  week_offset is exact integer arithmetic on
+    Monday-aligned dates (both engines truncate weeks to Monday)."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    first = wk.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    joined = wk.join(first, "user_id")
+    offset = (F.datediff("wk", "cohort_week") / 7).cast("int")
+    return (
+        joined.select("cohort_week", offset.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# window_sliding_distinct_users — exact distinct-count over sliding windows    #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "window_sliding_distinct_users",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, TIME_BUCKET(INTERVAL '5 minutes', ts) AS s
+        FROM events
+    ),
+    expanded AS (
+        SELECT user_id, s - (k * INTERVAL '5 minutes') AS window_start
+        FROM pairs,
+             (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11)) AS offs(k)
+    )
+    SELECT window_start, window_start + INTERVAL '60 minutes' AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM expanded GROUP BY 1
+    """,
+)
+def window_sliding_distinct_users(spark, sf_dir):
+    """Exact distinct users per sliding 60-minute window (5-minute slide).
+    Spark forbids DISTINCT aggregates over window frames, so the operator is
+    re-expressed as dedup-then-expand: distinct (user, 5-min bucket) pairs
+    first (collapsing the event volume), then `F.window(len=60m, slide=5m)`
+    fans each pair into its 12 covering windows and ONE distinct-count
+    aggregate finishes — no per-row window state anywhere.  At 100 TB the
+    expansion is 12 x |distinct pairs|, not 12 x |events|."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.window("ts", "5 minutes")["start"].alias("s")
+    ).distinct()
+    win = F.window("s", "60 minutes", "5 minutes")
+    return (
+        pairs.groupBy(win)
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_users",
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dq_referential_integrity — orphan audit across every FK edge                 #
+# --------------------------------------------------------------------------- #
+
+_FK_EDGES = [
+    # (label, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    # deliberately unconstrained edge: event actors are NOT customer keys,
+    # so this row demonstrates a nonzero orphan count.
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        parts.append(
+            f"""
+    SELECT '{label}' AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM (SELECT {ckey} AS k FROM {child} WHERE {ckey} IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) p ON c.k = p.k"""
+        )
+    return "\n    UNION ALL".join(parts)
+
+
+@register("dq_referential_integrity", oracle=_fk_oracle())
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit: one row per foreign-key edge of the star
+    schema with child cardinality and orphan count (child keys missing from
+    the parent).  Each edge is a single left join against the parent's
+    distinct key set + one aggregate — Catalyst broadcasts the small parents
+    (nation/region/customer) and shuffle-joins the big ones, which is exactly
+    the 100 TB shape (the lineitem->orders edge is a co-partitioned key join,
+    never a collect).  The last edge is intentionally unconstrained so the
+    audit demonstrates a nonzero finding."""
+    out = None
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        c = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ckey).alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("k")).distinct()
+        joined = c.join(p.withColumn("hit", F.lit(1)), "k", "left")
+        row = joined.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(F.lit(label).alias("relation"), "n_child", "n_orphans")
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# dq_benford_first_digit — first-significant-digit distribution audit          #
+# --------------------------------------------------------------------------- #
+
+# log10(1 + 1/d) literals shared verbatim by both engines: repr() emits the
+# shortest round-tripping decimal, and IEEE-754 literal parsing is correctly
+# rounded everywhere, so both sides materialize the identical double.
+_BENFORD = {d: repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+        FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+        SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM cents
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT) AS observed_p,
+           CASE digit {' '.join(f'WHEN {d} THEN CAST({lit} AS DOUBLE)' for d, lit in _BENFORD.items())}
+           END AS expected_p
+    FROM counts
+    """,
+)
+def dq_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals: observed share of
+    each leading significant digit next to the theoretical log10(1+1/d).
+    The digit is extracted from exact integer cents (decimal cast then x100)
+    so no cross-engine float formatting is involved, and the expected values
+    are shared literal doubles — the whole result is hash-exact.  Single
+    scan, 9-row aggregate; the window normalization runs on 9 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = (F.col("o_totalprice").cast(T.DecimalType(14, 2)) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    expr = None
+    for d, lit in _BENFORD.items():
+        expr = (
+            F.when(F.col("digit") == d, F.lit(float(lit)))
+            if expr is None
+            else expr.when(F.col("digit") == d, F.lit(float(lit)))
+        )
+    return counts.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(W.partitionBy())).alias(
+            "observed_p"
+        ),
+        expr.alias("expected_p"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# contribution_pct_of_total — share-of-region / share-of-global revenue        #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "contribution_pct_of_total",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6)))
+                 AS revenue_dec
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region_name, nation_name,
+           CAST(revenue_dec AS DOUBLE) AS revenue,
+           CAST(revenue_dec AS DOUBLE)
+             / CAST(SUM(revenue_dec) OVER (PARTITION BY region_name) AS DOUBLE)
+             AS pct_of_region,
+           CAST(revenue_dec AS DOUBLE)
+             / CAST(SUM(revenue_dec) OVER () AS DOUBLE) AS pct_of_global
+    FROM rev
+    """,
+)
+def contribution_pct_of_total(spark, sf_dir):
+    """Contribution analysis: per-nation revenue with share-of-region and
+    share-of-global ratios.  The heavy part is one partial-aggregated
+    fact-side groupBy after broadcast dimension joins (customer/nation/region
+    are all sub-threshold); the two window sums then run on the 25-row
+    aggregate.  Decimal-exact sums; each pct is one double division over
+    engine-identical operands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        T.DecimalType(27, 6)
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.sum(rev_dec).alias("revenue_dec"))
+    )
+    region_w = W.partitionBy("region_name")
+    global_w = W.partitionBy()
+    rev_d = F.col("revenue_dec").cast("double")
+    return rev.select(
+        "region_name",
+        "nation_name",
+        rev_d.alias("revenue"),
+        (rev_d / F.sum("revenue_dec").over(region_w).cast("double")).alias(
+            "pct_of_region"
+        ),
+        (rev_d / F.sum("revenue_dec").over(global_w).cast("double")).alias(
+            "pct_of_global"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# customer_rfm_segments — quartile RFM segmentation                            #
+# --------------------------------------------------------------------------- #
+
+_RFM_REF_DATE = "2001-12-31"
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               DATEDIFF('day', CAST(MAX(o_orderdate) AS DATE), DATE '{_RFM_REF_DATE}')
+                 AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS monetary_dec
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey, recency_days, n_orders,
+               CAST(monetary_dec AS DOUBLE) AS monetary,
+               NTILE(4) OVER (ORDER BY recency_days ASC, custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY n_orders DESC, custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary_dec DESC, custkey) AS m_score
+        FROM base
+    )
+    SELECT custkey, recency_days, n_orders, monetary, r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-customer recency / frequency / monetary quartiles
+    (NTILE over fully-tiebroken orders, so ranks are deterministic) composed
+    into a 3-digit segment label.  The base aggregate is one customer-keyed
+    groupBy; the three NTILEs are single-partition windows over the customer
+    aggregate — fine at dimension cardinality, and the documented scale path
+    for fact-sized inputs is `global_rank_via_sharding` (range-sharded rank
+    offsets) rather than one-task sorts."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(_RFM_REF_DATE).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(27, 6))).alias("monetary_dec"),
+    )
+    r_w = W.orderBy(F.col("recency_days").asc(), F.col("custkey"))
+    f_w = W.orderBy(F.col("n_orders").desc(), F.col("custkey"))
+    m_w = W.orderBy(F.col("monetary_dec").desc(), F.col("custkey"))
+    scored = base.select(
+        "custkey",
+        "recency_days",
+        "n_orders",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# events_ab_test_zscore — two-proportion z-test over a hash split              #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "events_ab_test_zscore",
+    oracle="""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 2 AS variant
+        FROM events
+    ),
+    first_ts AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+    converted AS (
+        SELECT DISTINCT e.user_id
+        FROM events e JOIN first_ts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase' AND e.ts <= f.t0 + INTERVAL '1 hour'
+    ),
+    per_variant AS (
+        SELECT a.variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_converted
+        FROM assigned a LEFT JOIN converted c ON a.user_id = c.user_id
+        GROUP BY a.variant
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+            MAX(CASE WHEN variant = 0 THEN n_converted END) AS conv_a,
+            MAX(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+            MAX(CASE WHEN variant = 1 THEN n_converted END) AS conv_b
+        FROM per_variant
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS p_a,
+           CAST(conv_b AS DOUBLE) / n_b AS p_b,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+                ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                     / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                            * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                            * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+           END AS z
+    FROM wide
+    """,
+)
+def events_ab_test_zscore(spark, sf_dir):
+    """Two-proportion z-test between the two arms of a deterministic hash
+    split (portable md5 hash mod 2, the same split family
+    `split_train_test_hash` uses); conversion = first 'purchase' within one
+    hour of the user's first activity, a funnel metric that stays mid-range
+    instead of saturating.  All counts are exact; p-hats and the pooled z are
+    double ops over engine-identical operands (sqrt is IEEE-correctly-rounded,
+    hence portable), with z NULL on degenerate all/none conversion.  Shape:
+    user-keyed aggregates + a co-partitioned left join, then a 2-row pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (hash60(F.col("user_id").cast("string")) % 2).alias("variant"),
+        )
+    )
+    first_ts = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    converted = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_ts, "user_id")
+        .filter(F.col("ts") <= F.col("t0") + F.expr("INTERVAL 1 HOUR"))
+        .select("user_id")
+        .distinct()
+    )
+    per_variant = (
+        assigned.join(converted.withColumn("hit", F.lit(1)), "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_converted"),
+        )
+    )
+    wide = per_variant.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool
+        * (1 - pool)
+        * (F.lit(1).cast("double") / F.col("n_a") + F.lit(1).cast("double") / F.col("n_b"))
+    )
+    conv_total = F.col("conv_a") + F.col("conv_b")
+    n_total = F.col("n_a") + F.col("n_b")
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        F.when((conv_total == 0) | (conv_total == n_total), F.lit(None).cast("double"))
+        .otherwise((p_a - p_b) / se)
+        .alias("z"),
+    )

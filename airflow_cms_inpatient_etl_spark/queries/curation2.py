@@ -990,3 +990,90 @@ def graph_kcore(spark, sf_dir):
         .select("a", "b")
     )
     return kcore_peel(und, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# --------------------------------------------------------------------------- #
+# graph_jaccard_neighbors — structural node similarity with hub capping        #
+# --------------------------------------------------------------------------- #
+
+_JACC_HUB_CAP = 128  # max degree a node may have to serve as a wedge center
+_JACC_MIN = 0.2      # emit pairs at or above this structural similarity
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH {_transition_edges_sql()},
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM tr WHERE src IS NOT NULL AND src <> dst
+    ),
+    adj AS (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b AS node, a AS nbr FROM und
+    ),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY node),
+    eligible AS (SELECT node FROM deg WHERE degree <= {_JACC_HUB_CAP}),
+    capped AS (
+        SELECT adj.node, adj.nbr FROM adj JOIN eligible e ON adj.nbr = e.node
+    ),
+    nsize AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_nbrs FROM capped GROUP BY node),
+    wedge AS (
+        SELECT c1.node AS a, c2.node AS b
+        FROM capped c1 JOIN capped c2 ON c1.nbr = c2.nbr AND c1.node < c2.node
+    ),
+    inter AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common FROM wedge GROUP BY a, b)
+    SELECT i.a, i.b, i.n_common, sa.n_nbrs AS deg_a, sb.n_nbrs AS deg_b,
+           CAST(i.n_common AS DOUBLE) / (sa.n_nbrs + sb.n_nbrs - i.n_common) AS jaccard
+    FROM inter i
+    JOIN nsize sa ON i.a = sa.node
+    JOIN nsize sb ON i.b = sb.node
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_nbrs + sb.n_nbrs - i.n_common) >= {_JACC_MIN}
+    """,
+)
+def graph_jaccard_neighbors(spark, sf_dir):
+    """Structural node similarity: Jaccard overlap of (capped) neighbor sets
+    over the undirected transition graph, found via wedge enumeration through
+    shared neighbors — the role-equivalence primitive behind link prediction
+    and entity-resolution blocking.  The same skew discipline as
+    `dedup_containment` post-fix: nodes with degree > _JACC_HUB_CAP are
+    excluded as wedge centers AND from the neighbor-set sizes, so each center
+    contributes <= cap^2 candidate pairs (no hub quadratic) and
+    |intersection|/|union| stays exact over the capped neighbor universe.
+    Two aggregated shuffles (degree, wedge count) over the distinct-edge
+    list."""
+    tr, _, _ = _transition_graph(spark, sf_dir)
+    und = (
+        tr.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    eligible = deg.filter(F.col("degree") <= _JACC_HUB_CAP).select("node")
+    capped = adj.join(
+        eligible.withColumnRenamed("node", "nbr"), "nbr"
+    ).select("node", "nbr")
+    nsize = capped.groupBy("node").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    c1 = capped.select(F.col("node").alias("a"), "nbr")
+    c2 = capped.select(F.col("node").alias("b"), "nbr")
+    inter = (
+        c1.join(c2, "nbr")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = nsize.select(F.col("node").alias("a"), F.col("n_nbrs").alias("deg_a"))
+    sb = nsize.select(F.col("node").alias("b"), F.col("n_nbrs").alias("deg_b"))
+    jacc = F.col("n_common").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= _JACC_MIN)
+        .select("a", "b", "n_common", "deg_a", "deg_b", "jaccard")
+    )

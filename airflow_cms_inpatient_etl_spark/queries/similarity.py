@@ -360,3 +360,59 @@ def sim_sq8_topk(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     return sq8_topk(e, e.filter(e.vec_id < 8), k=5, coarse_m=20)
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cid, embedding AS cvec, label AS clabel FROM embeddings),
+    scored AS (
+        SELECT qid, cid, clabel AS neg_label, {_cosine("qvec", "cvec")} AS cosine
+        FROM c, q WHERE cid <> qid AND clabel <> qlabel
+    ),
+    ranked AS (
+        SELECT qid, cid, neg_label, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, neg_label, cosine, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor, the top-5 most-similar candidates with a DIFFERENT label — the
+    negatives that carry the most gradient signal.  Same broadcast-scan shape
+    as the brute top-k (the label inequality is applied before scoring, so no
+    wasted dot products); at corpus scale the anchor set is mined per IVF
+    cell (`sim_ann_ivf_topk`'s blocking) instead of against the full scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as W
+    from airflow_cms_inpatient_etl_spark.operators.similarity import dot, norm
+
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("clabel"),
+        norm(F.col("embedding")).alias("cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter((F.col("cid") != F.col("qid")) & (F.col("clabel") != F.col("qlabel")))
+        .withColumn(
+            "cosine", dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", F.col("clabel").alias("neg_label"), "cosine", "rn")
+    )

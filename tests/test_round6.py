@@ -683,3 +683,174 @@ def test_cusum_alarms_on_injected_shift_only(spark, tmp_path):
     assert not pre["drift_alarm"].any()  # stationary prefix: silent
     assert post["drift_alarm"].iloc[5:].all()  # shift detected within ~5 rows
     assert (pre["cusum"] >= 0).all() and (out["cusum"].diff().iloc[51:60] > 0).all()
+
+
+# --------------------------------------------------------------------------- #
+# wave-12 analytics / DQ / mining families                                     #
+# --------------------------------------------------------------------------- #
+
+
+def test_gaps_islands_partition_day_range(spark):
+    """Every island's day span must equal its day count minus one (consecutive
+    days, no gaps inside an island)."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import events_gaps_islands
+
+    pdf = events_gaps_islands(spark, SF_ORACLE).toPandas()
+    assert len(pdf) > 0
+    span = (pdf["island_end"] - pdf["island_start"]).dt.days
+    assert (span == pdf["n_days"] - 1).all()
+
+
+def test_markov_rows_normalize_to_one(spark):
+    """Each from_type's outgoing probabilities sum to 1 (within float repr)."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        events_markov_transitions,
+    )
+
+    pdf = events_markov_transitions(spark, SF_ORACLE).toPandas()
+    sums = pdf.groupby("from_type")["p"].sum()
+    assert ((sums - 1.0).abs() < 1e-12).all()
+
+
+def test_cohort_offset_zero_equals_cohort_size(spark):
+    """Week-offset 0 counts every cohort member (everyone is active in their
+    own first week), and retention never exceeds the cohort size."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        events_cohort_retention,
+    )
+
+    pdf = events_cohort_retention(spark, SF_ORACLE).toPandas()
+    base = pdf[pdf.week_offset == 0].set_index("cohort_week")["n_users"]
+    later = pdf[pdf.week_offset > 0]
+    for _, row in later.iterrows():
+        assert row["n_users"] <= base[row["cohort_week"]]
+    assert set(pdf[pdf.week_offset == 0].cohort_week) == set(pdf.cohort_week)
+
+
+def test_sliding_distinct_users_vs_naive_window(spark):
+    """The dedup-then-expand plan equals a naive per-window distinct count
+    computed straight from the event scan with F.window(60m, 5m)."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        window_sliding_distinct_users,
+    )
+
+    ours = window_sliding_distinct_users(spark, SF_ORACLE)
+    ev = load_table(spark, SF_ORACLE, "events")
+    naive = (
+        ev.groupBy(F.window("ts", "60 minutes", "5 minutes"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_users",
+        )
+    )
+    assert ours.exceptAll(naive).count() == 0
+    assert naive.exceptAll(ours).count() == 0
+
+
+def test_referential_integrity_tpch_edges_clean(spark):
+    """The seven real FK edges audit clean; the deliberately-unconstrained
+    events.user_id edge reports orphans > 0 (users outnumber customers only
+    at tiny SF — so assert on the known-clean edges instead)."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        dq_referential_integrity,
+    )
+
+    pdf = dq_referential_integrity(spark, SF_ORACLE).toPandas().set_index("relation")
+    for rel in pdf.index:
+        if rel.startswith("events."):
+            continue
+        assert pdf.loc[rel, "n_orphans"] == 0, rel
+    assert (pdf["n_child"] > 0).all()
+
+
+def test_benford_probabilities_sum_to_one(spark):
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        dq_benford_first_digit,
+    )
+
+    pdf = dq_benford_first_digit(spark, SF_ORACLE).toPandas()
+    assert set(pdf.digit) <= set(range(1, 10))
+    assert abs(pdf.observed_p.sum() - 1.0) < 1e-12
+    assert abs(pdf.expected_p.sum() - 1.0) < 1e-12
+
+
+def test_contribution_percentages_consistent(spark):
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        contribution_pct_of_total,
+    )
+
+    pdf = contribution_pct_of_total(spark, SF_ORACLE).toPandas()
+    assert abs(pdf.pct_of_global.sum() - 1.0) < 1e-9
+    for _, grp in pdf.groupby("region_name"):
+        assert abs(grp.pct_of_region.sum() - 1.0) < 1e-9
+
+
+def test_rfm_quartiles_balanced(spark):
+    """NTILE(4) over n customers puts ceil/floor(n/4) in each quartile."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        customer_rfm_segments,
+    )
+
+    pdf = customer_rfm_segments(spark, SF_ORACLE).toPandas()
+    n = len(pdf)
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = pdf[col].value_counts()
+        assert set(sizes.index) == {1, 2, 3, 4}
+        assert sizes.max() - sizes.min() <= 1, col
+    assert (pdf.segment.str.len() == 3).all()
+    assert n > 0
+
+
+def test_hard_negatives_exclude_anchor_label(spark):
+    """Every mined negative carries a label different from its anchor's, and
+    per-anchor ranks are dense 1..k."""
+    from airflow_cms_inpatient_etl_spark.queries.similarity import sim_hard_negatives
+
+    e = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "label").toPandas()
+    labels = dict(zip(e.vec_id, e.label))
+    pdf = sim_hard_negatives(spark, SF_ORACLE).toPandas()
+    for _, row in pdf.iterrows():
+        assert labels[row.cid] != labels[row.qid]
+    for _, grp in pdf.groupby("qid"):
+        assert sorted(grp.rn) == list(range(1, len(grp) + 1))
+
+
+def test_jaccard_hub_cap_bounds_wedge_volume(spark):
+    """Skew canary: a star graph (one hub linked to 200 spokes, plus a few
+    clique edges) must produce ZERO wedges through the hub once the hub
+    exceeds the degree cap — the candidate volume stays bounded by cap^2
+    instead of going quadratic in the hub degree."""
+    from airflow_cms_inpatient_etl_spark.queries import curation2 as c2
+
+    hub_edges = [(0, i) for i in range(1, 201)]  # hub degree 200 > cap 128
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    und = spark.createDataFrame(hub_edges + clique, "a long, b long")
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    eligible = deg.filter(F.col("degree") <= c2._JACC_HUB_CAP).select("node")
+    capped = adj.join(eligible.withColumnRenamed("node", "nbr"), "nbr").select(
+        "node", "nbr"
+    )
+    c1 = capped.select(F.col("node").alias("x"), "nbr")
+    c2_ = capped.select(F.col("node").alias("y"), "nbr")
+    wedges = c1.join(c2_, "nbr").filter(F.col("x") < F.col("y"))
+    n_wedges = wedges.count()
+    # without the cap the hub alone contributes C(200,2) = 19900 wedges
+    assert n_wedges < c2._JACC_HUB_CAP**2
+    # the clique's wedges (through eligible centers) survive
+    assert n_wedges > 0
+
+
+def test_ab_test_z_is_finite_and_split_is_stable(spark):
+    from airflow_cms_inpatient_etl_spark.queries.analytics import events_ab_test_zscore
+
+    row = events_ab_test_zscore(spark, SF_ORACLE).toPandas().iloc[0]
+    assert row.n_a + row.n_b > 0
+    assert 0 < row.p_a < 1 and 0 < row.p_b < 1
+    assert row.z == row.z  # not NaN at this fixture
+    again = events_ab_test_zscore(spark, SF_ORACLE).toPandas().iloc[0]
+    assert row.equals(again)
