@@ -107,6 +107,22 @@ HEADLINE = [
     "hierarchy_rollup_subtree",
     "quality_quantile_normalize",
     "events_cusum_drift",
+    # round-6 wave 12: behavioral analytics / DQ / mining — heaviest are the
+    # sliding distinct-user expansion (12x distinct pairs into one distinct
+    # agg), the 8-edge referential audit (two lineitem-sized key joins), and
+    # the user-timeline window pair (LOCF integral + gaps-and-islands)
+    "window_sliding_distinct_users",
+    "events_time_weighted_avg",
+    "events_gaps_islands",
+    "events_cohort_retention",
+    "events_markov_transitions",
+    "events_ab_test_zscore",
+    "dq_referential_integrity",
+    "dq_benford_first_digit",
+    "contribution_pct_of_total",
+    "customer_rfm_segments",
+    "sim_hard_negatives",
+    "graph_jaccard_neighbors",
 ]
 
 
