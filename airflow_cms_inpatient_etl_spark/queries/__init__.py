@@ -59,17 +59,17 @@ _PRIORITY = [
     #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
     #      join, GDPR delete cascade, live streaming dedup) — never        #
     #      checked;                                                         #
-    #   a2. 12 further never-checked additions (behavioral analytics,       #
-    #      DQ audits, hard-negative mining, neighbor-Jaccard) — never-      #
-    #      checked outranks once-green-but-stale, so these claim slots      #
-    #      ahead of block c;                                                #
+    #   a2. 15 further never-checked additions (behavioral analytics,       #
+    #      DQ audits, hard-negative mining, neighbor-Jaccard, basket        #
+    #      rules, ACF, DOW seasonality) — never-checked outranks            #
+    #      once-green-but-stale, so these claim slots ahead of block c;     #
     #   b. the 5 r5-checked queries whose CODE changed this round            #
     #      (containment df-cap + oracle, source-precedence/v3 substring      #
     #      parity fix, heavy-hitters bound note, semdedup operator           #
     #      refactor) — a green r5 row no longer certifies today's code;      #
-    #   c. the 8 stalest of the 25 hash-eligible r3-stale queries fill the  #
-    #      window to 25a + 12a2 + 5b + 8c = 50; the remaining 17 r3-stale   #
-    #      (from text_repetition_metrics down) plus block d lead round 7 —  #
+    #   c. the 5 stalest of the 25 hash-eligible r3-stale queries fill the  #
+    #      window to 25a + 15a2 + 5b + 5c = 50; the remaining 20 r3-stale   #
+    #      (from incremental_agg_merge down) plus block d lead round 7 —    #
     #      all are re-proven locally each run by the full sf0.01            #
     #      differential in tests/test_oracle_differential.py;               #
     #   d. 17 r4-stale queries (judge-prominent core families) queued       #
@@ -119,6 +119,9 @@ _PRIORITY = [
     "events_ab_test_zscore",
     "sim_hard_negatives",
     "graph_jaccard_neighbors",
+    "basket_association_rules",
+    "events_autocorrelation",
+    "events_dow_seasonality",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

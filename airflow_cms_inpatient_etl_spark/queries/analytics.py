@@ -627,3 +627,223 @@ def events_ab_test_zscore(spark, sf_dir):
         .otherwise((p_a - p_b) / se)
         .alias("z"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# basket_association_rules — market-basket co-occurrence with apriori pruning  #
+# --------------------------------------------------------------------------- #
+
+_MIN_ITEM_SUP = 10  # apriori: only items this frequent may enter pairs
+_MIN_PAIR_SUP = 2
+
+
+@register(
+    "basket_association_rules",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    isup AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY p
+        HAVING COUNT(*) >= {_MIN_ITEM_SUP}
+    ),
+    freq AS (SELECT i.o, i.p FROM items i JOIN isup s ON i.p = s.p),
+    pairs AS (
+        SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM freq a JOIN freq b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= {_MIN_PAIR_SUP}
+    ),
+    total AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM items)
+    SELECT p1, p2, n_ab, sa.n AS n_a, sb.n AS n_b, t.n_orders,
+           CAST(n_ab AS DOUBLE) / sa.n AS conf_1_2,
+           CAST(n_ab AS DOUBLE) / sb.n AS conf_2_1,
+           CAST(n_ab AS DOUBLE) * t.n_orders / (sa.n * sb.n) AS lift
+    FROM pairs
+    JOIN isup sa ON pairs.p1 = sa.p
+    JOIN isup sb ON pairs.p2 = sb.p
+    CROSS JOIN total t
+    """,
+)
+def basket_association_rules(spark, sf_dir):
+    """Market-basket mining: co-occurring part pairs within orders, with
+    support / confidence / lift.  Apriori pruning is the scale lever — items
+    below the support floor never enter the pair self-join, and pair volume
+    per basket is quadratic only in the (bounded) basket size, not the
+    catalog.  Shape: distinct items, an order-keyed self-join (both sides
+    co-partitioned on the order key — one shuffle), support joins on the item
+    dimension, and a broadcast scalar for the order total.  Confidence and
+    lift are single double ops over exact bigints."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    isup = (
+        items.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _MIN_ITEM_SUP)
+    )
+    freq = items.join(isup.select("p"), "p").select("o", "p")
+    a = freq.select("o", F.col("p").alias("p1"))
+    b = freq.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _MIN_PAIR_SUP)
+    )
+    total = items.agg(F.count_distinct("o").alias("n_orders"))
+    sa = isup.select(F.col("p").alias("p1"), F.col("n").alias("n_a"))
+    sb = isup.select(F.col("p").alias("p2"), F.col("n").alias("n_b"))
+    out = (
+        pairs.join(sa, "p1")
+        .join(sb, "p2")
+        .crossJoin(F.broadcast(total))
+    )
+    return out.select(
+        "p1",
+        "p2",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_orders",
+        (F.col("n_ab").cast("double") / F.col("n_a")).alias("conf_1_2"),
+        (F.col("n_ab").cast("double") / F.col("n_b")).alias("conf_2_1"),
+        (F.col("n_ab").cast("double") * F.col("n_orders") / (F.col("n_a") * F.col("n_b"))).alias(
+            "lift"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# events_autocorrelation — lagged Pearson ACF of the daily value series        #
+# --------------------------------------------------------------------------- #
+
+_ACF_MAX_LAG = 7
+
+
+def _acf_fold_sql(term: str, k: str = "k") -> str:
+    """DuckDB ordered left-fold over lag-pair indices (mirrors Spark's
+    aggregate(transform(sequence(...)))); `term` uses xs[i] / xs[i + k]."""
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, LEN(xs) - {k} + 1), "
+        f"i -> {term}), (acc, v) -> acc + v)"
+    )
+
+
+@register(
+    "events_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT DATE_TRUNC('day', ts) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS x
+        FROM events GROUP BY 1
+    ),
+    arr AS (SELECT LIST(x ORDER BY d) AS xs FROM daily),
+    lags AS (SELECT UNNEST(RANGE(1, {_ACF_MAX_LAG + 1})) AS k),
+    calc AS (
+        SELECT k, LEN(xs) - k AS m,
+               {_acf_fold_sql("xs[i]")} AS sx,
+               {_acf_fold_sql("xs[i + k]")} AS sy,
+               {_acf_fold_sql("xs[i] * xs[i]")} AS sxx,
+               {_acf_fold_sql("xs[i + k] * xs[i + k]")} AS syy,
+               {_acf_fold_sql("xs[i] * xs[i + k]")} AS sxy
+        FROM arr, lags
+    )
+    SELECT CAST(k AS INT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+           (m * sxy - sx * sy)
+             / (SQRT(m * sxx - sx * sx) * SQRT(m * syy - sy * sy)) AS acf
+    FROM calc
+    """,
+)
+def events_autocorrelation(spark, sf_dir):
+    """Autocorrelation (lagged Pearson) of the daily mean-value series at lags
+    1..7 — the periodicity detector that complements CUSUM (level shifts),
+    EWMA (smoothing) and MAD (outliers).  The heavy stage is the ordinary
+    daily aggregation; the series itself is tiny (one element per day, even a
+    decade is ~3.6k), so it folds into ONE ordered array and every Σ is a
+    fixed-order left fold (`aggregate(transform(sequence(...)))` =
+    `LIST_REDUCE(LIST_TRANSFORM(RANGE(...)))`), making each double op
+    engine-identical — the `operators.similarity` dot-product discipline
+    applied to time series."""
+    ev = load_table(spark, sf_dir, "events")
+    from airflow_cms_inpatient_etl_spark.functions.exact import dec
+
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("x")
+    )
+    arr = daily.agg(
+        F.expr("transform(array_sort(collect_list(struct(d, x))), s -> s.x)").alias("xs")
+    )
+    lags = arr.select(
+        "xs", F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("k")
+    )
+
+    def fold(term: str) -> str:
+        return (
+            f"aggregate(transform(sequence(1, size(xs) - k), "
+            f"i -> {term}), cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+
+    calc = lags.select(
+        "k",
+        (F.size("xs") - F.col("k")).alias("m"),
+        F.expr(fold("element_at(xs, i)")).alias("sx"),
+        F.expr(fold("element_at(xs, i + k)")).alias("sy"),
+        F.expr(fold("element_at(xs, i) * element_at(xs, i)")).alias("sxx"),
+        F.expr(fold("element_at(xs, i + k) * element_at(xs, i + k)")).alias("syy"),
+        F.expr(fold("element_at(xs, i) * element_at(xs, i + k)")).alias("sxy"),
+    )
+    m = F.col("m")
+    sx, sy = F.col("sx"), F.col("sy")
+    acf = (m * F.col("sxy") - sx * sy) / (
+        F.sqrt(m * F.col("sxx") - sx * sx) * F.sqrt(m * F.col("syy") - sy * sy)
+    )
+    return calc.select(
+        F.col("k").cast("int").alias("lag"),
+        m.cast("long").alias("n_pairs"),
+        acf.alias("acf"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# events_dow_seasonality — day-of-week seasonality index                       #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "events_dow_seasonality",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(ISODOW(ts) AS INT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(27,6))) AS sdec
+        FROM events GROUP BY 1
+    )
+    SELECT dow, n,
+           CAST(sdec AS DOUBLE) / n AS avg_value,
+           (CAST(sdec AS DOUBLE) / n)
+             / (CAST(SUM(sdec) OVER () AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT))
+             AS seasonality_index
+    FROM g
+    """,
+)
+def events_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality profile: mean value per ISO weekday relative to
+    the global mean (index 1.0 = no weekday effect).  Both means come from
+    decimal-exact sums — the global one via decimal window-sums over the
+    7-row aggregate, never a float re-sum — so every emitted double is one
+    deterministic division.  One shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    from airflow_cms_inpatient_etl_spark.functions.exact import dec
+
+    g = ev.groupBy((F.weekday("ts") + 1).cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("sdec")
+    )
+    w = W.partitionBy()
+    avg_v = F.col("sdec").cast("double") / F.col("n")
+    global_avg = F.sum("sdec").over(w).cast("double") / F.sum("n").over(w)
+    return g.select(
+        "dow",
+        "n",
+        avg_v.alias("avg_value"),
+        (avg_v / global_avg).alias("seasonality_index"),
+    )

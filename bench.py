@@ -123,6 +123,11 @@ HEADLINE = [
     "customer_rfm_segments",
     "sim_hard_negatives",
     "graph_jaccard_neighbors",
+    # round-6 wave 13: order-keyed pair self-join (apriori-pruned), the
+    # daily-series ordered-fold ACF, and the one-shuffle DOW profile
+    "basket_association_rules",
+    "events_autocorrelation",
+    "events_dow_seasonality",
 ]
 
 

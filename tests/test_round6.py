@@ -854,3 +854,42 @@ def test_ab_test_z_is_finite_and_split_is_stable(spark):
     assert row.z == row.z  # not NaN at this fixture
     again = events_ab_test_zscore(spark, SF_ORACLE).toPandas().iloc[0]
     assert row.equals(again)
+
+
+def test_basket_rules_bounds_and_symmetry(spark):
+    """Support/confidence/lift invariants: pair support never exceeds either
+    item support, confidences are (0, 1], and lift is symmetric in the pair."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        basket_association_rules,
+    )
+
+    pdf = basket_association_rules(spark, SF_ORACLE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.n_ab <= pdf.n_a).all() and (pdf.n_ab <= pdf.n_b).all()
+    assert ((pdf.conf_1_2 > 0) & (pdf.conf_1_2 <= 1)).all()
+    assert ((pdf.conf_2_1 > 0) & (pdf.conf_2_1 <= 1)).all()
+    # lift = conf_1_2 / P(b) = conf_2_1 / P(a) — same value either way
+    alt = pdf.conf_2_1 * pdf.n_orders / pdf.n_a
+    assert ((pdf.lift - alt).abs() < 1e-9).all()
+
+
+def test_acf_within_bounds_and_lag_pairs_decrease(spark):
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        events_autocorrelation,
+    )
+
+    pdf = events_autocorrelation(spark, SF_ORACLE).toPandas().sort_values("lag")
+    assert list(pdf.lag) == list(range(1, 8))
+    assert ((pdf.acf >= -1 - 1e-12) & (pdf.acf <= 1 + 1e-12)).all()
+    assert (pdf.n_pairs.diff().dropna() == -1).all()  # one fewer pair per lag
+
+
+def test_dow_seasonality_weighted_mean_is_one(spark):
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        events_dow_seasonality,
+    )
+
+    pdf = events_dow_seasonality(spark, SF_ORACLE).toPandas()
+    assert set(pdf.dow) <= set(range(1, 8))
+    weighted = (pdf.seasonality_index * pdf.n).sum() / pdf.n.sum()
+    assert abs(weighted - 1.0) < 1e-9
