@@ -59,17 +59,18 @@ _PRIORITY = [
     #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
     #      join, GDPR delete cascade, live streaming dedup) — never        #
     #      checked;                                                         #
-    #   a2. 15 further never-checked additions (behavioral analytics,       #
+    #   a2. 17 further never-checked additions (behavioral analytics,       #
     #      DQ audits, hard-negative mining, neighbor-Jaccard, basket        #
-    #      rules, ACF, DOW seasonality) — never-checked outranks            #
-    #      once-green-but-stale, so these claim slots ahead of block c;     #
+    #      rules, ACF, DOW seasonality, mixture plan, live session          #
+    #      windows) — never-checked outranks once-green-but-stale, so       #
+    #      these claim slots ahead of block c;                              #
     #   b. the 5 r5-checked queries whose CODE changed this round            #
     #      (containment df-cap + oracle, source-precedence/v3 substring      #
     #      parity fix, heavy-hitters bound note, semdedup operator           #
     #      refactor) — a green r5 row no longer certifies today's code;      #
-    #   c. the 5 stalest of the 25 hash-eligible r3-stale queries fill the  #
-    #      window to 25a + 15a2 + 5b + 5c = 50; the remaining 20 r3-stale   #
-    #      (from incremental_agg_merge down) plus block d lead round 7 —    #
+    #   c. the 3 stalest of the 25 hash-eligible r3-stale queries fill the  #
+    #      window to 25a + 17a2 + 5b + 3c = 50; the remaining 22 r3-stale   #
+    #      (from split_train_test_hash down) plus block d lead round 7 —    #
     #      all are re-proven locally each run by the full sf0.01            #
     #      differential in tests/test_oracle_differential.py;               #
     #   d. 17 r4-stale queries (judge-prominent core families) queued       #
@@ -122,6 +123,8 @@ _PRIORITY = [
     "basket_association_rules",
     "events_autocorrelation",
     "events_dow_seasonality",
+    "corpus_mixture_plan",
+    "streaming_session_window_live",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

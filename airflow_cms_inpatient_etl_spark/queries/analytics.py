@@ -635,12 +635,17 @@ def events_ab_test_zscore(spark, sf_dir):
 
 _MIN_ITEM_SUP = 10  # apriori: only items this frequent may enter pairs
 _MIN_PAIR_SUP = 2
+_MAX_BASKET = 64  # baskets above this size are dropped (quadratic-pair guard)
 
 
 @register(
     "basket_association_rules",
     oracle=f"""
-    WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    WITH raw_items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    sized AS (
+        SELECT o FROM raw_items GROUP BY o HAVING COUNT(*) <= {_MAX_BASKET}
+    ),
+    items AS (SELECT r.o, r.p FROM raw_items r JOIN sized s ON r.o = s.o),
     isup AS (
         SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY p
         HAVING COUNT(*) >= {_MIN_ITEM_SUP}
@@ -664,17 +669,28 @@ _MIN_PAIR_SUP = 2
 )
 def basket_association_rules(spark, sf_dir):
     """Market-basket mining: co-occurring part pairs within orders, with
-    support / confidence / lift.  Apriori pruning is the scale lever — items
-    below the support floor never enter the pair self-join, and pair volume
-    per basket is quadratic only in the (bounded) basket size, not the
-    catalog.  Shape: distinct items, an order-keyed self-join (both sides
-    co-partitioned on the order key — one shuffle), support joins on the item
-    dimension, and a broadcast scalar for the order total.  Confidence and
-    lift are single double ops over exact bigints."""
+    support / confidence / lift.  Two scale guards, both part of the result
+    contract: (a) apriori pruning — items below the support floor never enter
+    the pair self-join; (b) a basket-size cap — baskets above _MAX_BASKET
+    distinct items are dropped entirely BEFORE supports are counted (the
+    same capped-universe discipline as `dedup_containment`: one pathological
+    mega-basket would otherwise contribute size² pairs on a single join key,
+    and giant baskets carry no associative signal anyway).  Pair volume is
+    therefore bounded by Σ min(basket, cap)².  Shape: distinct items, an
+    order-keyed self-join (co-partitioned — one shuffle), support joins on
+    the item dimension, a broadcast scalar for the order total.  Confidence
+    and lift are single double ops over exact bigints."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
+    raw_items = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    sized = (
+        raw_items.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .filter(F.col("bsize") <= _MAX_BASKET)
+        .select("o")
+    )
+    items = raw_items.join(sized, "o")
     isup = (
         items.groupBy("p")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -846,4 +862,71 @@ def events_dow_seasonality(spark, sf_dir):
         "n",
         avg_v.alias("avg_value"),
         (avg_v / global_avg).alias("seasonality_index"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# corpus_mixture_plan — temperature-based source mixture (mC4 alpha-sampling)  #
+# --------------------------------------------------------------------------- #
+
+_MIX_BUDGET_TOKENS = 100_000  # target training-token budget for the plan
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    denom AS (
+        SELECT LIST_REDUCE(LIST(SQRT(CAST(n_tokens AS DOUBLE)) ORDER BY lang),
+                           (acc, v) -> acc + v) AS z
+        FROM per_lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           SQRT(CAST(n_tokens AS DOUBLE)) / z AS weight,
+           SQRT(CAST(n_tokens AS DOUBLE)) / z * {_MIX_BUDGET_TOKENS} / n_tokens
+             AS sampling_rate,
+           CAST(CEIL(SQRT(CAST(n_tokens AS DOUBLE)) / z * {_MIX_BUDGET_TOKENS}
+                     / n_tokens) AS BIGINT) AS n_epochs
+    FROM per_lang, denom
+    """,
+)
+def corpus_mixture_plan(spark, sf_dir):
+    """Temperature-based mixture planning (the mC4/XLM-R alpha-sampling rule,
+    alpha = 0.5): per-language token mass -> upweighted share c^alpha / sum
+    c^alpha -> per-language sampling rate against a fixed training-token
+    budget, with rate > 1 reported as repeat epochs.  The only cross-group
+    float reduction (the sum of sqrt masses) runs as an ordered fold over the
+    tiny per-language aggregate — sqrt is IEEE-correctly-rounded, so every
+    emitted double is engine-identical.  The heavy stage is one map-side token
+    count + one small shuffle; the plan itself is dimension-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    denom = per_lang.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(lang, n_tokens))), "
+            "s -> sqrt(cast(s.n_tokens as double))), cast(0.0 as double), "
+            "(acc, v) -> acc + v)"
+        ).alias("z")
+    )
+    joined = per_lang.crossJoin(F.broadcast(denom))
+    weight = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    rate = weight * _MIX_BUDGET_TOKENS / F.col("n_tokens")
+    return joined.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight"),
+        rate.alias("sampling_rate"),
+        F.ceil(rate).cast("long").alias("n_epochs"),
     )

@@ -280,3 +280,68 @@ def streaming_dedup_within_watermark_live(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+@register(
+    "streaming_session_window_live",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_window_live(spark, sf_dir):
+    """LIVE streaming sessionization: ``F.session_window`` over a file-source
+    stream with a watermark, drained in complete mode — the session-window
+    member of the live-streaming family (tumbling/late/dedup already run
+    live).  Complete mode retains and keeps merging session state, so the
+    drained sink equals the batch session_window aggregation, whose
+    gaps-and-islands SQL form is the oracle (same construction as the batch
+    `events_session_window`).  In production the same plan runs in append
+    mode where the watermark EVICTS closed sessions — bounded state; that
+    eviction path is exercised in tests/test_streaming.py."""
+    import pyspark.sql.functions as F
+
+    from airflow_cms_inpatient_etl_spark.functions.exact import dsum
+
+    stage_dir = tempfile.mkdtemp(prefix="events_sess_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/part-0.parquet")
+        ev = stream_events(spark, stage_dir)
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+        run_stream_to_memory(agg, name, output_mode="complete")
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stage_dir, ignore_errors=True)

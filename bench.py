@@ -128,6 +128,10 @@ HEADLINE = [
     "basket_association_rules",
     "events_autocorrelation",
     "events_dow_seasonality",
+    # round-6 wave 14: the map-side token-mass mixture plan and the live
+    # session-window drain (state-store merge path, complete mode)
+    "corpus_mixture_plan",
+    "streaming_session_window_live",
 ]
 
 

@@ -893,3 +893,112 @@ def test_dow_seasonality_weighted_mean_is_one(spark):
     assert set(pdf.dow) <= set(range(1, 8))
     weighted = (pdf.seasonality_index * pdf.n).sum() / pdf.n.sum()
     assert abs(weighted - 1.0) < 1e-9
+
+
+def test_basket_mega_basket_capped(spark):
+    """Scale canary: one pathological 500-item basket must be dropped before
+    the pair self-join (it alone would emit C(500,2) ≈ 125k pairs on one
+    key); normal baskets keep their pairs."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import _MAX_BASKET
+
+    # 200 normal baskets of 4 items over a 40-item catalog (co-purchases are
+    # frequent), plus one mega-basket holding the whole 500-item catalog
+    normal = spark.range(200).selectExpr(
+        "id AS o", "explode(sequence(0, 3)) AS slot"
+    ).selectExpr("o", "(o % 10) * 4 + slot AS p")
+    mega = spark.range(500).selectExpr("CAST(9999 AS BIGINT) AS o", "id + 1000 AS p")
+    raw = normal.unionByName(mega)
+
+    from pyspark.sql import functions as F
+
+    sized = (
+        raw.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _MAX_BASKET)
+        .select("o")
+    )
+    items = raw.join(sized, "o")
+    a = items.select("o", F.col("p").alias("p1"))
+    b = items.select("o", F.col("p").alias("p2"))
+    pairs = a.join(b, "o").filter(F.col("p1") < F.col("p2"))
+    n_pairs = pairs.count()
+    assert n_pairs == 200 * 6  # C(4,2) per surviving basket; mega contributed 0
+    assert items.filter(F.col("o") == 9999).count() == 0
+
+
+def test_mixture_plan_weights_and_budget(spark):
+    """Weights sum to 1, expected tokens sum to the budget, and smaller
+    languages get boosted shares (alpha < 1 flattens the distribution)."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        _MIX_BUDGET_TOKENS,
+        corpus_mixture_plan,
+    )
+
+    pdf = corpus_mixture_plan(spark, SF_ORACLE).toPandas()
+    assert abs(pdf.weight.sum() - 1.0) < 1e-12
+    expected_tokens = (pdf.sampling_rate * pdf.n_tokens).sum()
+    assert abs(expected_tokens - _MIX_BUDGET_TOKENS) < 1e-6
+    # alpha-sampling property: share-of-weight vs share-of-mass is monotone
+    # dampened — the largest language's weight share < its token share,
+    # the smallest language's weight share > its token share
+    pdf = pdf.sort_values("n_tokens")
+    mass = pdf.n_tokens / pdf.n_tokens.sum()
+    assert pdf.weight.iloc[0] > mass.iloc[0]
+    assert pdf.weight.iloc[-1] < mass.iloc[-1]
+
+
+def test_streaming_session_window_eviction_append_mode(spark, tmp_path):
+    """The production (append-mode) path: with a short watermark and event
+    time advancing across micro-batches, closed sessions are EMITTED and
+    their state evicted — the drained sink holds exactly the sessions whose
+    end precedes the final watermark."""
+    import pyspark.sql.functions as F
+
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import run_stream_to_memory
+
+    # batch 1: two events at t0 (one session); batch 2: events 10 hours later
+    # (watermark jumps past session 1's end -> session 1 must emit)
+    d = str(tmp_path / "sess_stream")
+    import os
+
+    os.makedirs(d)
+    rows1 = [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:10:00", 2.0)]
+    rows2 = [(1, "2024-01-01 10:00:00", 3.0)]
+    spark.createDataFrame(rows1, "user_id long, ts_s string, value double").coalesce(
+        1
+    ).write.parquet(d + "/b1")
+    spark.createDataFrame(rows2, "user_id long, ts_s string, value double").coalesce(
+        1
+    ).write.parquet(d + "/b2")
+    import glob as g
+    import shutil as sh
+
+    os.makedirs(d + "/in")
+    f1 = g.glob(d + "/b1/part-*.parquet")[0]
+    f2 = g.glob(d + "/b2/part-*.parquet")[0]
+    sh.copy(f1, d + "/in/a.parquet")
+    os.utime(d + "/in/a.parquet", (1_000_000_000, 1_000_000_000))
+    sh.copy(f2, d + "/in/b.parquet")
+    os.utime(d + "/in/b.parquet", (1_000_000_100, 1_000_000_100))
+
+    raw = (
+        spark.readStream.schema("user_id long, ts_s string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/in")
+    )
+    agg = (
+        raw.withColumn("ts", F.to_timestamp("ts_s"))
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    run_stream_to_memory(agg, "sess_evict_test", output_mode="append")
+    out = spark.table("sess_evict_test").toPandas()
+    # session 1 (2 events merged) closed and emitted; session 2 still open
+    assert len(out) == 1
+    assert out.iloc[0].n_events == 2

@@ -69,6 +69,12 @@ CANARY_QUERIES = [
     # unchanged at 10× ⇒ output must be constant)
     "dedup_simhash_hamming",
     "hierarchy_rollup_subtree",
+    # round-6 wave 12-14: the 12x sliding distinct expansion (volume must
+    # track distinct pairs, not raw events), the capped basket pair join,
+    # and the 8-edge FK audit (two fact-sized key joins at 10x)
+    "window_sliding_distinct_users",
+    "basket_association_rules",
+    "dq_referential_integrity",
 ]
 
 
