@@ -1077,3 +1077,154 @@ def graph_jaccard_neighbors(spark, sf_dir):
         .filter(F.col("jaccard") >= _JACC_MIN)
         .select("a", "b", "n_common", "deg_a", "deg_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------- #
+# graph_modularity — partition-quality scoring of a labeled community split    #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    WITH {_transition_edges_sql()},
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM tr WHERE src IS NOT NULL AND src <> dst
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM und),
+    labeled AS (
+        SELECT a, b, a // 10 AS ca, b // 10 AS cb FROM und
+    ),
+    intra AS (
+        SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM labeled WHERE ca = cb GROUP BY ca
+    ),
+    adj AS (
+        SELECT a AS node, a // 10 AS community FROM und
+        UNION ALL SELECT b, b // 10 FROM und
+    ),
+    deg AS (
+        SELECT community, CAST(COUNT(*) AS BIGINT) AS d_c FROM adj GROUP BY community
+    )
+    SELECT d.community, COALESCE(i.e_c, 0) AS e_c, d.d_c, t.m_edges,
+           CAST(COALESCE(i.e_c, 0) AS DOUBLE) / t.m_edges
+             - (CAST(d.d_c AS DOUBLE) / (2 * t.m_edges))
+               * (CAST(d.d_c AS DOUBLE) / (2 * t.m_edges)) AS q_contrib
+    FROM deg d LEFT JOIN intra i ON d.community = i.community
+    CROSS JOIN m t
+    """,
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity evaluator: given a community labeling (here the
+    deterministic decade blocks k // 10 of the transition-graph node ids —
+    the labeling is an INPUT; pair it with `dedup_connected_components` or
+    `graph_kcore` output in a pipeline), score each community's contribution
+    q_c = e_c/m - (d_c/2m)^2 — the standard partition-quality objective that
+    tells a curation pipeline whether its clustering is better than chance.
+    Pure aggregates over the distinct-edge list (two small shuffles + a
+    broadcast scalar); every double is a fixed two-division expression over
+    exact bigints."""
+    tr, _, _ = _transition_graph(spark, sf_dir)
+    und = (
+        tr.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    m = und.agg(F.count(F.lit(1)).alias("m_edges"))
+    labeled = und.select(
+        "a", "b", (F.col("a") / 10).cast("long").alias("ca"), (F.col("b") / 10).cast("long").alias("cb")
+    )
+    intra = (
+        labeled.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    adj = und.select(
+        F.col("a").alias("node"), (F.col("a") / 10).cast("long").alias("community")
+    ).unionAll(
+        und.select(F.col("b").alias("node"), (F.col("b") / 10).cast("long").alias("community"))
+    )
+    deg = adj.groupBy("community").agg(F.count(F.lit(1)).alias("d_c"))
+    out = (
+        deg.join(intra, "community", "left")
+        .withColumn("e_c", F.coalesce(F.col("e_c"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(m))
+    )
+    half = F.col("d_c").cast("double") / (2 * F.col("m_edges"))
+    q = F.col("e_c").cast("double") / F.col("m_edges") - half * half
+    return out.select("community", "e_c", "d_c", "m_edges", q.alias("q_contrib"))
+
+
+# --------------------------------------------------------------------------- #
+# graph_degree_assortativity — degree-degree correlation across edges          #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_transition_edges_sql()},
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM tr WHERE src IS NOT NULL AND src <> dst
+    ),
+    adj AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+    stubs AS (
+        SELECT da.d AS x, db.d AS y
+        FROM adj JOIN deg da ON adj.node = da.node JOIN deg db ON adj.nbr = db.node
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM stubs
+    )
+    SELECT n, sxy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman): Pearson correlation of endpoint degrees
+    over every directed stub of the undirected transition graph — positive
+    means hubs link to hubs (social-network shape), negative means hubs link
+    to leaves (infrastructure shape); the one-number structural fingerprint
+    used to sanity-check synthetic interaction graphs.  Degrees are bounded
+    by the node count, so Σxy fits comfortably in int64 and all five sums
+    are exact; the correlation is the fixed sums-formula over those
+    engine-identical integers.  Two degree joins on the (already aggregated)
+    adjacency list + one global aggregate."""
+    tr, _, _ = _transition_graph(spark, sf_dir)
+    und = (
+        tr.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("node"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("nbr"), F.col("d").alias("y"))
+    stubs = adj.join(da, "node").join(db, "nbr")
+    s = stubs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = (n * F.col("sxy") - sx * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - sx * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - sy * F.col("sy"))
+    )
+    return s.select("n", "sxy", r.alias("assortativity"))

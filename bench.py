@@ -132,6 +132,10 @@ HEADLINE = [
     # session-window drain (state-store merge path, complete mode)
     "corpus_mixture_plan",
     "streaming_session_window_live",
+    # round-6 wave 15: partition-quality + degree-correlation aggregates
+    # over the distinct-edge list
+    "graph_modularity",
+    "graph_degree_assortativity",
 ]
 
 

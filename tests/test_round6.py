@@ -1002,3 +1002,76 @@ def test_streaming_session_window_eviction_append_mode(spark, tmp_path):
     # session 1 (2 events merged) closed and emitted; session 2 still open
     assert len(out) == 1
     assert out.iloc[0].n_events == 2
+
+
+def test_modularity_two_cliques_hand_value(spark):
+    """Two disjoint triangles labeled by decade blocks: each community
+    contributes e_c/m - (d_c/2m)^2 = 3/6 - (6/12)^2 = 0.25, total Q = 0.5."""
+    from airflow_cms_inpatient_etl_spark.queries import curation2 as c2
+
+    rows = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    und = spark.createDataFrame(rows, "a long, b long")
+    m = und.agg(F.count(F.lit(1)).alias("m_edges"))
+    labeled = und.select(
+        "a", "b", (F.col("a") / 10).cast("long").alias("ca"),
+        (F.col("b") / 10).cast("long").alias("cb"),
+    )
+    intra = (
+        labeled.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    adj = und.select((F.col("a") / 10).cast("long").alias("community")).unionAll(
+        und.select((F.col("b") / 10).cast("long").alias("community"))
+    )
+    deg = adj.groupBy("community").agg(F.count(F.lit(1)).alias("d_c"))
+    out = deg.join(intra, "community", "left").crossJoin(F.broadcast(m))
+    half = F.col("d_c").cast("double") / (2 * F.col("m_edges"))
+    q = F.col("e_c").cast("double") / F.col("m_edges") - half * half
+    pdf = out.withColumn("q", q).toPandas()
+    assert abs(pdf.q.sum() - 0.5) < 1e-12
+    assert (pdf.q - 0.25).abs().max() < 1e-12
+
+
+def test_modularity_fixture_bounds(spark):
+    from airflow_cms_inpatient_etl_spark.queries.curation2 import graph_modularity
+
+    pdf = graph_modularity(spark, SF_ORACLE).toPandas()
+    total_q = pdf.q_contrib.sum()
+    assert -1.0 <= total_q <= 1.0
+    assert (pdf.e_c * 1 <= pdf.m_edges).all()
+    # degree identity: sum of community degrees = 2m
+    assert pdf.d_c.sum() == 2 * pdf.m_edges.iloc[0]
+
+
+def test_assortativity_star_graph_is_minus_one(spark):
+    """A star K(1,n) is perfectly disassortative: every stub pairs degree n
+    with degree 1, so the degree correlation is exactly -1."""
+    n = 12
+    rows = [(0, i) for i in range(1, n + 1)]
+    und = spark.createDataFrame(rows, "a long, b long")
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select("node", F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("nbr"), F.col("d").alias("y"))
+    stubs = adj.join(da, "node").join(db, "nbr")
+    s = stubs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).collect()[0]
+    num = s.n * s.sxy - s.sx * s.sy
+    den = ((s.n * s.sxx - s.sx**2) ** 0.5) * ((s.n * s.syy - s.sy**2) ** 0.5)
+    assert abs(num / den + 1.0) < 1e-12
+
+
+def test_assortativity_fixture_in_range(spark):
+    from airflow_cms_inpatient_etl_spark.queries.curation2 import (
+        graph_degree_assortativity,
+    )
+
+    row = graph_degree_assortativity(spark, SF_ORACLE).toPandas().iloc[0]
+    assert -1.0 - 1e-12 <= row.assortativity <= 1.0 + 1e-12
