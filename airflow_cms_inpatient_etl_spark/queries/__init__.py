@@ -59,18 +59,19 @@ _PRIORITY = [
     #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
     #      join, GDPR delete cascade, live streaming dedup) — never        #
     #      checked;                                                         #
-    #   a2. 19 further never-checked additions (behavioral analytics,       #
+    #   a2. 20 further never-checked additions (behavioral analytics,       #
     #      DQ audits, hard-negative mining, neighbor-Jaccard, basket        #
     #      rules, ACF, DOW seasonality, mixture plan, live session          #
-    #      windows, modularity, assortativity) — never-checked outranks     #
-    #      once-green-but-stale, so these claim slots ahead of block c;     #
+    #      windows, modularity, assortativity, CAS chunk dedup) —           #
+    #      never-checked outranks once-green-but-stale, so these claim      #
+    #      slots ahead of block c;                                          #
     #   b. the 5 r5-checked queries whose CODE changed this round            #
     #      (containment df-cap + oracle, source-precedence/v3 substring      #
     #      parity fix, heavy-hitters bound note, semdedup operator           #
     #      refactor) — a green r5 row no longer certifies today's code;      #
-    #   c. the single stalest r3 query (conditional_aggregation) fills the  #
-    #      window to 25a + 19a2 + 5b + 1c = 50; the remaining 24 r3-stale   #
-    #      (from math_functions down) plus block d lead round 7 —           #
+    #   c. no r3-stale slots remain: 25a + 20a2 + 5b = 50 exactly; all 25   #
+    #      r3-stale (from conditional_aggregation down) plus block d lead   #
+    #      round 7 —                                                        #
     #      all are re-proven locally each run by the full sf0.01            #
     #      differential in tests/test_oracle_differential.py;               #
     #   d. 17 r4-stale queries (judge-prominent core families) queued       #
@@ -127,6 +128,7 @@ _PRIORITY = [
     "streaming_session_window_live",
     "graph_modularity",
     "graph_degree_assortativity",
+    "multimodal_cas_chunk_dedup",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

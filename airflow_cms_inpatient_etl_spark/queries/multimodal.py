@@ -109,3 +109,65 @@ def multimodal_audio_chunks(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return chunk_audio(attach_binary_payload(d), chunk_ms=5000)
+
+
+_CAS_CHUNK = 32  # fixed chunk width (stub unit: characters; real CAS = bytes)
+
+
+@register(
+    "multimodal_cas_chunk_dedup",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id,
+               MD5(SUBSTRING(text, CAST(off AS BIGINT), {_CAS_CHUNK})) AS chunk_hash,
+               CAST(LENGTH(SUBSTRING(text, CAST(off AS BIGINT), {_CAS_CHUNK})) AS BIGINT)
+                 AS chunk_len
+        FROM documents,
+             UNNEST(RANGE(1, LENGTH(text) + 1, {_CAS_CHUNK})) AS t(off)
+    )
+    SELECT chunk_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_refs,
+           MIN(chunk_len) AS chunk_len,
+           CAST((COUNT(*) - 1) * MIN(chunk_len) AS BIGINT) AS saved
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_cas_chunk_dedup(spark, sf_dir):
+    """Content-addressable-storage chunk dedup over payloads: split each
+    payload into fixed-width chunks, hash each, and report every chunk stored
+    more than once with its reference count and the bytes a dedup store would
+    save — the blob-store dedup report (restic/borg/S3-inventory shape)
+    applied to multimodal payload columns.  Stub note: the fixture payload is
+    UTF-8 text so the chunk unit here is characters (DuckDB lacks BLOB
+    substring); a real CAS swaps in byte slices and, for shift-robustness,
+    content-defined boundaries (rolling hash, see `text_rolling_hash`) — the
+    explode/hash/groupBy plan is identical.  One narrow map stage (explode ∝
+    payload/chunk ratio) into one hash-keyed aggregate; no self-join — cost
+    is linear in corpus bytes, and the HAVING keeps output ∝ shared chunks
+    only."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text"), F.lit(_CAS_CHUNK))
+        ).alias("off"),
+    )
+    sliced = chunks.select(
+        F.expr(f"substring(text, off, {_CAS_CHUNK})").alias("chunk")
+    ).select(
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+    )
+    return (
+        sliced.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_refs"), F.min("chunk_len").alias("chunk_len"))
+        .filter(F.col("n_refs") >= 2)
+        .select(
+            "chunk_hash",
+            "n_refs",
+            "chunk_len",
+            ((F.col("n_refs") - 1) * F.col("chunk_len")).alias("saved"),
+        )
+    )

@@ -136,6 +136,8 @@ HEADLINE = [
     # over the distinct-edge list
     "graph_modularity",
     "graph_degree_assortativity",
+    # round-6 wave 16: payload chunk explode into one hash-keyed aggregate
+    "multimodal_cas_chunk_dedup",
 ]
 
 

@@ -1075,3 +1075,31 @@ def test_assortativity_fixture_in_range(spark):
 
     row = graph_degree_assortativity(spark, SF_ORACLE).toPandas().iloc[0]
     assert -1.0 - 1e-12 <= row.assortativity <= 1.0 + 1e-12
+
+
+def test_cas_chunk_dedup_hand_corpus(spark, monkeypatch, tmp_path):
+    """Two identical 70-char payloads share all 3 aligned chunks (32+32+6):
+    a CAS store would save exactly one full copy, 70 units."""
+    import pandas as pd
+
+    d = str(tmp_path)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a" * 70, "a" * 70, "b" * 70],
+            "lang": ["en"] * 3,
+            "source": ["src1"] * 3,
+            "n_chars": [70] * 3,
+        }
+    )
+    docs.to_parquet(d + "/documents.parquet")
+    from airflow_cms_inpatient_etl_spark.queries.multimodal import (
+        multimodal_cas_chunk_dedup,
+    )
+
+    pdf = multimodal_cas_chunk_dedup(spark, d).toPandas()
+    # "a"*32: 2 aligned offsets x 2 docs = 4 refs -> saves 3*32; "a"*6 tail:
+    # 2 refs -> saves 6; doc3's two identical "b"*32 chunks dedup WITHIN the
+    # doc (2 refs -> saves 32) — intra-payload dedup is real CAS savings
+    assert pdf.saved.sum() == 3 * 32 + 6 + 32
+    assert (pdf.n_refs >= 2).all()
