@@ -1183,10 +1183,13 @@ def graph_modularity(spark, sf_dir):
         FROM stubs
     )
     SELECT n, sxy,
-           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
-             AS assortativity
+           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+                  OR CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy = 0
+                THEN NULL
+                ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           END AS assortativity
     FROM s
     """,
 )
@@ -1223,8 +1226,11 @@ def graph_degree_assortativity(spark, sf_dir):
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    r = (n * F.col("sxy") - sx * F.col("sy")) / (
-        F.sqrt(n * F.col("sxx") - sx * F.col("sx"))
-        * F.sqrt(n * F.col("syy") - sy * F.col("sy"))
-    )
-    return s.select("n", "sxy", r.alias("assortativity"))
+    dx = n * F.col("sxx") - sx * F.col("sx")
+    dy = n * F.col("syy") - sy * F.col("sy")
+    r = (n * F.col("sxy") - sx * F.col("sy")) / (F.sqrt(dx) * F.sqrt(dy))
+    # a regular graph (all degrees equal — the sf0.1 fixture's complete
+    # transition graph) has zero degree variance: assortativity is undefined,
+    # emitted as NULL (DuckDB's x/0; Spark ANSI would raise)
+    guarded = F.when((dx == 0) | (dy == 0), F.lit(None).cast("double")).otherwise(r)
+    return s.select("n", "sxy", guarded.alias("assortativity"))

@@ -60,6 +60,17 @@ _HAZARD_CLASS = [
     "quality_quantile_normalize",
     # decimal window prefix sums (double sums would be segment-tree-ordered)
     "events_cusum_drift",
+    # round-6 waves 12-16: the full-sweep at sf0.1 caught assortativity's
+    # zero-variance /0 (complete graph at sf0.1 — ANSI raise vs DuckDB NULL);
+    # these pin that guard plus the other float-emitting additions
+    "graph_degree_assortativity",
+    "events_time_weighted_avg",
+    "events_autocorrelation",
+    "events_ab_test_zscore",
+    "contribution_pct_of_total",
+    "corpus_mixture_plan",
+    "graph_modularity",
+    "basket_association_rules",
 ]
 
 _NAMES = (
