@@ -171,3 +171,102 @@ def multimodal_cas_chunk_dedup(spark, sf_dir):
             ((F.col("n_refs") - 1) * F.col("chunk_len")).alias("saved"),
         )
     )
+
+
+_CDC_W = 8   # rolling-gram width for boundary detection
+_CDC_D = 32  # boundary divisor => expected chunk length ~= D
+
+
+@register(
+    "multimodal_cdc_chunk_dedup",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT doc_id, text, LENGTH(text) AS len,
+               LIST_FILTER(
+                   LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - {_CDC_W - 1}, 0) + 1),
+                                  p -> p + {_CDC_W - 1}),
+                   e -> CAST('0x' || SUBSTR(MD5(SUBSTRING(text, e - {_CDC_W - 1}, {_CDC_W})), 1, 15)
+                             AS BIGINT) % {_CDC_D} = 0
+               ) AS cut_ends
+        FROM documents
+    ),
+    bounds AS (
+        SELECT doc_id, text,
+               LIST_SORT(LIST_DISTINCT(LIST_APPEND(cut_ends, len))) AS ends
+        FROM cuts
+    ),
+    chunks AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(
+                   RANGE(1, LEN(ends) + 1),
+                   i -> SUBSTRING(text,
+                                  CASE WHEN i = 1 THEN 1 ELSE ends[i - 1] + 1 END,
+                                  ends[i] - (CASE WHEN i = 1 THEN 1 ELSE ends[i - 1] + 1 END) + 1)
+               )) AS chunk
+        FROM bounds
+    )
+    SELECT MD5(chunk) AS chunk_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_refs,
+           MIN(CAST(LENGTH(chunk) AS BIGINT)) AS chunk_len,
+           CAST((COUNT(*) - 1) * MIN(CAST(LENGTH(chunk) AS BIGINT)) AS BIGINT) AS saved
+    FROM chunks
+    GROUP BY MD5(chunk)
+    HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (the restic/borgbackup/LBFS algorithm):
+    a chunk boundary falls wherever the rolling {_w}-gram's hash ≡ 0 mod
+    {_d}, so boundaries are a function of CONTENT, not position — inserting
+    bytes near the start of a payload shifts fixed-width chunk frames
+    everywhere (killing `multimodal_cas_chunk_dedup`-style dedup) but leaves
+    every boundary after the edit untouched, so downstream chunks still
+    dedup.  The whole chunker is higher-order array expressions inside one
+    projection (transform/filter over an in-row position sequence — never an
+    O(len) row explode carrying the payload), then one explode of the small
+    chunk list into the same hash-keyed savings aggregate as the fixed-width
+    variant.  Cost is linear in corpus bytes; expected chunk ≈ {_d} units.
+    Shift-robustness is asserted in tests (prefix edit preserves the shared
+    tail chunks)."""
+    d = load_table(spark, sf_dir, "documents")
+    cut_expr = (
+        f"filter("
+        f"  transform(sequence(1, greatest(length(text) - {_CDC_W - 1}, 0)),"
+        f"            p -> p + {_CDC_W - 1}),"
+        f"  e -> conv(substring(md5(substring(text, e - {_CDC_W - 1}, {_CDC_W})), 1, 15), 16, 10)"
+        f"       % {_CDC_D} = 0"
+        f")"
+    )
+    bounds = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"array_sort(array_distinct(concat({cut_expr}, array(length(text)))))"
+        ).alias("ends"),
+    )
+    chunk_expr = (
+        "transform(sequence(1, size(ends)), i -> substring(text, "
+        "  CASE WHEN i = 1 THEN 1 ELSE element_at(ends, i - 1) + 1 END, "
+        "  element_at(ends, i) - (CASE WHEN i = 1 THEN 1 ELSE element_at(ends, i - 1) + 1 END) + 1))"
+    )
+    chunks = bounds.select(F.explode(F.expr(chunk_expr)).alias("chunk"))
+    return (
+        chunks.select(
+            F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"),
+            F.length("chunk").cast("long").alias("clen"),
+        )
+        .groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_refs"), F.min("clen").alias("chunk_len"))
+        .filter(F.col("n_refs") >= 2)
+        .select(
+            "chunk_hash",
+            "n_refs",
+            "chunk_len",
+            ((F.col("n_refs") - 1) * F.col("chunk_len")).alias("saved"),
+        )
+    )
+
+
+multimodal_cdc_chunk_dedup.__doc__ = multimodal_cdc_chunk_dedup.__doc__.replace(
+    "{_w}", str(_CDC_W)
+).replace("{_d}", str(_CDC_D))

@@ -136,8 +136,10 @@ HEADLINE = [
     # over the distinct-edge list
     "graph_modularity",
     "graph_degree_assortativity",
-    # round-6 wave 16: payload chunk explode into one hash-keyed aggregate
+    # round-6 wave 16: payload chunk explode into one hash-keyed aggregate,
+    # and the in-row higher-order content-defined chunker
     "multimodal_cas_chunk_dedup",
+    "multimodal_cdc_chunk_dedup",
 ]
 
 

@@ -1103,3 +1103,42 @@ def test_cas_chunk_dedup_hand_corpus(spark, monkeypatch, tmp_path):
     # doc (2 refs -> saves 32) — intra-payload dedup is real CAS savings
     assert pdf.saved.sum() == 3 * 32 + 6 + 32
     assert (pdf.n_refs >= 2).all()
+
+
+def test_cdc_chunking_is_shift_robust(spark, tmp_path):
+    """Insert a prefix into a copy of a document: fixed-width chunk frames
+    all shift (near-zero shared chunks), but content-defined boundaries
+    after the edit are untouched, so most of the copy's chunks still dedup
+    against the original — the defining property of CDC storage."""
+    import pandas as pd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays on "
+        "and the caravan moves through the silent desert night carrying gifts "
+        "of salt and silver toward the distant harbor where ships wait under "
+        "gray skies for the morning tide to turn and the wind to rise again"
+    )
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [base, "INSERTED PREFIX >> " + base],
+            "lang": ["en", "en"],
+            "source": ["src1", "src1"],
+            "n_chars": [len(base), len(base) + 19],
+        }
+    ).to_parquet(d + "/documents.parquet")
+
+    from airflow_cms_inpatient_etl_spark.queries.multimodal import (
+        multimodal_cas_chunk_dedup,
+        multimodal_cdc_chunk_dedup,
+    )
+
+    fixed = multimodal_cas_chunk_dedup(spark, d).toPandas()
+    cdc = multimodal_cdc_chunk_dedup(spark, d).toPandas()
+    fixed_saved = int(fixed.saved.sum()) if len(fixed) else 0
+    cdc_saved = int(cdc.saved.sum()) if len(cdc) else 0
+    # the 19-char prefix misaligns every 32-char frame -> fixed dedup finds
+    # (almost) nothing; CDC recovers a large share of the duplicated text
+    assert cdc_saved > fixed_saved
+    assert cdc_saved >= len(base) // 3
