@@ -59,20 +59,20 @@ _PRIORITY = [
     #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
     #      join, GDPR delete cascade, live streaming dedup) — never        #
     #      checked;                                                         #
-    #   a2. 21 further never-checked additions (behavioral analytics,       #
+    #   a2. 23 further never-checked additions (behavioral analytics,       #
     #      DQ audits, hard-negative mining, neighbor-Jaccard, basket        #
     #      rules, ACF, DOW seasonality, mixture plan, live session          #
-    #      windows, modularity, assortativity, CAS + CDC chunk dedup) —     #
-    #      never-checked outranks once-green-but-stale, so these claim      #
-    #      slots ahead of block c;                                          #
+    #      windows, modularity, assortativity, CAS + CDC chunk dedup,       #
+    #      path trigrams, bounce rate) — never-checked outranks             #
+    #      once-green-but-stale, so these claim slots ahead of block c;     #
     #   b. the 5 r5-checked queries whose CODE changed this round            #
     #      (containment df-cap + oracle, source-precedence/v3 substring      #
     #      parity fix, heavy-hitters bound note, semdedup operator           #
     #      refactor) — a green r5 row no longer certifies today's code;      #
-    #   c. no r3-stale slots remain: 25a + 21a2 + 5b = 51, so the LAST b    #
-    #      entry (semdedup_prune, already r5-green; its r6 code delta is    #
-    #      covered by local tests) slides to 51; all 25 r3-stale plus       #
-    #      block d lead round 7 —                                           #
+    #   c. no r3-stale slots remain: 25a + 23a2 + 5b = 53, so the LAST 3 b  #
+    #      entries (corpus_curation_v3, heavy_hitters_cms, semdedup_prune — #
+    #      all r5-green; their r6 code deltas are covered by local tests)   #
+    #      slide to 51-53; all 25 r3-stale plus block d lead round 7 —      #
     #      all are re-proven locally each run by the full sf0.01            #
     #      differential in tests/test_oracle_differential.py;               #
     #   d. 17 r4-stale queries (judge-prominent core families) queued       #
@@ -131,6 +131,8 @@ _PRIORITY = [
     "graph_degree_assortativity",
     "multimodal_cas_chunk_dedup",
     "multimodal_cdc_chunk_dedup",
+    "events_path_trigrams",
+    "events_bounce_rate_daily",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

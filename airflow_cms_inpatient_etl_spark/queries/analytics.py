@@ -962,3 +962,122 @@ def corpus_mixture_plan(spark, sf_dir):
         rate.alias("sampling_rate"),
         F.ceil(rate).cast("long").alias("n_epochs"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# events_path_trigrams — order-2 sequence mining over user event paths         #
+# --------------------------------------------------------------------------- #
+
+_TRIGRAM_MIN_SUP = 5
+
+
+@register(
+    "events_path_trigrams",
+    oracle=f"""
+    WITH seq AS (
+        SELECT LAG(event_type, 2) OVER w AS t1,
+               LAG(event_type, 1) OVER w AS t2,
+               event_type AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    counts AS (
+        SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE t1 IS NOT NULL
+        GROUP BY t1, t2, t3 HAVING COUNT(*) >= {_TRIGRAM_MIN_SUP}
+    )
+    SELECT t1, t2, t3, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2, t3) AS BIGINT) AS rnk
+    FROM counts
+    """,
+)
+def events_path_trigrams(spark, sf_dir):
+    """Order-2 sequence mining: the most common 3-step event paths per user
+    timeline (the upgrade of `events_markov_transitions` from edges to
+    paths) — the pattern behind funnel discovery and UX path analysis.  One
+    user-keyed window shuffle produces all trigrams; the count aggregate and
+    the support floor keep output at |event_types|^3 max, so the final
+    ranking window is trivially small."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    counts = (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRIGRAM_MIN_SUP)
+    )
+    rw = W.orderBy(F.col("n").desc(), "t1", "t2", "t3")
+    return counts.withColumn("rnk", F.row_number().over(rw).cast("long"))
+
+
+# --------------------------------------------------------------------------- #
+# events_bounce_rate_daily — single-event-session share per day                #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "events_bounce_rate_daily",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               DATE_TRUNC('day', MIN(ts)) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS bounce_rate
+    FROM sessions GROUP BY day
+    """,
+)
+def events_bounce_rate_daily(spark, sf_dir):
+    """Daily bounce rate: share of 30-minute-gap sessions containing exactly
+    one event, keyed by the day the session started — the engagement KPI
+    built on the same sessionization the session-window queries use (here
+    the gaps-and-islands construction so the per-session event count is
+    explicit).  One user-keyed window shuffle + a session aggregate that
+    reuses its partitioning; the daily rollup is calendar-sized.  The rate
+    is one bigint ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")  # µs-exact gap, mirroring the interval compare
+    new_session = (
+        F.when(us - F.lag(us).over(w) > 1800 * 1_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    numbered = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("long")
+    return sessions.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+    )

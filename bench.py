@@ -140,6 +140,9 @@ HEADLINE = [
     # and the in-row higher-order content-defined chunker
     "multimodal_cas_chunk_dedup",
     "multimodal_cdc_chunk_dedup",
+    # round-6 wave 17: order-2 path mining + sessionized engagement KPI
+    "events_path_trigrams",
+    "events_bounce_rate_daily",
 ]
 
 

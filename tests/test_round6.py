@@ -1142,3 +1142,37 @@ def test_cdc_chunking_is_shift_robust(spark, tmp_path):
     # (almost) nothing; CDC recovers a large share of the duplicated text
     assert cdc_saved > fixed_saved
     assert cdc_saved >= len(base) // 3
+
+
+def test_trigram_counts_consistent_with_markov_edges(spark):
+    """Marginalizing trigrams over t1 can never exceed the corresponding
+    (t2 -> t3) bigram count (every trigram embeds that transition)."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        events_markov_transitions,
+        events_path_trigrams,
+    )
+
+    tri = events_path_trigrams(spark, SF_ORACLE).toPandas()
+    bi = events_markov_transitions(spark, SF_ORACLE).toPandas()
+    bi_idx = {(r.from_type, r.to_type): r.n for r in bi.itertuples()}
+    marg = tri.groupby(["t2", "t3"]).n.sum()
+    for (t2, t3), n in marg.items():
+        assert n <= bi_idx[(t2, t3)]
+    assert (tri.sort_values("rnk").n.diff().dropna() <= 0).all()
+
+
+def test_bounce_rate_bounds_and_session_conservation(spark):
+    """Rates live in [0,1]; bounces never exceed sessions; total session
+    count equals the session-window query's row count (same 30-min gap)."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        events_bounce_rate_daily,
+    )
+    from airflow_cms_inpatient_etl_spark.queries.timeseries import (
+        events_session_window,
+    )
+
+    pdf = events_bounce_rate_daily(spark, SF_ORACLE).toPandas()
+    assert ((pdf.bounce_rate >= 0) & (pdf.bounce_rate <= 1)).all()
+    assert (pdf.n_bounces <= pdf.n_sessions).all()
+    n_sessions_ref = events_session_window(spark, SF_ORACLE).count()
+    assert pdf.n_sessions.sum() == n_sessions_ref
