@@ -713,16 +713,22 @@ def basket_association_rules(spark, sf_dir):
     the item dimension, a broadcast scalar for the order total.  Confidence
     and lift are single double ops over exact bigints."""
     li = load_table(spark, sf_dir, "lineitem")
-    raw_items = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # the distinct item set feeds five consumers (size filter, supports,
+    # both pair sides, order total) — cache it once so the fact scan +
+    # dedup shuffle run once (same catalog-releasable contract as
+    # curation2's cached SemDeDup assignment; caller owns clearCache)
+    raw_items = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .cache()
+    )
     sized = (
         raw_items.groupBy("o")
         .agg(F.count(F.lit(1)).alias("bsize"))
         .filter(F.col("bsize") <= _MAX_BASKET)
         .select("o")
     )
-    items = raw_items.join(sized, "o")
+    items = raw_items.join(sized, "o").cache()
     isup = (
         items.groupBy("p")
         .agg(F.count(F.lit(1)).alias("n"))
