@@ -112,3 +112,24 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
             "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
         )
     df.write.mode(mode).format("avro").save(path)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
+    """Native XML scan (built into Spark 4 — SPARK-44751): the classic
+    enterprise-landing format.  Schema is inferred unless the caller supplies
+    one via .schema() upstream; rowTag selects the repeating element."""
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, mode: str = "overwrite", row_tag: str = "row", root_tag: str = "rows"
+) -> None:
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).save(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-line text scan (`value: string` per line) — the raw-corpus
+    landing shape before any parsing; pairs with the textops tokenizers."""
+    return spark.read.format("text").load(path)

@@ -1176,3 +1176,90 @@ def test_bounce_rate_bounds_and_session_conservation(spark):
     assert (pdf.n_bounces <= pdf.n_sessions).all()
     n_sessions_ref = events_session_window(spark, SF_ORACLE).count()
     assert pdf.n_sessions.sum() == n_sessions_ref
+
+
+# --------------------------------------------------------------------------- #
+# source formats: native XML + text; RocksDB state store                       #
+# --------------------------------------------------------------------------- #
+
+
+def test_xml_roundtrip_preserves_rows(spark, tmp_path):
+    """Spark 4's native XML source (SPARK-44751): write/read roundtrip with
+    rowTag, values and row count preserved."""
+    from airflow_cms_inpatient_etl_spark.sources.files import read_xml, write_xml
+
+    df = spark.range(20).selectExpr(
+        "id", "concat('name-', id) AS name", "id * 10 AS score"
+    )
+    p = str(tmp_path / "xml_out")
+    write_xml(df, p)
+    back = read_xml(spark, p).select("id", "name", "score")
+    assert back.count() == 20
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_text_lines_roundtrip(spark, tmp_path):
+    from airflow_cms_inpatient_etl_spark.sources.files import read_text_lines
+
+    p = str(tmp_path / "txt_out")
+    spark.range(7).selectExpr("concat('line ', id) AS value").write.format(
+        "text"
+    ).save(p)
+    got = read_text_lines(spark, p)
+    assert got.columns == ["value"]
+    assert got.count() == 7
+
+
+def test_session_windows_identical_under_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state backend: the same session-window stream drained under
+    RocksDBStateStoreProvider (spillable, incremental-checkpoint state)
+    yields byte-identical results to the default HDFS-backed provider —
+    switching providers is a pure config change, which is the point."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    stage = str(tmp_path / "events_in")
+    import os
+
+    os.makedirs(stage)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", stage + "/part-0.parquet")
+
+    def drain(name):
+        agg = (
+            stream_events(spark, stage)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        run_stream_to_memory(agg, name, output_mode="complete")
+        return spark.table(name)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = drain("sess_default_store")
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = drain("sess_rocksdb_store")
+        assert default.count() > 0
+        assert default.exceptAll(rocks).count() == 0
+        assert rocks.exceptAll(default).count() == 0
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
