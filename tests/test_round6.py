@@ -1263,3 +1263,59 @@ def test_session_windows_identical_under_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_transform_with_state_profile_matches_legacy_and_batch(spark):
+    """Spark-4 transformWithStateInPandas (typed ValueState, RocksDB-backed
+    by requirement) produces the same final per-user profile as the legacy
+    applyInPandasWithState operator and the batch aggregate.
+
+    Environment gate (same policy as the Avro classpath gate): the
+    transformWithState state-server protocol speaks protobuf, so the
+    `protobuf` Python package must be importable; skip with a clear reason
+    where it is not (this container ships without it)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs the protobuf package (not in this container)",
+    )
+    import shutil, tempfile
+
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_events,
+    )
+    from airflow_cms_inpatient_etl_spark.streaming.stateful import (
+        running_user_profile_tws,
+    )
+
+    stage = tempfile.mkdtemp(prefix="tws_")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", stage + "/part-0.parquet")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_stream_to_memory(
+            running_user_profile_tws(stream_events(spark, stage)),
+            "tws_profile",
+            output_mode="update",
+        )
+        got = {
+            r["user_id"]: (r["n_events"], round(r["sum_value"], 2))
+            for r in spark.table("tws_profile").collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+        shutil.rmtree(stage, ignore_errors=True)
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    expected = {r["user_id"]: (r["n"], round(r["s"], 2)) for r in batch.collect()}
+    assert got == expected
