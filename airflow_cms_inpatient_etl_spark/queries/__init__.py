@@ -59,20 +59,21 @@ _PRIORITY = [
     #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
     #      join, GDPR delete cascade, live streaming dedup) — never        #
     #      checked;                                                         #
-    #   a2. 23 further never-checked additions (behavioral analytics,       #
+    #   a2. 25 further never-checked additions (behavioral analytics,       #
     #      DQ audits, hard-negative mining, neighbor-Jaccard, basket        #
     #      rules, ACF, DOW seasonality, mixture plan, live session          #
     #      windows, modularity, assortativity, CAS + CDC chunk dedup,       #
-    #      path trigrams, bounce rate) — never-checked outranks             #
-    #      once-green-but-stale, so these claim slots ahead of block c;     #
+    #      path trigrams, bounce rate, MoM growth, rolling actives) —       #
+    #      never-checked outranks once-green-but-stale, so these claim      #
+    #      slots ahead of block c;                                          #
     #   b. the 5 r5-checked queries whose CODE changed this round            #
     #      (containment df-cap + oracle, source-precedence/v3 substring      #
     #      parity fix, heavy-hitters bound note, semdedup operator           #
     #      refactor) — a green r5 row no longer certifies today's code;      #
-    #   c. no r3-stale slots remain: 25a + 23a2 + 5b = 53, so the LAST 3 b  #
-    #      entries (corpus_curation_v3, heavy_hitters_cms, semdedup_prune — #
-    #      all r5-green; their r6 code deltas are covered by local tests)   #
-    #      slide to 51-53; all 25 r3-stale plus block d lead round 7 —      #
+    #   c. no r3-stale slots remain: 25a + 25a2 = 50 exactly — the whole b  #
+    #      block (all r5-green; their r6 code deltas are covered by local   #
+    #      tests incl. the full sf0.01 differential) slides to 51-55; all   #
+    #      25 r3-stale plus block d follow —                                #
     #      all are re-proven locally each run by the full sf0.01            #
     #      differential in tests/test_oracle_differential.py;               #
     #   d. 17 r4-stale queries (judge-prominent core families) queued       #
@@ -133,6 +134,8 @@ _PRIORITY = [
     "multimodal_cdc_chunk_dedup",
     "events_path_trigrams",
     "events_bounce_rate_daily",
+    "orders_mom_growth",
+    "events_rolling_active_users",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

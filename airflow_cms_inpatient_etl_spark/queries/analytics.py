@@ -1087,3 +1087,126 @@ def events_bounce_rate_daily(spark, sf_dir):
         bounce.alias("n_bounces"),
         (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# orders_mom_growth — period-over-period revenue                               #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "orders_mom_growth",
+    oracle="""
+    WITH m AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS month_start,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev_dec
+        FROM orders GROUP BY 1
+    )
+    SELECT month_start, n_orders,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CASE WHEN LAG(rev_dec) OVER (ORDER BY month_start) IS NULL THEN NULL
+                ELSE CAST(rev_dec AS DOUBLE)
+                     / CAST(LAG(rev_dec) OVER (ORDER BY month_start) AS DOUBLE) - 1
+           END AS mom_growth,
+           CASE WHEN LAG(rev_dec, 12) OVER (ORDER BY month_start) IS NULL THEN NULL
+                ELSE CAST(rev_dec AS DOUBLE)
+                     / CAST(LAG(rev_dec, 12) OVER (ORDER BY month_start) AS DOUBLE) - 1
+           END AS yoy_growth
+    FROM m
+    """,
+)
+def orders_mom_growth(spark, sf_dir):
+    """Period-over-period revenue: month-over-month and year-over-year growth
+    ratios over decimal-exact monthly sums.  The heavy stage is one monthly
+    aggregate; the LAG windows run on the calendar-sized month table (a
+    single tiny partition is correct there — months/12y = 144 rows).  Each
+    growth number is one double division of engine-identical operands, NULL
+    for the first period(s)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month_start")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(27, 6))).alias("rev_dec"),
+    )
+    w = W.orderBy("month_start")
+    prev = F.lag("rev_dec").over(w)
+    prev12 = F.lag("rev_dec", 12).over(w)
+    return m.select(
+        "month_start",
+        "n_orders",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("rev_dec").cast("double") / prev.cast("double") - 1)
+        .alias("mom_growth"),
+        F.when(prev12.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("rev_dec").cast("double") / prev12.cast("double") - 1)
+        .alias("yoy_growth"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# events_rolling_active_users — DAU / trailing-7d / trailing-30d actives       #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "events_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    wau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS n
+        FROM days d JOIN ud u
+          ON u.day <= d.day AND u.day > d.day - INTERVAL '7 days'
+        GROUP BY d.day
+    ),
+    mau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS n
+        FROM days d JOIN ud u
+          ON u.day <= d.day AND u.day > d.day - INTERVAL '30 days'
+        GROUP BY d.day
+    ),
+    dau AS (SELECT day, COUNT(*) AS n FROM ud GROUP BY day)
+    SELECT dau.day,
+           CAST(dau.n AS BIGINT) AS dau,
+           CAST(wau.n AS BIGINT) AS wau,
+           CAST(mau.n AS BIGINT) AS mau
+    FROM dau JOIN wau ON dau.day = wau.day JOIN mau ON dau.day = mau.day
+    """,
+)
+def events_rolling_active_users(spark, sf_dir):
+    """Rolling engagement: per active day, the exact count of distinct users
+    active that day (DAU), in the trailing 7 days (WAU) and trailing 30 days
+    (MAU).  Built by the dedup-then-expand rule on the distinct (user, day)
+    pairs: each pair fans into its ≤7 / ≤30 covering days and one
+    distinct-count aggregate finishes — expansion is bounded by 37 x distinct
+    user-DAYS (already tiny relative to events), never the event volume.
+    Output days are restricted to observed active days (join with the day
+    set), matching the oracle's day spine."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(n: int, alias: str):
+        expanded = ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("k"),
+            F.col("day"),
+        ).select(
+            "user_id",
+            F.expr("day + make_interval(0, 0, 0, k, 0, 0, 0)").alias("day"),
+        )
+        return (
+            expanded.join(days, "day")
+            .groupBy("day")
+            .agg(F.count_distinct("user_id").alias(alias))
+        )
+
+    return (
+        dau.join(trailing(7, "wau"), "day")
+        .join(trailing(30, "mau"), "day")
+        .select("day", "dau", "wau", "mau")
+    )

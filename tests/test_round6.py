@@ -1319,3 +1319,32 @@ def test_transform_with_state_profile_matches_legacy_and_batch(spark):
     )
     expected = {r["user_id"]: (r["n"], round(r["s"], 2)) for r in batch.collect()}
     assert got == expected
+
+
+def test_mom_growth_identities(spark):
+    """Growth recomputed from the revenue column itself must match, first
+    month is NULL, and 12-month lag only exists once a year has passed."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import orders_mom_growth
+
+    pdf = orders_mom_growth(spark, SF_ORACLE).toPandas().sort_values("month_start")
+    assert pdf.mom_growth.isna().iloc[0]
+    recomputed = pdf.revenue / pdf.revenue.shift(1) - 1
+    both = pdf.mom_growth.notna()
+    assert ((pdf.mom_growth[both] - recomputed[both]).abs() < 1e-12).all()
+    assert pdf.yoy_growth.isna().iloc[:12].all()
+    assert pdf.yoy_growth.notna().iloc[12:].all()
+
+
+def test_rolling_actives_monotone_and_bounded(spark):
+    """DAU <= WAU <= MAU per day, and each is bounded by the user universe."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        events_rolling_active_users,
+    )
+
+    pdf = events_rolling_active_users(spark, SF_ORACLE).toPandas()
+    assert (pdf.dau <= pdf.wau).all() and (pdf.wau <= pdf.mau).all()
+    n_users = (
+        load_table(spark, SF_ORACLE, "events").select("user_id").distinct().count()
+    )
+    assert (pdf.mau <= n_users).all()
+    assert pdf.mau.max() == n_users  # 30-day trail covers the whole fixture span
