@@ -59,7 +59,7 @@ _PRIORITY = [
     #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
     #      join, GDPR delete cascade, live streaming dedup) — never        #
     #      checked;                                                         #
-    #   a2. 25 further never-checked additions (behavioral analytics,       #
+    #   a2. 26 further never-checked additions (behavioral analytics,       #
     #      DQ audits, hard-negative mining, neighbor-Jaccard, basket        #
     #      rules, ACF, DOW seasonality, mixture plan, live session          #
     #      windows, modularity, assortativity, CAS + CDC chunk dedup,       #
@@ -70,10 +70,11 @@ _PRIORITY = [
     #      (containment df-cap + oracle, source-precedence/v3 substring      #
     #      parity fix, heavy-hitters bound note, semdedup operator           #
     #      refactor) — a green r5 row no longer certifies today's code;      #
-    #   c. no r3-stale slots remain: 25a + 25a2 = 50 exactly — the whole b  #
-    #      block (all r5-green; their r6 code deltas are covered by local   #
-    #      tests incl. the full sf0.01 differential) slides to 51-55; all   #
-    #      25 r3-stale plus block d follow —                                #
+    #   c. never-checked now overflows the window: 25a + 26a2 = 51, so the #
+    #      LAST a2 entry (events_survival_time_to_convert, proven by the   #
+    #      local differential at both SFs + a pandas reference test) and   #
+    #      the whole b block (all r5-green) lead round 7 with the 25       #
+    #      r3-stale and block d —                                          #
     #      all are re-proven locally each run by the full sf0.01            #
     #      differential in tests/test_oracle_differential.py;               #
     #   d. 17 r4-stale queries (judge-prominent core families) queued       #
@@ -136,6 +137,7 @@ _PRIORITY = [
     "events_bounce_rate_daily",
     "orders_mom_growth",
     "events_rolling_active_users",
+    "events_survival_time_to_convert",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

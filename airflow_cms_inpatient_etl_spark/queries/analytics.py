@@ -1210,3 +1210,147 @@ def events_rolling_active_users(spark, sf_dir):
         .join(trailing(30, "mau"), "day")
         .select("day", "dau", "wau", "mau")
     )
+
+
+# --------------------------------------------------------------------------- #
+# events_survival_time_to_convert — Kaplan-Meier estimator, fully declarative  #
+# --------------------------------------------------------------------------- #
+
+_KM_HORIZON_H = 48  # censor users not converting within this many hours
+
+
+@register(
+    "events_survival_time_to_convert",
+    oracle=f"""
+    WITH f AS (SELECT user_id, MIN(EPOCH_US(ts)) AS t0 FROM events GROUP BY user_id),
+    p AS (
+        SELECT user_id, MIN(EPOCH_US(ts)) AS tp
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    lives AS (
+        SELECT CASE WHEN tp IS NOT NULL
+                     AND (tp - t0) // 3600000000 <= {_KM_HORIZON_H}
+                    THEN CAST((tp - t0) // 3600000000 AS BIGINT)
+                    ELSE CAST({_KM_HORIZON_H} AS BIGINT) END AS t,
+               CASE WHEN tp IS NOT NULL
+                     AND (tp - t0) // 3600000000 <= {_KM_HORIZON_H}
+                    THEN 1 ELSE 0 END AS converted
+        FROM f LEFT JOIN p USING (user_id)
+    ),
+    dur AS (
+        SELECT t, CAST(SUM(converted) AS BIGINT) AS d,
+               CAST(SUM(1 - converted) AS BIGINT) AS c
+        FROM lives GROUP BY t
+    ),
+    packed AS (
+        SELECT LIST(t ORDER BY t) AS ts_, LIST(d ORDER BY t) AS ds,
+               LIST(c ORDER BY t) AS cs, CAST(SUM(d + c) AS BIGINT) AS total
+        FROM dur
+    ),
+    calc AS (
+        SELECT ts_, ds, cs, total, LEN(ts_) AS n,
+               LIST_TRANSFORM(RANGE(1, LEN(ts_) + 1), j ->
+                   1 - CAST(ds[j] AS DOUBLE) /
+                       (CASE WHEN j = 1 THEN total
+                             ELSE total - LIST_REDUCE(
+                                 LIST_TRANSFORM(RANGE(1, j), x -> ds[x] + cs[x]),
+                                 (a, b) -> a + b)
+                        END)
+               ) AS terms
+        FROM packed
+    ),
+    rows_ AS (SELECT UNNEST(RANGE(1, n + 1)) AS i, ts_, ds, cs, total, terms FROM calc)
+    SELECT CAST(ts_[i] AS INT) AS hours_to_convert,
+           CAST(CASE WHEN i = 1 THEN total
+                     ELSE total - LIST_REDUCE(
+                         LIST_TRANSFORM(RANGE(1, i), x -> ds[x] + cs[x]),
+                         (a, b) -> a + b)
+                END AS BIGINT) AS n_at_risk,
+           ds[i] AS n_converted,
+           cs[i] AS n_censored,
+           LIST_REDUCE(LIST_TRANSFORM(RANGE(1, i + 1), j -> terms[j]), (a, b) -> a * b)
+             AS survival
+    FROM rows_
+    WHERE ds[i] > 0
+    """,
+)
+def events_survival_time_to_convert(spark, sf_dir):
+    """Kaplan-Meier survival estimator for time-to-first-purchase with a fixed
+    48-hour censoring horizon — the standard churn/conversion survival curve,
+    expressed fully declaratively: S(t) = prod over event times t_j <= t of
+    (1 - d_j / n_j), with the cumulative product computed as fixed-order
+    left folds over ONE collected (t, d, c) array (the duration axis is
+    horizon-bounded — <= 49 rows regardless of data volume, so the O(n^2)
+    in-row folds are trivial and identical in both engines; 1.0 * x == x
+    bitwise, so seed-first and seeded folds agree exactly).  The heavy
+    stages are two user-keyed aggregates; everything after is array math on
+    a dimension-sized row.  Elapsed hours use epoch microsecond arithmetic
+    (DuckDB's DATEDIFF('hour') counts boundary crossings, not elapsed
+    time)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    f = ev.groupBy("user_id").agg(F.min(us).alias("t0"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("tp"))
+    )
+    h_us = 3_600_000_000
+    dur_h = F.expr(f"(tp - t0) div {h_us}")
+    in_horizon = F.col("tp").isNotNull() & (dur_h <= _KM_HORIZON_H)
+    lives = f.join(p, "user_id", "left").select(
+        F.when(in_horizon, dur_h).otherwise(F.lit(_KM_HORIZON_H)).cast("long").alias("t"),
+        F.when(in_horizon, 1).otherwise(0).alias("converted"),
+    )
+    dur = lives.groupBy("t").agg(
+        F.sum("converted").cast("long").alias("d"),
+        F.sum(1 - F.col("converted")).cast("long").alias("c"),
+    )
+    packed = dur.agg(
+        F.expr("array_sort(collect_list(struct(t, d, c)))").alias("rows"),
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("total"),
+    ).select(
+        F.expr("transform(rows, r -> r.t)").alias("ts_"),
+        F.expr("transform(rows, r -> r.d)").alias("ds"),
+        F.expr("transform(rows, r -> r.c)").alias("cs"),
+        "total",
+    )
+    prefix = (
+        "aggregate(transform(sequence(1, {upto}), x -> "
+        "element_at(ds, x) + element_at(cs, x)), cast(0 as bigint), (a, b) -> a + b)"
+    )
+    risk_j = (
+        "(CASE WHEN j = 1 THEN total ELSE total - "
+        + prefix.format(upto="j - 1")
+        + " END)"
+    )
+    terms = (
+        "transform(sequence(1, size(ts_)), j -> "
+        f"1 - cast(element_at(ds, j) as double) / {risk_j})"
+    )
+    calc = packed.select("ts_", "ds", "cs", "total", F.expr(terms).alias("terms"))
+    rows = calc.select(
+        F.explode(F.expr("sequence(1, size(ts_))")).alias("i"),
+        "ts_",
+        "ds",
+        "cs",
+        "total",
+        "terms",
+    )
+    risk_i = (
+        "CASE WHEN i = 1 THEN total ELSE total - " + prefix.format(upto="i - 1") + " END"
+    )
+    surv = (
+        "aggregate(transform(sequence(1, i), j -> element_at(terms, j)), "
+        "cast(1.0 as double), (a, b) -> a * b)"
+    )
+    return (
+        rows.filter(F.expr("element_at(ds, i) > 0"))
+        .select(
+            F.expr("element_at(ts_, i)").cast("int").alias("hours_to_convert"),
+            F.expr(risk_i).cast("long").alias("n_at_risk"),
+            F.expr("element_at(ds, i)").alias("n_converted"),
+            F.expr("element_at(cs, i)").alias("n_censored"),
+            F.expr(surv).alias("survival"),
+        )
+    )

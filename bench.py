@@ -143,9 +143,11 @@ HEADLINE = [
     # round-6 wave 17: order-2 path mining + sessionized engagement KPI
     "events_path_trigrams",
     "events_bounce_rate_daily",
-    # round-6 wave 18: PoP growth + bounded-expansion rolling actives
+    # round-6 wave 18: PoP growth + bounded-expansion rolling actives +
+    # the declarative Kaplan-Meier fold
     "orders_mom_growth",
     "events_rolling_active_users",
+    "events_survival_time_to_convert",
 ]
 
 

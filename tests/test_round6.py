@@ -1348,3 +1348,48 @@ def test_rolling_actives_monotone_and_bounded(spark):
     )
     assert (pdf.mau <= n_users).all()
     assert pdf.mau.max() == n_users  # 30-day trail covers the whole fixture span
+
+
+def test_kaplan_meier_matches_pandas_reference(spark):
+    """Recompute the KM curve independently in pandas from the raw events and
+    compare value-for-value; also assert monotone non-increasing survival."""
+    import pandas as pd
+
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        _KM_HORIZON_H,
+        events_survival_time_to_convert,
+    )
+
+    got = (
+        events_survival_time_to_convert(spark, SF_ORACLE)
+        .toPandas()
+        .sort_values("hours_to_convert")
+        .reset_index(drop=True)
+    )
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "user_id", "ts", "event_type"
+    ).toPandas()
+    t0 = ev.groupby("user_id").ts.min()
+    tp = ev[ev.event_type == "purchase"].groupby("user_id").ts.min()
+    dur_h = ((tp - t0).dt.total_seconds() // 3600).reindex(t0.index)
+    event = dur_h.notna() & (dur_h <= _KM_HORIZON_H)
+    t = dur_h.where(event, _KM_HORIZON_H).astype(int)
+    rows = pd.DataFrame({"t": t, "e": event.astype(int)})
+    surv, at_risk, out = 1.0, len(rows), {}
+    for ti in sorted(rows.t.unique()):
+        d = int(rows[(rows.t == ti) & (rows.e == 1)].shape[0])
+        c = int(rows[(rows.t == ti) & (rows.e == 0)].shape[0])
+        if d > 0:
+            surv *= 1 - d / at_risk
+            out[ti] = (at_risk, d, c, surv)
+        at_risk -= d + c
+    ref = pd.DataFrame(
+        [(k, *v) for k, v in out.items()],
+        columns=["t", "n_at_risk", "n_converted", "n_censored", "survival"],
+    ).sort_values("t").reset_index(drop=True)
+    assert list(got.hours_to_convert) == list(ref.t)
+    assert list(got.n_at_risk) == list(ref.n_at_risk)
+    assert list(got.n_converted) == list(ref.n_converted)
+    assert (got.survival - ref.survival).abs().max() < 1e-12
+    assert (got.survival.diff().dropna() <= 0).all()
+    assert ((got.survival > 0) & (got.survival <= 1)).all()
