@@ -1222,10 +1222,10 @@ _KM_HORIZON_H = 48  # censor users not converting within this many hours
 @register(
     "events_survival_time_to_convert",
     oracle=f"""
-    WITH f AS (SELECT user_id, MIN(EPOCH_US(ts)) AS t0 FROM events GROUP BY user_id),
-    p AS (
-        SELECT user_id, MIN(EPOCH_US(ts)) AS tp
-        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    WITH u AS (
+        SELECT user_id, MIN(EPOCH_US(ts)) AS t0,
+               MIN(CASE WHEN event_type = 'purchase' THEN EPOCH_US(ts) END) AS tp
+        FROM events GROUP BY user_id
     ),
     lives AS (
         SELECT CASE WHEN tp IS NOT NULL
@@ -1235,7 +1235,7 @@ _KM_HORIZON_H = 48  # censor users not converting within this many hours
                CASE WHEN tp IS NOT NULL
                      AND (tp - t0) // 3600000000 <= {_KM_HORIZON_H}
                     THEN 1 ELSE 0 END AS converted
-        FROM f LEFT JOIN p USING (user_id)
+        FROM u
     ),
     dur AS (
         SELECT t, CAST(SUM(converted) AS BIGINT) AS d,
@@ -1248,24 +1248,26 @@ _KM_HORIZON_H = 48  # censor users not converting within this many hours
         FROM dur
     ),
     calc AS (
-        SELECT ts_, ds, cs, total, LEN(ts_) AS n,
+        SELECT ts_, ds, cs, LEN(ts_) AS n,
                LIST_TRANSFORM(RANGE(1, LEN(ts_) + 1), j ->
-                   1 - CAST(ds[j] AS DOUBLE) /
-                       (CASE WHEN j = 1 THEN total
-                             ELSE total - LIST_REDUCE(
-                                 LIST_TRANSFORM(RANGE(1, j), x -> ds[x] + cs[x]),
-                                 (a, b) -> a + b)
-                        END)
-               ) AS terms
-        FROM packed
+                   CASE WHEN j = 1 THEN total
+                        ELSE total - LIST_REDUCE(
+                            LIST_TRANSFORM(RANGE(1, j), x -> ds[x] + cs[x]),
+                            (a, b) -> a + b)
+                   END) AS risks
+        FROM packed WHERE LEN(ts_) > 0
     ),
-    rows_ AS (SELECT UNNEST(RANGE(1, n + 1)) AS i, ts_, ds, cs, total, terms FROM calc)
+    with_terms AS (
+        SELECT ts_, ds, cs, n, risks,
+               LIST_TRANSFORM(RANGE(1, n + 1),
+                              j -> 1 - CAST(ds[j] AS DOUBLE) / risks[j]) AS terms
+        FROM calc
+    ),
+    rows_ AS (
+        SELECT UNNEST(RANGE(1, n + 1)) AS i, ts_, ds, cs, risks, terms FROM with_terms
+    )
     SELECT CAST(ts_[i] AS INT) AS hours_to_convert,
-           CAST(CASE WHEN i = 1 THEN total
-                     ELSE total - LIST_REDUCE(
-                         LIST_TRANSFORM(RANGE(1, i), x -> ds[x] + cs[x]),
-                         (a, b) -> a + b)
-                END AS BIGINT) AS n_at_risk,
+           CAST(risks[i] AS BIGINT) AS n_at_risk,
            ds[i] AS n_converted,
            cs[i] AS n_censored,
            LIST_REDUCE(LIST_TRANSFORM(RANGE(1, i + 1), j -> terms[j]), (a, b) -> a * b)
@@ -1283,22 +1285,24 @@ def events_survival_time_to_convert(spark, sf_dir):
     horizon-bounded — <= 49 rows regardless of data volume, so the O(n^2)
     in-row folds are trivial and identical in both engines; 1.0 * x == x
     bitwise, so seed-first and seeded folds agree exactly).  The heavy
-    stages are two user-keyed aggregates; everything after is array math on
-    a dimension-sized row.  Elapsed hours use epoch microsecond arithmetic
-    (DuckDB's DATEDIFF('hour') counts boundary crossings, not elapsed
-    time)."""
+    stage is ONE user-keyed aggregate (t0 and first-purchase time via a
+    conditional min in the same pass — min ignores nulls); everything after
+    is array math on a dimension-sized row.  Elapsed hours use epoch
+    microsecond arithmetic (DuckDB's DATEDIFF('hour') counts boundary
+    crossings, not elapsed time).  An empty/fully-filtered input yields
+    zero rows in both engines (the empty packed row is filtered before the
+    index explode — Spark's sequence(1, 0) is the DESCENDING [1, 0], not
+    empty)."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
-    f = ev.groupBy("user_id").agg(F.min(us).alias("t0"))
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min(us).alias("tp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
     )
     h_us = 3_600_000_000
     dur_h = F.expr(f"(tp - t0) div {h_us}")
     in_horizon = F.col("tp").isNotNull() & (dur_h <= _KM_HORIZON_H)
-    lives = f.join(p, "user_id", "left").select(
+    lives = u.select(
         F.when(in_horizon, dur_h).otherwise(F.lit(_KM_HORIZON_H)).cast("long").alias("t"),
         F.when(in_horizon, 1).otherwise(0).alias("converted"),
     )
@@ -1315,30 +1319,31 @@ def events_survival_time_to_convert(spark, sf_dir):
         F.expr("transform(rows, r -> r.c)").alias("cs"),
         "total",
     )
-    prefix = (
-        "aggregate(transform(sequence(1, {upto}), x -> "
+    # the at-risk counts materialize ONCE as an array (total minus the
+    # prefix of processed subjects); terms and the output both index it,
+    # so the definition lives in exactly one Spark and one SQL site
+    risks = (
+        "transform(sequence(1, size(ts_)), j -> "
+        "CASE WHEN j = 1 THEN total ELSE total - "
+        "aggregate(transform(sequence(1, j - 1), x -> "
         "element_at(ds, x) + element_at(cs, x)), cast(0 as bigint), (a, b) -> a + b)"
+        " END)"
     )
-    risk_j = (
-        "(CASE WHEN j = 1 THEN total ELSE total - "
-        + prefix.format(upto="j - 1")
-        + " END)"
+    calc = packed.filter(F.expr("size(ts_) > 0")).select(
+        "ts_", "ds", "cs", F.expr(risks).alias("risks")
     )
     terms = (
         "transform(sequence(1, size(ts_)), j -> "
-        f"1 - cast(element_at(ds, j) as double) / {risk_j})"
+        "1 - cast(element_at(ds, j) as double) / element_at(risks, j))"
     )
-    calc = packed.select("ts_", "ds", "cs", "total", F.expr(terms).alias("terms"))
-    rows = calc.select(
+    with_terms = calc.select("ts_", "ds", "cs", "risks", F.expr(terms).alias("terms"))
+    rows = with_terms.select(
         F.explode(F.expr("sequence(1, size(ts_))")).alias("i"),
         "ts_",
         "ds",
         "cs",
-        "total",
+        "risks",
         "terms",
-    )
-    risk_i = (
-        "CASE WHEN i = 1 THEN total ELSE total - " + prefix.format(upto="i - 1") + " END"
     )
     surv = (
         "aggregate(transform(sequence(1, i), j -> element_at(terms, j)), "
@@ -1348,7 +1353,7 @@ def events_survival_time_to_convert(spark, sf_dir):
         rows.filter(F.expr("element_at(ds, i) > 0"))
         .select(
             F.expr("element_at(ts_, i)").cast("int").alias("hours_to_convert"),
-            F.expr(risk_i).cast("long").alias("n_at_risk"),
+            F.expr("element_at(risks, i)").cast("long").alias("n_at_risk"),
             F.expr("element_at(ds, i)").alias("n_converted"),
             F.expr("element_at(cs, i)").alias("n_censored"),
             F.expr(surv).alias("survival"),
