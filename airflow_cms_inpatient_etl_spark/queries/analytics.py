@@ -795,16 +795,22 @@ def _acf_fold_sql(term: str, k: str = "k") -> str:
     lags AS (SELECT UNNEST(RANGE(1, {_ACF_MAX_LAG + 1})) AS k),
     calc AS (
         SELECT k, LEN(xs) - k AS m,
+               -- series shorter than the lag: no pairs, no row (guards the
+               -- empty-list fold here and the descending sequence(1,0) in
+               -- the Spark mirror)
                {_acf_fold_sql("xs[i]")} AS sx,
                {_acf_fold_sql("xs[i + k]")} AS sy,
                {_acf_fold_sql("xs[i] * xs[i]")} AS sxx,
                {_acf_fold_sql("xs[i + k] * xs[i + k]")} AS syy,
                {_acf_fold_sql("xs[i] * xs[i + k]")} AS sxy
         FROM arr, lags
+        WHERE LEN(xs) > k
     )
     SELECT CAST(k AS INT) AS lag, CAST(m AS BIGINT) AS n_pairs,
-           (m * sxy - sx * sy)
-             / (SQRT(m * sxx - sx * sx) * SQRT(m * syy - sy * sy)) AS acf
+           CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 THEN NULL
+                ELSE (m * sxy - sx * sy)
+                     / (SQRT(m * sxx - sx * sx) * SQRT(m * syy - sy * sy))
+           END AS acf
     FROM calc
     """,
 )
@@ -829,7 +835,7 @@ def events_autocorrelation(spark, sf_dir):
     )
     lags = arr.select(
         "xs", F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("k")
-    )
+    ).filter(F.expr("size(xs) > k"))
 
     def fold(term: str) -> str:
         return (
@@ -848,13 +854,16 @@ def events_autocorrelation(spark, sf_dir):
     )
     m = F.col("m")
     sx, sy = F.col("sx"), F.col("sy")
-    acf = (m * F.col("sxy") - sx * sy) / (
-        F.sqrt(m * F.col("sxx") - sx * sx) * F.sqrt(m * F.col("syy") - sy * sy)
-    )
+    dx = m * F.col("sxx") - sx * sx
+    dy = m * F.col("syy") - sy * sy
+    acf = (m * F.col("sxy") - sx * sy) / (F.sqrt(dx) * F.sqrt(dy))
+    # zero variance in either lag slice (m = 1, or a constant series):
+    # ACF is undefined — NULL both sides (Spark ANSI would raise on /0)
+    guarded = F.when((dx == 0) | (dy == 0), F.lit(None).cast("double")).otherwise(acf)
     return calc.select(
         F.col("k").cast("int").alias("lag"),
         m.cast("long").alias("n_pairs"),
-        acf.alias("acf"),
+        guarded.alias("acf"),
     )
 
 

@@ -229,13 +229,17 @@ def multimodal_cdc_chunk_dedup(spark, sf_dir):
     Shift-robustness is asserted in tests (prefix edit preserves the shared
     tail chunks)."""
     d = load_table(spark, sf_dir, "documents")
+    # CASE guard: Spark's sequence(1, 0) is the DESCENDING [1, 0] (not
+    # empty), which would hand the gram hash positions 7 and 8 on sub-width
+    # payloads and diverge from the oracle's empty RANGE — short payloads
+    # have no interior boundaries by definition
     cut_expr = (
-        f"filter("
-        f"  transform(sequence(1, greatest(length(text) - {_CDC_W - 1}, 0)),"
+        f"CASE WHEN length(text) < {_CDC_W} THEN cast(array() as array<int>) ELSE filter("
+        f"  transform(sequence(1, length(text) - {_CDC_W - 1}),"
         f"            p -> p + {_CDC_W - 1}),"
         f"  e -> conv(substring(md5(substring(text, e - {_CDC_W - 1}, {_CDC_W})), 1, 15), 16, 10)"
         f"       % {_CDC_D} = 0"
-        f")"
+        f") END"
     )
     bounds = d.select(
         "doc_id",

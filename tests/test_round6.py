@@ -1393,3 +1393,48 @@ def test_kaplan_meier_matches_pandas_reference(spark):
     assert (got.survival - ref.survival).abs().max() < 1e-12
     assert (got.survival.diff().dropna() <= 0).all()
     assert ((got.survival > 0) & (got.survival <= 1)).all()
+
+
+def test_acf_and_cdc_chunker_survive_degenerate_inputs(spark, tmp_path):
+    """Regression for the sequence(1, 0)-is-descending class: a series
+    shorter than the max lag emits only valid lags (NULL acf where variance
+    is zero), and sub-gram-width payloads chunk as one whole-doc chunk —
+    both hash-equal to DuckDB instead of crashing under ANSI."""
+    import duckdb
+    import pandas as pd
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+    from tests.conftest import assert_frames_match
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "event_id": range(3),
+            "ts": pd.to_datetime(
+                ["2024-01-01 01:00", "2024-01-02 01:00", "2024-01-03 01:00"]
+            ),
+            "user_id": [1, 1, 1],
+            "event_type": ["view"] * 3,
+            "value": [1.0, 2.0, 3.0],
+            "props": ['{"k": 1}'] * 3,
+        }
+    ).to_parquet(d + "/events.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["abc", "abc", "a much longer document body here"],
+            "lang": ["en"] * 3,
+            "source": ["src1"] * 3,
+            "n_chars": [3, 3, 32],
+        }
+    ).to_parquet(d + "/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    for name in ("events_autocorrelation", "multimodal_cdc_chunk_dedup"):
+        spec = QUERY_REGISTRY[name]
+        assert_frames_match(
+            spec.fn(spark, d).toPandas(), con.execute(spec.oracle).df(), name
+        )
+    acf = QUERY_REGISTRY["events_autocorrelation"].fn(spark, d).toPandas()
+    assert sorted(acf.lag) == [1, 2]  # lags beyond the series are dropped
