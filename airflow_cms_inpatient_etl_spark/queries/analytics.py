@@ -1368,3 +1368,149 @@ def events_survival_time_to_convert(spark, sf_dir):
             F.expr(surv).alias("survival"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# recsys_item_item_cosine — co-occurrence item-item collaborative filtering    #
+# --------------------------------------------------------------------------- #
+
+_CF_TOPK = 5
+
+
+@register(
+    "recsys_item_item_cosine",
+    oracle=f"""
+    WITH raw_items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    sized AS (SELECT o FROM raw_items GROUP BY o HAVING COUNT(*) <= {_MAX_BASKET}),
+    items AS (SELECT r.o, r.p FROM raw_items r JOIN sized s ON r.o = s.o),
+    isup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY p),
+    pairs AS (
+        SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b ON a.o = b.o AND a.p <> b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= {_MIN_PAIR_SUP}
+    ),
+    scored AS (
+        SELECT p1 AS item, p2 AS neighbor, n_ab,
+               CAST(n_ab AS DOUBLE) / SQRT(CAST(sa.n AS DOUBLE) * sb.n) AS cosine
+        FROM pairs JOIN isup sa ON pairs.p1 = sa.p JOIN isup sb ON pairs.p2 = sb.p
+    )
+    SELECT item, neighbor, n_ab, cosine, rn FROM (
+        SELECT item, neighbor, n_ab, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY item
+                                       ORDER BY cosine DESC, neighbor) AS BIGINT) AS rn
+        FROM scored
+    ) WHERE rn <= {_CF_TOPK}
+    """,
+)
+def recsys_item_item_cosine(spark, sf_dir):
+    """Item-item collaborative filtering (Sarwar et al. WWW'01): cosine over
+    basket co-occurrence counts — sim(i, j) = n_ij / sqrt(n_i * n_j) — and
+    the top-5 neighbors per item, i.e. the "customers also bought" model.
+    Reuses the capped-basket discipline (pair volume ∝ Σ min(basket, cap)²)
+    with DIRECTED pairs so each item ranks its own neighbor list; counts
+    are exact bigints, the cosine is one sqrt + one division over exact
+    operands, and the rank window is per-item with a neighbor tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw_items = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .cache()
+    )
+    sized = (
+        raw_items.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .filter(F.col("bsize") <= _MAX_BASKET)
+        .select("o")
+    )
+    items = raw_items.join(sized, "o").cache()
+    isup = items.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select("o", F.col("p").alias("p1"))
+    b = items.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") != F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _MIN_PAIR_SUP)
+    )
+    sa = isup.select(F.col("p").alias("p1"), F.col("n").alias("n_a"))
+    sb = isup.select(F.col("p").alias("p2"), F.col("n").alias("n_b"))
+    scored = (
+        pairs.join(sa, "p1")
+        .join(sb, "p2")
+        .select(
+            F.col("p1").alias("item"),
+            F.col("p2").alias("neighbor"),
+            "n_ab",
+            (
+                F.col("n_ab").cast("double")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("item").orderBy(F.col("cosine").desc(), "neighbor")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _CF_TOPK)
+        .select("item", "neighbor", "n_ab", "cosine", "rn")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# bpe_merge_candidates — one BPE training step over the corpus                 #
+# --------------------------------------------------------------------------- #
+
+_BPE_TOPK = 20
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE LENGTH(w) > 1
+        GROUP BY w
+    ),
+    adj AS (
+        SELECT SUBSTRING(w, CAST(i AS BIGINT), 2) AS pair, freq
+        FROM words, UNNEST(RANGE(1, LENGTH(w))) AS t(i)
+    ),
+    counts AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM adj GROUP BY pair
+    )
+    SELECT pair, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
+    FROM counts
+    ORDER BY rnk LIMIT {_BPE_TOPK}
+    """,
+)
+def bpe_merge_candidates(spark, sf_dir):
+    """One BPE tokenizer-training step (Sennrich et al. ACL'16): count every
+    adjacent character pair across the corpus, weighted by word frequency —
+    the top pair is exactly what BPE merges next, and the ranked list is the
+    merge frontier.  The scale move is counting over the DISTINCT word table
+    with frequencies (corpus-size-independent vocabulary) rather than raw
+    tokens; pair extraction is an in-row transform over character positions
+    (single-char words contribute nothing — guarded, since Spark's
+    sequence(1, 0) is descending).  Two shuffles: word counts, pair sum."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .filter(F.length("w") > 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    adj = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    counts = adj.groupBy("pair").agg(F.sum("freq").alias("n"))
+    rw = W.orderBy(F.col("n").desc(), "pair")
+    return (
+        counts.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rnk") <= _BPE_TOPK)
+    )

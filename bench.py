@@ -148,6 +148,10 @@ HEADLINE = [
     "orders_mom_growth",
     "events_rolling_active_users",
     "events_survival_time_to_convert",
+    # round-6 wave 19: directed co-occurrence CF ranking + the BPE merge
+    # frontier over the distinct-word table
+    "recsys_item_item_cosine",
+    "bpe_merge_candidates",
 ]
 
 

@@ -1438,3 +1438,53 @@ def test_acf_and_cdc_chunker_survive_degenerate_inputs(spark, tmp_path):
         )
     acf = QUERY_REGISTRY["events_autocorrelation"].fn(spark, d).toPandas()
     assert sorted(acf.lag) == [1, 2]  # lags beyond the series are dropped
+
+
+def test_item_item_cf_symmetry_and_rank(spark):
+    """Cosine is symmetric (sim(i,j) == sim(j,i) whenever both directions
+    survive the support floor) and per-item ranks are dense from 1."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        recsys_item_item_cosine,
+    )
+
+    pdf = recsys_item_item_cosine(spark, SF_ORACLE).toPandas()
+    sim = {(r.item, r.neighbor): r.cosine for r in pdf.itertuples()}
+    checked = 0
+    for (i, j), c in sim.items():
+        if (j, i) in sim:
+            assert abs(sim[(j, i)] - c) < 1e-15
+            checked += 1
+    assert checked > 0
+    for _, grp in pdf.groupby("item"):
+        assert sorted(grp.rn) == list(range(1, len(grp) + 1))
+    assert ((pdf.cosine > 0) & (pdf.cosine <= 1)).all()
+
+
+def test_bpe_top_pair_matches_python_reference(spark):
+    """Recompute the BPE pair counts in plain Python over the same corpus
+    and compare the full top-20 (count + lexicographic tie-break)."""
+    from collections import Counter
+
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        _BPE_TOPK,
+        bpe_merge_candidates,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("text").toPandas()
+    wc = Counter()
+    for t in docs.text:
+        for w in t.strip().lower().split():
+            if len(w) > 1:
+                wc[w] += 1
+    pc = Counter()
+    for w, f in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += f
+    ref = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOPK]
+    got = (
+        bpe_merge_candidates(spark, SF_ORACLE)
+        .toPandas()
+        .sort_values("rnk")[["pair", "n"]]
+        .itertuples(index=False)
+    )
+    assert [(p, n) for p, n in got] == ref
