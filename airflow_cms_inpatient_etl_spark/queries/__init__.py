@@ -59,7 +59,7 @@ _PRIORITY = [
     #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
     #      join, GDPR delete cascade, live streaming dedup) — never        #
     #      checked;                                                         #
-    #   a2. 28 further never-checked additions (behavioral analytics,       #
+    #   a2. 29 further never-checked additions (behavioral analytics,       #
     #      DQ audits, hard-negative mining, neighbor-Jaccard, basket        #
     #      rules, ACF, DOW seasonality, mixture plan, live session          #
     #      windows, modularity, assortativity, CAS + CDC chunk dedup,       #
@@ -70,10 +70,10 @@ _PRIORITY = [
     #      (containment df-cap + oracle, source-precedence/v3 substring      #
     #      parity fix, heavy-hitters bound note, semdedup operator           #
     #      refactor) — a green r5 row no longer certifies today's code;      #
-    #   c. never-checked now overflows the window: 25a + 28a2 = 53, so the #
-    #      LAST 3 a2 entries (Kaplan-Meier, item-item CF, BPE merges — all #
-    #      proven by local differentials at both SFs plus independent     #
-    #      pandas/Python reference tests) and the whole b block (all      #
+    #   c. never-checked now overflows the window: 25a + 29a2 = 54, so the #
+    #      LAST 4 a2 entries (Kaplan-Meier, item-item CF, BPE merges,     #
+    #      SQL-path Q3 — all proven by local differentials at both SFs    #
+    #      plus independent reference tests) and the whole b block (all   #
     #      r5-green) lead round 7 with the 25 r3-stale and block d —      #
     #      all are re-proven locally each run by the full sf0.01            #
     #      differential in tests/test_oracle_differential.py;               #
@@ -140,6 +140,7 @@ _PRIORITY = [
     "events_survival_time_to_convert",
     "recsys_item_item_cosine",
     "bpe_merge_candidates",
+    "sql_q3_shipping_priority",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

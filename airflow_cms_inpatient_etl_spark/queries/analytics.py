@@ -1514,3 +1514,45 @@ def bpe_merge_candidates(spark, sf_dir):
         counts.withColumn("rnk", F.row_number().over(rw).cast("long"))
         .filter(F.col("rnk") <= _BPE_TOPK)
     )
+
+
+# --------------------------------------------------------------------------- #
+# sql_q3_shipping_priority — TPC-H Q3 through the raw spark.sql entry path     #
+# --------------------------------------------------------------------------- #
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+         AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM {cust} c
+JOIN {ords} o ON c.c_custkey = o.o_custkey
+JOIN {li} l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) DESC,
+         l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "sql_q3_shipping_priority",
+    oracle=_Q3_SQL.format(cust="customer", ords="orders", li="lineitem"),
+)
+def sql_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) submitted through the RAW ``spark.sql``
+    entry path — the engine's second API surface next to the DataFrame
+    builder: temp views over the same `load_table` scans, one SQL text shared
+    verbatim with the oracle (table names templated), Catalyst doing the
+    same pushdown/broadcast work either way.  The top-10 is selected on the
+    DECIMAL revenue (exact, engine-identical ordering) with an orderkey
+    tie-break, then cast to double for output."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"q3_{t}")
+    return spark.sql(
+        _Q3_SQL.format(cust="q3_customer", ords="q3_orders", li="q3_lineitem")
+    )

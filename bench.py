@@ -152,6 +152,8 @@ HEADLINE = [
     # frontier over the distinct-word table
     "recsys_item_item_cosine",
     "bpe_merge_candidates",
+    # round-6 wave 20: the raw-SQL entry path (TPC-H Q3)
+    "sql_q3_shipping_priority",
 ]
 
 
