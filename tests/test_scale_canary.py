@@ -270,7 +270,12 @@ def test_minhash_uncached_path_completes_at_sf1(spark, sf1_dir):
     d = load_table(spark, sf1_dir, "documents")
     n = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.7, cache_shingles=False).count()
     assert n > 0
-    assert len(sc._jsc.sc().getRDDStorageInfo()) == pinned_before
+    # <= not ==: the preceding canary queries' released caches (basket/CF
+    # item sets, graph checkpoints) drain through the ContextCleaner
+    # asynchronously, so the session baseline may still SHRINK while this
+    # test runs; the property under test is only that the uncached path
+    # pins nothing NEW
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= pinned_before
 
 
 @pytest.mark.slow
