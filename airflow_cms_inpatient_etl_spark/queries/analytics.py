@@ -1556,3 +1556,145 @@ def sql_q3_shipping_priority(spark, sf_dir):
     return spark.sql(
         _Q3_SQL.format(cust="q3_customer", ords="q3_orders", li="q3_lineitem")
     )
+
+
+# --------------------------------------------------------------------------- #
+# orders_leadtime_percentiles — fulfillment SLA distribution per priority      #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "orders_leadtime_percentiles",
+    oracle="""
+    WITH lt AS (
+        SELECT o.o_orderpriority,
+               DATEDIFF('day', o.o_orderdate, l.l_shipdate) AS lead_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           QUANTILE_CONT(lead_days, 0.50) AS p50,
+           QUANTILE_CONT(lead_days, 0.90) AS p90,
+           QUANTILE_CONT(lead_days, 0.99) AS p99,
+           CAST(MAX(lead_days) AS BIGINT) AS max_days
+    FROM lt GROUP BY o_orderpriority
+    """,
+)
+def orders_leadtime_percentiles(spark, sf_dir):
+    """Fulfillment lead-time SLA profile: exact interpolated p50/p90/p99 of
+    order-to-ship days per priority class — the supply-chain twin of the
+    event-side MAD/percentile family.  One fact-side join (orders projected
+    to two columns, broadcast under AQE) into one grouped exact-percentile
+    aggregate; both engines interpolate lower + (upper-lower)*f on sorted
+    values, so the doubles are bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lead_days"),
+    )
+    return lt.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("lead_days", F.lit(0.50)).alias("p50"),
+        F.percentile("lead_days", F.lit(0.90)).alias("p90"),
+        F.percentile("lead_days", F.lit(0.99)).alias("p99"),
+        F.max("lead_days").cast("long").alias("max_days"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# customer_repurchase_intervals — gap distribution between consecutive orders  #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "customer_repurchase_intervals",
+    oracle="""
+    WITH gaps AS (
+        SELECT DATEDIFF('day',
+                        LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey),
+                        o_orderdate) AS gap_days
+        FROM orders
+    ),
+    bucketed AS (
+        SELECT CAST(gap_days // 30 AS INT) AS gap_months_bucket
+        FROM gaps WHERE gap_days IS NOT NULL
+    )
+    SELECT gap_months_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS share
+    FROM bucketed GROUP BY gap_months_bucket
+    """,
+)
+def customer_repurchase_intervals(spark, sf_dir):
+    """Repurchase-interval distribution: days between a customer's
+    consecutive orders, bucketed into 30-day bands with each band's share —
+    the purchase-cadence profile behind replenishment and churn models.
+    One customer-keyed window shuffle; the share window runs on the
+    few-dozen-row bucket aggregate.  All ints + one bigint-ratio double."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    bucketed = gaps.select(
+        F.expr("CAST(gap_days div 30 AS INT)").alias("gap_months_bucket")
+    )
+    counts = bucketed.groupBy("gap_months_bucket").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "gap_months_bucket",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(W.partitionBy())).alias("share"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# text_readability_scores — Flesch-style curation signal                       #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "text_readability_scores",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_words,
+               CAST(GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')), 1) AS BIGINT)
+                 AS n_sentences,
+               CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+')) AS BIGINT)
+                 AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+    FROM m
+    """,
+)
+def text_readability_scores(spark, sf_dir):
+    """Flesch reading-ease per document with a vowel-group syllable proxy —
+    the readability band filter educational-quality curation pipelines use
+    (a FineWeb-Edu-style cheap signal next to the entropy / repetition /
+    perplexity scorers).  Sentence count floors at 1 (unterminated text);
+    all three counts are exact ints, so the score is three deterministic
+    double ops with shared literal constants.  Zero shuffles — pure map."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
+        F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1))
+        .cast("long")
+        .alias("n_sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return m.select("doc_id", "n_words", "n_sentences", "n_syllables", flesch.alias("flesch"))

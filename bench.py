@@ -154,6 +154,11 @@ HEADLINE = [
     "bpe_merge_candidates",
     # round-6 wave 20: the raw-SQL entry path (TPC-H Q3)
     "sql_q3_shipping_priority",
+    # round-6 wave 21: grouped exact percentiles over a fact join, the
+    # repurchase-gap window, and the zero-shuffle readability map
+    "orders_leadtime_percentiles",
+    "customer_repurchase_intervals",
+    "text_readability_scores",
 ]
 
 

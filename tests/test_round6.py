@@ -1488,3 +1488,53 @@ def test_bpe_top_pair_matches_python_reference(spark):
         .itertuples(index=False)
     )
     assert [(p, n) for p, n in got] == ref
+
+
+def test_leadtime_percentiles_ordered(spark):
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        orders_leadtime_percentiles,
+    )
+
+    pdf = orders_leadtime_percentiles(spark, SF_ORACLE).toPandas()
+    assert (pdf.p50 <= pdf.p90).all() and (pdf.p90 <= pdf.p99).all()
+    assert (pdf.p99 <= pdf.max_days).all()
+    assert pdf.n.sum() == load_table(spark, SF_ORACLE, "lineitem").count()
+
+
+def test_repurchase_shares_sum_to_one(spark):
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        customer_repurchase_intervals,
+    )
+
+    pdf = customer_repurchase_intervals(spark, SF_ORACLE).toPandas()
+    assert abs(pdf.share.sum() - 1.0) < 1e-12
+    assert (pdf.gap_months_bucket >= 0).all()
+    # gap count identity: orders minus one per multi-order customer
+    o = load_table(spark, SF_ORACLE, "orders")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert pdf.n.sum() == n_orders - n_cust
+
+
+def test_readability_hand_doc(spark, tmp_path):
+    """One hand-checkable sentence: 'the cat sat on the mat.' = 6 words,
+    1 sentence, 6 vowel groups -> flesch = 206.835 - 1.015*6 - 84.6*1."""
+    import pandas as pd
+
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        text_readability_scores,
+    )
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["the cat sat on the mat."],
+            "lang": ["en"],
+            "source": ["src1"],
+            "n_chars": [23],
+        }
+    ).to_parquet(d + "/documents.parquet")
+    row = text_readability_scores(spark, d).toPandas().iloc[0]
+    assert (row.n_words, row.n_sentences, row.n_syllables) == (6, 1, 6)
+    assert abs(row.flesch - (206.835 - 1.015 * 6 - 84.6 * 1)) < 1e-12
