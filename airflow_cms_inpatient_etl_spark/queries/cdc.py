@@ -430,3 +430,87 @@ def cdc_apply_change_feed(spark, sf_dir):
     )
     changes = upd.unionByName(dels).unionByName(ins)
     return apply_change_feed(o, changes, ["o_orderkey"])
+
+
+@register(
+    "snapshot_column_drift_profile",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    nxt AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 3 THEN 'X' ELSE o_orderstatus END
+                 AS o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 1 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 != 0
+    ),
+    j AS (
+        SELECT CASE WHEN b.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 1 ELSE 0 END AS status_drift,
+               CASE WHEN b.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 1 ELSE 0 END AS price_drift
+        FROM base b JOIN nxt n ON b.o_orderkey = n.o_orderkey
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_compared,
+               CAST(SUM(status_drift) AS BIGINT) AS n_status,
+               CAST(SUM(price_drift) AS BIGINT) AS n_price
+        FROM j
+    )
+    SELECT 'o_orderstatus' AS column_name, n_status AS n_changed, n_compared,
+           CAST(n_status AS DOUBLE) / n_compared AS change_rate
+    FROM agg
+    UNION ALL
+    SELECT 'o_totalprice', n_price, n_compared,
+           CAST(n_price AS DOUBLE) / n_compared
+    FROM agg
+    """,
+)
+def snapshot_column_drift_profile(spark, sf_dir):
+    """Column-level drift profile between two pipeline snapshots: for every
+    tracked column, how many matched keys changed value and at what rate —
+    the drilldown a data-ops team runs after `snapshot_table_diff` says
+    SOMETHING changed, to see WHICH columns a code change touched.  One
+    co-partitioned key join and one aggregate computing every column's
+    null-safe drift sum in the same pass (no per-column scans); the derived
+    'next' snapshot mutates two columns on disjoint key classes (status on
+    ≡3, price on ≡1 mod 97) so each column's expected rate is independent
+    and known.  Rates are bigint ratios."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    m = F.col("o_orderkey") % 97
+    nxt = o.filter(m != 0).select(
+        "o_orderkey",
+        F.when(m == 3, F.lit("X")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(m == 1, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    b = o.alias("b")
+    n = nxt.alias("n")
+    j = b.join(n, F.col("b.o_orderkey") == F.col("n.o_orderkey")).select(
+        (~F.col("b.o_orderstatus").eqNullSafe(F.col("n.o_orderstatus")))
+        .cast("int")
+        .alias("status_drift"),
+        (~F.col("b.o_totalprice").eqNullSafe(F.col("n.o_totalprice")))
+        .cast("int")
+        .alias("price_drift"),
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_compared"),
+        F.sum("status_drift").cast("long").alias("n_status"),
+        F.sum("price_drift").cast("long").alias("n_price"),
+    )
+    return agg.selectExpr(
+        "stack(2, 'o_orderstatus', n_status, 'o_totalprice', n_price) "
+        "AS (column_name, n_changed)",
+        "n_compared",
+    ).select(
+        "column_name",
+        "n_changed",
+        "n_compared",
+        (F.col("n_changed").cast("double") / F.col("n_compared")).alias("change_rate"),
+    )

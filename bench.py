@@ -159,6 +159,8 @@ HEADLINE = [
     "orders_leadtime_percentiles",
     "customer_repurchase_intervals",
     "text_readability_scores",
+    # round-6 wave 22: single-pass multi-column drift audit
+    "snapshot_column_drift_profile",
 ]
 
 

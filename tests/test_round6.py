@@ -1538,3 +1538,24 @@ def test_readability_hand_doc(spark, tmp_path):
     row = text_readability_scores(spark, d).toPandas().iloc[0]
     assert (row.n_words, row.n_sentences, row.n_syllables) == (6, 1, 6)
     assert abs(row.flesch - (206.835 - 1.015 * 6 - 84.6 * 1)) < 1e-12
+
+
+def test_column_drift_rates_match_key_classes(spark):
+    """The derived snapshot mutates status on keys ≡3 and price on keys ≡1
+    (mod 97, among surviving keys): each column's changed count must equal
+    its key class size exactly."""
+    from airflow_cms_inpatient_etl_spark.queries.cdc import (
+        snapshot_column_drift_profile,
+    )
+
+    pdf = (
+        snapshot_column_drift_profile(spark, SF_ORACLE)
+        .toPandas()
+        .set_index("column_name")
+    )
+    o = load_table(spark, SF_ORACLE, "orders")
+    n_status = o.filter((F.col("o_orderkey") % 97) == 3).count()
+    n_price = o.filter((F.col("o_orderkey") % 97) == 1).count()
+    assert pdf.loc["o_orderstatus", "n_changed"] == n_status
+    assert pdf.loc["o_totalprice", "n_changed"] == n_price
+    assert (pdf.n_compared == pdf.n_compared.iloc[0]).all()
