@@ -75,6 +75,12 @@ CANARY_QUERIES = [
     "window_sliding_distinct_users",
     "basket_association_rules",
     "dq_referential_integrity",
+    # round-6 closing waves: the per-character CDC chunker (heaviest bench
+    # entry — must stay linear in corpus bytes), the 37x user-day expansion
+    # behind rolling actives, and the directed CF pair join
+    "multimodal_cdc_chunk_dedup",
+    "events_rolling_active_users",
+    "recsys_item_item_cosine",
 ]
 
 
