@@ -59,7 +59,7 @@ _PRIORITY = [
     #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
     #      join, GDPR delete cascade, live streaming dedup) — never        #
     #      checked;                                                         #
-    #   a2. 33 further never-checked additions (behavioral analytics,       #
+    #   a2. 34 further never-checked additions (behavioral analytics,       #
     #      DQ audits, hard-negative mining, neighbor-Jaccard, basket        #
     #      rules, ACF, DOW seasonality, mixture plan, live session          #
     #      windows, modularity, assortativity, CAS + CDC chunk dedup,       #
@@ -70,13 +70,13 @@ _PRIORITY = [
     #      (containment df-cap + oracle, source-precedence/v3 substring      #
     #      parity fix, heavy-hitters bound note, semdedup operator           #
     #      refactor) — a green r5 row no longer certifies today's code;      #
-    #   c. never-checked now overflows the window: 25a + 33a2 = 58, so the #
-    #      LAST 8 a2 entries (Kaplan-Meier, item-item CF, BPE merges,     #
+    #   c. never-checked now overflows the window: 25a + 34a2 = 59, so the #
+    #      LAST 9 a2 entries (Kaplan-Meier, item-item CF, BPE merges,     #
     #      SQL-path Q3, lead-time percentiles, repurchase intervals,      #
-    #      readability, column drift — all proven by local differentials  #
-    #      at sf0.001, sf0.01 AND sf0.1, several with independent         #
-    #      reference tests) and the whole b block (all r5-green) lead     #
-    #      round 7 with the 25 r3-stale and block d —                     #
+    #      readability, column drift, live sliding windows — all proven   #
+    #      by local differentials at sf0.001, sf0.01 AND sf0.1, several   #
+    #      with independent reference tests) and the whole b block (all   #
+    #      r5-green) lead round 7 with the 25 r3-stale and block d —      #
     #      all are re-proven locally each run by the full sf0.01            #
     #      differential in tests/test_oracle_differential.py;               #
     #   d. 17 r4-stale queries (judge-prominent core families) queued       #
@@ -147,6 +147,7 @@ _PRIORITY = [
     "customer_repurchase_intervals",
     "text_readability_scores",
     "snapshot_column_drift_profile",
+    "streaming_sliding_window_live",
     # -- b. code changed this round (r5 row no longer certifies) ------------ #
     "dedup_containment",
     "dedup_source_precedence",

@@ -345,3 +345,50 @@ def streaming_session_window_live(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+@register(
+    "streaming_sliding_window_live",
+    oracle="""
+    WITH expanded AS (
+        SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) - (k * INTERVAL '5 minutes') AS window_start,
+               value
+        FROM events, (VALUES (0), (1)) AS offs(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '10 minutes' AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM expanded
+    GROUP BY window_start
+    """,
+)
+def streaming_sliding_window_live(spark, sf_dir):
+    """LIVE sliding windows (10-minute length, 5-minute slide) over a
+    file-source stream, drained in complete mode — completes the live window
+    trio (tumbling and session already run live).  Each event lands in
+    length/slide windows exactly as in the batch expansion, so the drained
+    sink equals the batch sliding aggregation, which is the oracle."""
+    import pyspark.sql.functions as F
+
+    stage_dir = tempfile.mkdtemp(prefix="events_slide_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/part-0.parquet")
+        ev = stream_events(spark, stage_dir)
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "n",
+            )
+        )
+        name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+        run_stream_to_memory(agg, name, output_mode="complete")
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stage_dir, ignore_errors=True)

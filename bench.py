@@ -159,8 +159,10 @@ HEADLINE = [
     "orders_leadtime_percentiles",
     "customer_repurchase_intervals",
     "text_readability_scores",
-    # round-6 wave 22: single-pass multi-column drift audit
+    # round-6 wave 22: single-pass multi-column drift audit + the live
+    # sliding-window drain
     "snapshot_column_drift_profile",
+    "streaming_sliding_window_live",
 ]
 
 
