@@ -175,6 +175,14 @@ def multimodal_cas_chunk_dedup(spark, sf_dir):
 
 _CDC_W = 8   # rolling-gram width for boundary detection
 _CDC_D = 32  # boundary divisor => expected chunk length ~= D
+_CDC_B = 131                            # polynomial base
+_CDC_M = 2147483647                     # modulus (Mersenne prime 2^31-1)
+_CDC_BW = pow(_CDC_B, _CDC_W, _CDC_M)   # B^W mod M — the leave-window weight
+_CDC_POWS = [pow(_CDC_B, j, _CDC_M) for j in range(_CDC_W)]
+# Oracle computes each window hash from the DEFINITION (O(W) per position —
+# fine for an oracle); Spark maintains it by the O(1) rolling recurrence.
+# Agreement between the two proves the recurrence.
+_CDC_POWS_SQL = "[" + ",".join(f"CAST({p} AS BIGINT)" for p in _CDC_POWS) + "]"
 
 
 @register(
@@ -183,10 +191,11 @@ _CDC_D = 32  # boundary divisor => expected chunk length ~= D
     WITH cuts AS (
         SELECT doc_id, text, LENGTH(text) AS len,
                LIST_FILTER(
-                   LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - {_CDC_W - 1}, 0) + 1),
-                                  p -> p + {_CDC_W - 1}),
-                   e -> CAST('0x' || SUBSTR(MD5(SUBSTRING(text, e - {_CDC_W - 1}, {_CDC_W})), 1, 15)
-                             AS BIGINT) % {_CDC_D} = 0
+                   RANGE({_CDC_W}, LENGTH(text) + 1),
+                   e -> LIST_SUM(LIST_TRANSFORM(RANGE(0, {_CDC_W}),
+                            j -> ASCII(SUBSTRING(text, CAST(e - j AS INT), 1))
+                                 * ({_CDC_POWS_SQL})[j + 1]))
+                        % {_CDC_M} % {_CDC_D} = 0
                ) AS cut_ends
         FROM documents
     ),
@@ -216,32 +225,41 @@ _CDC_D = 32  # boundary divisor => expected chunk length ~= D
 )
 def multimodal_cdc_chunk_dedup(spark, sf_dir):
     """Content-defined chunking dedup (the restic/borgbackup/LBFS algorithm):
-    a chunk boundary falls wherever the rolling {_w}-gram's hash ≡ 0 mod
-    {_d}, so boundaries are a function of CONTENT, not position — inserting
-    bytes near the start of a payload shifts fixed-width chunk frames
-    everywhere (killing `multimodal_cas_chunk_dedup`-style dedup) but leaves
-    every boundary after the edit untouched, so downstream chunks still
-    dedup.  The whole chunker is higher-order array expressions inside one
-    projection (transform/filter over an in-row position sequence — never an
-    O(len) row explode carrying the payload), then one explode of the small
-    chunk list into the same hash-keyed savings aggregate as the fixed-width
-    variant.  Cost is linear in corpus bytes; expected chunk ≈ {_d} units.
+    a chunk boundary falls wherever the rolling {_w}-gram's polynomial hash
+    (base {_b}, mod 2^31-1) ≡ 0 mod {_d}, so boundaries are a function of
+    CONTENT, not position — inserting bytes near the start of a payload
+    shifts fixed-width chunk frames everywhere (killing
+    `multimodal_cas_chunk_dedup`-style dedup) but leaves every boundary
+    after the edit untouched, so downstream chunks still dedup.  The hash is
+    maintained by the true Rabin-style O(1)-per-byte rolling recurrence
+    h' = (h*B + enter - leave*B^W) mod M inside ONE `aggregate` fold over
+    the pre-split char array (element_at is O(1) random access; the md5-per-
+    position predecessor paid a W-byte hash PLUS an O(p) substring walk at
+    every position).  The oracle computes each window hash from the O(W)
+    definition, so cross-engine agreement proves the recurrence.  Then one
+    explode of the small chunk list into the same hash-keyed savings
+    aggregate as the fixed-width variant.  Cost is linear in corpus bytes
+    with an O(1) per-byte constant; expected chunk ≈ {_d} units.
     Shift-robustness is asserted in tests (prefix edit preserves the shared
     tail chunks)."""
     d = load_table(spark, sf_dir, "documents")
-    # CASE guard: Spark's sequence(1, 0) is the DESCENDING [1, 0] (not
-    # empty), which would hand the gram hash positions 7 and 8 on sub-width
-    # payloads and diverge from the oracle's empty RANGE — short payloads
-    # have no interior boundaries by definition
-    cut_expr = (
-        f"CASE WHEN length(text) < {_CDC_W} THEN cast(array() as array<int>) ELSE filter("
-        f"  transform(sequence(1, length(text) - {_CDC_W - 1}),"
-        f"            p -> p + {_CDC_W - 1}),"
-        f"  e -> conv(substring(md5(substring(text, e - {_CDC_W - 1}, {_CDC_W})), 1, 15), 16, 10)"
-        f"       % {_CDC_D} = 0"
-        f") END"
+    # newh is written twice (hash update + cut test) because SQL lambdas have
+    # no let-binding; it is O(1) either way and Catalyst CSEs the subtree.
+    newh = (
+        f"pmod(acc.h * {_CDC_B} + ascii(c) - IF(acc.p + 1 > {_CDC_W}, "
+        f"ascii(element_at(cs, acc.p + 1 - {_CDC_W})) * {_CDC_BW}L, 0L), {_CDC_M}L)"
     )
-    bounds = d.select(
+    cut_expr = (
+        f"aggregate(cs, "
+        f"named_struct('p', 0, 'h', cast(0 as bigint), 'ends', cast(array() as array<int>)), "
+        f"(acc, c) -> named_struct("
+        f"  'p', acc.p + 1, "
+        f"  'h', {newh}, "
+        f"  'ends', IF(acc.p + 1 >= {_CDC_W} AND pmod({newh}, {_CDC_D}) = 0, "
+        f"             concat(acc.ends, array(acc.p + 1)), acc.ends)), "
+        f"acc -> acc.ends)"
+    )
+    bounds = d.select("doc_id", "text", F.split("text", "").alias("cs")).select(
         "doc_id",
         "text",
         F.expr(
@@ -271,6 +289,8 @@ def multimodal_cdc_chunk_dedup(spark, sf_dir):
     )
 
 
-multimodal_cdc_chunk_dedup.__doc__ = multimodal_cdc_chunk_dedup.__doc__.replace(
-    "{_w}", str(_CDC_W)
-).replace("{_d}", str(_CDC_D))
+multimodal_cdc_chunk_dedup.__doc__ = (
+    multimodal_cdc_chunk_dedup.__doc__.replace("{_w}", str(_CDC_W))
+    .replace("{_d}", str(_CDC_D))
+    .replace("{_b}", str(_CDC_B))
+)
