@@ -1698,3 +1698,127 @@ def text_readability_scores(spark, sf_dir):
         - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
     )
     return m.select("doc_id", "n_words", "n_sentences", "n_syllables", flesch.alias("flesch"))
+
+
+# --------------------------------------------------------------------------- #
+# bpe_apply_encode — apply a trained BPE merge table to the corpus             #
+# --------------------------------------------------------------------------- #
+
+# The shipped tokenizer artifact: a RANKED merge list (the thing one BPE
+# training run — `bpe_merge_candidates` iterated — produces once, offline).
+# The list is topologically consistent (every compound merge's inputs are
+# produced only by lower ranks), which makes one exhaustive left-to-right
+# pass per rank equivalent to classic rescan-from-lowest-rank BPE
+# (Sennrich et al. ACL'16) — so the whole encoder is a static expression
+# chain, no iteration at apply time.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("a", "t"), ("s", "t"), ("e", "n"), ("o", "r"), ("a", "r"),
+    ("l", "e"), ("s", "c"), ("sc", "an"), ("t", "a"), ("ta", "b"),
+    ("tab", "le"), ("h", "a"), ("ha", "s"), ("has", "h"), ("w", "in"),
+    ("win", "d"), ("wind", "o"), ("windo", "w"), ("s", "o"), ("so", "r"),
+    ("sor", "t"), ("p", "ar"), ("par", "t"), ("v", "a"), ("va", "l"),
+    ("val", "u"), ("valu", "e"), ("r", "o"), ("ro", "w"), ("k", "e"),
+    ("ke", "y"), ("m", "er"), ("mer", "g"), ("merg", "e"), ("b", "at"),
+    ("bat", "c"), ("batc", "h"), ("f", "a"), ("fa", "st"), ("s", "l"),
+    ("sl", "o"), ("slo", "w"), ("s", "p"), ("sp", "ar"), ("spar", "k"),
+    ("l", "in"), ("lin", "e"), ("a", "g"), ("ag", "g"),
+]
+
+
+def _bpe_enc_spark(var: str) -> str:
+    """Expression producing the wrapped-token encoding of word `var` after
+    applying every merge in rank order.  Each token rides as '|t|', so a
+    merge (a,b) is the literal replace '|a||b|' -> '|ab|' — REPLACE's
+    left-to-right non-overlapping scan IS the greedy merge pass, and the
+    per-token double bar means adjacent matches never share a delimiter."""
+    e = f"regexp_replace({var}, '(.)', '|$1|')"
+    for a, b in _BPE_MERGES:
+        e = f"replace({e}, '|{a}||{b}|', '|{a}{b}|')"
+    return e
+
+
+def _bpe_enc_duckdb(var: str) -> str:
+    e = f"REGEXP_REPLACE({var}, '(.)', '|\\1|', 'g')"
+    for a, b in _BPE_MERGES:
+        e = f"REPLACE({e}, '|{a}||{b}|', '|{a}{b}|')"
+    return e
+
+
+def bpe_token_count_spark(word_var: str) -> str:
+    """Per-word BPE token count as a pure SQL expression (2 bars per token);
+    words containing the delimiter fall back to a single token."""
+    enc = _bpe_enc_spark(word_var)
+    return (
+        f"CASE WHEN {word_var} LIKE '%|%' THEN 1L "
+        f"ELSE (length({enc}) - length(replace({enc}, '|', ''))) div 2 END"
+    )
+
+
+def bpe_token_count_duckdb(word_var: str) -> str:
+    enc = _bpe_enc_duckdb(word_var)
+    return (
+        f"CASE WHEN {word_var} LIKE '%|%' THEN 1 "
+        f"ELSE (LENGTH({enc}) - LENGTH(REPLACE({enc}, '|', ''))) // 2 END"
+    )
+
+
+@register(
+    "bpe_apply_encode",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                           x -> x != '') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(w) AS BIGINT) AS ws_tokens,
+           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(w,
+                x -> {bpe_token_count_duckdb('x')})), 0) AS BIGINT) AS bpe_tokens,
+           CASE WHEN LEN(w) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(w,
+                     x -> {bpe_token_count_duckdb('x')})), 0) * 10000 // LEN(w) AS BIGINT)
+           END AS tpw_x10000
+    FROM words
+    """,
+)
+def bpe_apply_encode(spark, sf_dir):
+    """Tokenizer ENCODING at corpus scale: apply the shipped ranked BPE merge
+    table to every word and emit exact subword token counts per document —
+    the number every token-budget stage (`pack_token_budget`,
+    `corpus_range_shards`, `corpus_mixture_plan`) needs instead of the
+    whitespace approximation.  The encoder is a static chain of
+    {n_merges} literal `replace` calls over the '|t1||t2|' wrapped-token
+    string (see `_bpe_enc_spark`) evaluated in-row per word: a pure
+    zero-shuffle map pass, whole-stage-codegen JVM string ops, constant
+    work per token — exactly how a production tokenizer kernel runs, and
+    the plan that survives 100 TB (no distinct-vocab shuffle, nothing
+    keyed by corpus size).  The oracle runs the same replace chain in
+    DuckDB, so the rank-order/greedy-pass semantics are value-checked
+    cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = bpe_token_count_spark("w")
+    return d.select(
+        "doc_id",
+        F.expr(r"filter(split(trim(lower(text)), '\\s+'), x -> x != '')").alias("ws"),
+    ).select(
+        "doc_id",
+        F.size("ws").cast("long").alias("ws_tokens"),
+        F.expr(
+            f"aggregate(ws, cast(0 as bigint), (acc, w) -> acc + ({tok}))"
+        ).alias("bpe_tokens"),
+    ).select(
+        "doc_id",
+        "ws_tokens",
+        "bpe_tokens",
+        F.expr(
+            "CASE WHEN ws_tokens = 0 THEN cast(0 as bigint) "
+            "ELSE (bpe_tokens * 10000) div ws_tokens END"
+        ).alias("tpw_x10000"),
+    )
+
+
+bpe_apply_encode.__doc__ = bpe_apply_encode.__doc__.replace(
+    "{n_merges}", str(len(_BPE_MERGES))
+)

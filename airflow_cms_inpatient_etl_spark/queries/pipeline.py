@@ -635,3 +635,149 @@ def stratified_sample_exact_k(spark, sf_dir):
         .drop("hv")
         .select("doc_id", "lang", "source", "n_chars", "stratum_rank")
     )
+
+
+# --------------------------------------------------------------------------- #
+# corpus_curation_v6 — BPE-exact token budgets close the curation loop         #
+# --------------------------------------------------------------------------- #
+
+_V6_BUDGET = 2000       # BPE tokens per training shard
+_V6_MAX_TPW = 30000     # fertility gate: tokens-per-word x10000 <= 3.0
+_V6_MIN_WORDS = 8
+
+
+def _v6_oracle() -> str:
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        bpe_token_count_duckdb,
+    )
+
+    return f"""
+    WITH words AS (
+        SELECT doc_id, lang, text,
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                           x -> x != '') AS w
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id, lang, text,
+               CAST(LEN(w) AS BIGINT) AS ws_tokens,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(w,
+                    x -> {bpe_token_count_duckdb('x')})), 0) AS BIGINT) AS bpe_tokens
+        FROM words
+    ),
+    gated AS (
+        SELECT * FROM counted
+        WHERE ws_tokens >= {_V6_MIN_WORDS}
+          AND bpe_tokens * 10000 // ws_tokens <= {_V6_MAX_TPW}
+    ),
+    deduped AS (
+        SELECT doc_id, lang, bpe_tokens
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM gated)
+        WHERE rn = 1
+    ),
+    packed AS (
+        SELECT doc_id, lang,
+               CAST('0x' || SUBSTR(MD5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {PACK_BUCKETS} AS bucket,
+               bpe_tokens,
+               CAST(SUM(bpe_tokens) OVER (
+                    PARTITION BY lang,
+                    CAST('0x' || SUBSTR(MD5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % {PACK_BUCKETS}
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+        FROM deduped
+    )
+    SELECT lang, bucket, (cum_tokens - bpe_tokens) // {_V6_BUDGET} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS shard_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM packed
+    GROUP BY lang, bucket, shard
+    """
+
+
+@register("corpus_curation_v6", oracle=_v6_oracle())
+def corpus_curation_v6(spark, sf_dir):
+    """Curation v6 — the tokenizer-exact close of the pipeline: per-doc BPE
+    token counts (`bpe_apply_encode`'s zero-shuffle encoder) replace the
+    whitespace approximation everywhere downstream.  Stages: (1) fertility
+    gate — docs whose BPE tokens-per-word exceed {_mx}x10^-4 are gibberish
+    to this tokenizer and docs under {_mw} words carry no signal; (2) exact
+    dedup keeping the lowest doc_id per identical text (one window over the
+    text key — at 100 TB the key is md5(text), same shuffle); (3) greedy
+    packing of survivors into ~{_bd}-BPE-token shards inside (lang, md5
+    bucket) windows — `pack_token_budget`'s bounded-window machinery, now
+    fed exact counts; (4) the per-shard manifest a trainer consumes.
+    Every stage is a map or a single bounded-window shuffle; the encoder
+    itself adds zero shuffles, so v6 costs the same exchanges as v5's
+    packing close while shipping the number the trainer actually bills by.
+    Reference parity: the reference's ETL ships row counts only
+    (dags/patient_claims_plus_postgres.py:168-199) — token accounting is
+    the LLM-pipeline extension this engine adds."""
+    from pyspark.sql import Window as W
+
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        bpe_token_count_spark,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = bpe_token_count_spark("w")
+    counted = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(r"filter(split(trim(lower(text)), '\\s+'), x -> x != '')").alias("ws"),
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size("ws").cast("long").alias("ws_tokens"),
+        F.expr(f"aggregate(ws, cast(0 as bigint), (acc, w) -> acc + ({tok}))").alias(
+            "bpe_tokens"
+        ),
+    )
+    gated = counted.filter(
+        (F.col("ws_tokens") >= _V6_MIN_WORDS)
+        & (F.expr("(bpe_tokens * 10000) div ws_tokens") <= _V6_MAX_TPW)
+    )
+    dw = W.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "bpe_tokens")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    pw = (
+        W.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = deduped.withColumn("bucket", h % PACK_BUCKETS).withColumn(
+        "cum_tokens", F.sum("bpe_tokens").over(pw)
+    )
+    return (
+        packed.groupBy(
+            "lang",
+            "bucket",
+            F.expr(f"(cum_tokens - bpe_tokens) div {_V6_BUDGET}").alias("shard"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+corpus_curation_v6.__doc__ = (
+    corpus_curation_v6.__doc__.replace("{_mx}", str(_V6_MAX_TPW))
+    .replace("{_mw}", str(_V6_MIN_WORDS))
+    .replace("{_bd}", str(_V6_BUDGET))
+)

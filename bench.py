@@ -163,6 +163,10 @@ HEADLINE = [
     # sliding-window drain
     "snapshot_column_drift_profile",
     "streaming_sliding_window_live",
+    # round-7: the zero-shuffle BPE encoder (56-replace tokenizer kernel
+    # in-row) and its curation close (encode + dedup window + packing)
+    "bpe_apply_encode",
+    "corpus_curation_v6",
 ]
 
 

@@ -9,6 +9,10 @@ import pytest
 from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
 from tests.conftest import run_differential
 
+# the full sweep is the CI/round gate; the inner loop (-m "not slow") relies
+# on the targeted per-family tests instead and stays under ~5 min
+pytestmark = pytest.mark.slow
+
 _WITH_ORACLE = sorted(name for name, spec in QUERY_REGISTRY.items() if spec.oracle)
 _ROWS_ONLY = sorted(name for name, spec in QUERY_REGISTRY.items() if not spec.oracle)
 

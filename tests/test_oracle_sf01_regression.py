@@ -19,6 +19,9 @@ from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
 from airflow_cms_inpatient_etl_spark.sources.registry import TESTDATA_TABLES
 from tests.conftest import run_differential
 
+# sf0.1 inputs => minutes-scale; CI/round gate only, not the inner loop
+pytestmark = pytest.mark.slow
+
 SF_BENCH = "/root/testdata/sf0.1"
 
 _HAZARD_CLASS = [

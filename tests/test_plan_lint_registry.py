@@ -1,7 +1,8 @@
 """Repo-wide physical-plan lint: EVERY registered query's plan is swept for
 the two scale killers — non-broadcast cartesian products and Python
-evaluation stages — so a regression anywhere in the 119-query surface fails
-CI by name, not by a slow bench three rounds later.
+evaluation stages — so a regression anywhere in the registry (every entry is
+swept; the failure message reports the live count) fails CI by name, not by
+a slow bench three rounds later.
 
 Allowed Python stages are exactly the documented Arrow-batched multimodal
 decode paths (the image/audio libs are stubbed, but the mapInPandas plumbing
@@ -55,4 +56,7 @@ def test_no_cartesian_and_no_python_outside_whitelist(spark):
             violations.append(f"{name}: unexpected Python stage {arrow}")
         if name in _ARROW_WHITELIST and not arrow:
             violations.append(f"{name}: whitelist entry no longer uses Arrow — prune it")
-    assert not violations, "\n".join(violations)
+    assert not violations, (
+        f"plan lint over {len(QUERY_REGISTRY)} registered queries "
+        f"({len(_SKIP)} live-streaming skips):\n" + "\n".join(violations)
+    )

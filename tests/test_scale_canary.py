@@ -81,6 +81,11 @@ CANARY_QUERIES = [
     "multimodal_cdc_chunk_dedup",
     "events_rolling_active_users",
     "recsys_item_item_cosine",
+    # round-7: inverted-index BM25 (candidate volume must track query-term
+    # df, not corpus size) and the sharded exact global rank (per-shard
+    # windows must survive 10× and the output must stay a permutation)
+    "text_bm25_search",
+    "global_rank_via_sharding",
 ]
 
 
@@ -235,6 +240,46 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     # fixed-k output is scale-invariant while train + encode underneath are
     # 10× — the compressed-scan shape a RAM-resident code column needs
     assert got["sim_sq8_topk"] == base["sim_sq8_topk"]
+
+    # BM25: the per-replica letter translation de-words the English query
+    # terms, so only replica 0 can match — fixed-k output stays one K either
+    # way, and every hit must come from replica 0 (scoring never touched the
+    # 9× non-candidate corpus)
+    assert got["text_bm25_search"] == base["text_bm25_search"]
+    bm25_ids = [
+        r["doc_id"]
+        for r in QUERY_REGISTRY["text_bm25_search"].fn(spark, sf1_dir).collect()
+    ]
+    assert bm25_ids and all(i < 1_000_000 for i in bm25_ids), \
+        "BM25 hit a translated replica — candidate filter leaked"
+    # candidate volume entering the tf shuffle = query-term occurrences: at
+    # 10× corpus it must stay EQUAL (term df unchanged), not grow 10×
+    from airflow_cms_inpatient_etl_spark.queries.textops import _BM25_TERMS, _words
+
+    def _bm25_candidates(src):
+        return (
+            load_table(spark, src, "documents")
+            .select(F.explode(_words(F.col("text"))).alias("t"))
+            .filter(F.col("t").isin(*_BM25_TERMS))
+            .count()
+        )
+
+    assert _bm25_candidates(sf1_dir) == _bm25_candidates(SF_SRC), \
+        "BM25 candidate volume scaled with the corpus, not with term df"
+    # sharded global rank: 10× rows, and the output must stay the exact
+    # permutation 1..n (prefix offsets + per-shard windows still compose)
+    assert got["global_rank_via_sharding"] == 10 * base["global_rank_via_sharding"]
+    gr = QUERY_REGISTRY["global_rank_via_sharding"].fn(spark, sf1_dir)
+    plan = gr._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard_id" in plan, "per-shard window collapsed at 10×"
+    n = got["global_rank_via_sharding"]
+    stats_gr = gr.agg(
+        F.min("global_rank").alias("lo"),
+        F.max("global_rank").alias("hi"),
+        F.countDistinct("global_rank").alias("nd"),
+    ).collect()[0]
+    assert (stats_gr["lo"], stats_gr["hi"], stats_gr["nd"]) == (1, n, n), \
+        "sharded ranks are not a permutation of 1..n at 10×"
 
     # no driver-side materialization: counts() move no rows to Python, so the
     # Python driver's peak RSS must not grow meaningfully with 10× data
