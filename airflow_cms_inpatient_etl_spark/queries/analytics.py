@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from airflow_cms_inpatient_etl_spark.functions.exact import dec
 from airflow_cms_inpatient_etl_spark.operators.text import hash60
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
@@ -1822,3 +1823,145 @@ def bpe_apply_encode(spark, sf_dir):
 bpe_apply_encode.__doc__ = bpe_apply_encode.__doc__.replace(
     "{n_merges}", str(len(_BPE_MERGES))
 )
+
+
+# --------------------------------------------------------------------------- #
+# q4 / q14 / q19 shapes — the remaining classic TPC-H plan families            #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "q4_late_shipping_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipping_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to this schema: the fixture lineitem carries
+    shipdate, not commitdate — reference columns are the SynPUF-style subset,
+    see SURVEY.md §2): orders in a quarter having at least one line shipped
+    more than 30 days after order date, counted by priority.  The correlated
+    EXISTS plans as a LEFT SEMI join on the order key with the non-equi date
+    comparison as the join residual — one key-partitioned shuffle, no
+    decorrelation subquery re-scan, and the semi join short-circuits per
+    order (first matching line wins, no fan-out).  The date-window filter on
+    orders pushes to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    sem = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAY")),
+        "semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q14_promo_revenue_by_month",
+    oracle="""
+    SELECT DATE_TRUNC('month', l_shipdate) AS ship_month,
+           CAST(CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(19,4))
+                         * (1 - CAST(l_discount AS DECIMAL(8,4))) ELSE 0 END), 4)
+                AS DECIMAL(38,4)) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))), 4)
+                AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY DATE_TRUNC('month', l_shipdate)
+    """,
+)
+def q14_promo_revenue_by_month(spark, sf_dir):
+    """TPC-H Q14 shape: promo-vs-total revenue per ship month over a
+    lineitem⋈part join.  The part side is dimension-sized at any SF, so it
+    broadcasts (no fact shuffle for the join); the year filter pushes to the
+    lineitem scan; the month rollup then needs exactly one aggregation
+    exchange keyed by 12 months with map-side partials.  Revenue stays in
+    exact decimal until one final rescale-then-double cast (the q1
+    discipline — wide-scale decimal sums cross the 17-significant-digit
+    band where decimal→double rounding differs across engines).  The
+    promo/total RATIO is left to the reader of the manifest: emitting both
+    exact sums instead of their quotient sidesteps the cross-engine decimal
+    division scale rules entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    price = dec("l_extendedprice", scale=4, precision=19)
+    disc = dec("l_discount", scale=4, precision=8)
+    one = F.lit("1").cast("decimal(5,4)")
+    rev = price * (one - disc)
+    zero = F.lit("0").cast("decimal(28,8)")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        j.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("decimal(38,4)").cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                 * (1 - CAST(l_discount AS DECIMAL(8,4)))), 4)
+                AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 35)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: an OR-of-ANDs residual across BOTH join sides.  The
+    optimizer-relevant property: Catalyst factors the disjunction into
+    single-side implied filters (p_brand ∈ {…}, p_size ≤ 50, l_quantity
+    bounds) that PUSH DOWN below the join, so the fact scan prunes before
+    the broadcast probe and only the cross-side conjunctions remain as the
+    join residual.  Revenue follows the q1 exact-decimal discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    price = dec("l_extendedprice", scale=4, precision=19)
+    disc = dec("l_discount", scale=4, precision=8)
+    one = F.lit("1").cast("decimal(5,4)")
+    rev = price * (one - disc)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 30)
+           & (q >= 10) & (q <= 35))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(20, 50)
+           & (q >= 20) & (q <= 50))
+    )
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).filter(cond)
+    return j.agg(
+        F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
