@@ -1965,3 +1965,99 @@ def q19_disjunctive_predicates(spark, sf_dir):
         F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+_VOCAB_TOK_DDB = bpe_token_count_duckdb("x")
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, lang,
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                           x -> x != '') AS w
+        FROM documents
+    ),
+    perdoc AS (
+        SELECT lang,
+               CAST(LEN(w) AS BIGINT) AS n_words,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(w,
+                    x -> {_VOCAB_TOK_DDB})), 0) AS BIGINT) AS bpe_tokens,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(w,
+                    x -> CASE WHEN ({_VOCAB_TOK_DDB}) = 1 THEN 1 ELSE 0 END)), 0) AS BIGINT)
+                 AS single_tok
+        FROM words
+    ),
+    occ AS (
+        SELECT lang,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(single_tok) AS BIGINT) AS single_token_occ
+        FROM perdoc GROUP BY lang
+    ),
+    dv AS (
+        SELECT lang, CAST(COUNT(DISTINCT x) AS BIGINT) AS distinct_words
+        FROM words, UNNEST(w) AS t(x) GROUP BY lang
+    )
+    SELECT o.lang, o.n_words, dv.distinct_words, o.bpe_tokens, o.single_token_occ,
+           CASE WHEN o.n_words = 0 THEN 0
+                ELSE o.single_token_occ * 10000 // o.n_words END AS coverage_x10000,
+           CASE WHEN o.n_words = 0 THEN 0
+                ELSE o.bpe_tokens * 10000 // o.n_words END AS fertility_x10000
+    FROM occ o JOIN dv USING (lang)
+    """,
+)
+def tokenizer_vocab_coverage(spark, sf_dir):
+    """Tokenizer fit report per language — the first thing to inspect before
+    committing a tokenizer to a corpus: what fraction of word occurrences
+    the merge table covers as a SINGLE token, and the fertility
+    (tokens-per-word) the trainer will pay per language.  A language with
+    low coverage / high fertility is under-served by the merge table (the
+    classic multilingual-tokenizer imbalance, cf. the fertility analyses
+    in the BLOOM/XGLM tokenizer reports).  Plan: occurrence stats are
+    computed per-doc IN-ROW (the `bpe_apply_encode` fold — zero explode,
+    zero shuffle) then one tiny groupBy(lang); only the distinct-word
+    count needs a word-level explode, and that one shuffles (lang, word)
+    pairs bounded by vocabulary, not corpus, after the map-side distinct."""
+    tok = bpe_token_count_spark("x")
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang",
+        F.expr(r"filter(split(trim(lower(text)), '\\s+'), x -> x != '')").alias("w"),
+    )
+    perdoc = words.select(
+        "lang",
+        F.size("w").cast("long").alias("n_words"),
+        F.expr(
+            f"aggregate(w, cast(0 as bigint), (acc, x) -> acc + ({tok}))"
+        ).alias("bpe_tokens"),
+        F.expr(
+            f"aggregate(w, cast(0 as bigint), (acc, x) -> acc + IF(({tok}) = 1, 1L, 0L))"
+        ).alias("single_tok"),
+    )
+    occ = perdoc.groupBy("lang").agg(
+        F.sum("n_words").alias("n_words"),
+        F.sum("bpe_tokens").alias("bpe_tokens"),
+        F.sum("single_tok").alias("single_token_occ"),
+    )
+    dv = (
+        words.select("lang", F.explode("w").alias("x"))
+        .groupBy("lang")
+        .agg(F.countDistinct("x").alias("distinct_words"))
+    )
+    return occ.join(dv, "lang").select(
+        "lang",
+        "n_words",
+        "distinct_words",
+        "bpe_tokens",
+        "single_token_occ",
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0L ELSE (single_token_occ * 10000) div n_words END"
+        ).alias("coverage_x10000"),
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0L ELSE (bpe_tokens * 10000) div n_words END"
+        ).alias("fertility_x10000"),
+    )
+
+

@@ -7,6 +7,7 @@ md5-based hashes, same shingling), so even the LSH pipelines are value-checked
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.operators.dedup import (
@@ -530,3 +531,102 @@ def dedup_simhash_hamming(spark, sf_dir):
         "id2",
         F.bit_count(F.expr("f1 ^ f2")).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= _HAM_T)
+
+
+# --------------------------------------------------------------------------- #
+# dedup_cluster_canonical — the production close of near-dup dedup:            #
+# LSH pairs -> connected components -> one canonical survivor per cluster      #
+# --------------------------------------------------------------------------- #
+
+_MINHASH_PAIR_CTES = f"""
+    sigs AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"MIN(({a} * (h % {MINHASH_DOMAIN}) + {b}) % {MINHASH_MOD}) AS sig{j}"
+                   for j, (a, b) in enumerate(MINHASH_PERMS[:8])
+               )}
+        FROM ex GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id,
+               MD5(CONCAT_WS(',', sig0, sig1, sig2, sig3)) AS band0,
+               MD5(CONCAT_WS(',', sig4, sig5, sig6, sig7)) AS band1
+        FROM sigs
+    ),
+    stacked AS (
+        SELECT doc_id, UNNEST(['0#' || band0, '1#' || band1]) AS bucket FROM banded
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_PAIR_CTES}, {_JACCARD_CTES},
+    pairs AS (
+        SELECT j.id1, j.id2 FROM jac j JOIN cand USING (id1, id2)
+        WHERE j.jaccard >= 0.7
+    ),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION SELECT id2, id1 FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    lab AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    ),
+    sized AS (
+        SELECT l.doc_id, l.cluster_id, d.n_chars,
+               COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY d.n_chars DESC, l.doc_id) AS rn
+        FROM lab l JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           rn = 1 AS is_canonical
+    FROM sized
+    """,
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    """The production CLOSE of near-dup dedup: the pair families
+    (`dedup_minhash_lsh` and friends) emit verified near-dup PAIRS, but a
+    pipeline must decide which documents to keep — and pairwise greedy
+    drops are order-dependent and break on chains (A~B, B~C, A≁C).  This
+    query makes the decision transitively: verified LSH pairs → connected
+    components (large-star/small-star, `operators/graph.py:117` — the same
+    O(log n)-round labeling FineWeb-style dedup runs) → per cluster keep
+    the longest document, ties to the lowest doc_id.  Output is one row
+    per CLUSTERED doc (singletons never enter the pair list, keeping
+    output ∝ duplicate mass, not corpus size).  Scale: pair generation is
+    the banded/capped LSH path; CC shuffles O(edges) per round for
+    ceil(log2 n) rounds; the canonical window partitions by cluster —
+    cluster sizes are bounded by dup-community size, never corpus size.
+    The oracle re-derives identical pairs, closes them with a recursive
+    CTE, and picks the same canonicals — transitivity value-checked
+    cross-engine."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.7)
+    labels = connected_components(pairs.select("id1", "id2"))
+    meta = d.select(F.col("doc_id"), "n_chars")
+    clustered = labels.join(meta, labels["node"] == meta["doc_id"]).select(
+        "doc_id", F.col("label").alias("cluster_id"), "n_chars"
+    )
+    cw = W.partitionBy("cluster_id")
+    rw = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(cw).alias("cluster_size"),
+        (F.row_number().over(rw) == 1).alias("is_canonical"),
+    )
