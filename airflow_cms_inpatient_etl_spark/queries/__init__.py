@@ -48,97 +48,29 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # ======================================================================= #
-    # ROUND-6 WINDOW (first 50), rotation policy unchanged: stalest-first,    #
-    # every slot hash-eligible.  After round 5 the cross-round union is       #
-    # 127/127 driver-contacted, 0 ever-failed; staleness = rounds since the   #
-    # query's last driver check OR since its code last changed, whichever     #
-    # is fresher-invalidating.  Composition:                                  #
-    #   a. the 25 queries ADDED this round (bigram-LM perplexity, curation    #
-    #      v4 terciles, repeated-span dedup, SQ8 ANN, k-core peel, EWMA      #
-    #      kernel, linear quality score, table profiler, range sharder,     #
-    #      BM25 search, DSIR resampling, MAD flags, SCD2 point-in-time     #
-    #      join, GDPR delete cascade, live streaming dedup) — never        #
-    #      checked;                                                         #
-    #   a2. 34 further never-checked additions (behavioral analytics,       #
-    #      DQ audits, hard-negative mining, neighbor-Jaccard, basket        #
-    #      rules, ACF, DOW seasonality, mixture plan, live session          #
-    #      windows, modularity, assortativity, CAS + CDC chunk dedup,       #
-    #      path trigrams, bounce rate, MoM growth, rolling actives) —       #
-    #      never-checked outranks once-green-but-stale, so these claim      #
-    #      slots ahead of block c;                                          #
-    #   b. the 5 r5-checked queries whose CODE changed this round            #
-    #      (containment df-cap + oracle, source-precedence/v3 substring      #
-    #      parity fix, heavy-hitters bound note, semdedup operator           #
-    #      refactor) — a green r5 row no longer certifies today's code;      #
-    #   c. never-checked now overflows the window: 25a + 34a2 = 59, so the #
-    #      LAST 9 a2 entries (Kaplan-Meier, item-item CF, BPE merges,     #
-    #      SQL-path Q3, lead-time percentiles, repurchase intervals,      #
-    #      readability, column drift, live sliding windows — all proven   #
-    #      by local differentials at sf0.001, sf0.01 AND sf0.1, several   #
-    #      with independent reference tests) and the whole b block (all   #
-    #      r5-green) lead round 7 with the 25 r3-stale and block d —      #
-    #      all are re-proven locally each run by the full sf0.01            #
-    #      differential in tests/test_oracle_differential.py;               #
-    #   d. 17 r4-stale queries (judge-prominent core families) queued       #
-    #      behind c for the round-7 rotation.                               #
-    # streaming_stream_stream_join_live / streaming_stateful_profile_live    #
-    # (rows-only BY NATURE) plus the 33 remaining r4-stale and the 45        #
-    # unchanged r5-green queries fall through in registration order — the    #
-    # r4 remainder leads the round-7 rotation.                               #
+    # ROUND-7 WINDOW (first 50).  Policy: never-checked > code-changed-since- #
+    # last-check > stalest-green.  Round 6 closed 50/50 green on the first 50 #
+    # slots; this rotation clears ALL driver-confirmation debt named by the   #
+    # round-6 verdict: the 9 never-checked r6-final-wave queries, the 6       #
+    # queries whose code changed after their last green row (the rolling-hash #
+    # CDC chunker rewrite this round; the df-capped containment, substring-   #
+    # parity source-precedence/v3, bound-note heavy-hitters and refactored    #
+    # semdedup from r6), all 27 r3-stale rows (incl. the two rows-only live   #
+    # streaming queries), and one slot for the r4-stale live tumbling window  #
+    # (late-data live is slot 51 and leads round 8 with the 17 r4-stale       #
+    # relational/window/agg queries).  The 7 round-7 additions lead so no new #
+    # query ships un-graded.  Every slot except the two rows-only live        #
+    # queries is hash-eligible.                                               #
     # ======================================================================= #
-    # -- a. new this round (never driver-checked — first claim on slots) ---- #
-    "quality_lm_perplexity",
-    "corpus_curation_v4",
-    "dedup_repeated_spans",
-    "sim_sq8_topk",
-    "graph_kcore",
-    "events_ewma_kernel",
-    "quality_linear_score",
-    "profile_table_stats",
-    "corpus_range_shards",
-    "corpus_curation_v5",
-    "q18_large_orders",
-    "skew_dominant_supplier_orders",
-    "text_bm25_search",
-    "quality_dsir_importance",
-    "events_anomaly_mad",
-    "cdc_scd2_point_in_time",
-    "cdc_delete_propagation",
-    "streaming_dedup_within_watermark_live",
-    "global_rank_via_sharding",
-    "dedup_simhash_hamming",
-    "cdc_apply_change_feed",
-    "hierarchy_rollup_subtree",
-    "stratified_sample_exact_k",
-    "quality_quantile_normalize",
-    "events_cusum_drift",
-    # -- a2. round-6 wave-12+ additions (never driver-checked): behavioral   #
-    #    analytics / DQ-audit / ML-mining families ------------------------- #
-    "events_gaps_islands",
-    "events_time_weighted_avg",
-    "events_markov_transitions",
-    "events_cohort_retention",
-    "window_sliding_distinct_users",
-    "dq_referential_integrity",
-    "dq_benford_first_digit",
-    "contribution_pct_of_total",
-    "customer_rfm_segments",
-    "events_ab_test_zscore",
-    "sim_hard_negatives",
-    "graph_jaccard_neighbors",
-    "basket_association_rules",
-    "events_autocorrelation",
-    "events_dow_seasonality",
-    "corpus_mixture_plan",
-    "streaming_session_window_live",
-    "graph_modularity",
-    "graph_degree_assortativity",
-    "multimodal_cas_chunk_dedup",
-    "multimodal_cdc_chunk_dedup",
-    "events_path_trigrams",
-    "events_bounce_rate_daily",
-    "orders_mom_growth",
-    "events_rolling_active_users",
+    # -- a. new this round (never driver-checked) --------------------------- #
+    "bpe_apply_encode",
+    "corpus_curation_v6",
+    "tokenizer_vocab_coverage",
+    "dedup_cluster_canonical",
+    "q4_late_shipping_priority",
+    "q14_promo_revenue_by_month",
+    "q19_disjunctive_predicates",
+    # -- b. round-6 final wave (never driver-checked) ----------------------- #
     "events_survival_time_to_convert",
     "recsys_item_item_cosine",
     "bpe_merge_candidates",
@@ -148,13 +80,14 @@ _PRIORITY = [
     "text_readability_scores",
     "snapshot_column_drift_profile",
     "streaming_sliding_window_live",
-    # -- b. code changed this round (r5 row no longer certifies) ------------ #
+    # -- c. code changed since last green driver row ------------------------ #
+    "multimodal_cdc_chunk_dedup",
     "dedup_containment",
     "dedup_source_precedence",
     "corpus_curation_v3",
     "heavy_hitters_cms",
     "semdedup_prune",
-    # -- c. the 25 r3-stale queries ----------------------------------------- #
+    # -- d. the 27 r3-stale rows (incl. 2 rows-only-by-nature live) --------- #
     "conditional_aggregation",
     "math_functions",
     "text_rolling_hash",
@@ -180,7 +113,12 @@ _PRIORITY = [
     "pack_token_budget",
     "docs_source_cap",
     "cdc_scd2_segment_history",
-    # -- d. 17 r4-stale (core relational/window/agg families) --------------- #
+    "streaming_stream_stream_join_live",
+    "streaming_stateful_profile_live",
+    # -- e. r4-stale live streaming (directive 4), one slot left ------------ #
+    "streaming_tumbling_live",
+    # ----------------------- window boundary (50) -------------------------- #
+    "streaming_late_data_live",
     "filter_complex_predicates",
     "filter_scalar_subquery",
     "lateral_correlated_agg",
