@@ -70,6 +70,8 @@ _PRIORITY = [
     "q4_late_shipping_priority",
     "q14_promo_revenue_by_month",
     "q19_disjunctive_predicates",
+    "events_funnel_steps",
+    "corpus_datacard",
     # -- b. round-6 final wave (never driver-checked) ----------------------- #
     "events_survival_time_to_convert",
     "recsys_item_item_cosine",
@@ -87,9 +89,10 @@ _PRIORITY = [
     "corpus_curation_v3",
     "heavy_hitters_cms",
     "semdedup_prune",
-    # -- d. the 27 r3-stale rows (incl. 2 rows-only-by-nature live) --------- #
-    "conditional_aggregation",
-    "math_functions",
+    # -- d. 25 of the 27 r3-stale rows (conditional_aggregation and
+    #    math_functions — zero shared-helper exposure, re-proven by every
+    #    local differential — yield their slots to the two newest round-7
+    #    queries and lead round 8) (incl. 2 rows-only-by-nature live) --------- #
     "text_rolling_hash",
     "split_train_test_hash",
     "cdc_upsert_orders",
@@ -119,6 +122,8 @@ _PRIORITY = [
     "streaming_tumbling_live",
     # ----------------------- window boundary (50) -------------------------- #
     "streaming_late_data_live",
+    "conditional_aggregation",
+    "math_functions",
     "filter_complex_predicates",
     "filter_scalar_subquery",
     "lateral_correlated_agg",

@@ -2061,3 +2061,210 @@ def tokenizer_vocab_coverage(spark, sf_dir):
     )
 
 
+
+
+# --------------------------------------------------------------------------- #
+# events_funnel_steps — ordered view -> click -> purchase conversion funnel    #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH e AS (SELECT user_id, EPOCH_US(ts) AS us, event_type FROM events),
+    s1 AS (
+        SELECT user_id,
+               MIN(us) FILTER (WHERE event_type = 'view') AS t1
+        FROM e GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN event_type = 'click' AND us > t1 AND us <= t1 + 86400000000 THEN us END) AS t2
+        FROM e JOIN s1 USING (user_id) GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN event_type = 'purchase' AND us > t2 AND us <= t2 + 86400000000 THEN us END) AS t3
+        FROM e JOIN s2 USING (user_id) GROUP BY e.user_id
+    ),
+    f AS (
+        SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+               CAST(COUNT(t2) AS BIGINT) AS n2,
+               CAST(COUNT(t3) AS BIGINT) AS n3
+        FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+    )
+    SELECT 1 AS step_no, 'view' AS step, n1 AS n_users,
+           CAST(10000 AS BIGINT) AS conv_from_prev_x10000 FROM f
+    UNION ALL
+    SELECT 2, 'click', n2,
+           CASE WHEN n1 = 0 THEN 0 ELSE n2 * 10000 // n1 END FROM f
+    UNION ALL
+    SELECT 3, 'purchase', n3,
+           CASE WHEN n2 = 0 THEN 0 ELSE n3 * 10000 // n2 END FROM f
+    """,
+)
+def events_funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): a user reaches
+    step k only via events in strict timestamp order AND within 24 h of the
+    previous step (epoch-microsecond arithmetic), so a purchase BEFORE the
+    first qualifying click — or a week after it — never counts — the semantics product
+    analytics tools call a 'strict-order funnel'.  Earliest-greedy is
+    optimal (taking the earliest view, then the earliest later click, …
+    reaches every step any witness sequence could), so three stacked
+    per-user window minima compute it exactly: t1 = min view time,
+    t2 = min click after t1, t3 = min purchase after t2.  All three
+    Window nodes share ONE user-keyed exchange (same partitioning, no
+    re-shuffle — plan-asserted in tests), the per-user reduction rides
+    the same keys, and the final 3-row summary is a driver-sized
+    aggregate.  Comparisons run in epoch microseconds (timestamp
+    DATEDIFF semantics diverge cross-engine).  The oracle derives the
+    same times relationally (three dependent aggregate CTEs), so the
+    window formulation is value-checked against the set-based
+    definition."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    w = W.partitionBy("user_id")
+    d1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    )
+    d2 = d1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") > F.col("t1"))
+                & (F.col("us") <= F.col("t1") + 86400000000),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    d3 = d2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") > F.col("t2"))
+                & (F.col("us") <= F.col("t2") + 86400000000),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    per_user = d3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    f = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    return f.select(
+        F.explode(
+            F.expr(
+                "array("
+                "  named_struct('step_no', 1, 'step', 'view', 'n_users', n1,"
+                "               'conv_from_prev_x10000', cast(10000 as bigint)),"
+                "  named_struct('step_no', 2, 'step', 'click', 'n_users', n2,"
+                "               'conv_from_prev_x10000',"
+                "               CASE WHEN n1 = 0 THEN 0L ELSE (n2 * 10000) div n1 END),"
+                "  named_struct('step_no', 3, 'step', 'purchase', 'n_users', n3,"
+                "               'conv_from_prev_x10000',"
+                "               CASE WHEN n2 = 0 THEN 0L ELSE (n3 * 10000) div n2 END))"
+            )
+        ).alias("r")
+    ).select("r.step_no", "r.step", "r.n_users", "r.conv_from_prev_x10000")
+
+
+# --------------------------------------------------------------------------- #
+# corpus_datacard — the per-source data card a corpus release ships with       #
+# --------------------------------------------------------------------------- #
+
+_DATACARD_ORACLE = f"""
+    WITH enc AS (
+        SELECT doc_id, source, lang, MD5(text) AS tkey,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(
+                    LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                                x -> x != ''),
+                    x -> {_VOCAB_TOK_DDB})), 0) AS BIGINT) AS bpe_tokens
+        FROM documents
+    ),
+    dupc AS (SELECT tkey, COUNT(*) AS n_copies FROM enc GROUP BY tkey),
+    flagged AS (
+        SELECT source, lang, bpe_tokens,
+               CASE WHEN n_copies > 1 THEN 1 ELSE 0 END AS is_dup
+        FROM enc JOIN dupc USING (tkey)
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(is_dup) AS BIGINT) AS dup_docs
+        FROM flagged GROUP BY source
+    ),
+    total AS (SELECT CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens FROM per_source)
+    SELECT source, n_docs, n_langs, bpe_tokens, dup_docs,
+           dup_docs * 10000 // n_docs AS dup_pct_x10000,
+           bpe_tokens * 10000 // n_docs AS mean_doc_tokens_x10000,
+           CASE WHEN total_tokens = 0 THEN 0
+                ELSE bpe_tokens * 10000 // total_tokens END AS token_share_x10000
+    FROM per_source CROSS JOIN total
+"""
+
+
+@register(
+    "corpus_datacard",
+    oracle=_DATACARD_ORACLE,
+)
+def corpus_datacard(spark, sf_dir):
+    """The data card every corpus release ships: per source — document count,
+    language breadth, exact-duplicate mass, BPE token mass, mean document
+    length in tokens, and the source's share of total corpus tokens.  One
+    composition over three families (tokenizer encode, exact dedup,
+    manifest aggregation).  Plan: token counts are the in-row zero-shuffle
+    fold; duplicate detection groups by md5(text) (64-hex key, never the
+    payload) and joins back on the same key; the per-source rollup is one
+    aggregation over |sources| keys; the corpus total is a 1-row broadcast.
+    Shuffles: the dup-key exchange pair + one source-keyed aggregate —
+    all fact-proportional, none quadratic."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        bpe_token_count_spark,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = bpe_token_count_spark("x")
+    enc = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("tkey"),
+        F.expr(
+            f"aggregate(filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''), "
+            f"cast(0 as bigint), (acc, x) -> acc + ({tok}))"
+        ).alias("bpe_tokens"),
+    )
+    dupc = enc.groupBy("tkey").agg(F.count(F.lit(1)).alias("n_copies"))
+    flagged = enc.join(dupc, "tkey").select(
+        "source",
+        "lang",
+        "bpe_tokens",
+        (F.col("n_copies") > 1).cast("int").alias("is_dup"),
+    )
+    per_source = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("bpe_tokens").alias("bpe_tokens"),
+        F.sum("is_dup").cast("long").alias("dup_docs"),
+    )
+    total = per_source.agg(F.sum("bpe_tokens").alias("total_tokens"))
+    return per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "bpe_tokens",
+        "dup_docs",
+        F.expr("(dup_docs * 10000) div n_docs").alias("dup_pct_x10000"),
+        F.expr("(bpe_tokens * 10000) div n_docs").alias("mean_doc_tokens_x10000"),
+        F.expr(
+            "CASE WHEN total_tokens = 0 THEN 0L "
+            "ELSE (bpe_tokens * 10000) div total_tokens END"
+        ).alias("token_share_x10000"),
+    )

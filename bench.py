@@ -167,6 +167,16 @@ HEADLINE = [
     # in-row) and its curation close (encode + dedup window + packing)
     "bpe_apply_encode",
     "corpus_curation_v6",
+    # round-7 wave 2: the LSH->connected-components dedup close, the
+    # vocabulary-bounded tokenizer fit report, the classic TPC-H plan
+    # families, the strict-order windowed funnel, and the data card
+    "dedup_cluster_canonical",
+    "tokenizer_vocab_coverage",
+    "q4_late_shipping_priority",
+    "q14_promo_revenue_by_month",
+    "q19_disjunctive_predicates",
+    "events_funnel_steps",
+    "corpus_datacard",
 ]
 
 

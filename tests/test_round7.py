@@ -228,3 +228,118 @@ def test_cdc_rolling_recurrence_matches_direct_definition(spark):
             .collect()[0]["ends"]
         )
         assert got == rolling, s
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 2: cluster canonical, funnel, datacard, TPC-H plan families
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_canonical_transitive_chain(spark, tmp_path):
+    """A near-dup CHAIN (A~B, B~C, A!~C) must land in ONE cluster with ONE
+    canonical — the case pairwise-greedy dedup breaks on."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    words = base.split()
+    mid = words[:]; mid[-1] = "changed"               # ~A
+    far = mid[:]; far[0] = "mutated"                  # ~mid, further from A
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 99],
+            "text": [" ".join(words), " ".join(mid), " ".join(far), "totally different content here"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(" ".join(words)), len(" ".join(mid)), len(" ".join(far)), 30],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = QUERY_REGISTRY["dedup_cluster_canonical"].fn(spark, str(tmp_path)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 99 not in by_id, "singleton must not enter the cluster output"
+    assert len(out) >= 2
+    clusters = {r["cluster_id"] for r in out}
+    assert len(clusters) == 1, "chain must close transitively into one cluster"
+    canon = [r for r in out if r["is_canonical"]]
+    assert len(canon) == 1
+    sizes = {r["cluster_size"] for r in out}
+    assert sizes == {len(out)}
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    """The three stacked per-user window minima must reuse a single user-keyed
+    exchange — a funnel that re-shuffles per step triples the dominant cost."""
+    df = QUERY_REGISTRY["events_funnel_steps"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_user_exchanges = plan.count("hashpartitioning(user_id")
+    assert n_user_exchanges <= 1, plan[:2000]
+    rows = {r["step"]: r for r in df.collect()}
+    assert rows["view"]["n_users"] >= rows["click"]["n_users"] >= rows["purchase"]["n_users"]
+    assert rows["view"]["conv_from_prev_x10000"] == 10000
+
+
+def test_funnel_strict_order_and_window(spark, tmp_path):
+    """purchase before the click, or outside the 24 h window, never counts."""
+    import pandas as pd
+
+    rows = [
+        # u1: clean in-order funnel within windows
+        (1, "2024-01-01 00:00:00", 10, "view"),
+        (2, "2024-01-01 01:00:00", 10, "click"),
+        (3, "2024-01-01 02:00:00", 10, "purchase"),
+        # u2: purchase BEFORE click -> stops at click
+        (4, "2024-01-01 00:00:00", 20, "view"),
+        (5, "2024-01-01 02:00:00", 20, "purchase"),
+        (6, "2024-01-01 03:00:00", 20, "click"),
+        # u3: click 25h after view -> stops at view
+        (7, "2024-01-01 00:00:00", 30, "view"),
+        (8, "2024-01-02 01:00:00", 30, "click"),
+        (9, "2024-01-02 02:00:00", 30, "purchase"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["step"]: r["n_users"] for r in QUERY_REGISTRY["events_funnel_steps"].fn(spark, str(tmp_path)).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_datacard_shares_sum_to_whole(spark):
+    import pandas as pd
+
+    df = QUERY_REGISTRY["corpus_datacard"].fn(spark, SF_ORACLE).toPandas()
+    assert (df["dup_pct_x10000"] <= 10000).all()
+    # integer floor division: shares sum to <= 10000 and within n_sources of it
+    assert 10000 - len(df) <= df["token_share_x10000"].sum() <= 10000
+    assert (df["n_docs"] > 0).all() and (df["bpe_tokens"] > 0).all()
+
+
+def test_q19_pushes_factored_predicates_to_both_scans(spark):
+    df = QUERY_REGISTRY["q19_disjunctive_predicates"].fn(spark, SF_ORACLE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in pushed), "lineitem side lost its implied filter"
+    assert any("p_brand" in l for l in pushed), "part side lost its implied filter"
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_no_fanout(spark):
+    """LEFT SEMI: an order with many late lines appears once."""
+    df = QUERY_REGISTRY["q4_late_shipping_priority"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    total = sum(r["order_count"] for r in df.collect())
+    import duckdb
+
+    n_orders = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_ORACLE}/orders.parquet' "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'"
+    ).fetchone()[0]
+    assert total <= n_orders
