@@ -74,6 +74,11 @@ _HAZARD_CLASS = [
     "corpus_mixture_plan",
     "graph_modularity",
     "basket_association_rules",
+    # round-7: wide decimal sums rescaled before the double cast (promo ratio,
+    # disjunctive revenue) and the events Markov double ratio's new sibling —
+    # all cleared sf0.1 on landing; this pins them
+    "q14_promo_revenue_by_month",
+    "q19_disjunctive_predicates",
 ]
 
 _NAMES = (
