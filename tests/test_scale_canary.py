@@ -86,6 +86,10 @@ CANARY_QUERIES = [
     # windows must survive 10× and the output must stay a permutation)
     "text_bm25_search",
     "global_rank_via_sharding",
+    # round-7 wave 2: the 56-replace BPE encoder at 10× corpus bytes and the
+    # datacard's md5-keyed dup join (replica texts are never cross-replica
+    # dups, so dup mass must scale exactly linearly)
+    "corpus_datacard",
 ]
 
 
@@ -240,6 +244,17 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     # fixed-k output is scale-invariant while train + encode underneath are
     # 10× — the compressed-scan shape a RAM-resident code column needs
     assert got["sim_sq8_topk"] == base["sim_sq8_topk"]
+
+    # datacard: sources and languages are replica-invariant, every in-replica
+    # exact dup stays a dup under translation and replicas never collide, so
+    # docs and dup mass scale EXACTLY 10× while n_langs is constant
+    dc10 = {r["source"]: r for r in QUERY_REGISTRY["corpus_datacard"].fn(spark, sf1_dir).collect()}
+    dc01 = {r["source"]: r for r in QUERY_REGISTRY["corpus_datacard"].fn(spark, SF_SRC).collect()}
+    assert set(dc10) == set(dc01)
+    for src, r in dc01.items():
+        assert dc10[src]["n_docs"] == 10 * r["n_docs"], src
+        assert dc10[src]["dup_docs"] == 10 * r["dup_docs"], src
+        assert dc10[src]["n_langs"] == r["n_langs"], src
 
     # BM25: the per-replica letter translation de-words the English query
     # terms, so only replica 0 can match — fixed-k output stays one K either
