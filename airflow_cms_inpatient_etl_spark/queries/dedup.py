@@ -616,7 +616,10 @@ def dedup_cluster_canonical(spark, sf_dir):
     from airflow_cms_inpatient_etl_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.7)
+    # persist the verified pairs: connected_components snapshots nodes AND
+    # edges from its input, which would otherwise run the whole MinHash
+    # pipeline twice (measured ~2 s of the query's cost at sf0.1)
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.7).persist()
     labels = connected_components(pairs.select("id1", "id2"))
     meta = d.select(F.col("doc_id"), "n_chars")
     clustered = labels.join(meta, labels["node"] == meta["doc_id"]).select(

@@ -742,8 +742,11 @@ def corpus_curation_v6(spark, sf_dir):
     gated = counted.filter(
         (F.col("ws_tokens") >= _V6_MIN_WORDS)
         & (F.expr("(bpe_tokens * 10000) div ws_tokens") <= _V6_MAX_TPW)
-    )
-    dw = W.partitionBy("text").orderBy("doc_id")
+    ).select("doc_id", "lang", "bpe_tokens", F.md5(F.col("text").cast("binary")).alias("tkey"))
+    # dedup partitions on the 32-hex md5 key, never the payload: the corpus
+    # text stays OUT of the exchange and the window sort compares fixed-width
+    # keys (the docstring's 100 TB contract, now also the measured plan)
+    dw = W.partitionBy("tkey").orderBy("doc_id")
     deduped = (
         gated.withColumn("rn", F.row_number().over(dw))
         .filter(F.col("rn") == 1)
