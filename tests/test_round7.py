@@ -343,3 +343,46 @@ def test_q4_semi_join_no_fanout(spark):
         "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'"
     ).fetchone()[0]
     assert total <= n_orders
+
+
+# ---------------------------------------------------------------------------
+# round-7 plan pins for the optimized heavy entries
+# ---------------------------------------------------------------------------
+
+
+def test_v6_dedup_window_partitions_by_md5_key_not_text(spark):
+    plan = (
+        QUERY_REGISTRY["corpus_curation_v6"]
+        .fn(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(tkey" in plan, "dedup window lost its md5 key"
+    assert "hashpartitioning(text" not in plan, "corpus text entered an exchange"
+
+
+def test_datacard_dup_count_is_one_window_not_join(spark):
+    df = QUERY_REGISTRY["corpus_datacard"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(tkey") == 1
+    # the only join left is the 1-row broadcast of the corpus total
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_vocab_coverage_single_chain_transform(spark):
+    """The 56-replace chain must ride ONE transform feeding both folds — two
+    independent folds re-run the chain per word (measured 2.1x)."""
+    opt = (
+        QUERY_REGISTRY["tokenizer_vocab_coverage"]
+        .fn(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # each chain instance mentions the (t,h) merge's '|th|' replacement twice
+    # (as replacement text and inside the '|th||e|' pattern); runtime CSE
+    # dedupes identical subtrees, so the cap guards against a rewrite into
+    # DIFFERENT lambda bodies, which CSE cannot merge
+    assert opt.count("'|t||h|'") <= 2, "chain duplicated into non-identical folds"
