@@ -146,3 +146,76 @@ def test_change_feed_matches_sequential_dict_replay(spark, snap, ops):
     )
     got = {r["k"]: r["v"] for r in apply_change_feed(snap_df, ch_df, ["k"]).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# round-7 kernels: the BPE replace-chain encoder and the Rabin rolling hash
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=14),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_replace_chain_equals_classic_bpe_on_random_words(spark, words):
+    """The static replace-chain encoder must agree with the classic
+    rescan-from-lowest-rank BPE algorithm on ARBITRARY lowercase words, not
+    just fixture vocabulary — the topological-consistency argument holds for
+    any input or it holds for none."""
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        _BPE_MERGES,
+        bpe_token_count_spark,
+    )
+    from tests.test_round7 import _ref_bpe
+
+    rows = (
+        spark.createDataFrame([(w,) for w in set(words)], ["w"])
+        .select("w", F.expr(bpe_token_count_spark("w")).alias("n"))
+        .collect()
+    )
+    for r in rows:
+        assert r["n"] == len(_ref_bpe(r["w"], _BPE_MERGES)), r["w"]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.text(alphabet="abcdefgh xyz.,", min_size=0, max_size=300))
+def test_cdc_rolling_hash_cuts_match_reference_on_random_text(spark, s):
+    """The engine's O(1) rolling-recurrence cut positions must equal a
+    host-language implementation of the window-hash DEFINITION for arbitrary
+    payloads (incl. empty and sub-width strings)."""
+    from airflow_cms_inpatient_etl_spark.queries.multimodal import (
+        _CDC_B,
+        _CDC_BW,
+        _CDC_D,
+        _CDC_M,
+        _CDC_POWS,
+        _CDC_W,
+    )
+
+    expected = []
+    for e in range(_CDC_W, len(s) + 1):
+        h = sum(ord(s[e - 1 - j]) * _CDC_POWS[j] for j in range(_CDC_W)) % _CDC_M
+        if h % _CDC_D == 0:
+            expected.append(e)
+    newh = (
+        f"pmod(acc.h * {_CDC_B} + ascii(c) - IF(acc.p + 1 > {_CDC_W}, "
+        f"ascii(element_at(cs, acc.p + 1 - {_CDC_W})) * {_CDC_BW}L, 0L), {_CDC_M}L)"
+    )
+    fold = (
+        f"aggregate(cs, named_struct('p', 0, 'h', cast(0 as bigint), "
+        f"'ends', cast(array() as array<int>)), (acc, c) -> named_struct("
+        f"'p', acc.p + 1, 'h', {newh}, "
+        f"'ends', IF(acc.p + 1 >= {_CDC_W} AND pmod({newh}, {_CDC_D}) = 0, "
+        f"concat(acc.ends, array(acc.p + 1)), acc.ends)), acc -> acc.ends)"
+    )
+    got = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(F.split("text", "").alias("cs"))
+        .select(F.expr(fold).alias("ends"))
+        .collect()[0]["ends"]
+    )
+    assert got == expected, s
