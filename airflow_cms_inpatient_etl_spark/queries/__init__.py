@@ -60,7 +60,11 @@ _PRIORITY = [
     # (late-data live is slot 51 and leads round 8 with the 17 r4-stale       #
     # relational/window/agg queries).  The 7 round-7 additions lead so no new #
     # query ships un-graded.  Every slot except the two rows-only live        #
-    # queries is hash-eligible.                                               #
+    # queries is hash-eligible.  (Round-7 late change: the two live
+    # queries that were rows-only BY NATURE carry REAL SQL oracles now —
+    # the stream-stream inner join's single-batch drain is the complete
+    # interval join, and the stateful profile accumulates exact cents —
+    # so every slot in this window is hash-eligible.)                                               #
     # ======================================================================= #
     # -- a. new this round (never driver-checked) --------------------------- #
     "bpe_apply_encode",

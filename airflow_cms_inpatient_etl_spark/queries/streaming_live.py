@@ -157,14 +157,27 @@ def streaming_late_data_live(spark, sf_dir):
         shutil.rmtree(stage_dir, ignore_errors=True)
 
 
-@register("streaming_stream_stream_join_live")  # no oracle: real incremental execution
+@register(
+    "streaming_stream_stream_join_live",
+    oracle="""
+    SELECT c.event_id AS click_id, v.user_id, c.ts AS click_ts,
+           v.ts AS view_ts, v.value AS view_value
+    FROM events v JOIN events c ON c.user_id = v.user_id
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+      AND v.ts >= c.ts AND v.ts < c.ts + INTERVAL 6 HOUR
+    """,
+)
 def streaming_stream_stream_join_live(spark, sf_dir):
     """LIVE stream-stream inner join (two independent file-source streams over
     the events fixture): views attributed to same-user clicks within 6
     hours, watermarked on both sides so join state is evictable — the
     feature that makes stream-stream joins viable at 100 TB (unbounded state
-    otherwise).  Batch-equivalence is asserted in tests/test_streaming.py;
-    the driver records the rows-only check (streaming has no SQL oracle)."""
+    otherwise).  HASH-ORACLED (new in round 7): a streaming INNER join emits
+    each match eagerly in the micro-batch where both rows are present (the
+    watermark only bounds state, it never gates inner-join emission), so a
+    single-batch drain deterministically produces the complete interval
+    join — which is plain SQL.  Batch-equivalence under multi-batch
+    arrival stays covered in tests/test_streaming.py."""
     from airflow_cms_inpatient_etl_spark.streaming.jobs import (
         stream_stream_click_view_join,
     )
@@ -190,16 +203,27 @@ def streaming_stream_stream_join_live(spark, sf_dir):
         shutil.rmtree(stage_dir, ignore_errors=True)
 
 
-@register("streaming_stateful_profile_live")  # no oracle: real incremental execution
+@register(
+    "streaming_stateful_profile_live",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT) AS DOUBLE) / 100
+             AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
 def streaming_stateful_profile_live(spark, sf_dir):
     """LIVE custom stateful operator (``applyInPandasWithState``): per-user
     running profile (event count + value sum) over the events stream — the
     escape hatch for stateful semantics Spark's built-in windows can't
     express (session carts, feature accumulators).  State is one tuple per
     user (O(|users|) regardless of stream length) and the update function is
-    Arrow-batched, not per-row.  Batch-equivalence of the final state is
-    asserted in tests/test_streaming.py; the driver records the rows-only
-    check (streaming execution has no SQL-oracle form).  Shuffle partitions
+    Arrow-batched, not per-row.  HASH-ORACLED (new in round 7): the state
+    accumulates EXACT integer cents (see streaming/stateful.py), so the
+    update-mode drain of a single batch emits one bit-deterministic row per
+    user equal to the batch decimal aggregate — plain SQL.  Multi-batch
+    accumulation equivalence stays covered in tests/test_streaming.py.  Shuffle partitions
     are scoped to 8 for the same state-store task-dispatch reason as the
     stream-stream join above."""
     from airflow_cms_inpatient_etl_spark.streaming.stateful import running_user_profile

@@ -14,18 +14,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
-STATE_SCHEMA = "n bigint, total double"
+STATE_SCHEMA = "n bigint, cents bigint"
 
 
 def _update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
     import pandas as pd
 
-    n, total = state.get if state.exists else (0, 0.0)
+    # accumulate EXACT integer cents, not a float running sum: float addition
+    # is order- and batching-dependent (numpy even sums pairwise), which
+    # would make the emitted profile non-reproducible across partitionings
+    # and non-oracle-able; the fixture values are 2-dp money doubles, so
+    # cents round-trips exactly (same contract as the decimal-cast batch
+    # aggregates in functions/exact.py)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [total]})
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+    )
 
 
 def running_user_profile(events: DataFrame) -> DataFrame:
