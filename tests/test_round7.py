@@ -386,3 +386,66 @@ def test_vocab_coverage_single_chain_transform(spark):
     # dedupes identical subtrees, so the cap guards against a rewrite into
     # DIFFERENT lambda bodies, which CSE cannot merge
     assert opt.count("'|t||h|'") <= 2, "chain duplicated into non-identical folds"
+
+
+# ---------------------------------------------------------------------------
+# degenerate inputs: the round-7 queries on an EMPTY corpus must agree with
+# the oracle engine-for-engine (aggregates over zero rows are a classic
+# cross-engine divergence point)
+# ---------------------------------------------------------------------------
+
+
+def test_round7_queries_survive_empty_corpus(spark, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    empty_docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "text": pd.Series([], dtype="object"),
+            "lang": pd.Series([], dtype="object"),
+            "source": pd.Series([], dtype="object"),
+            "n_chars": pd.Series([], dtype="int64"),
+        }
+    )
+    empty_events = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "value": pd.Series([], dtype="float64"),
+            "props": pd.Series([], dtype="object"),
+        }
+    )
+    spark.createDataFrame(
+        empty_docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    spark.createDataFrame(
+        empty_events,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    from tests.conftest import assert_frames_match
+
+    for name in [
+        "bpe_apply_encode",
+        "tokenizer_vocab_coverage",
+        "corpus_datacard",
+        "corpus_curation_v6",
+        "dedup_cluster_canonical",
+        "events_funnel_steps",
+        "multimodal_cdc_chunk_dedup",
+    ]:
+        spec = QUERY_REGISTRY[name]
+        sp = spec.fn(spark, str(tmp_path)).toPandas()
+        od = con.execute(spec.oracle).df()
+        assert_frames_match(sp, od, f"{name} on empty corpus")
