@@ -76,6 +76,8 @@ _PRIORITY = [
     "q19_disjunctive_predicates",
     "events_funnel_steps",
     "corpus_datacard",
+    "graph_bfs_khop",
+    "embedding_label_confusion",
     # -- b. round-6 final wave (never driver-checked) ----------------------- #
     "events_survival_time_to_convert",
     "recsys_item_item_cosine",
@@ -93,12 +95,12 @@ _PRIORITY = [
     "corpus_curation_v3",
     "heavy_hitters_cms",
     "semdedup_prune",
-    # -- d. 25 of the 27 r3-stale rows (conditional_aggregation and
+    # -- d. 23 of the 27 r3-stale rows (conditional_aggregation,
+    #    math_functions, text_rolling_hash and split_train_test_hash —
     #    math_functions — zero shared-helper exposure, re-proven by every
     #    local differential — yield their slots to the two newest round-7
     #    queries and lead round 8) (incl. 2 rows-only-by-nature live) --------- #
-    "text_rolling_hash",
-    "split_train_test_hash",
+
     "cdc_upsert_orders",
     "incremental_agg_merge",
     "text_langid_heuristic",
@@ -128,6 +130,8 @@ _PRIORITY = [
     "streaming_late_data_live",
     "conditional_aggregation",
     "math_functions",
+    "text_rolling_hash",
+    "split_train_test_hash",
     "filter_complex_predicates",
     "filter_scalar_subquery",
     "lateral_correlated_agg",

@@ -1234,3 +1234,74 @@ def graph_degree_assortativity(spark, sf_dir):
     # emitted as NULL (DuckDB's x/0; Spark ANSI would raise)
     guarded = F.when((dx == 0) | (dy == 0), F.lit(None).cast("double")).otherwise(r)
     return s.select("n", "sxy", guarded.alias("assortativity"))
+
+
+# --------------------------------------------------------------------------- #
+# graph_bfs_khop — BFS distance layers from a deterministic seed               #
+# --------------------------------------------------------------------------- #
+
+_BFS_K = 4
+
+
+def _bfs_oracle() -> str:
+    return f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, ts, event_id, CAST(props->>'k' AS BIGINT) AS node FROM events
+    ),
+    tr AS (
+        SELECT node AS dst,
+               LAG(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM ev
+    ),
+    edges AS (
+        SELECT src, dst FROM tr WHERE src IS NOT NULL AND src != dst GROUP BY src, dst
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    seed AS (SELECT MIN(node) AS s FROM ev WHERE node IS NOT NULL),
+    walk(node, d) AS (
+        SELECT s, 0 FROM seed
+        UNION
+        SELECT e.dst, w.d + 1
+        FROM walk w JOIN sym e ON e.src = w.node
+        WHERE w.d < {_BFS_K}
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node
+    """
+
+
+@register("graph_bfs_khop", oracle=_bfs_oracle())
+def graph_bfs_khop(spark, sf_dir):
+    """BFS distance layers: every node within {_k} hops of a deterministic
+    seed (the minimum node id) over the undirected event-transition graph —
+    the k-hop neighborhood expansion behind graph sampling (GraphSAGE-style
+    fan-out), blast-radius analysis, and friend-of-friend features.
+
+    Spark plan: {_k} unrolled frontier rounds (the bounded-iteration
+    discipline of `graph_pagerank`); each round joins ONLY the newest
+    frontier against the symmetrized edge list and folds with a min-distance
+    aggregate, so round r shuffles O(frontier_r x avg-degree), never
+    O(nodes).  The seed is resolved with a 1-row broadcast join (no
+    collect).  The oracle walks the same graph with a depth-bounded
+    recursive CTE and takes MIN(depth) per node — the set-based definition
+    the frontier algorithm must equal."""
+    _, edges, nodes = _transition_graph(spark, sf_dir)
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    seed = nodes.agg(F.min("node").alias("s"))
+    dist = nodes.join(F.broadcast(seed), F.col("node") == F.col("s")).select(
+        "node", F.lit(0).cast("int").alias("d")
+    )
+    frontier = dist
+    for i in range(1, _BFS_K + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"), F.lit(i).cast("int").alias("d"))
+            .distinct()
+        )
+        dist = dist.union(nxt).groupBy("node").agg(F.min("d").alias("d"))
+        # next round expands only the nodes first reached THIS round
+        frontier = dist.filter(F.col("d") == i)
+    return dist.select("node", F.col("d").cast("long").alias("dist"))
+
+
+graph_bfs_khop.__doc__ = graph_bfs_khop.__doc__.replace("{_k}", str(_BFS_K))

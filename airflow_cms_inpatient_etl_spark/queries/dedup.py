@@ -621,6 +621,10 @@ def dedup_cluster_canonical(spark, sf_dir):
     # pipeline twice (measured ~2 s of the query's cost at sf0.1)
     pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.7).persist()
     labels = connected_components(pairs.select("id1", "id2"))
+    # CC's node/edge snapshots are EAGER localCheckpoints, so by the time it
+    # returns the pair cache has been consumed — release it immediately
+    # (repeated invocations would otherwise pin one cache entry per call)
+    pairs.unpersist()
     meta = d.select(F.col("doc_id"), "n_chars")
     clustered = labels.join(meta, labels["node"] == meta["doc_id"]).select(
         "doc_id", F.col("label").alias("cluster_id"), "n_chars"

@@ -416,3 +416,94 @@ def sim_hard_negatives(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("qid", "cid", F.col("clabel").alias("neg_label"), "cosine", "rn")
     )
+
+
+# --------------------------------------------------------------------------- #
+# embedding_label_confusion — label-centroid cosine confusion matrix           #
+# --------------------------------------------------------------------------- #
+
+
+def _confusion_oracle() -> str:
+    dotc = (
+        "LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65), "
+        "i -> ({a}[i]) * ({b}[i])), (x, y) -> x + y)"
+    )
+    dab = dotc.format(a="a.c", b="b.c")
+    daa = dotc.format(a="a.c", b="a.c")
+    dbb = dotc.format(a="b.c", b="b.c")
+    return f"""
+    WITH ex AS (
+        SELECT label, vec_id, d.i AS dim, CAST(embedding[d.i] AS DOUBLE) AS v
+        FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i) d
+    ),
+    cent AS (
+        SELECT label, dim,
+               LIST_REDUCE(LIST(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS m
+        FROM ex GROUP BY label, dim
+    ),
+    vecs AS (
+        SELECT label, LIST(m ORDER BY dim) AS c FROM cent GROUP BY label
+    ),
+    cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ca.n AS n_a, cb.n AS n_b,
+           ROUND({dab} / (SQRT({daa}) * SQRT({dbb})), 6) AS centroid_cosine
+    FROM vecs a JOIN vecs b ON a.label <= b.label
+    JOIN cnt ca ON ca.label = a.label
+    JOIN cnt cb ON cb.label = b.label
+    """
+
+
+@register("embedding_label_confusion", oracle=_confusion_oracle())
+def embedding_label_confusion(spark, sf_dir):
+    """Embedding-space label diagnostics: the cosine between every pair of
+    label centroids — the first thing to inspect before trusting a labeled
+    embedding corpus (near-parallel centroids = confusable classes = label
+    noise or insufficient separation; the SemDeDup/DSIR curation decisions
+    downstream assume separable classes).
+
+    Exactness (the `embedding_kmeans_iteration` discipline): float32 values
+    promote to double and per-dimension means use an ORDERED fold (sorted by
+    vec_id), so the centroids are bit-deterministic under any partitioning;
+    the pairwise cosine then folds dimensions in order.  Plan: one explode →
+    one (label, dim) aggregate (|labels|x64 rows out), centroid arrays
+    reassembled per label, and the pair matrix is a broadcast self-join over
+    |labels| rows — nothing downstream of the first aggregate is
+    corpus-sized, so 100x more vectors changes only the first exchange."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", "vec_id", F.posexplode("embedding").alias("pos", "val"))
+    pairs = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("i"), F.col("val").cast("double").alias("v"))
+        )
+    )
+    ordered_sum = F.aggregate(
+        pairs, F.lit(0.0), lambda acc, x: acc + x.getField("v")
+    )
+    cent = (
+        ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg((ordered_sum / F.count(F.lit(1))).alias("m"))
+    )
+    vecs = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim").alias("d"), F.col("m").alias("m")))
+            ),
+            lambda x: x.getField("m"),
+        ).alias("c")
+    )
+    cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    a = vecs.alias("a").join(F.broadcast(cnt.alias("ca")), F.col("a.label") == F.col("ca.label"))
+    b = vecs.alias("b").join(F.broadcast(cnt.alias("cb")), F.col("b.label") == F.col("cb.label"))
+    from airflow_cms_inpatient_etl_spark.operators.similarity import dot
+
+    joined = a.join(F.broadcast(b), F.col("a.label") <= F.col("b.label"))
+    ca, cb = F.col("a.c"), F.col("b.c")
+    cos = dot(ca, cb) / (F.sqrt(dot(ca, ca)) * F.sqrt(dot(cb, cb)))
+    return joined.select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.col("ca.n").alias("n_a"),
+        F.col("cb.n").alias("n_b"),
+        F.round(cos, 6).alias("centroid_cosine"),
+    )

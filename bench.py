@@ -177,6 +177,10 @@ HEADLINE = [
     "q19_disjunctive_predicates",
     "events_funnel_steps",
     "corpus_datacard",
+    # round-7 wave 3: bounded-frontier BFS layers and the label-centroid
+    # confusion matrix (one corpus-sized aggregate, then label-sized math)
+    "graph_bfs_khop",
+    "embedding_label_confusion",
 ]
 
 

@@ -449,3 +449,39 @@ def test_round7_queries_survive_empty_corpus(spark, tmp_path):
         sp = spec.fn(spark, str(tmp_path)).toPandas()
         od = con.execute(spec.oracle).df()
         assert_frames_match(sp, od, f"{name} on empty corpus")
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 3: BFS layers and the embedding confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_layers_are_sound(spark):
+    from airflow_cms_inpatient_etl_spark.queries.curation2 import _transition_graph
+
+    rows = QUERY_REGISTRY["graph_bfs_khop"].fn(spark, SF_ORACLE).collect()
+    dist = {r["node"]: r["dist"] for r in rows}
+    assert min(dist.values()) == 0 and list(dist.values()).count(0) == 1
+    # every node at layer d>0 must have a neighbor at layer d-1 (BFS frontier
+    # soundness — a layer can never be reached except through the previous one)
+    _, edges, _ = _transition_graph(spark, SF_ORACLE)
+    sym = set()
+    for r in edges.collect():
+        if r["src"] != r["dst"]:
+            sym.add((r["src"], r["dst"])); sym.add((r["dst"], r["src"]))
+    for node, d in dist.items():
+        if d > 0:
+            assert any(
+                dist.get(m) == d - 1 for (a, m) in sym if a == node
+            ), (node, d)
+
+
+def test_confusion_matrix_self_cosine_is_one(spark):
+    rows = QUERY_REGISTRY["embedding_label_confusion"].fn(spark, SF_ORACLE).collect()
+    labels = {r["label_a"] for r in rows} | {r["label_b"] for r in rows}
+    n = len(labels)
+    assert len(rows) == n * (n + 1) // 2
+    for r in rows:
+        if r["label_a"] == r["label_b"]:
+            assert abs(r["centroid_cosine"] - 1.0) < 1e-9, r
+        assert -1.0 - 1e-9 <= r["centroid_cosine"] <= 1.0 + 1e-9
