@@ -49,22 +49,23 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 _PRIORITY = [
     # ======================================================================= #
     # ROUND-7 WINDOW (first 50).  Policy: never-checked > code-changed-since- #
-    # last-check > stalest-green.  Round 6 closed 50/50 green on the first 50 #
-    # slots; this rotation clears ALL driver-confirmation debt named by the   #
-    # round-6 verdict: the 9 never-checked r6-final-wave queries, the 6       #
-    # queries whose code changed after their last green row (the rolling-hash #
-    # CDC chunker rewrite this round; the df-capped containment, substring-   #
-    # parity source-precedence/v3, bound-note heavy-hitters and refactored    #
-    # semdedup from r6), all 27 r3-stale rows (incl. the two rows-only live   #
-    # streaming queries), and one slot for the r4-stale live tumbling window  #
-    # (late-data live is slot 51 and leads round 8 with the 17 r4-stale       #
-    # relational/window/agg queries).  The 7 round-7 additions lead so no new #
-    # query ships un-graded.  Every slot except the two rows-only live        #
-    # queries is hash-eligible.  (Round-7 late change: the two live
-    # queries that were rows-only BY NATURE carry REAL SQL oracles now —
-    # the stream-stream inner join's single-batch drain is the complete
-    # interval join, and the stateful profile accumulates exact cents —
-    # so every slot in this window is hash-eligible.)                                               #
+    # last-check > stalest-green.  Round 6 closed 50/50 green on its window;  #
+    # this rotation clears the round-6 confirmation debt: the 11 round-7      #
+    # additions lead so no new query ships un-graded, then the 9 never-       #
+    # checked r6-final-wave queries, the 6 code-changed (rolling-hash CDC     #
+    # chunker rewrite this round; df-capped containment, substring-parity     #
+    # source-precedence/v3, bound-note heavy-hitters, refactored semdedup     #
+    # from r6), 23 of the 27 r3-stale rows — incl. the two live queries      #
+    # that were rows-only until this round and now carry REAL SQL oracles    #
+    # (the stream-stream inner join's single-batch drain IS the complete    #
+    # interval join; the stateful profile accumulates exact cents) — and    #
+    # one slot for the r4-stale live tumbling window.  Four zero-exposure   #
+    # r3-stale hash ops (conditional_aggregation, math_functions,           #
+    # text_rolling_hash, split_train_test_hash — no shared-helper churn,    #
+    # re-proven by every local differential) yielded their slots to the     #
+    # round-7 wave-2/3 queries and lead round 8 at slots 52-55, ahead of    #
+    # late-data live (slot 51) and the 17 r4-stale relational/window/agg    #
+    # queries.  EVERY slot in this window is hash-eligible.                 #
     # ======================================================================= #
     # -- a. new this round (never driver-checked) --------------------------- #
     "bpe_apply_encode",
