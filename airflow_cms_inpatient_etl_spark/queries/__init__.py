@@ -63,7 +63,7 @@ _PRIORITY = [
     # r3-stale hash ops (conditional_aggregation, math_functions,           #
     # text_rolling_hash, split_train_test_hash — no shared-helper churn,    #
     # re-proven by every local differential) yielded their slots to the     #
-    # round-7 wave-2/3 queries and lead round 8 at slots 52-55, ahead of    #
+    # round-7 wave-2/3/4 queries and lead round 8 at slots 52-56, ahead of    #
     # late-data live (slot 51) and the 17 r4-stale relational/window/agg    #
     # queries.  EVERY slot in this window is hash-eligible.                 #
     # ======================================================================= #
@@ -79,6 +79,7 @@ _PRIORITY = [
     "corpus_datacard",
     "graph_bfs_khop",
     "embedding_label_confusion",
+    "corpus_delta_report",
     # -- b. round-6 final wave (never driver-checked) ----------------------- #
     "events_survival_time_to_convert",
     "recsys_item_item_cosine",
@@ -96,8 +97,9 @@ _PRIORITY = [
     "corpus_curation_v3",
     "heavy_hitters_cms",
     "semdedup_prune",
-    # -- d. 23 of the 27 r3-stale rows (conditional_aggregation,
-    #    math_functions, text_rolling_hash and split_train_test_hash —
+    # -- d. 22 of the 27 r3-stale rows (conditional_aggregation,
+    #    math_functions, text_rolling_hash, split_train_test_hash and
+    #    multimodal_audio_chunks —
     #    math_functions — zero shared-helper exposure, re-proven by every
     #    local differential — yield their slots to the two newest round-7
     #    queries and lead round 8) (incl. 2 rows-only-by-nature live) --------- #
@@ -116,7 +118,6 @@ _PRIORITY = [
     "embedding_kmeans_iteration",
     "sim_pq_adc_topk",
     "multimodal_frame_sample",
-    "multimodal_audio_chunks",
     "decontaminate_ngram_overlap",
     "corpus_curation_pipeline",
     "sample_language_rebalance",
@@ -133,6 +134,7 @@ _PRIORITY = [
     "math_functions",
     "text_rolling_hash",
     "split_train_test_hash",
+    "multimodal_audio_chunks",
     "filter_complex_predicates",
     "filter_scalar_subquery",
     "lateral_correlated_agg",

@@ -514,3 +514,92 @@ def snapshot_column_drift_profile(spark, sf_dir):
         "n_compared",
         (F.col("n_changed").cast("double") / F.col("n_compared")).alias("change_rate"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# corpus_delta_report — recrawl accounting over the documents corpus           #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "corpus_delta_report",
+    oracle="""
+    WITH base AS (SELECT doc_id, source, MD5(text) AS h FROM documents),
+    recrawl AS (
+        -- deterministic recrawl twin: every doc_id % 11 = 0 dropped (dead
+        -- link), % 11 = 1 re-fetched with changed content, % 13 = 0 spawns
+        -- a NEW doc under a shifted id
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 11 = 1 THEN MD5(text || ' refetched')
+                    ELSE MD5(text) END AS h
+        FROM documents WHERE doc_id % 11 != 0
+        UNION ALL
+        SELECT doc_id + 1000000, source, MD5(text || ' new')
+        FROM documents WHERE doc_id % 13 = 0
+    ),
+    j AS (
+        SELECT COALESCE(b.source, r.source) AS source,
+               CASE WHEN b.doc_id IS NULL THEN 'added'
+                    WHEN r.doc_id IS NULL THEN 'removed'
+                    WHEN b.h != r.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM base b FULL OUTER JOIN recrawl r ON b.doc_id = r.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) FILTER (WHERE status = 'added') AS BIGINT) AS n_added,
+           CAST(COUNT(*) FILTER (WHERE status = 'removed') AS BIGINT) AS n_removed,
+           CAST(COUNT(*) FILTER (WHERE status = 'changed') AS BIGINT) AS n_changed,
+           CAST(COUNT(*) FILTER (WHERE status = 'unchanged') AS BIGINT) AS n_unchanged
+    FROM j GROUP BY source
+    """,
+)
+def corpus_delta_report(spark, sf_dir):
+    """Recrawl accounting — the report every incremental corpus refresh
+    publishes before the expensive downstream stages rerun: per source, how
+    many documents were added, removed, content-changed, and unchanged
+    between the standing corpus and the new crawl.  (The recrawl side is a
+    deterministic twin of the fixture — drop ∕ refetch ∕ spawn by doc_id
+    residue — exactly like the CDC family's snapshot derivations.)  The
+    comparison joins 32-hex CONTENT HASHES, never text (both sides reduce
+    to (doc_id, source, h) before the full-outer join — at 100 TB the join
+    moves ~50 bytes/doc), change classes come from one CASE over the join,
+    and the per-source rollup is a tiny aggregate.  One co-partitioned
+    full-outer shuffle; this is the corpus-side sibling of
+    `snapshot_table_diff`."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h"))
+    recrawl = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 11 == 1,
+                F.md5(F.concat(F.col("text"), F.lit(" refetched")).cast("binary")),
+            )
+            .otherwise(F.md5(F.col("text").cast("binary")))
+            .alias("h"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "source",
+                F.md5(F.concat(F.col("text"), F.lit(" new")).cast("binary")).alias("h"),
+            )
+        )
+    )
+    b, r = base.alias("b"), recrawl.alias("r")
+    j = b.join(r, F.col("b.doc_id") == F.col("r.doc_id"), "full_outer").select(
+        F.coalesce(F.col("b.source"), F.col("r.source")).alias("source"),
+        F.when(F.col("b.doc_id").isNull(), "added")
+        .when(F.col("r.doc_id").isNull(), "removed")
+        .when(F.col("b.h") != F.col("r.h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return j.groupBy("source").agg(
+        F.sum(F.when(F.col("status") == "added", 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("status") == "removed", 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0)).alias("n_changed"),
+        F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0)).alias("n_unchanged"),
+    )

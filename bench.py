@@ -181,6 +181,8 @@ HEADLINE = [
     # confusion matrix (one corpus-sized aggregate, then label-sized math)
     "graph_bfs_khop",
     "embedding_label_confusion",
+    # round-7 wave 4: hash-keyed full-outer recrawl accounting
+    "corpus_delta_report",
 ]
 
 

@@ -485,3 +485,27 @@ def test_confusion_matrix_self_cosine_is_one(spark):
         if r["label_a"] == r["label_b"]:
             assert abs(r["centroid_cosine"] - 1.0) < 1e-9, r
         assert -1.0 - 1e-9 <= r["centroid_cosine"] <= 1.0 + 1e-9
+
+
+def test_delta_report_conserves_documents(spark):
+    """added = docs spawned (doc_id % 13 == 0), removed = dead links
+    (doc_id % 11 == 0), changed = refetches (doc_id % 11 == 1) — the
+    report's totals must equal the derivation's residue classes exactly."""
+    import duckdb
+
+    rows = QUERY_REGISTRY["corpus_delta_report"].fn(spark, SF_ORACLE).collect()
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in ("n_added", "n_removed", "n_changed", "n_unchanged")
+    }
+    n, n11_0, n11_1, n13_0 = duckdb.sql(
+        f"""SELECT COUNT(*),
+                   COUNT(*) FILTER (WHERE doc_id % 11 = 0),
+                   COUNT(*) FILTER (WHERE doc_id % 11 = 1),
+                   COUNT(*) FILTER (WHERE doc_id % 13 = 0)
+            FROM '{SF_ORACLE}/documents.parquet'"""
+    ).fetchone()
+    assert tot["n_removed"] == n11_0
+    assert tot["n_changed"] == n11_1
+    assert tot["n_added"] == n13_0
+    assert tot["n_unchanged"] == n - n11_0 - n11_1
