@@ -739,17 +739,31 @@ def corpus_curation_v6(spark, sf_dir):
             "bpe_tokens"
         ),
     )
-    gated = counted.filter(
-        (F.col("ws_tokens") >= _V6_MIN_WORDS)
-        & (F.expr("(bpe_tokens * 10000) div ws_tokens") <= _V6_MAX_TPW)
-    ).select("doc_id", "lang", "bpe_tokens", F.md5(F.col("text").cast("binary")).alias("tkey"))
+    keyed = counted.select(
+        "doc_id",
+        "lang",
+        "ws_tokens",
+        "bpe_tokens",
+        F.md5(F.col("text").cast("binary")).alias("tkey"),
+    )
     # dedup partitions on the 32-hex md5 key, never the payload: the corpus
     # text stays OUT of the exchange and the window sort compares fixed-width
-    # keys (the docstring's 100 TB contract, now also the measured plan)
+    # keys (the docstring's 100 TB contract, now also the measured plan).
+    # The fertility gate runs AFTER the exchange, on materialized columns:
+    # identical texts carry identical counts, so gate-then-dedup and
+    # dedup-then-gate keep exactly the same survivors — and gating post-
+    # exchange means the 56-replace encode fold is evaluated ONCE in the
+    # pre-shuffle projection instead of once more inside a FilterExec
+    # (runtime CSE cannot cross the Filter/Project operator boundary —
+    # measured ~2x the encode cost before this restructure)
     dw = W.partitionBy("tkey").orderBy("doc_id")
     deduped = (
-        gated.withColumn("rn", F.row_number().over(dw))
-        .filter(F.col("rn") == 1)
+        keyed.withColumn("rn", F.row_number().over(dw))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("ws_tokens") >= _V6_MIN_WORDS)
+            & (F.expr("(bpe_tokens * 10000) div ws_tokens") <= _V6_MAX_TPW)
+        )
         .select("doc_id", "lang", "bpe_tokens")
     )
     h = F.conv(
