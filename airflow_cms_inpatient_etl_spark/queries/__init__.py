@@ -63,7 +63,7 @@ _PRIORITY = [
     # r3-stale hash ops (conditional_aggregation, math_functions,           #
     # text_rolling_hash, split_train_test_hash — no shared-helper churn,    #
     # re-proven by every local differential) yielded their slots to the     #
-    # round-7 wave-2/3/4 queries and lead round 8 at slots 52-56, ahead of    #
+    # round-7 wave-2/3/4 queries and lead round 8 at slots 52-57, ahead of    #
     # late-data live (slot 51) and the 17 r4-stale relational/window/agg    #
     # queries.  EVERY slot in this window is hash-eligible.                 #
     # ======================================================================= #
@@ -80,6 +80,7 @@ _PRIORITY = [
     "graph_bfs_khop",
     "embedding_label_confusion",
     "corpus_delta_report",
+    "dedup_lsh_recall_report",
     # -- b. round-6 final wave (never driver-checked) ----------------------- #
     "events_survival_time_to_convert",
     "recsys_item_item_cosine",
@@ -97,16 +98,15 @@ _PRIORITY = [
     "corpus_curation_v3",
     "heavy_hitters_cms",
     "semdedup_prune",
-    # -- d. 22 of the 27 r3-stale rows (conditional_aggregation,
-    #    math_functions, text_rolling_hash, split_train_test_hash and
-    #    multimodal_audio_chunks —
+    # -- d. 21 of the 27 r3-stale rows (conditional_aggregation,
+    #    math_functions, text_rolling_hash, split_train_test_hash,
+    #    multimodal_audio_chunks and text_langid_heuristic —
     #    math_functions — zero shared-helper exposure, re-proven by every
     #    local differential — yield their slots to the two newest round-7
     #    queries and lead round 8) (incl. 2 rows-only-by-nature live) --------- #
 
     "cdc_upsert_orders",
     "incremental_agg_merge",
-    "text_langid_heuristic",
     "text_token_counts",
     "text_repetition_metrics",
     "text_corpus_rollup",
@@ -135,6 +135,7 @@ _PRIORITY = [
     "text_rolling_hash",
     "split_train_test_hash",
     "multimodal_audio_chunks",
+    "text_langid_heuristic",
     "filter_complex_predicates",
     "filter_scalar_subquery",
     "lateral_correlated_agg",

@@ -637,3 +637,68 @@ def dedup_cluster_canonical(spark, sf_dir):
         F.count(F.lit(1)).over(cw).alias("cluster_size"),
         (F.row_number().over(rw) == 1).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# dedup_lsh_recall_report — the LSH pipeline grading itself against ground     #
+# truth, as a query                                                            #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "dedup_lsh_recall_report",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_MINHASH_PAIR_CTES}, {_JACCARD_CTES},
+    lsh AS (
+        SELECT j.id1, j.id2 FROM jac j JOIN cand USING (id1, id2)
+        WHERE j.jaccard >= 0.7
+    ),
+    truth AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.7),
+    m AS (
+        SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+               CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+               CAST((SELECT COUNT(*) FROM lsh JOIN truth USING (id1, id2))
+                    AS BIGINT) AS n_hit
+    )
+    SELECT n_truth, n_lsh, n_hit,
+           CASE WHEN n_truth = 0 THEN 10000
+                ELSE n_hit * 10000 // n_truth END AS recall_x10000,
+           CASE WHEN n_lsh = 0 THEN 10000
+                ELSE n_hit * 10000 // n_lsh END AS precision_x10000
+    FROM m
+    """,
+)
+def dedup_lsh_recall_report(spark, sf_dir):
+    """The near-dup pipeline GRADING ITSELF, as a first-class query: recall
+    and precision of the banded MinHash-LSH candidate path against the
+    exact shingle-Jaccard ground truth at the same threshold — the number
+    a production dedup deploy must publish before anyone trusts its misses
+    (RECALL.md documents the static analysis; this computes it live, so a
+    re-banding or cap change shows up as a metric shift, not a silent
+    recall hole).  Because the LSH path VERIFIES candidates with exact
+    Jaccard, precision is 1.0 by construction and recall measures exactly
+    the banding loss (pairs whose signatures collide in no band).  Both
+    sides reduce to (id1, id2) pair sets; the exact side reuses the
+    inverted-index self-join (posting-list bounded, never all-pairs), the
+    intersection is a pair-keyed semi-join, and the report is one row of
+    integer ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.7).select("id1", "id2")
+    lsh = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.7).select("id1", "id2")
+    hit = lsh.join(truth, ["id1", "id2"], "semi")
+    m = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(F.broadcast(lsh.agg(F.count(F.lit(1)).alias("n_lsh"))))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+    )
+    return m.select(
+        "n_truth",
+        "n_lsh",
+        "n_hit",
+        F.expr(
+            "CASE WHEN n_truth = 0 THEN 10000L ELSE (n_hit * 10000) div n_truth END"
+        ).alias("recall_x10000"),
+        F.expr(
+            "CASE WHEN n_lsh = 0 THEN 10000L ELSE (n_hit * 10000) div n_lsh END"
+        ).alias("precision_x10000"),
+    )

@@ -181,8 +181,10 @@ HEADLINE = [
     # confusion matrix (one corpus-sized aggregate, then label-sized math)
     "graph_bfs_khop",
     "embedding_label_confusion",
-    # round-7 wave 4: hash-keyed full-outer recrawl accounting
+    # round-7 wave 4: hash-keyed full-outer recrawl accounting, and the
+    # LSH pipeline grading itself against exact-Jaccard ground truth
     "corpus_delta_report",
+    "dedup_lsh_recall_report",
 ]
 
 

@@ -509,3 +509,12 @@ def test_delta_report_conserves_documents(spark):
     assert tot["n_changed"] == n11_1
     assert tot["n_added"] == n13_0
     assert tot["n_unchanged"] == n - n11_0 - n11_1
+
+
+def test_lsh_recall_report_metrics_are_consistent(spark):
+    r = QUERY_REGISTRY["dedup_lsh_recall_report"].fn(spark, SF_ORACLE).collect()[0]
+    assert r["n_hit"] <= min(r["n_truth"], r["n_lsh"])
+    # the LSH path verifies candidates with EXACT Jaccard, so precision is
+    # 1.0 by construction; recall measures pure banding loss
+    assert r["precision_x10000"] == 10000
+    assert 0 <= r["recall_x10000"] <= 10000
