@@ -63,7 +63,7 @@ _PRIORITY = [
     # r3-stale hash ops (conditional_aggregation, math_functions,           #
     # text_rolling_hash, split_train_test_hash — no shared-helper churn,    #
     # re-proven by every local differential) yielded their slots to the     #
-    # round-7 wave-2/3/4 queries and lead round 8 at slots 52-57, ahead of    #
+    # round-7 wave-2/3/4 queries and lead round 8 at slots 52-58, ahead of    #
     # late-data live (slot 51) and the 17 r4-stale relational/window/agg    #
     # queries.  EVERY slot in this window is hash-eligible.                 #
     # ======================================================================= #
@@ -81,6 +81,7 @@ _PRIORITY = [
     "embedding_label_confusion",
     "corpus_delta_report",
     "dedup_lsh_recall_report",
+    "orders_cohort_ltv",
     # -- b. round-6 final wave (never driver-checked) ----------------------- #
     "events_survival_time_to_convert",
     "recsys_item_item_cosine",
@@ -98,9 +99,10 @@ _PRIORITY = [
     "corpus_curation_v3",
     "heavy_hitters_cms",
     "semdedup_prune",
-    # -- d. 21 of the 27 r3-stale rows (conditional_aggregation,
+    # -- d. 20 of the 27 r3-stale rows (conditional_aggregation,
     #    math_functions, text_rolling_hash, split_train_test_hash,
-    #    multimodal_audio_chunks and text_langid_heuristic —
+    #    multimodal_audio_chunks, text_langid_heuristic and
+    #    multimodal_frame_sample —
     #    math_functions — zero shared-helper exposure, re-proven by every
     #    local differential — yield their slots to the two newest round-7
     #    queries and lead round 8) (incl. 2 rows-only-by-nature live) --------- #
@@ -117,7 +119,6 @@ _PRIORITY = [
     "sim_ann_ivf_topk",
     "embedding_kmeans_iteration",
     "sim_pq_adc_topk",
-    "multimodal_frame_sample",
     "decontaminate_ngram_overlap",
     "corpus_curation_pipeline",
     "sample_language_rebalance",
@@ -136,6 +137,7 @@ _PRIORITY = [
     "split_train_test_hash",
     "multimodal_audio_chunks",
     "text_langid_heuristic",
+    "multimodal_frame_sample",
     "filter_complex_predicates",
     "filter_scalar_subquery",
     "lateral_correlated_agg",

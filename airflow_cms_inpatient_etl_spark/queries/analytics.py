@@ -2275,3 +2275,69 @@ def corpus_datacard(spark, sf_dir):
             "ELSE (bpe_tokens * 10000) div total_tokens END"
         ).alias("token_share_x10000"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# orders_cohort_ltv — acquisition-cohort revenue matrix                        #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS cohort_m
+        FROM orders GROUP BY o_custkey
+    ),
+    cells AS (
+        SELECT f.cohort_m,
+               (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate) - 1) - f.cohort_m
+                 AS months_since,
+               o.o_totalprice
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT cohort_m // 12 AS cohort_year,
+           cohort_m % 12 + 1 AS cohort_month,
+           CAST(months_since AS BIGINT) AS months_since,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM cells
+    GROUP BY cohort_m, months_since
+    """,
+)
+def orders_cohort_ltv(spark, sf_dir):
+    """Acquisition-cohort lifetime-value matrix: customers are cohorted by
+    their FIRST order month and every subsequent order lands in the
+    (cohort, months-since-acquisition) cell — the triangle chart every
+    subscription/commerce business reads LTV from.  Month arithmetic runs
+    on integer month indices (year*12+month — cross-engine date DIFF
+    semantics are a documented hazard), revenue follows the exact-decimal
+    discipline.  Plan: one customer-keyed aggregate finds first months,
+    one co-partitioned join back (same key — AQE coalesces the exchange
+    pair), one cell-keyed aggregate; at any scale every shuffle is keyed
+    by customer or by the bounded cohort-cell grid."""
+    o = load_table(spark, sf_dir, "orders")
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+    firsts = o.groupBy("o_custkey").agg(F.min(midx).alias("cohort_m"))
+    cells = o.join(firsts, "o_custkey").select(
+        "cohort_m",
+        (midx - F.col("cohort_m")).alias("months_since"),
+        "o_totalprice",
+    )
+    return (
+        cells.groupBy("cohort_m", "months_since")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.expr("cohort_m div 12").alias("cohort_year"),
+            (F.col("cohort_m") % 12 + 1).alias("cohort_month"),
+            F.col("months_since").cast("long").alias("months_since"),
+            "n_orders",
+            "revenue",
+        )
+    )

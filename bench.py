@@ -185,6 +185,7 @@ HEADLINE = [
     # LSH pipeline grading itself against exact-Jaccard ground truth
     "corpus_delta_report",
     "dedup_lsh_recall_report",
+    "orders_cohort_ltv",
 ]
 
 
