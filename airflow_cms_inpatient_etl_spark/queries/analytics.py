@@ -2341,3 +2341,113 @@ def orders_cohort_ltv(spark, sf_dir):
             "revenue",
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# customer_pareto_class — exact ABC / 80-20 classification without a global    #
+# sort                                                                        #
+# --------------------------------------------------------------------------- #
+
+_PARETO_BUCKETS = 1024
+
+
+@register(
+    "customer_pareto_class",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+                 AS rnk,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_cents,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+        FROM rev
+    )
+    SELECT o_custkey, cents, rnk, cum_cents,
+           CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def customer_pareto_class(spark, sf_dir):
+    """Exact Pareto / ABC classification of customers by lifetime revenue —
+    the 80/95 cut every inventory and account-tiering analysis starts from —
+    computed WITHOUT the single-task global sort the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY …)`` implies.  Two-level decomposition
+    (the `global_rank_via_sharding` identity, extended from counts to
+    SUMS): a 1-row broadcast of max revenue fixes {_nb} value ranges; a
+    tiny per-bucket aggregate yields each bucket's row count AND cents
+    total, whose descending prefix sums are the bucket offsets; then
+    every bucket sorts only its own population in parallel, and
+    rank = bucket row-offset + within-bucket row_number,
+    cum_cents = bucket cents-offset + within-bucket cents cumsum —
+    the telescoping is exact because everything is integer cents.  The
+    ABC label is two integer cross-multiplications against the broadcast
+    grand total (no percent floats).  At 100 TB the only corpus-keyed
+    shuffles are the customer aggregate and the bucket-keyed window; the
+    bucket table ({_nb} rows) is the single-partition part."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    mx = rev.agg(F.max("cents").alias("mx"))
+    bucketed = rev.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        "cents",
+        # descending buckets: bucket 0 holds the largest revenues
+        F.expr(f"cast(((mx - cents) * {_PARETO_BUCKETS - 1}) div greatest(mx, 1) as int)").alias(
+            "bkt"
+        ),
+    )
+    btab = bucketed.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("bcents")
+    )
+    from pyspark.sql import Window as W
+
+    bw = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = btab.select(
+        "bkt",
+        F.coalesce(F.sum("n").over(bw), F.lit(0)).cast("long").alias("row_off"),
+        F.coalesce(F.sum("bcents").over(bw), F.lit(0)).cast("long").alias("cents_off"),
+    )
+    total = rev.agg(F.sum("cents").alias("total_cents"))
+    iw = W.partitionBy("bkt").orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "cents",
+            (F.col("row_off") + F.row_number().over(iw)).cast("long").alias("rnk"),
+            (
+                F.col("cents_off")
+                + F.sum("cents").over(iw.rowsBetween(W.unboundedPreceding, 0))
+            ).cast("long").alias("cum_cents"),
+            "total_cents",
+        )
+    )
+    return ranked.select(
+        "o_custkey",
+        "cents",
+        "rnk",
+        "cum_cents",
+        F.expr(
+            "CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A' "
+            "WHEN cum_cents * 100 <= total_cents * 95 THEN 'B' ELSE 'C' END"
+        ).alias("abc_class"),
+    )
+
+
+customer_pareto_class.__doc__ = customer_pareto_class.__doc__.replace(
+    "{_nb}", str(_PARETO_BUCKETS)
+)

@@ -186,6 +186,8 @@ HEADLINE = [
     "corpus_delta_report",
     "dedup_lsh_recall_report",
     "orders_cohort_ltv",
+    # round-7 wave 6: exact ABC classification via two-level sum sharding
+    "customer_pareto_class",
 ]
 
 

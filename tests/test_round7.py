@@ -518,3 +518,22 @@ def test_lsh_recall_report_metrics_are_consistent(spark):
     # 1.0 by construction; recall measures pure banding loss
     assert r["precision_x10000"] == 10000
     assert 0 <= r["recall_x10000"] <= 10000
+
+
+def test_pareto_never_sorts_customers_in_one_partition(spark):
+    """The corpus-sized window must hash-partition by bucket; only the
+    1024-row bucket-offset table may use a single partition.  And the ABC
+    classes must be a contiguous prefix/midfix/suffix of the rank order."""
+    df = QUERY_REGISTRY["customer_pareto_class"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(bkt" in plan, "per-bucket window collapsed"
+    rows = sorted(df.collect(), key=lambda r: r["rnk"])
+    ranks = [r["rnk"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    classes = [r["abc_class"] for r in rows]
+    assert classes == sorted(classes), "ABC classes must be monotone in rank"
+    # cumulative totals telescope exactly
+    run = 0
+    for r in rows:
+        run += r["cents"]
+        assert r["cum_cents"] == run, r
