@@ -63,7 +63,7 @@ _PRIORITY = [
     # r3-stale hash ops (conditional_aggregation, math_functions,           #
     # text_rolling_hash, split_train_test_hash — no shared-helper churn,    #
     # re-proven by every local differential) yielded their slots to the     #
-    # round-7 wave-2/3/4 queries and lead round 8 at slots 52-59, ahead of    #
+    # round-7 wave-2/3/4 queries and lead round 8 at slots 52-61, ahead of    #
     # late-data live (slot 51) and the 17 r4-stale relational/window/agg    #
     # queries.  EVERY slot in this window is hash-eligible.                 #
     # ======================================================================= #
@@ -83,6 +83,8 @@ _PRIORITY = [
     "dedup_lsh_recall_report",
     "orders_cohort_ltv",
     "customer_pareto_class",
+    "dq_group_checksum_udaf",
+    "text_wordcount_udtf",
     # -- b. round-6 final wave (never driver-checked) ----------------------- #
     "events_survival_time_to_convert",
     "recsys_item_item_cosine",
@@ -100,18 +102,18 @@ _PRIORITY = [
     "corpus_curation_v3",
     "heavy_hitters_cms",
     "semdedup_prune",
-    # -- d. 19 of the 27 r3-stale rows (conditional_aggregation,
+    # -- d. 17 of the 27 r3-stale rows (conditional_aggregation,
     #    math_functions, text_rolling_hash, split_train_test_hash,
     #    multimodal_audio_chunks, text_langid_heuristic,
-    #    multimodal_frame_sample and text_token_counts —
+    #    multimodal_frame_sample, text_token_counts,
+    #    text_repetition_metrics and text_corpus_rollup — all living in
+    #    modules untouched this round,
     #    math_functions — zero shared-helper exposure, re-proven by every
     #    local differential — yield their slots to the two newest round-7
     #    queries and lead round 8) (incl. 2 rows-only-by-nature live) --------- #
 
     "cdc_upsert_orders",
     "incremental_agg_merge",
-    "text_repetition_metrics",
-    "text_corpus_rollup",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_levenshtein_block",
@@ -139,6 +141,8 @@ _PRIORITY = [
     "text_langid_heuristic",
     "multimodal_frame_sample",
     "text_token_counts",
+    "text_repetition_metrics",
+    "text_corpus_rollup",
     "filter_complex_predicates",
     "filter_scalar_subquery",
     "lateral_correlated_agg",

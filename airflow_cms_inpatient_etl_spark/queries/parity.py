@@ -10,6 +10,7 @@ over the driver testdata so the oracle harness can grade it.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.plans.patient_claims import (
@@ -104,3 +105,114 @@ def dq_k_anonymity(spark, sf_dir):
 
     c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
     return k_anonymity_profile(c, ["c_nationkey", "c_mktsegment"], k=8)
+
+
+# --------------------------------------------------------------------------- #
+# dq_group_checksum_udaf — order-independent audit checksums via a pandas      #
+# UDAF (the GROUPED_AGG member of the UDF/UDAF/UDTF triad)                     #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "dq_group_checksum_udaf",
+    oracle="""
+    SELECT event_type,
+           CAST(BIT_XOR(CAST('0x' || SUBSTR(MD5(event_id || '|' || user_id || '|' ||
+                event_type), 1, 15) AS BIGINT)) AS BIGINT) AS checksum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def dq_group_checksum_udaf(spark, sf_dir):
+    """Order-independent group checksums via a custom PANDAS UDAF — the
+    GROUPED_AGG escape hatch for aggregation logic Spark's built-ins lack,
+    demonstrated with a kernel that is HONESTLY deterministic under
+    distribution: XOR over per-row 60-bit hashes.  XOR is commutative and
+    associative, so the checksum is invariant to partitioning, shuffle
+    order, and pandas batch boundaries — unlike a float kernel, whose
+    accumulation order a grouped-agg UDF cannot control (numpy even sums
+    pairwise).  This is the standard cross-replica / cross-snapshot table
+    audit: equal (n, checksum) pairs certify identical row SETS without
+    moving or sorting the rows.  Row hashes are computed JVM-side (the
+    portable md5-prefix hash); Python receives only int64 columns over
+    Arrow (`ArrowAggregatePython` — whitelisted in the plan lint with the
+    other Arrow stages); cost is one partial-aggregable exchange on the
+    group key."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def xor_agg(v: pd.Series) -> int:
+        import numpy as np
+
+        return int(np.bitwise_xor.reduce(v.to_numpy(dtype="int64"))) if len(v) else 0
+
+    @pandas_udf("long")
+    def count_agg(v: pd.Series) -> int:
+        # GROUPED_AGG UDFs cannot mix with built-in aggregates in one agg,
+        # so the row count rides a second pandas kernel
+        return len(v)
+
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "event_id", "user_id", "event_type")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        e.select("event_type", h.alias("rh"))
+        .groupBy("event_type")
+        .agg(xor_agg("rh").alias("checksum"), count_agg("rh").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# text_wordcount_udtf — the UDTF member of the UDF/UDAF/UDTF triad             #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "text_wordcount_udtf",
+    oracle="""
+    SELECT doc_id, x AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT doc_id,
+                 UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                                    x -> x != '')) AS x
+          FROM documents)
+    GROUP BY doc_id, x
+    """,
+)
+def text_wordcount_udtf(spark, sf_dir):
+    """Per-document word counts through a PYTHON UDTF (Spark 4's
+    user-defined TABLE function) — the one-row-in / many-rows-out escape
+    hatch for generators a lateral `explode` can't express (parsers,
+    tokenizers with state, API unpackers), demonstrated on a kernel whose
+    output is exactly SQL-checkable (so the Arrow plumbing is verified
+    value-for-value, the same discipline as the multimodal decode stub).
+    The UDTF is Arrow-optimized (`ArrowEvalPythonUDTF` — whitelisted in
+    the plan lint) and invoked through the SQL LATERAL path, the same
+    entry `sql_q3_shipping_priority` exercises for plain queries.  The
+    per-doc Counter emits in sorted word order, so output is deterministic
+    row-for-row.  NOTE the engine-honest contrast: `text_token_counts` /
+    `text_tfidf_top_terms` do this declaratively (explode + groupBy,
+    whole-stage codegen) — the UDTF form exists for kernels that NEED
+    Python, and its cost is the Arrow transfer of the text column."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, n bigint", useArrow=True)
+    class WordCount:
+        def eval(self, text: str):
+            from collections import Counter
+
+            if text:
+                for w, n in sorted(Counter(text.lower().split()).items()):
+                    yield (w, n)
+
+    name = "wordcount_udtf"
+    spark.udtf.register(name, WordCount)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        f"SELECT doc_id, t.word, t.n FROM udtf_docs, LATERAL {name}(text) t"
+    )

@@ -188,6 +188,9 @@ HEADLINE = [
     "orders_cohort_ltv",
     # round-7 wave 6: exact ABC classification via two-level sum sharding
     "customer_pareto_class",
+    # round-7 wave 7: the UDAF/UDTF members of the Python-escape-hatch triad
+    "dq_group_checksum_udaf",
+    "text_wordcount_udtf",
 ]
 
 

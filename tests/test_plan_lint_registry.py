@@ -27,6 +27,8 @@ _SKIP = {
 _ARROW_WHITELIST = {
     "multimodal_decode_stub",
     "multimodal_frame_sample",
+    "dq_group_checksum_udaf",
+    "text_wordcount_udtf",
 }
 
 _ARROW_NODES = (
@@ -34,6 +36,7 @@ _ARROW_NODES = (
     "FlatMapGroupsInPandas",
     "MapInPandas",
     "FlatMapCoGroupsInPandas",
+    "ArrowAggregatePython",
 )
 
 
