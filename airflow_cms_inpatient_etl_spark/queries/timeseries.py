@@ -582,3 +582,84 @@ def events_cusum_drift(spark, sf_dir):
         cusum.cast("double").alias("cusum"),
         (cusum > _CUSUM_H).alias("drift_alarm"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# events_stl_daily — trend / seasonal / residual decomposition                 #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "events_stl_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT DATE_TRUNC('day', ts) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY DATE_TRUNC('day', ts)
+    ),
+    trended AS (
+        SELECT day, cents,
+               CAST(AVG(cents) OVER (ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) AS trend,
+               COUNT(*) OVER (ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+        FROM daily
+    ),
+    detr AS (
+        SELECT day, cents, trend, cents - trend AS detrended,
+               DAYOFWEEK(day) AS dow
+        FROM trended WHERE w = 7
+    ),
+    seas AS (
+        SELECT dow, AVG(detrended) AS seasonal FROM detr GROUP BY dow
+    )
+    SELECT d.day, d.cents, ROUND(d.trend, 6) AS trend,
+           ROUND(s.seasonal, 6) AS seasonal,
+           ROUND(d.cents - d.trend - s.seasonal, 6) AS residual
+    FROM detr d JOIN seas s ON s.dow = d.dow
+    """,
+)
+def events_stl_daily(spark, sf_dir):
+    """STL-style additive decomposition of the daily value series:
+    trend = 7-day centered moving average, seasonal = mean detrended value
+    per day-of-week, residual = the rest — the classic seasonal-trend
+    screen run before any anomaly threshold (the MAD/CUSUM flags in this
+    family assume de-seasonalized input; this query produces it).
+    Exactness: daily totals are integer cents, so the centered mean is a
+    ratio of exact integers (bigint/7 in double — engine-exact) and every
+    derived column is deterministic arithmetic on it; edge days without a
+    full 7-day window are EXCLUDED (a partial-frame mean silently mixes
+    bandwidths — the classic decomposition artifact).  DOW parity:
+    DAYOFWEEK is 1=Sunday..7 in both engines.  Plan: one day-keyed
+    aggregate (map-side partial), one single-partition window over the
+    ~|days| rows (calendar-bounded — at 100 TB the day table is still tiny;
+    the corpus-sized work all happened in the first aggregate), a 7-row
+    seasonal broadcast join."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(14,2)") * 100).cast("long")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "cents",
+        F.avg("cents").over(w7).cast("double").alias("trend"),
+        F.count(F.lit(1)).over(w7).alias("w"),
+    )
+    detr = trended.filter(F.col("w") == 7).select(
+        "day",
+        "cents",
+        "trend",
+        (F.col("cents") - F.col("trend")).alias("detrended"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seas = detr.groupBy("dow").agg(F.avg("detrended").alias("seasonal"))
+    return detr.join(F.broadcast(seas), "dow").select(
+        "day",
+        "cents",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("cents") - F.col("trend") - F.col("seasonal"), 6).alias("residual"),
+    )

@@ -191,6 +191,9 @@ HEADLINE = [
     # round-7 wave 7: the UDAF/UDTF members of the Python-escape-hatch triad
     "dq_group_checksum_udaf",
     "text_wordcount_udtf",
+    # round-7 wave 8: additive seasonal-trend decomposition (integer-cents
+    # daily base, calendar-bounded windows)
+    "events_stl_daily",
 ]
 
 
