@@ -2451,3 +2451,63 @@ def customer_pareto_class(spark, sf_dir):
 customer_pareto_class.__doc__ = customer_pareto_class.__doc__.replace(
     "{_nb}", str(_PARETO_BUCKETS)
 )
+
+
+# --------------------------------------------------------------------------- #
+# supplier_concentration_hhi — market-concentration audit per part type        #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_type, l.l_suppkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_type, l.l_suppkey
+    ),
+    tot AS (
+        SELECT p_type, CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM rev GROUP BY p_type
+    )
+    SELECT r.p_type, t.n_suppliers,
+           CAST(SUM(POWER(r.cents * 1000000 // t.total, 2)) AS BIGINT) AS hhi_x1e12
+    FROM rev r JOIN tot t ON t.p_type = r.p_type
+    GROUP BY r.p_type, t.n_suppliers
+    """,
+)
+def supplier_concentration_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index of supplier revenue within
+    each part type — the market-concentration audit (is one supplier
+    dominating a category?) that complements `skew_dominant_supplier_orders`
+    with the standard-economics summary statistic.  Exactness: per-supplier
+    revenue is exact integer cents; shares quantize to parts-per-million by
+    integer floor division (c_i·10^6 div total ≤ 10^6, so the squared sum
+    is ≤ 10^12·n — comfortably int64, and every term is deterministic —
+    no float shares, no cross-engine rounding surface).  Plan: one
+    (type, supplier)-keyed aggregate over the broadcast-dimension join,
+    one tiny per-type total, one final aggregate over |types|×|suppliers|
+    rows — the corpus-sized work is all in the first map-side-combinable
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = (F.col("l_extendedprice").cast("decimal(19,2)") * 100).cast("long")
+    rev = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    tot = rev.groupBy("p_type").agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    shares = rev.join(F.broadcast(tot), "p_type").select(
+        "p_type",
+        "n_suppliers",
+        F.expr("(cents * 1000000) div total").alias("ppm"),
+    )
+    return shares.groupBy("p_type", "n_suppliers").agg(
+        F.sum(F.col("ppm") * F.col("ppm")).alias("hhi_x1e12")
+    )

@@ -194,6 +194,7 @@ HEADLINE = [
     # round-7 wave 8: additive seasonal-trend decomposition (integer-cents
     # daily base, calendar-bounded windows)
     "events_stl_daily",
+    "supplier_concentration_hhi",
 ]
 
 
