@@ -90,6 +90,10 @@ CANARY_QUERIES = [
     # datacard's md5-keyed dup join (replica texts are never cross-replica
     # dups, so dup mass must scale exactly linearly)
     "corpus_datacard",
+    # round-7 closing: the bucket-offset Pareto machinery under 10× revenue
+    # magnitudes and the strict-order funnel under 10× independent users
+    "customer_pareto_class",
+    "events_funnel_steps",
 ]
 
 
@@ -255,6 +259,27 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
         assert dc10[src]["n_docs"] == 10 * r["n_docs"], src
         assert dc10[src]["dup_docs"] == 10 * r["dup_docs"], src
         assert dc10[src]["n_langs"] == r["n_langs"], src
+
+    # pareto: the sf1 fixture shifts ORDER keys, not customer keys, so the
+    # customer set is unchanged while every revenue is ~10× — the output must
+    # stay one row per customer and an exact rank permutation, and the
+    # bucket-offset identity must survive the larger magnitudes
+    assert got["customer_pareto_class"] == base["customer_pareto_class"]
+    pr = QUERY_REGISTRY["customer_pareto_class"].fn(spark, sf1_dir)
+    pstats = pr.agg(
+        F.min("rnk").alias("lo"), F.max("rnk").alias("hi"),
+        F.countDistinct("rnk").alias("nd"),
+    ).collect()[0]
+    n_p = got["customer_pareto_class"]
+    assert (pstats["lo"], pstats["hi"], pstats["nd"]) == (1, n_p, n_p)
+    # funnel: replicas carry shifted user ids with IDENTICAL per-user
+    # timelines, so every step count is exactly 10× and the integer
+    # conversion ratios are invariant
+    f10 = {r["step"]: r for r in QUERY_REGISTRY["events_funnel_steps"].fn(spark, sf1_dir).collect()}
+    f01 = {r["step"]: r for r in QUERY_REGISTRY["events_funnel_steps"].fn(spark, SF_SRC).collect()}
+    for step in ("view", "click", "purchase"):
+        assert f10[step]["n_users"] == 10 * f01[step]["n_users"], step
+        assert f10[step]["conv_from_prev_x10000"] == f01[step]["conv_from_prev_x10000"], step
 
     # BM25: the per-replica letter translation de-words the English query
     # terms, so only replica 0 can match — fixed-k output stays one K either
