@@ -194,19 +194,27 @@ def text_wordcount_udtf(spark, sf_dir):
     the plan lint) and invoked through the SQL LATERAL path, the same
     entry `sql_q3_shipping_priority` exercises for plain queries.  The
     per-doc Counter emits in sorted word order, so output is deterministic
-    row-for-row.  NOTE the engine-honest contrast: `text_token_counts` /
-    `text_tfidf_top_terms` do this declaratively (explode + groupBy,
-    whole-stage codegen) — the UDTF form exists for kernels that NEED
-    Python, and its cost is the Arrow transfer of the text column."""
+    row-for-row.  Tokenizer parity: the kernel splits with
+    `re.split(r'\\s+', ..., flags=re.ASCII)` — NOT `str.split()`, whose
+    Unicode whitespace set (\\xa0, \\x85, \\x1c-\\x1f) silently diverges
+    from the ASCII-only `\\s` of the RE2 oracle and of every other
+    `\\s+`-split text query in this repo; the ASCII flag pins Python's
+    class to the same set Java/RE2 use.  NOTE the engine-honest contrast:
+    `text_token_counts` / `text_tfidf_top_terms` do this declaratively
+    (explode + groupBy, whole-stage codegen) — the UDTF form exists for
+    kernels that NEED Python, and its cost is the Arrow transfer of the
+    text column."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="word string, n bigint", useArrow=True)
     class WordCount:
         def eval(self, text: str):
+            import re
             from collections import Counter
 
             if text:
-                for w, n in sorted(Counter(text.lower().split()).items()):
+                words = (w for w in re.split(r"\s+", text.lower(), flags=re.ASCII) if w)
+                for w, n in sorted(Counter(words).items()):
                     yield (w, n)
 
     name = "wordcount_udtf"

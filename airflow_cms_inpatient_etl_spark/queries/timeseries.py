@@ -600,23 +600,26 @@ def events_cusum_drift(spark, sf_dir):
     ),
     trended AS (
         SELECT day, cents,
-               CAST(AVG(cents) OVER (ORDER BY day
-                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) AS trend,
+               CAST(SUM(cents) OVER (ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7,
                COUNT(*) OVER (ORDER BY day
                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
         FROM daily
     ),
     detr AS (
-        SELECT day, cents, trend, cents - trend AS detrended,
-               DAYOFWEEK(day) AS dow
+        SELECT day, cents, sum7, DAYOFWEEK(day) AS dow
         FROM trended WHERE w = 7
     ),
     seas AS (
-        SELECT dow, AVG(detrended) AS seasonal FROM detr GROUP BY dow
+        SELECT dow,
+               CAST(7 * SUM(cents) - SUM(sum7) AS DOUBLE)
+                 / CAST(7 * COUNT(*) AS DOUBLE) AS seasonal
+        FROM detr GROUP BY dow
     )
-    SELECT d.day, d.cents, ROUND(d.trend, 6) AS trend,
+    SELECT d.day, d.cents,
+           ROUND(CAST(d.sum7 AS DOUBLE) / 7, 6) AS trend,
            ROUND(s.seasonal, 6) AS seasonal,
-           ROUND(d.cents - d.trend - s.seasonal, 6) AS residual
+           ROUND(d.cents - CAST(d.sum7 AS DOUBLE) / 7 - s.seasonal, 6) AS residual
     FROM detr d JOIN seas s ON s.dow = d.dow
     """,
 )
@@ -626,16 +629,21 @@ def events_stl_daily(spark, sf_dir):
     per day-of-week, residual = the rest — the classic seasonal-trend
     screen run before any anomaly threshold (the MAD/CUSUM flags in this
     family assume de-seasonalized input; this query produces it).
-    Exactness: daily totals are integer cents, so the centered mean is a
-    ratio of exact integers (bigint/7 in double — engine-exact) and every
-    derived column is deterministic arithmetic on it; edge days without a
-    full 7-day window are EXCLUDED (a partial-frame mean silently mixes
-    bandwidths — the classic decomposition artifact).  DOW parity:
-    DAYOFWEEK is 1=Sunday..7 in both engines.  Plan: one day-keyed
-    aggregate (map-side partial), one single-partition window over the
-    ~|days| rows (calendar-bounded — at 100 TB the day table is still tiny;
-    the corpus-sized work all happened in the first aggregate), a 7-row
-    seasonal broadcast join."""
+    Exactness BY CONSTRUCTION, never a float re-sum (the
+    events_dow_seasonality discipline): every aggregate is a bigint sum —
+    trend = sum7/7 is ONE double division of an exact integer, and
+    seasonal = mean_dow(cents − sum7/7) is algebraically rewritten to
+    (7·Σcents − Σsum7)/(7·n), again exact bigints with a single terminal
+    division.  An F.avg over doubles would instead accumulate in
+    partial-aggregation order, which varies with partitioning and differs
+    from DuckDB's scan order — only probabilistically stable under
+    ROUND(..,6).  Edge days without a full 7-day window are EXCLUDED (a
+    partial-frame mean silently mixes bandwidths — the classic
+    decomposition artifact).  DOW parity: DAYOFWEEK is 1=Sunday..7 in both
+    engines.  Plan: one day-keyed aggregate (map-side partial), one
+    single-partition window over the ~|days| rows (calendar-bounded — at
+    100 TB the day table is still tiny; the corpus-sized work all happened
+    in the first aggregate), a 7-row seasonal broadcast join."""
     e = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(14,2)") * 100).cast("long")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
@@ -645,21 +653,26 @@ def events_stl_daily(spark, sf_dir):
     trended = daily.select(
         "day",
         "cents",
-        F.avg("cents").over(w7).cast("double").alias("trend"),
+        F.sum("cents").over(w7).alias("sum7"),
         F.count(F.lit(1)).over(w7).alias("w"),
     )
     detr = trended.filter(F.col("w") == 7).select(
         "day",
         "cents",
-        "trend",
-        (F.col("cents") - F.col("trend")).alias("detrended"),
+        "sum7",
         F.dayofweek("day").alias("dow"),
     )
-    seas = detr.groupBy("dow").agg(F.avg("detrended").alias("seasonal"))
+    seas = detr.groupBy("dow").agg(
+        (
+            (F.lit(7) * F.sum("cents") - F.sum("sum7")).cast("double")
+            / (F.lit(7) * F.count(F.lit(1))).cast("double")
+        ).alias("seasonal")
+    )
+    trend = F.col("sum7").cast("double") / F.lit(7)
     return detr.join(F.broadcast(seas), "dow").select(
         "day",
         "cents",
-        F.round("trend", 6).alias("trend"),
+        F.round(trend, 6).alias("trend"),
         F.round("seasonal", 6).alias("seasonal"),
-        F.round(F.col("cents") - F.col("trend") - F.col("seasonal"), 6).alias("residual"),
+        F.round(F.col("cents") - trend - F.col("seasonal"), 6).alias("residual"),
     )
