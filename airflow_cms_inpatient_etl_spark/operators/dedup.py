@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.operators.text import (
     exploded_shingle_hashes,
+    hash60,
     normalized_fingerprint,
+    words,
 )
 
 N_MINHASHES = 8
@@ -312,3 +314,110 @@ def simhash_fingerprints(
             F.lit(0).cast("long")
         )
     return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+# --------------------------------------------------------------------------- #
+# Content-defined line segmentation (cross-document line-level dedup support)  #
+# --------------------------------------------------------------------------- #
+
+LINE_BOUNDARY_PERIOD = 8  # E[line length] = 8 tokens (boundary = hash % p == 0)
+
+
+def content_defined_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    period: int = LINE_BOUNDARY_PERIOD,
+) -> DataFrame:
+    """Split each document into content-defined pseudo-lines: one ``(id, pos,
+    line)`` row per segment, where a segment ends AFTER any token ``t`` with
+    ``hash60(t) % period == 0``.
+
+    Why content-defined rather than fixed-width windows: line-level dedup
+    (the C4/FineWeb boilerplate pass) must align identical passages that sit
+    at DIFFERENT offsets in different documents.  Fixed windows lose
+    alignment after a single inserted word; a boundary decided by token
+    content alone re-synchronizes immediately — the same argument as the
+    Rabin content-defined chunker on the binary side
+    (``operators/multimodal.py``), applied at token granularity.  When a
+    corpus carries real newlines the period can be set high and the newline
+    token itself acts as the boundary; this corpus stores running text, so
+    the hash boundary IS the line structure.
+
+    Scale: segmentation is MAP-SIDE only (one projection of higher-order
+    functions over the materialized token array — no explode before the
+    segment build, no shuffle).  The token array is materialized once in its
+    own projection and the boundary hash is computed once per token inside a
+    single ``filter`` lambda (Catalyst does not CSE across independent
+    lambdas — see ``operators/text.exploded_shingles``).
+    """
+    t = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    n = F.size("__w")
+    bp = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: hash60(F.element_at(F.col("__w"), i)) % period == 0,
+    )
+    seg = t.select(
+        F.col(id_col),
+        F.col("__w"),
+        F.concat(F.array(F.lit(1)), F.transform(bp, lambda b: b + 1)).alias("__starts"),
+        F.concat(bp, F.array(n)).alias("__ends"),
+    )
+    lines = F.zip_with(
+        F.col("__starts"),
+        F.col("__ends"),
+        lambda s, e: F.when(
+            e >= s, F.array_join(F.slice(F.col("__w"), s, e - s + 1), " ")
+        ),
+    )
+    return (
+        seg.select(F.col(id_col), F.posexplode(lines).alias("pos0", "line"))
+        .filter(F.col("line").isNotNull())
+        .select(F.col(id_col), (F.col("pos0") + 1).cast("long").alias("pos"), "line")
+    )
+
+
+def cross_doc_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    period: int = LINE_BOUNDARY_PERIOD,
+    max_df: int = 3,
+) -> DataFrame:
+    """C4/FineWeb-style cross-document line dedup: every occurrence of a line
+    carried by more than ``max_df`` distinct documents is dropped (template
+    noise — nav headers, cookie banners), and each document is reassembled
+    from its surviving lines in position order ('\\n'-joined).
+
+    Returns one row per document: ``(id, n_lines, n_removed, dedup_text)``.
+
+    Contrast with the span dedup in ``queries/dedup.py``
+    (``dedup_repeated_spans``): that keeps the corpus-wide FIRST occurrence
+    of repeated content; this keeps NONE — boilerplate has no canonical
+    copy worth preserving.  Scale: one shuffle for per-line-hash document
+    frequency (8-byte keys — line text never keys an exchange), one
+    hash-equi join back (linear, no self-join), one doc-keyed ordered
+    collect bounded by document length.
+    """
+    lines = content_defined_lines(df, id_col, text_col, period).withColumn(
+        "__h", hash60(F.col("line"))
+    )
+    stats = lines.groupBy("__h").agg(F.countDistinct(id_col).alias("__n_docs"))
+    flagged = lines.join(stats, "__h").select(
+        F.col(id_col),
+        "pos",
+        "line",
+        (F.col("__n_docs") <= max_df).alias("keep"),
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "line"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x.getField("line"),
+            ),
+            "\n",
+        ).alias("dedup_text"),
+    )

@@ -14,6 +14,7 @@ from airflow_cms_inpatient_etl_spark.operators.dedup import (
     MINHASH_DOMAIN,
     MINHASH_MOD,
     MINHASH_PERMS,
+    cross_doc_line_dedup,
     exact_dedup_representatives,
     fingerprint_dedup,
     levenshtein_block_pairs,
@@ -701,4 +702,86 @@ def dedup_lsh_recall_report(spark, sf_dir):
         F.expr(
             "CASE WHEN n_lsh = 0 THEN 10000L ELSE (n_hit * 10000) div n_lsh END"
         ).alias("precision_x10000"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dedup_cross_doc_lines — C4/FineWeb-style cross-document line-level dedup     #
+# --------------------------------------------------------------------------- #
+
+_LINE_P = 8       # content-defined boundary period (E[line length] = 8 tokens)
+_LINE_MAX_DF = 3  # a line carried by > 3 distinct docs is boilerplate: drop ALL
+
+
+@register(
+    "dedup_cross_doc_lines",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, w,
+               LIST_PREPEND(CAST(1 AS BIGINT), LIST_TRANSFORM(bp, b -> b + 1)) AS starts,
+               LIST_APPEND(bp, CAST(LEN(w) AS BIGINT)) AS ends
+        FROM (SELECT doc_id, w,
+                     LIST_FILTER(RANGE(1, LEN(w) + 1),
+                         i -> CAST('0x' || SUBSTR(MD5(w[i]), 1, 15) AS BIGINT)
+                              % {_LINE_P} = 0) AS bp
+              FROM toks)
+    ),
+    lines AS (
+        SELECT doc_id, CAST(j AS BIGINT) AS pos,
+               ARRAY_TO_STRING(LIST_SLICE(w, starts[j], ends[j]), ' ') AS line
+        FROM seg, UNNEST(RANGE(1, LEN(starts) + 1)) AS t(j)
+        WHERE ends[j] >= starts[j]
+    ),
+    stats AS (
+        SELECT CAST('0x' || SUBSTR(MD5(line), 1, 15) AS BIGINT) AS h,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM lines GROUP BY 1
+    ),
+    flagged AS (
+        SELECT l.doc_id, l.pos, l.line,
+               (s.n_docs <= {_LINE_MAX_DF}) AS keep
+        FROM lines l
+        JOIN stats s ON s.h = CAST('0x' || SUBSTR(MD5(l.line), 1, 15) AS BIGINT)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
+           COALESCE(STRING_AGG(line, CHR(10) ORDER BY pos) FILTER (WHERE keep), '')
+               AS dedup_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dedup_cross_doc_lines(spark, sf_dir):
+    """Cross-document LINE-level exact dedup — the C4/FineWeb boilerplate
+    pass: a line that appears in more than ``max_df`` distinct documents
+    (nav header, cookie banner, license footer) is dropped from EVERY
+    document, and each document's text is reassembled from its surviving
+    lines in position order.  Drop-ALL semantics deliberately contrast with
+    ``dedup_repeated_spans``' keep-first rule: a passage repeated a handful
+    of times is content (keep one copy); a line repeated across the corpus
+    is template noise (keep none).
+
+    Lines are CONTENT-DEFINED (`operators.dedup.content_defined_lines`):
+    a segment ends after any token whose hash60 ≡ 0 (mod period) — the Rabin
+    chunker argument at token granularity, so identical passages align
+    across documents regardless of offset (fixed windows lose alignment
+    after one inserted word; this corpus stores running text, so the hash
+    boundary supplies the line structure a newline corpus gets for free).
+
+    Scale: segmentation is map-side HOFs over the materialized token array
+    (no shuffle); ONE shuffle computes per-line-hash document frequency on
+    8-byte ints (the line text never keys an exchange); each line row joins
+    at most one stats row (hash-equi, linear — no self-join, no quadratic
+    hot key); the per-doc rebuild is an ordered collect partitioned by
+    doc_id, bounded by document length.  At 100 TB the stats table is
+    corpus-sized but the join stays shuffle-hash on fixed-width keys, and
+    the df-cap makes the boilerplate key distribution irrelevant (we never
+    enumerate occurrence PAIRS, only count distinct docs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return cross_doc_line_dedup(
+        d, "doc_id", "text", period=_LINE_P, max_df=_LINE_MAX_DF
     )

@@ -195,6 +195,9 @@ HEADLINE = [
     # daily base, calendar-bounded windows)
     "events_stl_daily",
     "supplier_concentration_hhi",
+    # round-8: the C4/FineWeb cross-document line dedup (content-defined
+    # pseudo-line segmentation, df-capped drop-all, per-doc ordered rebuild)
+    "dedup_cross_doc_lines",
 ]
 
 
