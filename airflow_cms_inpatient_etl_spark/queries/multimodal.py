@@ -294,3 +294,181 @@ multimodal_cdc_chunk_dedup.__doc__ = (
     .replace("{_d}", str(_CDC_D))
     .replace("{_b}", str(_CDC_B))
 )
+
+
+# --------------------------------------------------------------------------- #
+# multimodal_phash_neardup — perceptual-hash image near-dup pairs              #
+# --------------------------------------------------------------------------- #
+
+_PH_PIX = 60         # thumbnail pixels = fingerprint bits (6x10 average-hash)
+_PH_BANDS = 4        # pigeonhole bands => guaranteed recall for hamming <= 3
+_PH_BAND_BITS = 15   # band key space 2^15 (see dedup_simhash_hamming's note)
+_PH_T = 3            # Hamming radius (must be < _PH_BANDS)
+_PH_MAX_BUCKET = 64  # hot-band occupancy cap
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH pix AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(RANGE(0, {_PH_PIX}),
+                   j -> CAST('0x' || SUBSTR(MD5(text || ':' || CAST(j AS VARCHAR)),
+                             1, 2) AS BIGINT)) AS p
+        FROM documents
+    ),
+    twin AS (
+        -- deterministic "re-encode" of every image: one pixel perturbed
+        SELECT doc_id,
+               LIST_TRANSFORM(RANGE(0, {_PH_PIX}),
+                   j -> CASE WHEN j = doc_id % {_PH_PIX}
+                             THEN (p[CAST(j AS INTEGER) + 1] + 128) % 256
+                             ELSE p[CAST(j AS INTEGER) + 1] END) AS p
+        FROM pix
+    ),
+    allpix AS (
+        SELECT doc_id, p FROM pix
+        UNION ALL
+        SELECT doc_id + 1000000, p FROM twin
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, {_PH_PIX}),
+                   j -> CASE WHEN {_PH_PIX} * p[CAST(j AS INTEGER) + 1] > s
+                             THEN (CAST(1 AS BIGINT) << j)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS f
+        FROM (SELECT doc_id, p, CAST(LIST_SUM(p) AS BIGINT) AS s FROM allpix)
+    ),
+    bands AS (
+        SELECT doc_id, f, bi.i AS i,
+               (f >> ({_PH_BAND_BITS} * bi.i)) & {2**_PH_BAND_BITS - 1} AS key
+        FROM fp, (SELECT UNNEST(GENERATE_SERIES(0, {_PH_BANDS - 1})) AS i) bi
+    ),
+    occ AS (
+        SELECT i, key FROM bands GROUP BY i, key
+        HAVING COUNT(*) <= {_PH_MAX_BUCKET}
+    ),
+    kept AS (SELECT b.* FROM bands b JOIN occ USING (i, key)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.f AS f1, b.f AS f2
+        FROM kept a JOIN kept b ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id1, id2, CAST(BIT_COUNT(XOR(f1, f2)) AS INT) AS hamming
+    FROM cand WHERE BIT_COUNT(XOR(f1, f2)) <= {_PH_T}
+    """,
+)
+def multimodal_phash_neardup(spark, sf_dir):
+    """Re-encoded-copy detection via a perceptual hash — the missing member
+    of the multimodal dedup story (text near-dup ✓, storage chunk dedup ✓,
+    image near-dup: this).  The canonical pHash task: the same image saved
+    twice (different quality/encoder) hashes to NEARLY the same fingerprint,
+    so near-dup search is a Hamming-ball join, not equality.  The evaluation
+    corpus is each image plus a deterministic "re-encode" twin (one pixel
+    perturbed, id shifted by 1 000 000 — the recrawl-twin pattern from
+    `corpus_delta_report`), so the query demonstrates both recall (twins
+    found despite the perturbation) and precision (unrelated images
+    rejected by exact verification).  Three stages, all public methods:
+
+    1. AVERAGE-HASH fingerprint (the DCT-free pHash variant): decode the
+       payload to a tiny grayscale thumbnail, then set bit j iff pixel j is
+       above the thumbnail mean.  The decode kernel is STUBBED like every
+       codec in this container (pixel j = one md5-derived byte of the
+       payload — deterministic, engine-portable); a real pipeline swaps in
+       PIL inside the existing `decode_features` mapInPandas stage and the
+       rest of this query is unchanged, because the fingerprint math only
+       sees an array<long> pixel column.  The mean comparison is EXACT
+       integer arithmetic ({_PH_PIX}·p_j > Σp — never a double mean), and
+       the whole fingerprint is built map-side in sequential projections
+       (pixels → twin explode → sum → fold), each value derived ONCE — the
+       HOF-CSE discipline (independent lambdas defeat runtime CSE); the
+       twin reuses the materialized pixel array instead of re-decoding.
+       A perturbed pixel flips its own bit and any mean-marginal bits, so
+       twin Hamming distance is usually 1-3 but can exceed the radius —
+       such pairs are legitimately excluded, which is exactly the
+       recall-vs-radius contract a production pHash index documents.
+
+    2. Hamming-ball candidate join via PIGEONHOLE BANDING, reusing the
+       `dedup_simhash_hamming` design verbatim: {_PH_BANDS} bands of
+       {_PH_BAND_BITS} bits ⇒ any pair within Hamming {_PH_T} agrees
+       exactly on ≥ 1 band; the self-join runs per (band, key) bucket
+       (cost ∝ occupancy, never corpus²), hot buckets are dropped at the
+       occupancy cap (documented approximation), and exact
+       bit_count(xor) ≤ {_PH_T} verification removes banding false
+       positives.  At 100 TB the band key space must scale with corpus
+       population — wider bands or a source/language pre-partition, the
+       Manku WWW'07 table family."""
+    d = load_table(spark, sf_dir, "documents")
+    pix = d.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_PH_PIX - 1}), "
+            "  j -> cast(conv(substring(md5(concat(text, ':', cast(j as string))), 1, 2), 16, 10) as bigint))"
+        ).alias("__pix"),
+    )
+    both = pix.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id"), F.col("__pix")),
+                F.struct(
+                    (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.expr(
+                        f"zip_with(__pix, sequence(0, {_PH_PIX - 1}), "
+                        f"  (p, j) -> IF(j = doc_id % {_PH_PIX}, (p + 128) % 256, p))"
+                    ).alias("__pix"),
+                ),
+            )
+        ).alias("s")
+    ).select(F.col("s.doc_id").alias("doc_id"), F.col("s.__pix").alias("__pix"))
+    summed = both.select(
+        "doc_id",
+        "__pix",
+        F.expr("aggregate(__pix, 0L, (a, x) -> a + x)").alias("__sum"),
+    )
+    fp = summed.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(zip_with(__pix, sequence(0, {_PH_PIX - 1}), "
+            f"  (p, j) -> IF({_PH_PIX} * p > __sum, shiftleft(1L, j), 0L)), "
+            "  0L, (a, x) -> a + x)"
+        ).alias("f"),
+    )
+    bands = (
+        fp.select(
+            "doc_id",
+            "f",
+            F.explode(F.sequence(F.lit(0), F.lit(_PH_BANDS - 1))).alias("i"),
+        )
+        .withColumn(
+            "key",
+            F.expr(f"shiftright(f, {_PH_BAND_BITS} * i) & {2**_PH_BAND_BITS - 1}"),
+        )
+        .persist()
+    )
+    small = (
+        bands.groupBy("i", "key")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= _PH_MAX_BUCKET)
+        .select("i", "key")
+    )
+    kept = bands.join(small, ["i", "key"], "semi")
+    a = kept.select("i", "key", F.col("doc_id").alias("id1"), F.col("f").alias("f1"))
+    b = kept.select("i", "key", F.col("doc_id").alias("id2"), F.col("f").alias("f2"))
+    cand = (
+        a.join(b, ["i", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "f1", "f2")
+        .distinct()
+    )
+    return cand.select(
+        "id1",
+        "id2",
+        F.bit_count(F.expr("f1 ^ f2")).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= _PH_T)
+
+
+multimodal_phash_neardup.__doc__ = (
+    multimodal_phash_neardup.__doc__.replace("{_PH_PIX}", str(_PH_PIX))
+    .replace("{_PH_BANDS}", str(_PH_BANDS))
+    .replace("{_PH_BAND_BITS}", str(_PH_BAND_BITS))
+    .replace("{_PH_T}", str(_PH_T))
+)

@@ -798,3 +798,164 @@ corpus_curation_v6.__doc__ = (
     .replace("{_mw}", str(_V6_MIN_WORDS))
     .replace("{_bd}", str(_V6_BUDGET))
 )
+
+
+# --------------------------------------------------------------------------- #
+# corpus_mixture_refresh — freshness-weighted next-epoch mixture rebalance     #
+# --------------------------------------------------------------------------- #
+
+_REFRESH_BUDGET_TOKENS = 100_000  # next-epoch training-token budget
+
+
+@register(
+    "corpus_mixture_refresh",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, MD5(text) AS h,
+               CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS ntok
+        FROM documents
+    ),
+    recrawl AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 11 = 1 THEN MD5(text || ' refetched')
+                    ELSE MD5(text) END AS h,
+               CAST(LEN(STRING_SPLIT_REGEX(TRIM(
+                   CASE WHEN doc_id % 11 = 1 THEN text || ' refetched'
+                        ELSE text END), '\\s+')) AS BIGINT) AS ntok
+        FROM documents WHERE doc_id % 11 != 0
+        UNION ALL
+        SELECT doc_id + 1000000, source, MD5(text || ' new'),
+               CAST(LEN(STRING_SPLIT_REGEX(TRIM(text || ' new'), '\\s+')) AS BIGINT)
+        FROM documents WHERE doc_id % 13 = 0
+    ),
+    j AS (
+        SELECT r.source, r.ntok,
+               (b.doc_id IS NULL OR b.h != r.h) AS fresh
+        FROM base b FULL OUTER JOIN recrawl r ON b.doc_id = r.doc_id
+        WHERE r.doc_id IS NOT NULL
+    ),
+    per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_next,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens_next,
+               CAST(COALESCE(SUM(ntok) FILTER (WHERE fresh), 0) AS BIGINT)
+                 AS fresh_tokens
+        FROM j GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs_next, n_tokens_next, fresh_tokens,
+               CAST(fresh_tokens AS DOUBLE) / n_tokens_next AS fresh_frac,
+               SQRT(CAST(n_tokens_next AS DOUBLE))
+                 * (1 + CAST(fresh_tokens AS DOUBLE) / n_tokens_next) AS wraw
+        FROM per_src
+    ),
+    denom AS (
+        SELECT LIST_REDUCE(LIST(wraw ORDER BY source), (acc, v) -> acc + v) AS z
+        FROM w
+    )
+    SELECT source, n_docs_next, n_tokens_next, fresh_tokens, fresh_frac,
+           wraw / z AS weight,
+           wraw / z * {_REFRESH_BUDGET_TOKENS} / n_tokens_next AS sampling_rate,
+           CAST(CEIL(wraw / z * {_REFRESH_BUDGET_TOKENS} / n_tokens_next) AS BIGINT)
+             AS n_epochs
+    FROM w, denom
+    """,
+)
+def corpus_mixture_refresh(spark, sf_dir):
+    """Freshness-weighted mixture rebalance — the query that closes the loop
+    between the CDC family and the curation family: derive NEXT-epoch
+    per-source sampling rates from recrawl deltas under a fixed token
+    budget.  Sources whose recrawl carries more new/changed mass get
+    upweighted (fresh data is what a refresh run exists to capture); stale
+    sources keep their temperature-sampled base share.
+
+    Stage 1 is `corpus_delta_report`'s CDC shape verbatim: both corpus
+    snapshots reduce to (doc_id, source, content-hash, token-count) — ~60
+    bytes/doc, text never enters the exchange — and one co-partitioned
+    full-outer join classifies each next-epoch document as fresh (added or
+    content-changed) vs carried-over; removed docs contribute no mass.
+    Stage 2 is `corpus_mixture_plan`'s temperature rule with a freshness
+    multiplier: weight_s ∝ sqrt(tokens_s) · (1 + fresh_tokens_s/tokens_s),
+    normalized by an ORDERED fold over the source-sized aggregate (sqrt and
+    each ratio are single correctly-rounded operations, the fold order is
+    pinned by source — every emitted double is engine-identical); then
+    sampling_rate = weight · budget / tokens, rate > 1 reported as repeat
+    epochs.  The corpus-sized work is two scans + one join + one small
+    aggregate; everything after is dimension-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = lambda c: F.size(F.split(F.trim(c), r"\s+")).cast("long")  # noqa: E731
+    base = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        ntok(F.col("text")).alias("ntok"),
+    )
+    changed_text = F.when(
+        F.col("doc_id") % 11 == 1, F.concat(F.col("text"), F.lit(" refetched"))
+    ).otherwise(F.col("text"))
+    recrawl = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(changed_text.cast("binary")).alias("h"),
+            ntok(changed_text).alias("ntok"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "source",
+                F.md5(F.concat(F.col("text"), F.lit(" new")).cast("binary")).alias("h"),
+                ntok(F.concat(F.col("text"), F.lit(" new"))).alias("ntok"),
+            )
+        )
+    )
+    b, r = base.alias("b"), recrawl.alias("r")
+    j = (
+        b.join(r, F.col("b.doc_id") == F.col("r.doc_id"), "full_outer")
+        .filter(F.col("r.doc_id").isNotNull())
+        .select(
+            F.col("r.source").alias("source"),
+            F.col("r.ntok").alias("ntok"),
+            (F.col("b.doc_id").isNull() | (F.col("b.h") != F.col("r.h"))).alias("fresh"),
+        )
+    )
+    per_src = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_next"),
+        F.sum("ntok").alias("n_tokens_next"),
+        F.coalesce(F.sum(F.when(F.col("fresh"), F.col("ntok"))), F.lit(0))
+        .cast("long")
+        .alias("fresh_tokens"),
+    )
+    w = per_src.select(
+        "source",
+        "n_docs_next",
+        "n_tokens_next",
+        "fresh_tokens",
+        (F.col("fresh_tokens").cast("double") / F.col("n_tokens_next")).alias(
+            "fresh_frac"
+        ),
+        (
+            F.sqrt(F.col("n_tokens_next").cast("double"))
+            * (F.lit(1) + F.col("fresh_tokens").cast("double") / F.col("n_tokens_next"))
+        ).alias("wraw"),
+    )
+    denom = w.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, wraw))), "
+            "s -> s.wraw), cast(0.0 as double), (acc, v) -> acc + v)"
+        ).alias("z")
+    )
+    joined = w.crossJoin(F.broadcast(denom))
+    weight = F.col("wraw") / F.col("z")
+    rate = weight * _REFRESH_BUDGET_TOKENS / F.col("n_tokens_next")
+    return joined.select(
+        "source",
+        "n_docs_next",
+        "n_tokens_next",
+        "fresh_tokens",
+        "fresh_frac",
+        weight.alias("weight"),
+        rate.alias("sampling_rate"),
+        F.ceil(rate).cast("long").alias("n_epochs"),
+    )

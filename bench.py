@@ -197,7 +197,11 @@ HEADLINE = [
     "supplier_concentration_hhi",
     # round-8: the C4/FineWeb cross-document line dedup (content-defined
     # pseudo-line segmentation, df-capped drop-all, per-doc ordered rebuild)
+    # and the average-hash image near-dup (banded Hamming join)
     "dedup_cross_doc_lines",
+    "multimodal_phash_neardup",
+    # round-8: CDC-delta -> freshness-weighted temperature mixture
+    "corpus_mixture_refresh",
 ]
 
 

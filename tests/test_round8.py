@@ -94,18 +94,24 @@ def test_cross_doc_line_dedup_drops_boilerplate_everywhere(spark):
 
 
 @pytest.mark.parametrize(
+    "name",
+    ["dedup_cross_doc_lines", "multimodal_phash_neardup", "corpus_mixture_refresh"],
+)
+@pytest.mark.parametrize(
     "sf_dir",
     [
         "/root/testdata/sf0.001",
         pytest.param("/root/testdata/sf0.1", marks=pytest.mark.slow),
     ],
 )
-def test_cross_doc_lines_oracle_other_scales(spark, sf_dir):
+def test_round8_queries_oracle_other_scales(spark, sf_dir, name):
     # sf0.01 is covered by the registry-wide differential; this pins the
     # smallest and 10× scales (three round-1 hazard classes only appeared
     # at 10×).
+    if name not in QUERY_REGISTRY:
+        pytest.skip(f"{name} not registered yet")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    spec = QUERY_REGISTRY["dedup_cross_doc_lines"]
-    run_differential(spark, con, "dedup_cross_doc_lines", spec.fn, spec.oracle, sf_dir)
+    spec = QUERY_REGISTRY[name]
+    run_differential(spark, con, name, spec.fn, spec.oracle, sf_dir)
