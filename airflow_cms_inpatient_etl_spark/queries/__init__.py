@@ -48,91 +48,26 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # ======================================================================= #
-    # ROUND-7 WINDOW (first 50).  Policy: never-checked > code-changed-since- #
-    # last-check > stalest-green.  Round 6 closed 50/50 green on its window;  #
-    # this rotation clears the round-6 confirmation debt: the 11 round-7      #
-    # additions lead so no new query ships un-graded, then the 9 never-       #
-    # checked r6-final-wave queries, the 6 code-changed (rolling-hash CDC     #
-    # chunker rewrite this round; df-capped containment, substring-parity     #
-    # source-precedence/v3, bound-note heavy-hitters, refactored semdedup     #
-    # from r6), 23 of the 27 r3-stale rows — incl. the two live queries      #
-    # that were rows-only until this round and now carry REAL SQL oracles    #
-    # (the stream-stream inner join's single-batch drain IS the complete    #
-    # interval join; the stateful profile accumulates exact cents) — and    #
-    # one slot for the r4-stale live tumbling window.  Four zero-exposure   #
-    # r3-stale hash ops (conditional_aggregation, math_functions,           #
-    # text_rolling_hash, split_train_test_hash — no shared-helper churn,    #
-    # re-proven by every local differential) yielded their slots to the     #
-    # round-7 wave-2/3/4 queries and lead round 8 at slots 52-61, ahead of    #
-    # late-data live (slot 51) and the 17 r4-stale relational/window/agg    #
-    # queries.  EVERY slot in this window is hash-eligible.                 #
+    # ROUND-8 WINDOW (first 50).  Policy: never-checked > code-changed-since- #
+    # last-check > stalest-green.  Round 7 closed 50/50 green; this rotation  #
+    # retires the confirmation tail: after round 8 the union should leave NO  #
+    # never-checked rows, NO r3-stale rows, and 17 r4-stale rows (section f   #
+    # below — they lead round 9).  Composition: 3 round-8 additions + the 2   #
+    # never-checked wave-8 rows + 1 code-changed (the UDTF regex-split fix)   #
+    # + all 10 r3-stale rows + the 3 stale live-streaming rows (judge         #
+    # directive 4: every streaming_*_live green this round) + 31 of the 48    #
+    # remaining r4-stale rows.  EVERY slot in this window is hash-eligible.   #
     # ======================================================================= #
     # -- a. new this round (never driver-checked) --------------------------- #
-    "bpe_apply_encode",
-    "corpus_curation_v6",
-    "tokenizer_vocab_coverage",
-    "dedup_cluster_canonical",
-    "q4_late_shipping_priority",
-    "q14_promo_revenue_by_month",
-    "q19_disjunctive_predicates",
-    "events_funnel_steps",
-    "corpus_datacard",
-    "graph_bfs_khop",
-    "embedding_label_confusion",
-    "corpus_delta_report",
-    "dedup_lsh_recall_report",
-    "orders_cohort_ltv",
-    "customer_pareto_class",
-    "dq_group_checksum_udaf",
+    "dedup_cross_doc_lines",
+    "multimodal_phash_neardup",
+    "corpus_mixture_refresh",
+    # -- b. round-7 wave-8 additions (registered post-window; never checked) - #
+    "events_stl_daily",
+    "supplier_concentration_hhi",
+    # -- c. code changed since last green driver row (re.ASCII split fix) ---- #
     "text_wordcount_udtf",
-    # -- b. round-6 final wave (never driver-checked) ----------------------- #
-    "events_survival_time_to_convert",
-    "recsys_item_item_cosine",
-    "bpe_merge_candidates",
-    "sql_q3_shipping_priority",
-    "orders_leadtime_percentiles",
-    "customer_repurchase_intervals",
-    "text_readability_scores",
-    "snapshot_column_drift_profile",
-    "streaming_sliding_window_live",
-    # -- c. code changed since last green driver row ------------------------ #
-    "multimodal_cdc_chunk_dedup",
-    "dedup_containment",
-    "dedup_source_precedence",
-    "corpus_curation_v3",
-    "heavy_hitters_cms",
-    "semdedup_prune",
-    # -- d. 17 of the 27 r3-stale rows (conditional_aggregation,
-    #    math_functions, text_rolling_hash, split_train_test_hash,
-    #    multimodal_audio_chunks, text_langid_heuristic,
-    #    multimodal_frame_sample, text_token_counts,
-    #    text_repetition_metrics and text_corpus_rollup — all living in
-    #    modules untouched this round,
-    #    math_functions — zero shared-helper exposure, re-proven by every
-    #    local differential — yield their slots to the two newest round-7
-    #    queries and lead round 8) (incl. 2 rows-only-by-nature live) --------- #
-
-    "cdc_upsert_orders",
-    "incremental_agg_merge",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_levenshtein_block",
-    "dedup_incremental_index",
-    "sim_ann_ivf_topk",
-    "embedding_kmeans_iteration",
-    "sim_pq_adc_topk",
-    "decontaminate_ngram_overlap",
-    "corpus_curation_pipeline",
-    "sample_language_rebalance",
-    "pack_token_budget",
-    "docs_source_cap",
-    "cdc_scd2_segment_history",
-    "streaming_stream_stream_join_live",
-    "streaming_stateful_profile_live",
-    # -- e. r4-stale live streaming (directive 4), one slot left ------------ #
-    "streaming_tumbling_live",
-    # ----------------------- window boundary (50) -------------------------- #
-    "streaming_late_data_live",
+    # -- d. all 10 r3-stale rows (last driver-green r03) --------------------- #
     "conditional_aggregation",
     "math_functions",
     "text_rolling_hash",
@@ -143,23 +78,68 @@ _PRIORITY = [
     "text_token_counts",
     "text_repetition_metrics",
     "text_corpus_rollup",
-    "filter_complex_predicates",
-    "filter_scalar_subquery",
-    "lateral_correlated_agg",
+    # -- e. stale live-streaming confirmations (directive 4) ----------------- #
+    "streaming_late_data_live",
+    "streaming_session_window_live",
+    "streaming_dedup_within_watermark_live",
+    # -- f. 31 of the 48 remaining r4-stale rows: the ones with shared-helper #
+    #    exposure (exact-agg/window/join/filter/sampling families sit on      #
+    #    helpers that keep evolving).  The 17 deferred rows are the          #
+    #    self-contained scalar-function and relational-shape modules         #
+    #    (array/date/json/map/null/string functions, cube/rollup/grouping/   #
+    #    pivot/unpivot, set ops, explode/posexplode, date_spine_monthly) —   #
+    #    zero shared-helper churn, re-proven by every local differential;    #
+    #    they sit immediately after the boundary and lead round 9.           #
+    "agg_exact_moments",
+    "agg_exact_correlation",
+    "agg_exact_percentiles",
+    "agg_argmax_argmin",
+    "agg_collect_sorted",
+    "agg_median_price",
     "window_running_sum",
     "window_sliding_frame_avg",
     "window_range_frame_1h",
     "window_rank_topk_per_group",
-    "agg_exact_moments",
-    "agg_exact_correlation",
-    "agg_exact_percentiles",
+    "window_cume_dist_nth",
+    "window_first_last_value",
+    "window_lag_lead_events",
+    "window_ntile_percent_rank",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_full_outer_nation_profile",
+    "join_right_outer_item_counts",
+    "join_range_quantity_tiers",
+    "filter_complex_predicates",
+    "filter_like_null",
+    "filter_scalar_subquery",
     "group_agg_orders",
     "count_distinct_segments",
     "topk_orders_by_price",
     "approx_aggregates",
     "approx_distinct_sketch_merge",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
+    "dedup_keep_latest_event",
+    "deterministic_sample",
+    "lateral_correlated_agg",
+    "histogram_price_buckets",
+    # ----------------------- window boundary (50) -------------------------- #
+    # the 17 deferred r4-stale rows — first in line for round 9
+    "array_functions",
+    "date_functions",
+    "json_functions",
+    "map_functions",
+    "null_handling",
+    "string_functions",
+    "cube_flag_status",
+    "rollup_region_nation",
+    "grouping_sets_events",
+    "pivot_status_by_flag",
+    "unpivot_part_attrs",
+    "set_union_nations",
+    "set_intersect_custkeys",
+    "set_except_custkeys",
+    "explode_token_counts",
+    "posexplode_tokens",
+    "date_spine_monthly",
 ]
 
 
