@@ -261,6 +261,33 @@ def main() -> None:
     timings = {name: round(statistics.median(s), 4) for name, s in samples.items()}
     total = round(sum(timings.values()), 4)
 
+    # Matched-probe cross-round comparison (the round-7 closing-pass protocol,
+    # now committed code instead of BASELINE.md prose): against the pinned
+    # reference recording, sum the p50s of the queries BOTH recordings carry
+    # and emit the ratio (<1 = faster than the reference round), alongside the
+    # reference probe pair so environment drift is visible next to the ratio
+    # instead of silently inflating it.
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_REFERENCE.json"
+    )
+    comparable: dict[str, object] = {}
+    try:
+        with open(ref_path) as f:
+            ref = json.load(f)
+        shared = sorted(set(timings) & set(ref["queries"]))
+        cur_sum = sum(timings[q] for q in shared)
+        ref_sum = sum(ref["queries"][q] for q in shared)
+        comparable = {
+            "comparable_subset_ratio": round(cur_sum / ref_sum, 4) if ref_sum else None,
+            "comparable_subset_n": len(shared),
+            "comparable_subset_sec": round(cur_sum, 4),
+            "reference_subset_sec": round(ref_sum, 4),
+            "reference_probe_parallel_sec": ref.get("probe_parallel_sec"),
+            "reference_probe_serial_sec": ref.get("probe_serial_sec"),
+        }
+    except (OSError, KeyError, ValueError):
+        comparable = {"comparable_subset_ratio": None, "comparable_subset_n": 0}
+
     # Full per-query record → file (lossless; committed to the repo so the
     # judge can audit every number even though stdout is tail-truncated).
     full = {
@@ -271,6 +298,7 @@ def main() -> None:
         "sf": sf,
         "probe_parallel_sec": probe_parallel,
         "probe_serial_sec": probe_serial,
+        **comparable,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json")
     try:
@@ -293,6 +321,8 @@ def main() -> None:
         "n_queries": len(timings),
         "probe_parallel_sec": probe_parallel,
         "probe_serial_sec": probe_serial,
+        "comparable_subset_ratio": comparable.get("comparable_subset_ratio"),
+        "comparable_subset_n": comparable.get("comparable_subset_n"),
         "full_results": "BENCH_FULL_LATEST.json" if full_path else None,
     }
     budget = 1900  # leave headroom inside the 2048-byte tail window

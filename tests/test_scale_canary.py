@@ -94,6 +94,20 @@ CANARY_QUERIES = [
     # magnitudes and the strict-order funnel under 10× independent users
     "customer_pareto_class",
     "events_funnel_steps",
+    # round-8 (verdict #2): the round-7 heavies the canary missed — the
+    # LSH→CC→canonical close, the self-grading recall report, the dual
+    # (exact + banded) pipelines' shared cost, and the BPE encode fold
+    # asserted DIRECTLY (it was canaried only via corpus_datacard before)
+    "dedup_cluster_canonical",
+    "dedup_lsh_recall_report",
+    "bpe_apply_encode",
+    "corpus_curation_v6",
+    # round-8 additions: line-level dedup (per-doc output, df-monotone
+    # removal), pHash twin detection (per-replica recall), and the
+    # source-keyed mixture refresh (dimension-sized output)
+    "dedup_cross_doc_lines",
+    "multimodal_phash_neardup",
+    "corpus_mixture_refresh",
 ]
 
 
@@ -321,6 +335,78 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     assert (stats_gr["lo"], stats_gr["hi"], stats_gr["nd"]) == (1, n, n), \
         "sharded ranks are not a permutation of 1..n at 10×"
 
+    # cluster canonicalization: output is one row per CLUSTERED doc, so it
+    # must track duplicate mass, not corpus size — per-replica dup structure
+    # recurs under the translation (banding re-randomizes per replica, so a
+    # bounded band like minhash/simhash above, never ±100×)
+    assert 8 * base["dedup_cluster_canonical"] <= got["dedup_cluster_canonical"] \
+        <= 12 * base["dedup_cluster_canonical"] + 10
+    # recall report: always exactly one row; the property that must survive
+    # 10× is the RECALL ITSELF — banding loss is per-pair, so a constant
+    # dup-rate corpus keeps recall in the same band instead of decaying
+    rr = QUERY_REGISTRY["dedup_lsh_recall_report"].fn(spark, sf1_dir).first()
+    assert rr["n_truth"] >= 8 * QUERY_REGISTRY["dedup_lsh_recall_report"].fn(
+        spark, SF_SRC
+    ).first()["n_truth"]
+    assert rr["recall_x10000"] >= 9000, "banded recall decayed at 10×"
+    assert rr["precision_x10000"] == 10000, "exact verification must never admit FPs"
+    # BPE encode: one row per doc — exactly 10×; the encoder is a constant
+    # 56-replace chain per word, so cost scales with corpus bytes only
+    assert got["bpe_apply_encode"] == 10 * base["bpe_apply_encode"]
+    # curation v6: translated replicas are gibberish to the replica-0 BPE
+    # merge table (higher tokens-per-word), so the fertility gate prunes
+    # them unevenly — shard count must move WITH surviving token mass,
+    # bounded by [1×, 10×] of the base shards, and no shard may overfill
+    # beyond budget + one document (the greedy-packing invariant)
+    assert base["corpus_curation_v6"] <= got["corpus_curation_v6"] \
+        <= 10 * base["corpus_curation_v6"]
+    from airflow_cms_inpatient_etl_spark.queries.pipeline import _V6_BUDGET
+
+    v6 = QUERY_REGISTRY["corpus_curation_v6"].fn(spark, sf1_dir)
+    max_shard = v6.agg(F.max("shard_tokens")).first()[0]
+    max_doc = (
+        QUERY_REGISTRY["bpe_apply_encode"]
+        .fn(spark, sf1_dir)
+        .agg(F.max("bpe_tokens"))
+        .first()[0]
+    )
+    assert max_shard <= _V6_BUDGET + max_doc, "greedy packing overfilled at 10×"
+
+    # line dedup: one row per doc — exactly 10×; and removal is MONOTONE in
+    # corpus growth: a replica-0 line's document frequency can only grow
+    # when the corpus grows (same segmentation, superset corpus), so
+    # replica-0 docs must remove at least what they removed at sf0.1
+    assert got["dedup_cross_doc_lines"] == 10 * base["dedup_cross_doc_lines"]
+    ld10 = (
+        QUERY_REGISTRY["dedup_cross_doc_lines"]
+        .fn(spark, sf1_dir)
+        .filter(F.col("doc_id") < 1_000_000)
+        .agg(F.sum("n_removed"))
+        .first()[0]
+    )
+    ld01 = (
+        QUERY_REGISTRY["dedup_cross_doc_lines"]
+        .fn(spark, SF_SRC)
+        .agg(F.sum("n_removed"))
+        .first()[0]
+    )
+    assert ld10 >= ld01, "line-df monotonicity broke at 10×"
+    # pHash: per-replica twin pairs recur under re-randomized fingerprints
+    # (bounded band), and chance cross-replica collisions at hamming<=3 are
+    # ~C(60,3)/2^60 — nil
+    assert 8 * base["multimodal_phash_neardup"] <= got["multimodal_phash_neardup"] \
+        <= 12 * base["multimodal_phash_neardup"] + 10
+    # mixture refresh: sources are replica-invariant — dimension-sized output
+    # must not move; weights stay a normalized distribution
+    assert got["corpus_mixture_refresh"] == base["corpus_mixture_refresh"]
+    wsum = (
+        QUERY_REGISTRY["corpus_mixture_refresh"]
+        .fn(spark, sf1_dir)
+        .agg(F.sum("weight"))
+        .first()[0]
+    )
+    assert abs(wsum - 1.0) < 1e-9, "mixture weights must normalize at 10×"
+
     # no driver-side materialization: counts() move no rows to Python, so the
     # Python driver's peak RSS must not grow meaningfully with 10× data
     rss_growth_mb = (resource.getrusage(resource.RUSAGE_SELF).ru_maxrss - rss_before) / 1024
@@ -461,3 +547,78 @@ def test_semdedup_cluster_pair_volume_bounded_at_10x(spark, sf1_dir):
     # factor over the target, and total pair volume far below all-pairs n²
     assert stats["max_sz"] < 20 * target
     assert stats["pair_vol"] < (n * n) / 10
+
+
+@pytest.mark.slow
+def test_cluster_canonical_cc_rounds_bounded_at_sf1(spark, sf1_dir):
+    """Verdict r7→r8 #2: dedup_cluster_canonical's connected-components pass
+    must converge in ≤ 2·log₂(n) large-star/small-star rounds on the REAL
+    10× pair graph (not just the synthetic path case), and its label set
+    must partition exactly the clustered-doc population the query reports."""
+    import math
+
+    from airflow_cms_inpatient_etl_spark.operators.dedup import minhash_lsh_pairs
+    from airflow_cms_inpatient_etl_spark.operators.graph import (
+        connected_components_with_rounds,
+    )
+
+    d = load_table(spark, sf1_dir, "documents")
+    n_docs = d.count()
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.7, cache_shingles=False
+    ).persist()
+    labels, rounds = connected_components_with_rounds(pairs.select("id1", "id2"))
+    pairs.unpersist()
+    assert rounds <= 2 * math.ceil(math.log2(n_docs)), \
+        f"CC took {rounds} rounds on the 10× pair graph"
+    n_labeled = labels.count()
+    n_query = QUERY_REGISTRY["dedup_cluster_canonical"].fn(spark, sf1_dir).count()
+    assert n_labeled == n_query, "CC label set != query's clustered-doc rows"
+
+
+@pytest.mark.slow
+def test_lsh_candidate_volume_tracks_posting_lists_at_sf1(spark, sf1_dir):
+    """Verdict r7→r8 #2: the banded LSH candidate volume (Σ occ·(occ−1)/2
+    over band buckets — the size of the self-join's output before exact
+    verification) must scale ~linearly with the corpus.  The per-replica
+    letter translation re-hashes every shingle, so replica signatures never
+    collide by construction and a 10× corpus must produce ~10× candidates —
+    quadratic growth here is exactly the cliff the banding exists to
+    prevent."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from airflow_cms_inpatient_etl_spark.operators.text import (
+        exploded_shingle_hashes,
+    )
+
+    def _cand_volume(src):
+        ex = exploded_shingle_hashes(
+            load_table(spark, src, "documents"), "doc_id", "text"
+        )
+        sigs = minhash_signatures(ex, "doc_id")
+        buckets = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.concat_ws(
+                        "#", F.lit("0"), F.md5(F.concat_ws(",", "sig0", "sig1", "sig2", "sig3"))
+                    ),
+                    F.concat_ws(
+                        "#", F.lit("1"), F.md5(F.concat_ws(",", "sig4", "sig5", "sig6", "sig7"))
+                    ),
+                )
+            ).alias("bucket"),
+        )
+        occ = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("occ"))
+        return occ.agg(
+            F.sum(F.col("occ") * (F.col("occ") - 1) / 2).cast("long")
+        ).first()[0]
+
+    v01 = _cand_volume(SF_SRC)
+    v10 = _cand_volume(sf1_dir)
+    assert v01 > 0
+    # per-replica structure recurs; chance cross-replica bucket collisions
+    # are md5-128-bit — nil.  Strictly linear within a tolerance band.
+    assert 8 * v01 <= v10 <= 12 * v01 + 10, \
+        f"candidate volume {v01} -> {v10} is not ~linear at 10×"
