@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -37,6 +38,7 @@ def test_dsum_is_partition_invariant_and_exact(spark, values, n_parts):
     assert math.isclose(got_1, expected, rel_tol=0, abs_tol=1e-6 * max(1, len(floats)))
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(
@@ -73,6 +75,7 @@ _token = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, ma
 _ws = st.sampled_from([" ", "  ", "\t", " \t ", "\n"])
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_token, min_size=1, max_size=130), st.data())
 def test_doc_chunk_overlap_covers_any_token_stream(spark, tokens, data):
@@ -110,6 +113,7 @@ def test_doc_chunk_overlap_covers_any_token_stream(spark, tokens, data):
             assert got[s][30:] == got[s + 30][:10]
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     snap=st.dictionaries(st.integers(0, 6), st.text("ab", min_size=1, max_size=3), max_size=5),
@@ -153,6 +157,7 @@ def test_change_feed_matches_sequential_dict_replay(spark, snap, ops):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(
@@ -181,6 +186,7 @@ def test_bpe_replace_chain_equals_classic_bpe_on_random_words(spark, words):
         assert r["n"] == len(_ref_bpe(r["w"], _BPE_MERGES)), r["w"]
 
 
+@pytest.mark.slow
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.text(alphabet="abcdefgh xyz.,", min_size=0, max_size=300))
 def test_cdc_rolling_hash_cuts_match_reference_on_random_text(spark, s):

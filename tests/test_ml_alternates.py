@@ -4,6 +4,7 @@ recall against the exact-Jaccard ground truth, not value equality)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.operators.dedup import ngram_jaccard_pairs
@@ -24,6 +25,7 @@ def test_tfidf_features_shape(spark):
     assert out.count() == d.count()
 
 
+@pytest.mark.slow
 def test_minhash_ml_finds_planted_neardups(spark):
     """The ml MinHashLSH (word-level Jaccard) must recover pairs that the exact
     shingle-Jaccard operator scores as near-identical (>= 0.9)."""
@@ -85,6 +87,7 @@ def test_max_df_caps_hot_shingles(spark):
     assert found == {(1, 2)}, found
 
 
+@pytest.mark.slow
 def test_ann_recall_knobs(spark):
     """Recall@5 against the brute-force truth rises monotonically with the
     multiprobe knob (fixed planes) and the IVF probe knob, and the tuned LSH
@@ -143,6 +146,7 @@ def test_connected_components_synthetic(spark):
                    20: 20, 21: 20}
 
 
+@pytest.mark.slow
 def test_connected_components_path_graph_logn_rounds(spark):
     """The O(log n) property the star algorithm exists for: a 10 000-node
     path graph (diameter 9 999 — min-label propagation would need ~n rounds)
@@ -177,6 +181,7 @@ def test_connected_components_self_loop_and_isolated(spark):
     assert got == {7: 7, 1: 1, 2: 1}
 
 
+@pytest.mark.slow
 def test_minhash_band_knobs_recall(spark):
     """Banded-LSH recall responds to the knobs as theory says: more, narrower
     bands can only widen the candidate set (8/2 recovers every true pair that
@@ -253,6 +258,7 @@ def test_pack_token_budget_invariants(spark):
     assert en["bucket"].value_counts().max() <= 2 * len(en) / PACK_BUCKETS
 
 
+@pytest.mark.slow
 def test_kmeans_fit_converges_and_is_stable(spark):
     """Full Lloyd's loop: converges on the sf0.01 embeddings well before the
     iteration cap, partitions every vector, uses every cluster, and is a
@@ -278,6 +284,7 @@ def test_kmeans_fit_converges_and_is_stable(spark):
     assert moved == 0                          # fixpoint reached
 
 
+@pytest.mark.slow
 def test_pq_adc_properties(spark):
     """PQ invariants: every vector gets exactly m codes in [0, n_codes);
     ADC returns exactly k rows per query; Lloyd training does not reduce

@@ -11,6 +11,8 @@ is the real contract).  Row-at-a-time BatchEvalPython is allowed NOWHERE.
 
 from __future__ import annotations
 
+import pytest
+
 from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
 from tests.conftest import SF_SMOKE
 
@@ -44,6 +46,7 @@ def _formatted(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+@pytest.mark.slow
 def test_no_cartesian_and_no_python_outside_whitelist(spark):
     violations = []
     for name, spec in QUERY_REGISTRY.items():

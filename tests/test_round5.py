@@ -76,6 +76,7 @@ def test_pagerank_mass_and_order(spark):
     assert min(ranks[1], ranks[2], ranks[3]) > floor
 
 
+@pytest.mark.slow
 def test_pagerank_bit_stable_under_repartition(spark):
     edges, nodes = _toy_graph(spark)
     a = {r["node"]: r["rank"] for r in pagerank_integer(edges, nodes, n_iter=6).collect()}
@@ -254,6 +255,7 @@ def test_triangle_counts_match_networkx_free_reference(spark):
     assert out == {n: c for n, c in expect.items() if c > 0}
 
 
+@pytest.mark.slow
 def test_personalized_pagerank_seed_anchoring(spark):
     """Seeds-mode contract on the toy graph: a non-seed node with no
     in-edges gets EXACTLY zero (no teleport mass off-seed), and total mass

@@ -152,6 +152,7 @@ def test_repeated_spans_keeps_only_first_occurrence(spark, tmp_path):
 # --------------------------------------------------------------------------- #
 
 
+@pytest.mark.slow
 def test_connected_components_reliable_checkpoint_survives_block_loss(spark, tmp_path):
     """Verdict r5 #7: with checkpoint_dir set, per-round snapshots go to the
     reliable checkpoint on disk, so the result survives losing EVERY
@@ -352,6 +353,7 @@ def test_sq8_quantization_error_bounded_by_half_step(spark):
 # --------------------------------------------------------------------------- #
 
 
+@pytest.mark.slow
 def test_iterative_loops_free_intermediate_snapshots(spark):
     """Each round's localCheckpoint must be unpersisted the moment the round
     that consumed it is materialized — otherwise an N-round peel pins N
@@ -947,6 +949,7 @@ def test_mixture_plan_weights_and_budget(spark):
     assert pdf.weight.iloc[-1] < mass.iloc[-1]
 
 
+@pytest.mark.slow
 def test_streaming_session_window_eviction_append_mode(spark, tmp_path):
     """The production (append-mode) path: with a short watermark and event
     time advancing across micro-batches, closed sessions are EMITTED and
@@ -1210,6 +1213,7 @@ def test_text_lines_roundtrip(spark, tmp_path):
     assert got.count() == 7
 
 
+@pytest.mark.slow
 def test_session_windows_identical_under_rocksdb_state_store(spark, tmp_path):
     """The 100 TB state backend: the same session-window stream drained under
     RocksDBStateStoreProvider (spillable, incremental-checkpoint state)

@@ -395,6 +395,7 @@ def test_vocab_coverage_single_chain_transform(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_round7_queries_survive_empty_corpus(spark, tmp_path):
     import duckdb
     import pandas as pd
@@ -511,6 +512,7 @@ def test_delta_report_conserves_documents(spark):
     assert tot["n_unchanged"] == n - n11_0 - n11_1
 
 
+@pytest.mark.slow
 def test_lsh_recall_report_metrics_are_consistent(spark):
     r = QUERY_REGISTRY["dedup_lsh_recall_report"].fn(spark, SF_ORACLE).collect()[0]
     assert r["n_hit"] <= min(r["n_truth"], r["n_lsh"])

@@ -171,6 +171,7 @@ def test_merge_asof_with_tolerance(spark):
     assert by_ts["2024-01-01 02:00:00"] is None  # beyond tolerance
 
 
+@pytest.mark.slow
 def test_binned_interval_join_equals_theta_join(spark):
     """Property: binned_interval_join output == the naive theta join for any
     bin width, including intervals spanning many bins, empty/degenerate

@@ -149,6 +149,7 @@ def test_checkpoint_restart_processes_each_file_once(spark, tmp_path):
     assert second_total == 1000  # only the new file; no reprocessing of a.parquet
 
 
+@pytest.mark.slow
 def test_stream_stream_join_matches_batch(spark, events_stream_dir):
     """Stream-stream inner join == the equivalent batch interval join: every
     (click, view) attribution pair the batch join produces is emitted by the
@@ -299,6 +300,7 @@ def test_streaming_late_data_dropped_live(spark):
     assert late_only and set(streamed).isdisjoint(late_only)
 
 
+@pytest.mark.slow
 def test_stream_upsert_to_parquet_matches_batch_merge(spark, tmp_path):
     """Streaming CDC materialization: a two-micro-batch change feed merged
     into a parquet table via foreachBatch + type-1 upsert must land the same
@@ -347,6 +349,7 @@ def test_stream_upsert_to_parquet_matches_batch_merge(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_with_timeout(spark, tmp_path):
     """EventTimeTimeout sessionization: sessions close (and emit exactly once)
     when the watermark passes last-event + gap; open sessions emit nothing;
@@ -417,6 +420,7 @@ def test_stateful_sessionize_with_timeout(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_stream_upsert_corrupt_target_fails_batch(spark, tmp_path):
     """Round-3 advice (medium): a target dir that EXISTS but cannot be read
     (corrupt file, FS hiccup) must fail the batch for checkpoint replay — the
@@ -480,6 +484,7 @@ def test_streaming_cms_cells_equal_batch_sketch(spark, events_stream_dir):
     assert len(streamed) <= 4 * 64
 
 
+@pytest.mark.slow
 def test_dedup_state_evicts_past_watermark(spark, tmp_path):
     """The 100 TB property behind dropDuplicatesWithinWatermark: key state is
     EVICTED once event time passes the horizon, so state is O(keys inside

@@ -47,6 +47,7 @@ def test_upsert_validate_unique_rejects_dirty_feed(spark):
         upsert(target, dirty, ["claim_id"], validate_unique=True)
 
 
+@pytest.mark.slow
 def test_scd2_lifecycle(spark):
     snap0 = spark.createDataFrame(
         [("P1", "Male", 12), ("P2", "Female", 6)],
