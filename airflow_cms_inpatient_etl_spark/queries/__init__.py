@@ -15,6 +15,7 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
     parity,
     relational,
     relational2,
+    relational3,
     scalarfuncs,
     windows,
     timeseries,
@@ -122,7 +123,16 @@ _PRIORITY = [
     "lateral_correlated_agg",
     "histogram_price_buckets",
     # ----------------------- window boundary (50) -------------------------- #
-    # the 17 deferred r4-stale rows — first in line for round 9
+    # round-8 wave-2 additions (registered post-rotation, never checked —
+    # by policy they lead round 9, ahead of the 17 deferred r4 rows)
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    # the 17 deferred r4-stale rows — next in line for round 9
     "array_functions",
     "date_functions",
     "json_functions",

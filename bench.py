@@ -202,6 +202,17 @@ HEADLINE = [
     "multimodal_phash_neardup",
     # round-8: CDC-delta -> freshness-weighted temperature mixture
     "corpus_mixture_refresh",
+    # round-8 wave 2: TPC-H plan-family depth (Q5 local-supplier condition,
+    # Q6 pure pushdown scan, Q7 dual-role dimension, Q10 decimal-keyed
+    # top-20, Q13 outer-join histogram, Q15 decimal argmax, Q17
+    # cross-multiplied correlated avg)
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
 ]
 
 

@@ -95,7 +95,19 @@ def test_cross_doc_line_dedup_drops_boilerplate_everywhere(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_cross_doc_lines", "multimodal_phash_neardup", "corpus_mixture_refresh"],
+    [
+        "dedup_cross_doc_lines",
+        "multimodal_phash_neardup",
+        "corpus_mixture_refresh",
+        # wave 2: TPC-H plan-family depth
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+    ],
 )
 @pytest.mark.parametrize(
     "sf_dir",
