@@ -132,6 +132,7 @@ _PRIORITY = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
+    "corpus_curation_v7",
     # the 17 deferred r4-stale rows — next in line for round 9
     "array_functions",
     "date_functions",

@@ -712,11 +712,11 @@ def dedup_lsh_recall_report(spark, sf_dir):
 _LINE_P = 8       # content-defined boundary period (E[line length] = 8 tokens)
 _LINE_MAX_DF = 3  # a line carried by > 3 distinct docs is boilerplate: drop ALL
 
-
-@register(
-    "dedup_cross_doc_lines",
-    oracle=f"""
-    WITH toks AS (
+# Shared oracle CTE block: content-defined line segmentation + df-capped
+# drop-all + per-doc rebuild (consumed by dedup_cross_doc_lines here and by
+# corpus_curation_v7 in queries/pipeline.py).
+_CDL_CTES = f"""
+    toks AS (
         SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
         FROM documents
     ),
@@ -736,23 +736,33 @@ _LINE_MAX_DF = 3  # a line carried by > 3 distinct docs is boilerplate: drop ALL
         FROM seg, UNNEST(RANGE(1, LEN(starts) + 1)) AS t(j)
         WHERE ends[j] >= starts[j]
     ),
-    stats AS (
+    lstats AS (
         SELECT CAST('0x' || SUBSTR(MD5(line), 1, 15) AS BIGINT) AS h,
                COUNT(DISTINCT doc_id) AS n_docs
         FROM lines GROUP BY 1
     ),
-    flagged AS (
+    lflag AS (
         SELECT l.doc_id, l.pos, l.line,
                (s.n_docs <= {_LINE_MAX_DF}) AS keep
         FROM lines l
-        JOIN stats s ON s.h = CAST('0x' || SUBSTR(MD5(l.line), 1, 15) AS BIGINT)
+        JOIN lstats s ON s.h = CAST('0x' || SUBSTR(MD5(l.line), 1, 15) AS BIGINT)
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
+               COALESCE(STRING_AGG(line, CHR(10) ORDER BY pos) FILTER (WHERE keep),
+                        '') AS dedup_text
+        FROM lflag GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
-           COALESCE(STRING_AGG(line, CHR(10) ORDER BY pos) FILTER (WHERE keep), '')
-               AS dedup_text
-    FROM flagged GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_cross_doc_lines",
+    oracle=f"""
+    WITH {_CDL_CTES}
+    SELECT doc_id, n_lines, n_removed, dedup_text FROM rebuilt
     """,
 )
 def dedup_cross_doc_lines(spark, sf_dir):

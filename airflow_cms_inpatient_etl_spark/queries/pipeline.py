@@ -23,7 +23,8 @@ from airflow_cms_inpatient_etl_spark.operators.text import (
     normalized_fingerprint,
 )
 from airflow_cms_inpatient_etl_spark.queries.base import register
-from airflow_cms_inpatient_etl_spark.queries.dedup import _SHINGLES_CTE
+from airflow_cms_inpatient_etl_spark.queries.dedup import _CDL_CTES, _SHINGLES_CTE
+from airflow_cms_inpatient_etl_spark.operators.dedup import cross_doc_line_dedup
 from airflow_cms_inpatient_etl_spark.operators.scrub import scrub_text
 from airflow_cms_inpatient_etl_spark.queries.textops import _LEXICONS, _SCRUB_CHAIN, _scrub_sql
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
@@ -958,4 +959,93 @@ def corpus_mixture_refresh(spark, sf_dir):
         weight.alias("weight"),
         rate.alias("sampling_rate"),
         F.ceil(rate).cast("long").alias("n_epochs"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# corpus_curation_v7 — line-cleanse-first curation (the FineWeb ordering)      #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "corpus_curation_v7",
+    oracle=f"""
+    WITH {_CDL_CTES},
+    gated AS (
+        SELECT doc_id, dedup_text,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(dedup_text), '\\s+'),
+                                    x -> x != '')) AS BIGINT) AS ntok
+        FROM rebuilt
+        WHERE n_removed * 2 <= n_lines AND dedup_text != ''
+    ),
+    sel AS (
+        SELECT doc_id, ntok,
+               ROW_NUMBER() OVER (PARTITION BY MD5(dedup_text)
+                                  ORDER BY doc_id) AS rn
+        FROM gated
+    ),
+    kept AS (SELECT doc_id, ntok FROM sel WHERE rn = 1)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(COUNT(g.doc_id) AS BIGINT) AS docs_after_gate,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS docs_kept,
+           CAST(COALESCE(SUM(k.ntok), 0) AS BIGINT) AS kept_ws_tokens
+    FROM documents d
+    LEFT JOIN gated g ON g.doc_id = d.doc_id
+    LEFT JOIN kept k ON k.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def corpus_curation_v7(spark, sf_dir):
+    """Curation v7 — line-cleanse-FIRST, the FineWeb ordering: (1) remove
+    cross-document boilerplate lines (`dedup_cross_doc_lines`' drop-all
+    pass), (2) RETENTION GATE — a document that lost more than half its
+    lines was mostly template and is dropped whole (integer comparison
+    2·n_removed ≤ n_lines, never a float ratio), as is a document cleaned
+    to empty, (3) exact dedup on the CLEANED text — the stage ordering
+    that matters: stripping shared boilerplate makes previously-distinct
+    pages identical, so doc-level dedup AFTER line cleansing catches
+    collisions dedup-before-cleansing structurally cannot, (4) per-source
+    accounting (docs in → past gate → kept, with surviving whitespace-token
+    mass; the BPE-exact variant of token accounting is v6's demonstrated
+    stage and composes here unchanged).
+
+    Scale: the line pass is `cross_doc_line_dedup`'s plan (map-side
+    segmentation, one 8-byte-keyed df shuffle, doc-keyed rebuild); the
+    gate is a filter on materialized per-doc counters; the dedup window
+    partitions on md5(cleaned text) — fixed-width keys, the v6 exchange
+    contract; the final summary joins three doc_id-keyed sides
+    co-partitioned into one source-sized aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    rebuilt = cross_doc_line_dedup(d, "doc_id", "text")
+    gated = rebuilt.filter(
+        (F.col("n_removed") * 2 <= F.col("n_lines")) & (F.col("dedup_text") != "")
+    ).select(
+        "doc_id",
+        "dedup_text",
+        F.expr(r"size(filter(split(trim(dedup_text), '\\s+'), x -> x != ''))")
+        .cast("long")
+        .alias("ntok"),
+    )
+    from pyspark.sql import Window as W
+
+    dw = W.partitionBy(F.md5(F.col("dedup_text").cast("binary"))).orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "ntok")
+    )
+    g = gated.select(F.col("doc_id").alias("g_doc"))
+    k = kept.select(F.col("doc_id").alias("k_doc"), "ntok")
+    return (
+        d.select("doc_id", "source")
+        .join(g, F.col("doc_id") == F.col("g_doc"), "left")
+        .join(k, F.col("doc_id") == F.col("k_doc"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_in"),
+            F.count("g_doc").alias("docs_after_gate"),
+            F.count("k_doc").alias("docs_kept"),
+            F.coalesce(F.sum("ntok"), F.lit(0)).cast("long").alias("kept_ws_tokens"),
+        )
     )

@@ -213,6 +213,8 @@ HEADLINE = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
+    # round-8 wave 3: line-cleanse-first curation (the FineWeb ordering)
+    "corpus_curation_v7",
 ]
 
 
