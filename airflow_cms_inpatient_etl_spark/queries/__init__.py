@@ -133,6 +133,7 @@ _PRIORITY = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "corpus_curation_v7",
+    "events_peak_concurrency",
     # the 17 deferred r4-stale rows — next in line for round 9
     "array_functions",
     "date_functions",

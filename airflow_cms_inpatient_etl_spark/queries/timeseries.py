@@ -676,3 +676,119 @@ def events_stl_daily(spark, sf_dir):
         F.round("seasonal", 6).alias("seasonal"),
         F.round(F.col("cents") - trend - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# events_peak_concurrency — sweep-line max overlap with a SHARDED prefix sum   #
+# --------------------------------------------------------------------------- #
+
+_CONC_MS = 5 * 60  # each event opens a half-open [ts, ts + 5 min) interval
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT event_type, ts AS t, 1 AS net FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL {_CONC_MS} SECOND, -1 FROM events
+    ),
+    g AS (
+        SELECT event_type, t,
+               CAST(SUM(net) AS BIGINT) AS net,
+               CAST(COUNT(*) FILTER (WHERE net = 1) AS BIGINT) AS starts
+        FROM bounds GROUP BY event_type, t
+    ),
+    run AS (
+        SELECT event_type, t, starts,
+               SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS running
+        FROM g
+    ),
+    peak AS (
+        SELECT event_type,
+               CAST(MAX(running) AS BIGINT) AS peak_concurrency,
+               CAST(SUM(starts) AS BIGINT) AS n_intervals
+        FROM run GROUP BY event_type
+    )
+    SELECT r.event_type, p.n_intervals, p.peak_concurrency,
+           MIN(r.t) AS peak_at
+    FROM run r JOIN peak p
+      ON r.event_type = p.event_type AND r.running = p.peak_concurrency
+    GROUP BY r.event_type, p.n_intervals, p.peak_concurrency
+    """,
+)
+def events_peak_concurrency(spark, sf_dir):
+    """Peak concurrency per event type — the classic sweep line: each event
+    opens a half-open [ts, ts+5 min) interval; +1/−1 boundary deltas are
+    pre-aggregated per distinct instant (half-open semantics make the NET
+    delta at an instant exact — closings and openings at the same t
+    combine), a prefix sum walks the timeline, and the answer is the max
+    with its FIRST attainment time (min t at the max — deterministic under
+    ties).
+
+    The scale move: the prefix sum is SHARDED, not a single-partition
+    window — the `global_rank_via_sharding` identity applied to the time
+    axis.  Boundaries shard by calendar month (data-independent key);
+    each shard computes a LOCAL running sum in its own window partition,
+    a shard-level aggregate (one tiny row per (type, month)) computes
+    exclusive prefix OFFSETS, and running = local + broadcast offset.
+    Prefix sums are associative integers, so the sharded composition is
+    EXACTLY the global cumsum the single-window oracle computes — but no
+    executor ever materializes the whole timeline, which is what a
+    100 TB event log needs.  One corpus-sized shuffle (the per-instant
+    pre-aggregation), one sharded window, dimension-sized everything
+    else."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("net")
+    ).unionByName(
+        e.select(
+            "event_type",
+            (F.col("ts") + F.expr(f"INTERVAL {_CONC_MS} SECONDS")).alias("t"),
+            F.lit(-1).alias("net"),
+        )
+    )
+    g = bounds.groupBy("event_type", "t").agg(
+        F.sum("net").cast("long").alias("net"),
+        F.sum(F.when(F.col("net") == 1, 1).otherwise(0)).cast("long").alias("starts"),
+    )
+    shard = (F.year("t") * 12 + F.month("t")).alias("shard")
+    gs = g.withColumn("shard", shard)
+    w_local = (
+        W.partitionBy("event_type", "shard")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = gs.withColumn("loc", F.sum("net").over(w_local))
+    shard_tot = gs.groupBy("event_type", "shard").agg(
+        F.sum("net").alias("stot"), F.sum("starts").alias("sstarts")
+    )
+    w_sh = (
+        W.partitionBy("event_type")
+        .orderBy("shard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = shard_tot.select(
+        "event_type",
+        "shard",
+        F.coalesce(F.sum("stot").over(w_sh), F.lit(0)).alias("off"),
+    )
+    run = local.join(F.broadcast(offsets), ["event_type", "shard"]).select(
+        "event_type", "t", "starts", (F.col("loc") + F.col("off")).alias("running")
+    )
+    peak = run.groupBy("event_type").agg(
+        F.max("running").cast("long").alias("peak_concurrency"),
+        F.sum("starts").cast("long").alias("n_intervals"),
+    )
+    return (
+        run.join(
+            F.broadcast(peak),
+            (run.event_type == peak.event_type)
+            & (run.running == peak.peak_concurrency),
+        )
+        .drop(peak.event_type)
+        .groupBy("event_type", "n_intervals", "peak_concurrency")
+        .agg(F.min("t").alias("peak_at"))
+        .select("event_type", "n_intervals", "peak_concurrency", "peak_at")
+    )

@@ -214,7 +214,9 @@ HEADLINE = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     # round-8 wave 3: line-cleanse-first curation (the FineWeb ordering)
+    # and the sharded sweep-line max-overlap
     "corpus_curation_v7",
+    "events_peak_concurrency",
 ]
 
 

@@ -107,8 +107,10 @@ def test_cross_doc_line_dedup_drops_boilerplate_everywhere(spark):
         "q13_customer_distribution",
         "q15_top_supplier",
         "q17_small_quantity_revenue",
-        # wave 3: the line-cleanse-first curation composition
+        # wave 3: the line-cleanse-first curation composition and the
+        # sharded sweep-line
         "corpus_curation_v7",
+        "events_peak_concurrency",
     ],
 )
 @pytest.mark.parametrize(
