@@ -134,6 +134,8 @@ _PRIORITY = [
     "q17_small_quantity_revenue",
     "corpus_curation_v7",
     "events_peak_concurrency",
+    "dedup_prefix_jaccard",
+    "weighted_median_price",
     # the 17 deferred r4-stale rows — next in line for round 9
     "array_functions",
     "date_functions",

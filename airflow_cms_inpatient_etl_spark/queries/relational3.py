@@ -21,9 +21,10 @@ argmax selection (Q15) compares decimals, not doubles.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from airflow_cms_inpatient_etl_spark.functions.exact import dec, dsum
+from airflow_cms_inpatient_etl_spark.functions.exact import dec
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 
@@ -428,5 +429,79 @@ def q17_small_quantity_revenue(spark, sf_dir):
                 / F.lit(7.0)
             ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# weighted_median_price — exact weighted percentile via cross-multiplication   #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH pw AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               SUM(CAST(l_quantity AS DECIMAL(27,6))) AS w
+        FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ),
+    cum AS (
+        SELECT l_returnflag, price, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                            ROWS UNBOUNDED PRECEDING) AS cumw
+        FROM pw
+    ),
+    tot AS (
+        SELECT l_returnflag, SUM(w) AS wtot,
+               CAST(COUNT(*) AS BIGINT) AS n_prices
+        FROM pw GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag, t.n_prices,
+           CAST(t.wtot AS DOUBLE) AS total_weight,
+           MIN(c.price) AS weighted_median
+    FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag
+    WHERE 2 * c.cumw >= t.wtot
+    GROUP BY c.l_returnflag, t.n_prices, t.wtot
+    """,
+)
+def weighted_median_price(spark, sf_dir):
+    """Exact WEIGHTED median (lower weighted median): the smallest price at
+    which the cumulative quantity weight reaches half the total — the
+    robust center the plain median family (`agg_median_price`,
+    `agg_exact_percentiles`) can't express when observations carry mass.
+    Every comparison is exact: weights are decimal sums, the half-total
+    crossing is the cross-multiplication 2·cumw ≥ wtot (never wtot/2 — a
+    decimal division would round), and the median itself is a raw input
+    value, so the only float in the output is the terminal total-weight
+    cast.  Plan: one (flag, price) pre-aggregate shrinks the fact before
+    any window; the cumulative window partitions per flag over the
+    DISTINCT-price table (already reduced — and at 100 TB the
+    `events_peak_concurrency` shard-offset identity applies verbatim to
+    this prefix sum, since decimal addition is associative); the crossing
+    filter joins a broadcast 3-row total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pw = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price")).agg(
+        F.sum(dec("l_quantity")).alias("w")
+    )
+    cw = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = pw.withColumn("cumw", F.sum("w").over(cw))
+    tot = pw.groupBy("l_returnflag").agg(
+        F.sum("w").alias("wtot"), F.count(F.lit(1)).alias("n_prices")
+    )
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .filter(F.lit(2) * F.col("cumw") >= F.col("wtot"))
+        .groupBy("l_returnflag", "n_prices", "wtot")
+        .agg(F.min("price").alias("weighted_median"))
+        .select(
+            "l_returnflag",
+            "n_prices",
+            F.col("wtot").cast("double").alias("total_weight"),
+            "weighted_median",
         )
     )

@@ -217,6 +217,11 @@ HEADLINE = [
     # and the sharded sweep-line max-overlap
     "corpus_curation_v7",
     "events_peak_concurrency",
+    # round-8 wave 4: prefix-filtering candidate generation (lossless by
+    # construction — the oracle IS the exact ground truth) and the
+    # cross-multiplied exact weighted median
+    "dedup_prefix_jaccard",
+    "weighted_median_price",
 ]
 
 

@@ -111,6 +111,9 @@ def test_cross_doc_line_dedup_drops_boilerplate_everywhere(spark):
         # sharded sweep-line
         "corpus_curation_v7",
         "events_peak_concurrency",
+        # wave 4: lossless prefix-filtering join + exact weighted median
+        "dedup_prefix_jaccard",
+        "weighted_median_price",
     ],
 )
 @pytest.mark.parametrize(
@@ -131,3 +134,35 @@ def test_round8_queries_oracle_other_scales(spark, sf_dir, name):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     spec = QUERY_REGISTRY[name]
     run_differential(spark, con, name, spec.fn, spec.oracle, sf_dir)
+
+
+def test_prefix_filter_candidates_strictly_prune(spark):
+    """The prefix self-join must generate strictly fewer candidate pairs than
+    the full posting-list self-join (that pruning is the technique's whole
+    point), while the query result equals exact ground truth by construction
+    (the oracle differential proves losslessness)."""
+    from airflow_cms_inpatient_etl_spark.operators.text import exploded_shingle_hashes
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    ex = exploded_shingle_hashes(d, "doc_id", "text")
+    df_ = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+
+    def pair_volume(posting):
+        occ = posting.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+        return occ.agg(
+            F.sum(F.col("occ") * (F.col("occ") - 1) / 2).cast("long")
+        ).first()[0]
+
+    full_vol = pair_volume(ex)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    ranked = (
+        ex.join(df_, "h")
+        .join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "h")))
+    )
+    plen = F.col("set_size") - F.expr("(7 * set_size + 9) div 10") + 1
+    prefix_vol = pair_volume(ranked.filter(F.col("rk") <= plen).select("doc_id", "h"))
+    assert 0 < prefix_vol < full_vol, (prefix_vol, full_vol)
