@@ -108,6 +108,13 @@ CANARY_QUERIES = [
     "dedup_cross_doc_lines",
     "multimodal_phash_neardup",
     "corpus_mixture_refresh",
+    # round-8 waves 3-4: the line-cleanse curation close, the sharded
+    # sweep line, the prefix-filter pair join (quadratic-risk shape), and
+    # the weighted median (scale-invariant center under uniform growth)
+    "corpus_curation_v7",
+    "events_peak_concurrency",
+    "dedup_prefix_jaccard",
+    "weighted_median_price",
 ]
 
 
@@ -406,6 +413,37 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
         .first()[0]
     )
     assert abs(wsum - 1.0) < 1e-9, "mixture weights must normalize at 10×"
+
+    # curation v7: source set is replica-invariant (dimension-sized output);
+    # line df only GROWS at 10×, so the retention gate can only drop more —
+    # kept docs per source must not exceed 10× the base
+    assert got["corpus_curation_v7"] == base["corpus_curation_v7"]
+    v7_10 = {r["source"]: r for r in QUERY_REGISTRY["corpus_curation_v7"].fn(spark, sf1_dir).collect()}
+    v7_01 = {r["source"]: r for r in QUERY_REGISTRY["corpus_curation_v7"].fn(spark, SF_SRC).collect()}
+    for src, r in v7_01.items():
+        assert v7_10[src]["docs_in"] == 10 * r["docs_in"], src
+        assert v7_10[src]["docs_kept"] <= 10 * r["docs_kept"], src
+    # peak concurrency: replicas carry the SAME timestamps under disjoint
+    # user ids, so every instant's concurrency is exactly 10× — peak is 10×
+    # and intervals are 10×, per event type (output stays dimension-sized)
+    assert got["events_peak_concurrency"] == base["events_peak_concurrency"]
+    pc10 = {r["event_type"]: r for r in QUERY_REGISTRY["events_peak_concurrency"].fn(spark, sf1_dir).collect()}
+    pc01 = {r["event_type"]: r for r in QUERY_REGISTRY["events_peak_concurrency"].fn(spark, SF_SRC).collect()}
+    for et, r in pc01.items():
+        assert pc10[et]["n_intervals"] == 10 * r["n_intervals"], et
+        assert pc10[et]["peak_concurrency"] == 10 * r["peak_concurrency"], et
+    # prefix-filter join: lossless by theorem, so output == the exact-Jaccard
+    # pair count — which scales like the other translation-replica dedups
+    # (within-replica structure recurs, never across): exactly 10×
+    assert got["dedup_prefix_jaccard"] == 10 * base["dedup_prefix_jaccard"]
+    # weighted median: replicas repeat the same (price, quantity) population,
+    # so the total weight scales 10× while the median VALUE is invariant —
+    # the defining property of a weighted quantile under uniform growth
+    wm10 = {r["l_returnflag"]: r for r in QUERY_REGISTRY["weighted_median_price"].fn(spark, sf1_dir).collect()}
+    wm01 = {r["l_returnflag"]: r for r in QUERY_REGISTRY["weighted_median_price"].fn(spark, SF_SRC).collect()}
+    for fl, r in wm01.items():
+        assert wm10[fl]["weighted_median"] == r["weighted_median"], fl
+        assert abs(wm10[fl]["total_weight"] - 10 * r["total_weight"]) < 1e-6, fl
 
     # no driver-side materialization: counts() move no rows to Python, so the
     # Python driver's peak RSS must not grow meaningfully with 10× data
