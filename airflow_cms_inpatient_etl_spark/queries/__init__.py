@@ -16,6 +16,7 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
     relational,
     relational2,
     relational3,
+    relational4,
     scalarfuncs,
     windows,
     timeseries,
@@ -136,6 +137,18 @@ _PRIORITY = [
     "events_peak_concurrency",
     "dedup_prefix_jaccard",
     "weighted_median_price",
+    # round-8 wave-5 additions (relational4.py — the nine TPC-H plan
+    # families wave 2 deferred, adapted to the fixture columns; with these
+    # all 22 classic shapes are registered)
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_brands",
+    "q12_late_line_priority",
+    "q16_supplier_part_count",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
     # the 17 deferred r4-stale rows — next in line for round 9
     "array_functions",
     "date_functions",

@@ -7,10 +7,8 @@ small-quantity filter (Q17).
 
 Q2/Q9/Q11/Q16/Q20 need ``partsupp`` and Q12/Q21 need
 ``l_shipmode``/``l_commitdate``/``l_receiptdate`` — columns the fixture does
-not carry — so those plan families are represented by their nearest shapes
-elsewhere in the registry (aggregate-then-join by ``q18_large_orders``,
-EXISTS/NOT-EXISTS by the semi/anti joins, priority buckets by
-``q4_late_shipping_priority``).
+not carry — so wave 5 (``relational4.py``) adapts those nine families onto
+the available columns; together the registry covers all 22 classic shapes.
 
 Determinism: every revenue/quantity aggregate uses the exact-decimal recipe
 (``functions/exact.py``) with ONE terminal double cast; ratio comparisons
