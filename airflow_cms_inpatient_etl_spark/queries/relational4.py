@@ -614,13 +614,16 @@ def q21_waiting_supplier(spark, sf_dir):
 
     a line l1 of supplier s qualifies iff  l1.shipdate ≥ max(shipdate over
     OTHER suppliers' lines in the order)  and the order has ≥2 suppliers.
-    The per-(order, supplier) max and the order-level top-1 / tie-count /
-    top-2 statistics are computed with ONE orderkey-partitioned shuffle
-    (groupBy then windows REUSE the same partitioning — AQE coalesces them
-    into one exchange); `max_other` is then top1 when s is not the unique
-    top achiever, else top2 (defined whenever n_supp ≥ 2).  The qualifying
-    join back to lines is keyed (orderkey, suppkey).  Timestamps compare in
-    exact microseconds; counts are integers."""
+    The per-(order, supplier) max is a partial-aggregated groupBy (line
+    volume collapses MAP-SIDE before its exchange), and the order-level
+    top-1 / tie-count / top-2 statistics are three windows over one
+    orderkey exchange that carries only per-(order, supplier) rows — both
+    exchanges move pair-sized data, never line-sized; `max_other` is then
+    top1 when s is not the unique top achiever, else top2 (defined whenever
+    n_supp ≥ 2).  The qualifying join back to lines is keyed (orderkey,
+    suppkey) — broadcast at fixture scale by AQE's size estimate, a pair-
+    keyed shuffle join at cluster scale.  Timestamps compare in exact
+    microseconds; counts are integers."""
     f_orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")

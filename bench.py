@@ -222,6 +222,20 @@ HEADLINE = [
     # cross-multiplied exact weighted median
     "dedup_prefix_jaccard",
     "weighted_median_price",
+    # round-8 wave 5: the TPC-H close — correlated scalar-min (Q2), the
+    # 8-relation market share (Q8), LIKE-filtered profit (Q9), the
+    # global-scalar HAVING (Q11), dual CASE lateness counts (Q12), NOT-IN
+    # distinct-supplier counts (Q16), the nested dominant-supplier semi
+    # chain (Q20), shipped-last order statistics (Q21), idle customers (Q22)
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_brands",
+    "q12_late_line_priority",
+    "q16_supplier_part_count",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
 ]
 
 

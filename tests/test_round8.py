@@ -114,6 +114,16 @@ def test_cross_doc_line_dedup_drops_boilerplate_everywhere(spark):
         # wave 4: lossless prefix-filtering join + exact weighted median
         "dedup_prefix_jaccard",
         "weighted_median_price",
+        # wave 5: the TPC-H close (the nine families wave 2 deferred)
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_brands",
+        "q12_late_line_priority",
+        "q16_supplier_part_count",
+        "q20_dominant_supplier",
+        "q21_waiting_supplier",
+        "q22_idle_customers",
     ],
 )
 @pytest.mark.parametrize(

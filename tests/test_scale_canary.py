@@ -115,6 +115,16 @@ CANARY_QUERIES = [
     "events_peak_concurrency",
     "dedup_prefix_jaccard",
     "weighted_median_price",
+    # round-8 wave 5 (TPC-H close): the shapes whose scaling law is exact
+    # under shifted-orderkey fact replication against unchanged dims —
+    # shipped-last order statistics (counts ×10, ranking invariant), the
+    # correlated scalar min (replica mins coincide ⇒ output invariant),
+    # the global-scalar HAVING (values ×10, threshold set invariant), and
+    # the COUNT(DISTINCT) expansion (same suppliers recur ⇒ invariant)
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q11_important_brands",
+    "q16_supplier_part_count",
 ]
 
 
@@ -444,6 +454,43 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     for fl, r in wm01.items():
         assert wm10[fl]["weighted_median"] == r["weighted_median"], fl
         assert abs(wm10[fl]["total_weight"] - 10 * r["total_weight"]) < 1e-6, fl
+
+    # TPC-H close (wave 5).  q21: every finished order replicates with its
+    # supplier structure intact, so each supplier's shipped-last count is
+    # exactly 10× and the (numwait DESC, s_name) ranking — hence the top-100
+    # SET — is preserved
+    w21_10 = {r["s_name"]: r["numwait"]
+              for r in QUERY_REGISTRY["q21_waiting_supplier"].fn(spark, sf1_dir).collect()}
+    w21_01 = {r["s_name"]: r["numwait"]
+              for r in QUERY_REGISTRY["q21_waiting_supplier"].fn(spark, SF_SRC).collect()}
+    assert set(w21_10) == set(w21_01)
+    for s, n in w21_01.items():
+        assert w21_10[s] == 10 * n, s
+    # q2: the per-(part, supplier) MIN over 10 identical replicas equals the
+    # base min, so the best-offer rows — and the ordered top-100 — are
+    # byte-identical at 10×
+    q2_10 = [tuple(r) for r in QUERY_REGISTRY["q2_min_cost_supplier"].fn(spark, sf1_dir).collect()]
+    q2_01 = [tuple(r) for r in QUERY_REGISTRY["q2_min_cost_supplier"].fn(spark, SF_SRC).collect()]
+    assert q2_10 == q2_01
+    # q11: brand values and the global total both scale exactly 10× in exact
+    # decimal, so the 1/30 threshold SET is invariant and each surviving
+    # brand's value is exactly 10×
+    b10 = {r["p_brand"]: r["brand_value"]
+           for r in QUERY_REGISTRY["q11_important_brands"].fn(spark, sf1_dir).collect()}
+    b01 = {r["p_brand"]: r["brand_value"]
+           for r in QUERY_REGISTRY["q11_important_brands"].fn(spark, SF_SRC).collect()}
+    assert set(b10) == set(b01)
+    for br, v in b01.items():
+        assert b10[br] == 10 * v, br
+    # q16: replicas reuse the SAME suppliers and parts, so every part
+    # class's distinct-supplier count is invariant under 10× fact growth
+    # (the COUNT(DISTINCT) expansion must collapse, not multiply)
+    assert got["q16_supplier_part_count"] == base["q16_supplier_part_count"]
+    s16_10 = {(r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
+              for r in QUERY_REGISTRY["q16_supplier_part_count"].fn(spark, sf1_dir).collect()}
+    s16_01 = {(r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
+              for r in QUERY_REGISTRY["q16_supplier_part_count"].fn(spark, SF_SRC).collect()}
+    assert s16_10 == s16_01
 
     # no driver-side materialization: counts() move no rows to Python, so the
     # Python driver's peak RSS must not grow meaningfully with 10× data
