@@ -442,7 +442,14 @@ def multimodal_phash_neardup(spark, sf_dir):
             "key",
             F.expr(f"shiftright(f, {_PH_BAND_BITS} * i) & {2**_PH_BAND_BITS - 1}"),
         )
-        .persist()
+        # bands feeds BOTH the occupancy census and the candidate join, so it
+        # must not recompute the decode pipeline twice — but a .persist()
+        # here would pin a CacheManager entry per invocation with no
+        # unpersist hook (the function returns lazily).  An eager
+        # localCheckpoint materializes once and its blocks are released by
+        # the ContextCleaner as soon as the caller drops the result — the
+        # same release discipline operators/graph.py uses for CC snapshots.
+        .localCheckpoint()
     )
     small = (
         bands.groupBy("i", "key")

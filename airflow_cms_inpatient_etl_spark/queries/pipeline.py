@@ -1013,23 +1013,25 @@ def corpus_curation_v7(spark, sf_dir):
     Scale: the line pass is `cross_doc_line_dedup`'s plan (map-side
     segmentation, one 8-byte-keyed df shuffle, doc-keyed rebuild); the
     gate is a filter on materialized per-doc counters; the dedup window
-    partitions on md5(cleaned text) — fixed-width keys, the v6 exchange
-    contract; the final summary joins three doc_id-keyed sides
-    co-partitioned into one source-sized aggregate."""
+    partitions on md5(cleaned text) MATERIALIZED map-side — `gated`
+    projects to (doc_id, md5 hex, ntok) and drops the cleaned text
+    BEFORE the window, so the exchange carries 32-hex-char keys and two
+    numerics, never the document payload (the v6 exchange contract:
+    payload never enters a shuffle)."""
     d = load_table(spark, sf_dir, "documents")
     rebuilt = cross_doc_line_dedup(d, "doc_id", "text")
     gated = rebuilt.filter(
         (F.col("n_removed") * 2 <= F.col("n_lines")) & (F.col("dedup_text") != "")
     ).select(
         "doc_id",
-        "dedup_text",
+        F.md5(F.col("dedup_text").cast("binary")).alias("dedup_key"),
         F.expr(r"size(filter(split(trim(dedup_text), '\\s+'), x -> x != ''))")
         .cast("long")
         .alias("ntok"),
     )
     from pyspark.sql import Window as W
 
-    dw = W.partitionBy(F.md5(F.col("dedup_text").cast("binary"))).orderBy("doc_id")
+    dw = W.partitionBy("dedup_key").orderBy("doc_id")
     kept = (
         gated.withColumn("rn", F.row_number().over(dw))
         .filter(F.col("rn") == 1)

@@ -107,7 +107,7 @@ _EURO_SUPP_SQL = """
     JOIN eligible_parts ep ON o.l_partkey = ep.p_partkey
     WHERE o.offer_price = (SELECT MIN(o2.offer_price) FROM offers o2
                            WHERE o2.l_partkey = o.l_partkey)
-    ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p_partkey
+    ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p_partkey, s.s_suppkey
     LIMIT 100
     """,
 )
@@ -127,8 +127,10 @@ def q2_min_cost_supplier(spark, sf_dir):
     window partitions by part (parallel at any SF).  The oracle keeps the
     correlated-subquery formulation: different derivation, same fixpoint.
     Determinism: MIN over doubles is order-independent (no summation
-    anywhere); the top-100 tiebreak (acctbal DESC, nation, supplier, part)
-    is a total order because (part, supplier) pairs are unique."""
+    anywhere); the top-100 tiebreak (acctbal DESC, nation, s_name,
+    p_partkey, s_suppkey) is a TOTAL order because (p_partkey, s_suppkey)
+    is the offers grain — s_name alone is not guaranteed unique, so the
+    key the uniqueness argument rests on must itself appear in the sort."""
     supp = _region_suppliers(spark, sf_dir, "EUROPE")
     p = (
         load_table(spark, sf_dir, "part")
@@ -158,9 +160,11 @@ def q2_min_cost_supplier(spark, sf_dir):
             F.col("l_partkey").alias("p_partkey"),
             "p_name",
             "offer_price",
+            "s_suppkey",
         )
-        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey")
         .limit(100)
+        .drop("s_suppkey")
     )
 
 

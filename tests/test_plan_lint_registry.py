@@ -7,6 +7,13 @@ a slow bench three rounds later.
 Allowed Python stages are exactly the documented Arrow-batched multimodal
 decode paths (the image/audio libs are stubbed, but the mapInPandas plumbing
 is the real contract).  Row-at-a-time BatchEvalPython is allowed NOWHERE.
+
+Two gates: the full registry sweep is ``slow`` (round-gate only); the
+NOT-slow variant lints just the queries added or materially changed since
+the last green round gate (``_NEW_SINCE_GATE``), so a cartesian or
+Python-eval regression in fresh code surfaces in the inner loop, not three
+days later at the gate.  Rotate ``_NEW_SINCE_GATE`` each round: after the
+gate goes green, replace its contents with the next round's additions.
 """
 
 from __future__ import annotations
@@ -41,18 +48,25 @@ _ARROW_NODES = (
     "ArrowAggregatePython",
 )
 
+# queries added or plan-changed since the round-8 gate went green — linted
+# in the NOT-slow inner loop.  Round 9 additions + this round's plan edits.
+_NEW_SINCE_GATE = [
+    "corpus_curation_v7",        # r9: payload stripped from dedup exchange
+    "q2_min_cost_supplier",      # r9: s_suppkey total-order tiebreak
+    "multimodal_phash_neardup",  # r9: persist -> localCheckpoint
+]
+
 
 def _formatted(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
-@pytest.mark.slow
-def test_no_cartesian_and_no_python_outside_whitelist(spark):
+def _lint(spark, names):
     violations = []
-    for name, spec in QUERY_REGISTRY.items():
+    for name in names:
         if name in _SKIP:
             continue
-        plan = _formatted(spec.fn(spark, SF_SMOKE))
+        plan = _formatted(QUERY_REGISTRY[name].fn(spark, SF_SMOKE))
         if "CartesianProduct" in plan:
             violations.append(f"{name}: CartesianProduct")
         if "BatchEvalPython" in plan:
@@ -62,6 +76,23 @@ def test_no_cartesian_and_no_python_outside_whitelist(spark):
             violations.append(f"{name}: unexpected Python stage {arrow}")
         if name in _ARROW_WHITELIST and not arrow:
             violations.append(f"{name}: whitelist entry no longer uses Arrow — prune it")
+    return violations
+
+
+def test_new_queries_plan_lint(spark):
+    """Inner-loop lint of queries added/changed since the last green gate."""
+    stale = [n for n in _NEW_SINCE_GATE if n not in QUERY_REGISTRY]
+    assert not stale, f"_NEW_SINCE_GATE names not in registry: {stale}"
+    violations = _lint(spark, _NEW_SINCE_GATE)
+    assert not violations, (
+        f"plan lint over {len(_NEW_SINCE_GATE)} since-gate queries:\n"
+        + "\n".join(violations)
+    )
+
+
+@pytest.mark.slow
+def test_no_cartesian_and_no_python_outside_whitelist(spark):
+    violations = _lint(spark, list(QUERY_REGISTRY))
     assert not violations, (
         f"plan lint over {len(QUERY_REGISTRY)} registered queries "
         f"({len(_SKIP)} live-streaming skips):\n" + "\n".join(violations)

@@ -19,6 +19,7 @@ deterministic perturbation.
 from __future__ import annotations
 
 import gc
+import math
 import os
 import resource
 import time
@@ -474,14 +475,18 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     assert q2_10 == q2_01
     # q11: brand values and the global total both scale exactly 10× in exact
     # decimal, so the 1/30 threshold SET is invariant and each surviving
-    # brand's value is exactly 10×
+    # brand's value is 10× — in DECIMAL. The query casts to double once at
+    # output, so the sf1 value is round(10·x) while 10× the sf0.1 value is
+    # 10·round(x): one ulp apart whenever the decimal isn't double-exact
+    # (the classic decimal→double double-rounding hazard — compare with
+    # isclose, never exact ==, on any cast("double") output).
     b10 = {r["p_brand"]: r["brand_value"]
            for r in QUERY_REGISTRY["q11_important_brands"].fn(spark, sf1_dir).collect()}
     b01 = {r["p_brand"]: r["brand_value"]
            for r in QUERY_REGISTRY["q11_important_brands"].fn(spark, SF_SRC).collect()}
     assert set(b10) == set(b01)
     for br, v in b01.items():
-        assert b10[br] == 10 * v, br
+        assert math.isclose(b10[br], 10 * v, rel_tol=1e-12), br
     # q16: replicas reuse the SAME suppliers and parts, so every part
     # class's distinct-supplier count is invariant under 10× fact growth
     # (the COUNT(DISTINCT) expansion must collapse, not multiply)
