@@ -421,3 +421,128 @@ def cross_doc_line_dedup(
             "\n",
         ).alias("dedup_text"),
     )
+
+
+SPAN_ANCHOR_K = 5   # anchor gram width (tokens)
+SPAN_MIN_LEN = 12   # merged runs shorter than this many tokens are kept
+
+
+def span_dup_starts(tokenized: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Duplicated anchor starts for ``cross_doc_span_dedup``: (id, __i) rows
+    where the k-token gram starting at 1-based position __i occurs in ≥ 2
+    DISTINCT documents.  Exposed separately so the scale canary can bound
+    the CANDIDATE volume directly (it must grow linearly with the corpus,
+    never quadratically — the census counts distinct docs, it never
+    enumerates occurrence pairs).
+
+    ``tokenized`` must be (id_col, __w: array<string>) — the caller owns
+    tokenization so the canary measures exactly what the operator consumes.
+    """
+    n = F.size("__w")
+    # one transform derives the gram hash per start (hash once per element —
+    # independent lambdas defeat Catalyst CSE, see operators/text)
+    gh = F.when(
+        n - k + 1 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: hash60(F.concat_ws(" ", F.slice(F.col("__w"), i, k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    grams = tokenized.select(
+        F.col(id_col), F.posexplode(gh).alias("__i0", "__h")
+    ).select(F.col(id_col), (F.col("__i0") + 1).cast("long").alias("__i"), "__h")
+    dup = (
+        grams.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    return grams.join(dup, "__h").select(F.col(id_col), "__i")
+
+
+def cross_doc_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_ANCHOR_K,
+    min_len: int = SPAN_MIN_LEN,
+) -> DataFrame:
+    """Cross-document SUBSTRING-level dedup — the ExactSubstr family of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", the suffix-array dedup production LLM pipelines run),
+    re-expressed relationally:
+
+    1. **anchor**: every k-token gram is hashed (`hash60`, map-side HOFs
+       over the materialized token array — no shuffle to build grams);
+    2. **witness**: a gram carried by ≥ 2 DISTINCT documents marks its
+       start position as duplicated (one shuffle, 8-byte keys);
+    3. **extend**: consecutive duplicated starts merge into maximal
+       covered runs via gaps-and-islands (a start at i covers tokens
+       [i, i+k-1]; runs merge while the union stays contiguous, i.e.
+       next_start ≤ prev_start + k);
+    4. **drop**: merged runs of ≥ ``min_len`` tokens are removed from
+       EVERY document carrying them (drop-all — duplicated passages at
+       this granularity are boilerplate/quotation mass with no canonical
+       copy, the same contrast ``cross_doc_line_dedup`` documents), and
+       each document is reassembled from its surviving tokens in order.
+
+    Returns one row per document:
+    ``(id, n_tokens, n_spans_removed, n_tokens_removed, dedup_text)``.
+
+    RELAXATION vs the suffix-array original (documented, conservative):
+    every k-gram inside a removed run is witnessed in some other document,
+    but the run as a WHOLE may not occur contiguously in a single other
+    document (consecutive anchors can have different witnesses).  This
+    over-removes, never under-removes — the same trade Bloom-filter
+    ExactSubstr implementations (BFF) make to avoid the non-distributable
+    corpus-wide suffix array.
+
+    Scale: gram hashing is map-side; the df census shuffles (id, pos, h)
+    triples keyed by the 60-bit hash (token text never keys an exchange);
+    the witness join is hash-equi against the census output filtered to
+    df ≥ 2 (duplicated-gram-sized, not corpus-sized); the islands window
+    partitions by document; the rebuild joins per-doc span lists (one row
+    per SURVIVING span, duplicate-mass-sized) back to the token arrays —
+    the one corpus-linear doc-keyed exchange, the same floor as the line
+    rebuild in ``cross_doc_line_dedup``.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    dstarts = span_dup_starts(t, id_col, k)
+    w_doc = Window.partitionBy(id_col).orderBy("__i")
+    isl = dstarts.withColumn(
+        "__new",
+        F.when(F.lag("__i").over(w_doc).isNull(), 1)
+        .when(F.col("__i") > F.lag("__i").over(w_doc) + k, 1)
+        .otherwise(0),
+    ).withColumn("__island", F.sum("__new").over(w_doc))
+    spans = (
+        isl.groupBy(id_col, "__island")
+        .agg(F.min("__i").alias("s"), (F.max("__i") + k - 1).alias("e"))
+        .filter(F.col("e") - F.col("s") + 1 >= min_len)
+    )
+    spanlist = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("__spans"),
+        F.count(F.lit(1)).cast("long").alias("n_spans_removed"),
+    )
+    joined = t.join(spanlist, id_col, "left").select(
+        F.col(id_col),
+        F.col("__w"),
+        F.coalesce(
+            F.col("__spans"), F.array().cast("array<struct<s:long,e:long>>")
+        ).alias("__spans"),
+        F.coalesce(F.col("n_spans_removed"), F.lit(0).cast("long")).alias(
+            "n_spans_removed"
+        ),
+    )
+    kept = F.expr(
+        "filter(__w, (t, idx) -> NOT exists(__spans, sp -> idx + 1 BETWEEN sp.s AND sp.e))"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_tokens"),
+        "n_spans_removed",
+        (F.size("__w") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        F.array_join(kept, " ").alias("dedup_text"),
+    )

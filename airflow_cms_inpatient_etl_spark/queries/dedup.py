@@ -15,6 +15,7 @@ from airflow_cms_inpatient_etl_spark.operators.dedup import (
     MINHASH_MOD,
     MINHASH_PERMS,
     cross_doc_line_dedup,
+    cross_doc_span_dedup,
     exact_dedup_representatives,
     fingerprint_dedup,
     levenshtein_block_pairs,
@@ -872,3 +873,106 @@ def dedup_prefix_jaccard(spark, sf_dir):
         .filter(F.col("jaccard") >= _PFX_T)
         .select("id1", "id2", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------- #
+# dedup_cross_doc_spans — ExactSubstr-family cross-document substring dedup    #
+# --------------------------------------------------------------------------- #
+
+_SPAN_K = 5    # anchor gram width (tokens)
+_SPAN_L = 12   # merged runs shorter than this many tokens survive
+
+
+@register(
+    "dedup_cross_doc_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               CAST('0x' || SUBSTR(MD5(ARRAY_TO_STRING(
+                   LIST_SLICE(w, i, i + {_SPAN_K} - 1), ' ')), 1, 15) AS BIGINT) AS h
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(w) - {_SPAN_K} + 2, 1))) AS t(i)
+    ),
+    dup AS (
+        SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dstarts AS (
+        SELECT g.doc_id, g.i FROM grams g JOIN dup USING (h)
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN prev_i IS NULL OR i > prev_i + {_SPAN_K}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM (SELECT doc_id, i,
+                     LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+              FROM dstarts)
+    ),
+    spans AS (
+        SELECT doc_id, MIN(i) AS s, MAX(i) + {_SPAN_K} - 1 AS e
+        FROM isl GROUP BY doc_id, island
+        HAVING MAX(i) + {_SPAN_K} - MIN(i) >= {_SPAN_L}
+    ),
+    removed_pos AS (
+        SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+        FROM spans, UNNEST(RANGE(s, e + 1)) AS t(p)
+    ),
+    tokpos AS (
+        SELECT doc_id, CAST(j AS BIGINT) AS j, w[j] AS tok
+        FROM toks, UNNEST(RANGE(1, LEN(w) + 1)) AS t(j)
+    ),
+    rebuilt AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE r.p IS NOT NULL) AS BIGINT)
+                   AS n_tokens_removed,
+               COALESCE(STRING_AGG(t.tok, ' ' ORDER BY t.j)
+                            FILTER (WHERE r.p IS NULL), '') AS dedup_text
+        FROM tokpos t
+        LEFT JOIN removed_pos r ON t.doc_id = r.doc_id AND t.j = r.p
+        GROUP BY t.doc_id
+    ),
+    nsp AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_removed
+        FROM spans GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.n_tokens,
+           COALESCE(n.n_spans_removed, CAST(0 AS BIGINT)) AS n_spans_removed,
+           r.n_tokens_removed, r.dedup_text
+    FROM rebuilt r LEFT JOIN nsp n USING (doc_id)
+    """,
+)
+def dedup_cross_doc_spans(spark, sf_dir):
+    """Cross-document EXACT-SUBSTRING dedup — the remaining standard
+    production LLM-dedup family (Lee et al. 2022's ExactSubstr, the
+    suffix-array pass), completing the granularity ladder: whole-document
+    (`dedup_exact_text`), near-duplicate (`dedup_minhash_lsh`), repeated
+    spans WITHIN a document (`dedup_repeated_spans`), shared LINES across
+    documents (`dedup_cross_doc_lines`), and now verbatim TOKEN RUNS of
+    ≥ {_SPAN_L} tokens appearing in more than one document — quotations,
+    syndicated passages, licence blocks that the line segmentation splits
+    across boundaries.
+
+    Relational formulation (`operators.dedup.cross_doc_span_dedup`):
+    {_SPAN_K}-token anchor grams are hashed map-side, starts whose gram
+    occurs in ≥ 2 distinct documents are duplicated, consecutive
+    duplicated starts merge into maximal runs (gaps-and-islands — the
+    sorted-gram neighbor extension replacing the suffix array), and
+    merged runs of ≥ {_SPAN_L} tokens are dropped from every carrier.
+    The documented relaxation: each anchor in a removed run is witnessed
+    elsewhere, but the run as a whole may interleave witnesses —
+    over-removal only, the same trade Bloom-filter ExactSubstr (BFF)
+    makes to stay distributable.
+
+    The ORACLE recomputes the full pipeline independently in DuckDB
+    (window-function islands vs Spark's lag-based islands; position-level
+    anti-join rebuild vs Spark's map-side HOF rebuild) — different
+    derivations, same fixpoint, value-hash-compared including the
+    reassembled text.  Scale: see the operator docstring — one 8-byte-key
+    census shuffle, duplicate-mass-bounded islands, and the corpus-linear
+    doc-keyed rebuild floor shared with the line pass."""
+    d = load_table(spark, sf_dir, "documents")
+    return cross_doc_span_dedup(d, "doc_id", "text", k=_SPAN_K, min_len=_SPAN_L)

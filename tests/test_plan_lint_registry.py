@@ -54,6 +54,7 @@ _NEW_SINCE_GATE = [
     "corpus_curation_v7",        # r9: payload stripped from dedup exchange
     "q2_min_cost_supplier",      # r9: s_suppkey total-order tiebreak
     "multimodal_phash_neardup",  # r9: persist -> localCheckpoint
+    "dedup_cross_doc_spans",     # r9: new — ExactSubstr-family span dedup
 ]
 
 

@@ -35,3 +35,102 @@ def test_curation_v7_dedup_exchange_carries_no_payload(spark):
     assert dedup_blocks, "expected an exchange hash-partitioned on dedup_key"
     for b in dedup_blocks:
         assert "dedup_text" not in b, f"payload rides the dedup exchange:\n{b}"
+
+
+# --------------------------------------------------------------------------- #
+# dedup_cross_doc_spans — crafted quote-vs-short-overlap fixture               #
+# --------------------------------------------------------------------------- #
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airflow_cms_inpatient_etl_spark.operators.dedup import (  # noqa: E402
+    SPAN_ANCHOR_K,
+    SPAN_MIN_LEN,
+    cross_doc_span_dedup,
+    span_dup_starts,
+)
+from airflow_cms_inpatient_etl_spark.operators.text import words  # noqa: E402
+
+# a 20-token passage shared verbatim by docs 1 and 2 at DIFFERENT offsets
+_QUOTE = " ".join(f"q{i}" for i in range(20))
+# a 6-token overlap (>= K anchors exist, < L so it must SURVIVE)
+_SHORT = " ".join(f"s{i}" for i in range(6))
+
+
+def _span_fixture(spark):
+    rows = [
+        # quote at offset 0 (doc 1) and offset 3 (doc 2): anchors align by
+        # content, not position
+        (1, f"{_QUOTE} u1a u1b u1c u1d"),
+        (2, f"v2a v2b v2c {_QUOTE} v2d"),
+        # 6-token shared run: anchored (6 >= K) but below the removal
+        # threshold (6 < L) — kept in both docs
+        (3, f"w3a w3b {_SHORT} w3c w3d w3e w3f"),
+        (4, f"{_SHORT} x4a x4b x4c x4d x4e x4f"),
+        # internal repetition only (same 14-token phrase twice in ONE doc):
+        # cross-doc df stays 1, nothing removed
+        (5, " ".join(f"r{i}" for i in range(14)) + " mid "
+            + " ".join(f"r{i}" for i in range(14))),
+        # no overlap with anyone
+        (6, "z6a z6b z6c z6d z6e z6f z6g z6h"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_span_dedup_quote_removed_short_overlap_kept(spark):
+    assert SPAN_ANCHOR_K == 5 and SPAN_MIN_LEN == 12  # fixture calibration
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_span_dedup(_span_fixture(spark), "doc_id", "text").collect()
+    }
+    assert len(out) == 6  # one row per doc, including untouched ones
+    # the 20-token quote is dropped from BOTH carriers, unique context kept
+    for doc, expect_text in [(1, "u1a u1b u1c u1d"), (2, "v2a v2b v2c v2d")]:
+        assert out[doc]["n_spans_removed"] == 1
+        assert out[doc]["n_tokens_removed"] == 20
+        assert out[doc]["dedup_text"] == expect_text
+    # the 6-token overlap is anchored but below L: fully kept
+    for doc in (3, 4):
+        assert out[doc]["n_spans_removed"] == 0
+        assert out[doc]["n_tokens_removed"] == 0
+    assert out[3]["dedup_text"] == f"w3a w3b {_SHORT} w3c w3d w3e w3f"
+    # within-doc repetition is NOT cross-document duplication
+    assert out[5]["n_tokens_removed"] == 0
+    # untouched doc is identity
+    assert out[6]["dedup_text"] == "z6a z6b z6c z6d z6e z6f z6g z6h"
+    assert out[6]["n_tokens"] == 8
+
+
+def test_span_dedup_candidate_volume_scales_linearly(spark):
+    """10× canary on CANDIDATE volume: replicate the corpus 10× under a
+    letter rotation (replicas are internally self-similar but mutually
+    distinct — the sf1 fixture's construction), and require duplicated-start
+    volume to stay LINEAR: each replica reproduces the base duplication
+    pattern under its rotated alphabet, so dup starts must be ~10× the
+    base, never pair-quadratic.  Upper slack covers cross-replica
+    collisions of rotation-invariant tokens (digits/punctuation-only
+    grams); the floor is exact (rotation is a bijection on texts, so every
+    base dup start recurs in every replica)."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    alpha = "abcdefghij"
+    reps = None
+    for i in range(10):
+        part = base.select(
+            (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+            F.translate("text", alpha, alpha[i:] + alpha[:i]).alias("text"),
+        )
+        reps = part if reps is None else reps.unionByName(part)
+
+    def n_candidates(df):
+        t = df.select("doc_id", words(F.col("text")).alias("__w"))
+        return span_dup_starts(t, "doc_id", SPAN_ANCHOR_K).count()
+
+    c1 = n_candidates(base)
+    c10 = n_candidates(reps)
+    assert c1 > 0, "fixture corpus has no duplicated anchors — canary is vacuous"
+    assert c10 >= 10 * c1, "rotation bijection floor broke"
+    assert c10 <= 11 * c1, (
+        f"candidate volume superlinear: {c1} -> {c10} (pair enumeration?)"
+    )
