@@ -10,6 +10,7 @@ from airflow_cms_inpatient_etl_spark.operators.multimodal import (
     decode_features,
     sample_frames,
 )
+from airflow_cms_inpatient_etl_spark.operators.text import hash60, words
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 
@@ -479,3 +480,144 @@ multimodal_phash_neardup.__doc__ = (
     .replace("{_PH_BAND_BITS}", str(_PH_BAND_BITS))
     .replace("{_PH_T}", str(_PH_T))
 )
+
+
+# --------------------------------------------------------------------------- #
+# multimodal_caption_align — CLIP-score-shaped image-text alignment gate       #
+# --------------------------------------------------------------------------- #
+
+_CAP_TOKENS = 12     # caption length (tokens) taken from the paired doc
+_CAP_SHINGLE_K = 3   # containment unit: word 3-grams (sequence-sensitive)
+_CAP_GATE_BP = 5000  # keep pairs with >= 50.00 % caption containment
+
+
+@register(
+    "multimodal_caption_align",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_id,
+               doc_id + CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS caption_doc
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    img_sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || SUBSTR(MD5(s.sh), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     UNNEST(LIST_TRANSFORM(
+                         RANGE(1, GREATEST(LEN(w) - {_CAP_SHINGLE_K} + 2, 1)),
+                         i -> ARRAY_TO_STRING(
+                             LIST_SLICE(w, i, i + {_CAP_SHINGLE_K} - 1), ' '))) AS sh
+              FROM toks) s
+    ),
+    cap_sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || SUBSTR(MD5(s.sh), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     UNNEST(LIST_TRANSFORM(
+                         RANGE(1, GREATEST(LEAST(LEN(w), {_CAP_TOKENS})
+                                           - {_CAP_SHINGLE_K} + 2, 1)),
+                         i -> ARRAY_TO_STRING(
+                             LIST_SLICE(w, i, i + {_CAP_SHINGLE_K} - 1), ' '))) AS sh
+              FROM toks) s
+    ),
+    scored AS (
+        SELECT p.doc_id, p.caption_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_caption_shingles,
+               CAST(COUNT(i.h) AS BIGINT) AS n_matched
+        FROM pairs p
+        JOIN cap_sh c ON c.doc_id = p.caption_doc
+        LEFT JOIN img_sh i ON i.doc_id = p.doc_id AND i.h = c.h
+        GROUP BY p.doc_id, p.caption_doc
+    )
+    SELECT doc_id, caption_doc, n_caption_shingles, n_matched,
+           CAST(n_matched * 10000 // n_caption_shingles AS BIGINT) AS align_bp,
+           n_matched * 10000 // n_caption_shingles >= {_CAP_GATE_BP} AS is_aligned
+    FROM scored
+    """,
+)
+def multimodal_caption_align(spark, sf_dir):
+    """Image-text ALIGNMENT gate — the CLIP-score filter every multimodal
+    curation pipeline runs (LAION-style: drop image/caption pairs whose
+    similarity is below threshold), completing this engine's multimodal
+    story (dedup ✓ `multimodal_phash_neardup`, chunking ✓ CAS/CDC,
+    alignment — this query).
+
+    The CLIP kernel is replaced by a deterministic proxy (the image/audio
+    encoders aren't in this container): the image side "recognizes" its
+    content perfectly (its payload decodes back to its text — the stub
+    contract from `attach_binary_payload`), and the alignment score is
+    CAPTION CONTAINMENT over word-{_CAP_SHINGLE_K}-gram shingles — matched
+    captions (a verbatim excerpt of the image's content) score 10000 bp;
+    mismatched captions share no 3-token sequence and score ~0.  The
+    pairing deliberately mis-captions every 10th image with its
+    neighbour's caption, so the gate has real work: ~10 % of pairs fall
+    below {_CAP_GATE_BP} bp and are flagged `is_aligned = false`.  Scores
+    are integer BASIS POINTS (multiply-then-integer-divide) — no float
+    division in an oracle-checked aggregate.
+
+    Scale: both shingle sides hash to 60-bit ints map-side (payload text
+    never keys an exchange); the pairing is 1:1 (doc-keyed, never a pair
+    enumeration); the containment join is hash-equi on (doc, h) — cost
+    ∝ caption shingles, i.e. ~{_CAP_TOKENS} rows per image at any corpus
+    size; the gate is a filterable flag so downstream stages prune
+    misaligned pairs at the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            + F.when(F.col("doc_id") % 10 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("caption_doc"),
+    )
+    toks = d.select("doc_id", words(F.col("text")).alias("__w"))
+
+    def sh_hashes(arr):
+        n = F.size(arr) - (_CAP_SHINGLE_K - 1)
+        grams = F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: hash60(F.concat_ws(" ", F.slice(arr, i, _CAP_SHINGLE_K))),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        return grams
+
+    img_sh = (
+        toks.select("doc_id", F.explode(sh_hashes(F.col("__w"))).alias("h")).distinct()
+    )
+    cap_sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                sh_hashes(F.slice(F.col("__w"), 1, _CAP_TOKENS))
+            ).alias("h"),
+        ).distinct()
+    )
+    c = cap_sh.select(F.col("doc_id").alias("caption_doc"), "h")
+    i = img_sh.select(F.col("doc_id").alias("img_doc"), F.col("h").alias("ih"))
+    scored = (
+        pairs.join(c, "caption_doc")
+        .join(
+            i,
+            (F.col("doc_id") == F.col("img_doc")) & (F.col("h") == F.col("ih")),
+            "left",
+        )
+        .groupBy("doc_id", "caption_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_caption_shingles"),
+            F.count("ih").cast("long").alias("n_matched"),
+        )
+    )
+    bp = F.expr("n_matched * 10000 div n_caption_shingles")
+    return scored.select(
+        "doc_id",
+        "caption_doc",
+        "n_caption_shingles",
+        "n_matched",
+        bp.cast("long").alias("align_bp"),
+        (bp >= _CAP_GATE_BP).alias("is_aligned"),
+    )

@@ -55,6 +55,7 @@ _NEW_SINCE_GATE = [
     "q2_min_cost_supplier",      # r9: s_suppkey total-order tiebreak
     "multimodal_phash_neardup",  # r9: persist -> localCheckpoint
     "dedup_cross_doc_spans",     # r9: new — ExactSubstr-family span dedup
+    "multimodal_caption_align",  # r9: new — CLIP-shaped alignment gate
 ]
 
 

@@ -134,3 +134,29 @@ def test_span_dedup_candidate_volume_scales_linearly(spark):
     assert c10 <= 11 * c1, (
         f"candidate volume superlinear: {c1} -> {c10} (pair enumeration?)"
     )
+
+
+# --------------------------------------------------------------------------- #
+# multimodal_caption_align — gate semantics on the fixtures                    #
+# --------------------------------------------------------------------------- #
+
+from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY as _REG  # noqa: E402
+from tests.conftest import SF_ORACLE  # noqa: E402
+
+
+def test_caption_align_gate_separates_engineered_mismatches(spark):
+    """Every 10th image is deliberately mis-captioned with its neighbour's
+    caption; aligned pairs score 10000 bp exactly (the caption is a verbatim
+    excerpt of the image content, so every caption shingle is contained),
+    and the two populations must separate cleanly at the gate."""
+    out = _REG["multimodal_caption_align"].fn(spark, SF_ORACLE).toPandas()
+    matched = out[out.doc_id == out.caption_doc]
+    mismatched = out[out.doc_id != out.caption_doc]
+    assert len(mismatched) > 0 and len(matched) > 0
+    assert (matched.align_bp == 10000).all(), "verbatim captions must contain fully"
+    assert matched.is_aligned.all()
+    # mismatched captions share no 3-token sequence with the image content
+    # in this synthetic corpus — if the corpus ever gains cross-doc verbatim
+    # overlap inside the first 12 tokens, the gate (not exact zero) is the
+    # contract
+    assert not mismatched.is_aligned.any(), "gate failed to reject a mis-caption"
