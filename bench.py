@@ -236,6 +236,11 @@ HEADLINE = [
     "q20_dominant_supplier",
     "q21_waiting_supplier",
     "q22_idle_customers",
+    # round-9 additions: ExactSubstr-family span dedup (per-token gram
+    # hashing + islands + rebuild — same cost family as the line pass) and
+    # the CLIP-shaped caption-containment alignment gate
+    "dedup_cross_doc_spans",
+    "multimodal_caption_align",
 ]
 
 
