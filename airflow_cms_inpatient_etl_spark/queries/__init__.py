@@ -50,82 +50,15 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # ======================================================================= #
-    # ROUND-8 WINDOW (first 50).  Policy: never-checked > code-changed-since- #
-    # last-check > stalest-green.  Round 7 closed 50/50 green; this rotation  #
-    # retires the confirmation tail: after round 8 the union should leave NO  #
-    # never-checked rows, NO r3-stale rows, and 17 r4-stale rows (section f   #
-    # below — they lead round 9).  Composition: 3 round-8 additions + the 2   #
-    # never-checked wave-8 rows + 1 code-changed (the UDTF regex-split fix)   #
-    # + all 10 r3-stale rows + the 3 stale live-streaming rows (judge         #
-    # directive 4: every streaming_*_live green this round) + 31 of the 48    #
-    # remaining r4-stale rows.  EVERY slot in this window is hash-eligible.   #
+    # ROUND-9 WINDOW (first 50).  Policy: never-checked > code-changed-since- #
+    # last-check > stalest-green.  Round 8 closed 50/50 green; this rotation  #
+    # targets the FIRST FULLY-CONFIRMED registry state: it seats ALL 20       #
+    # never-driver-checked round-8 rows, the 2 round-9 additions, the 1       #
+    # plan-changed row, ALL 17 r4-stale rows, and 10 of the 45 r5-stale rows  #
+    # — after round 9 no registry row is never-checked and every row's last   #
+    # driver check is >= r5.  EVERY slot in this window is hash-eligible.     #
     # ======================================================================= #
-    # -- a. new this round (never driver-checked) --------------------------- #
-    "dedup_cross_doc_lines",
-    "multimodal_phash_neardup",
-    "corpus_mixture_refresh",
-    # -- b. round-7 wave-8 additions (registered post-window; never checked) - #
-    "events_stl_daily",
-    "supplier_concentration_hhi",
-    # -- c. code changed since last green driver row (re.ASCII split fix) ---- #
-    "text_wordcount_udtf",
-    # -- d. all 10 r3-stale rows (last driver-green r03) --------------------- #
-    "conditional_aggregation",
-    "math_functions",
-    "text_rolling_hash",
-    "split_train_test_hash",
-    "multimodal_audio_chunks",
-    "text_langid_heuristic",
-    "multimodal_frame_sample",
-    "text_token_counts",
-    "text_repetition_metrics",
-    "text_corpus_rollup",
-    # -- e. stale live-streaming confirmations (directive 4) ----------------- #
-    "streaming_late_data_live",
-    "streaming_session_window_live",
-    "streaming_dedup_within_watermark_live",
-    # -- f. 31 of the 48 remaining r4-stale rows: the ones with shared-helper #
-    #    exposure (exact-agg/window/join/filter/sampling families sit on      #
-    #    helpers that keep evolving).  The 17 deferred rows are the          #
-    #    self-contained scalar-function and relational-shape modules         #
-    #    (array/date/json/map/null/string functions, cube/rollup/grouping/   #
-    #    pivot/unpivot, set ops, explode/posexplode, date_spine_monthly) —   #
-    #    zero shared-helper churn, re-proven by every local differential;    #
-    #    they sit immediately after the boundary and lead round 9.           #
-    "agg_exact_moments",
-    "agg_exact_correlation",
-    "agg_exact_percentiles",
-    "agg_argmax_argmin",
-    "agg_collect_sorted",
-    "agg_median_price",
-    "window_running_sum",
-    "window_sliding_frame_avg",
-    "window_range_frame_1h",
-    "window_rank_topk_per_group",
-    "window_cume_dist_nth",
-    "window_first_last_value",
-    "window_lag_lead_events",
-    "window_ntile_percent_rank",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_full_outer_nation_profile",
-    "join_right_outer_item_counts",
-    "join_range_quantity_tiers",
-    "filter_complex_predicates",
-    "filter_like_null",
-    "filter_scalar_subquery",
-    "group_agg_orders",
-    "count_distinct_segments",
-    "topk_orders_by_price",
-    "approx_aggregates",
-    "approx_distinct_sketch_merge",
-    "dedup_keep_latest_event",
-    "deterministic_sample",
-    "lateral_correlated_agg",
-    "histogram_price_buckets",
-    # ----------------------- window boundary (50) -------------------------- #
-    # round-8 wave-2 additions (registered post-rotation, never checked —
-    # by policy they lead round 9, ahead of the 17 deferred r4 rows)
+    # -- a. the 20 never-driver-checked round-8 rows (waves 2 + 5) ---------- #
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -137,9 +70,6 @@ _PRIORITY = [
     "events_peak_concurrency",
     "dedup_prefix_jaccard",
     "weighted_median_price",
-    # round-8 wave-5 additions (relational4.py — the nine TPC-H plan
-    # families wave 2 deferred, adapted to the fixture columns; with these
-    # all 22 classic shapes are registered)
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",
@@ -149,7 +79,15 @@ _PRIORITY = [
     "q20_dominant_supplier",
     "q21_waiting_supplier",
     "q22_idle_customers",
-    # the 17 deferred r4-stale rows — next in line for round 9
+    # -- b. new this round (never driver-checked): the ExactSubstr span      #
+    #    dedup and the CLIP-shaped caption-alignment gate                    #
+    "dedup_cross_doc_spans",
+    "multimodal_caption_align",
+    # -- c. code/plan changed since last green driver row (persist →         #
+    #    localCheckpoint — the result is identical, the plan is not)         #
+    "multimodal_phash_neardup",
+    # -- d. all 17 r4-stale rows (the self-contained scalar-function and     #
+    #    relational-shape modules deferred by the round-8 rotation)          #
     "array_functions",
     "date_functions",
     "json_functions",
@@ -167,6 +105,56 @@ _PRIORITY = [
     "explode_token_counts",
     "posexplode_tokens",
     "date_spine_monthly",
+    # -- e. 10 of the 45 r5-stale rows: the flagship + the rows with the     #
+    #    widest shared-helper exposure (load_table/text/dedup/similarity     #
+    #    helpers keep evolving); the remaining 35 r5 rows lead round 10      #
+    "flagship_patient_claims_plus",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "sim_cosine_topk_brute",
+    "events_asof_last_click",
+    "events_session_window",
+    "text_tfidf_top_terms",
+    "graph_pagerank",
+    "corpus_curation_v2",
+    # ----------------------- window boundary (50) -------------------------- #
+    # the 35 remaining r5-stale rows — next in line for round 10
+    "bloom_semijoin_lineitem",
+    "dedup_exact_distinct",
+    "dedup_exact_text",
+    "dedup_fingerprint",
+    "doc_chunk_overlap",
+    "dq_k_anonymity",
+    "dq_rowcount_flag",
+    "epoch_shuffle_order",
+    "error_safe_functions",
+    "events_dedup_within_window",
+    "events_funnel_conversion",
+    "events_gap_fill_hourly",
+    "events_interval_attribution",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "graph_personalized_pagerank",
+    "graph_triangle_count",
+    "join_multiway_revenue",
+    "multimodal_decode_stub",
+    "multimodal_metadata",
+    "null_default_decode",
+    "projection_typed_cast",
+    "set_except_all_linenums",
+    "set_intersect_all_linenums",
+    "set_union_all_counts",
+    "sim_ann_lsh_topk",
+    "sim_embedding_neardup",
+    "sim_incremental_ivf",
+    "snapshot_table_diff",
+    "text_entropy_quality",
+    "text_pii_scrub",
+    "text_quality_scores",
+    "variant_functions",
+    "weighted_corpus_sample",
+    "winsorize_quality_clip",
 ]
 
 
