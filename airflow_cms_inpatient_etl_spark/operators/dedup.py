@@ -351,7 +351,11 @@ def content_defined_lines(
     single ``filter`` lambda (Catalyst does not CSE across independent
     lambdas — see ``operators/text.exploded_shingles``).
     """
-    t = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    from airflow_cms_inpatient_etl_spark.sources.registry import spread_scan
+
+    t = spread_scan(
+        df.select(F.col(id_col), words(F.col(text_col)).alias("__w")), id_col
+    )
     n = F.size("__w")
     bp = F.filter(
         F.sequence(F.lit(1), n),
@@ -504,11 +508,18 @@ def cross_doc_span_dedup(
     partitions by document; the rebuild joins per-doc span lists (one row
     per SURVIVING span, duplicate-mass-sized) back to the token arrays —
     the one corpus-linear doc-keyed exchange, the same floor as the line
-    rebuild in ``cross_doc_line_dedup``.
+    rebuild in ``cross_doc_line_dedup``.  The input is spread across cores
+    first when the scan parallelism is degenerate (single-file local
+    fixture) — a guarded no-op on an already-parallel production scan
+    (``sources.registry.spread_scan``).
     """
     from pyspark.sql import Window
 
-    t = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    from airflow_cms_inpatient_etl_spark.sources.registry import spread_scan
+
+    t = spread_scan(
+        df.select(F.col(id_col), words(F.col(text_col)).alias("__w")), id_col
+    )
     dstarts = span_dup_starts(t, id_col, k)
     w_doc = Window.partitionBy(id_col).orderBy("__i")
     isl = dstarts.withColumn(

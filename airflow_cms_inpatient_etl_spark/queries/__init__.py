@@ -119,7 +119,15 @@ _PRIORITY = [
     "graph_pagerank",
     "corpus_curation_v2",
     # ----------------------- window boundary (50) -------------------------- #
-    # the 35 remaining r5-stale rows — next in line for round 10
+    # ROUND-10 QUEUE.  (1) Eight r8-green queries changed plan late in
+    # round 9 (the spread_scan rollout in the shared tokenization
+    # primitives: dedup_ngram_jaccard, dedup_simhash, dedup_simhash_hamming,
+    # dedup_containment, dedup_incremental_index, dedup_lsh_recall_report,
+    # dedup_cross_doc_lines, decontaminate_ngram_overlap) — by
+    # code-changed-first policy they lead round 10 together with (2) the
+    # 35 remaining r5-stale rows below (43 total ≤ 50 slots).  All eight
+    # were hash-verified locally at sf0.01 (and the heavy ones at sf0.1)
+    # after the change.
     "bloom_semijoin_lineitem",
     "dedup_exact_distinct",
     "dedup_exact_text",

@@ -565,6 +565,8 @@ def multimodal_caption_align(spark, sf_dir):
     ∝ caption shingles, i.e. ~{_CAP_TOKENS} rows per image at any corpus
     size; the gate is a filterable flag so downstream stages prune
     misaligned pairs at the scan."""
+    from airflow_cms_inpatient_etl_spark.sources.registry import spread_scan
+
     d = load_table(spark, sf_dir, "documents")
     pairs = d.select(
         "doc_id",
@@ -573,7 +575,9 @@ def multimodal_caption_align(spark, sf_dir):
             + F.when(F.col("doc_id") % 10 == 0, F.lit(1)).otherwise(F.lit(0))
         ).alias("caption_doc"),
     )
-    toks = d.select("doc_id", words(F.col("text")).alias("__w"))
+    # spread the degenerate single-file scan before the per-token md5 HOFs
+    # (guarded no-op on a parallel production scan)
+    toks = spread_scan(d.select("doc_id", words(F.col("text")).alias("__w")), "doc_id")
 
     def sh_hashes(arr):
         n = F.size(arr) - (_CAP_SHINGLE_K - 1)

@@ -51,11 +51,24 @@ _ARROW_NODES = (
 # queries added or plan-changed since the round-8 gate went green — linted
 # in the NOT-slow inner loop.  Round 9 additions + this round's plan edits.
 _NEW_SINCE_GATE = [
-    "corpus_curation_v7",        # r9: payload stripped from dedup exchange
+    "corpus_curation_v7",        # r9: payload stripped from dedup exchange + spread
     "q2_min_cost_supplier",      # r9: s_suppkey total-order tiebreak
     "multimodal_phash_neardup",  # r9: persist -> localCheckpoint
     "dedup_cross_doc_spans",     # r9: new — ExactSubstr-family span dedup
     "multimodal_caption_align",  # r9: new — CLIP-shaped alignment gate
+    # r9 spread_scan rollout (guarded small-scan parallelization in the
+    # shared tokenization/segmentation primitives) — every query whose plan
+    # gained the REPARTITION_BY_NUM exchange:
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "dedup_containment",
+    "dedup_incremental_index",
+    "dedup_lsh_recall_report",
+    "dedup_cross_doc_lines",
+    "dedup_prefix_jaccard",
+    "decontaminate_ngram_overlap",
 ]
 
 

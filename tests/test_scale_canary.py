@@ -126,6 +126,11 @@ CANARY_QUERIES = [
     "q2_min_cost_supplier",
     "q11_important_brands",
     "q16_supplier_part_count",
+    # round-9 additions: the ExactSubstr span dedup (per-doc output,
+    # df-monotone removal) and the caption-alignment gate (1:1 pairing,
+    # rotation-invariant containment)
+    "dedup_cross_doc_spans",
+    "multimodal_caption_align",
 ]
 
 
@@ -496,6 +501,46 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     s16_01 = {(r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
               for r in QUERY_REGISTRY["q16_supplier_part_count"].fn(spark, SF_SRC).collect()}
     assert s16_10 == s16_01
+
+    # span dedup: one row per doc — exactly 10×; and removal is MONOTONE in
+    # corpus growth (same tokenization, superset corpus ⇒ every anchor
+    # gram's document frequency only grows ⇒ replica-0 docs remove at least
+    # what they removed at sf0.1 — the line-dedup argument at gram
+    # granularity)
+    assert got["dedup_cross_doc_spans"] == 10 * base["dedup_cross_doc_spans"]
+    sd10 = (
+        QUERY_REGISTRY["dedup_cross_doc_spans"]
+        .fn(spark, sf1_dir)
+        .filter(F.col("doc_id") < 1_000_000)
+        .agg(F.sum("n_tokens_removed"))
+        .first()[0]
+    )
+    sd01 = (
+        QUERY_REGISTRY["dedup_cross_doc_spans"]
+        .fn(spark, SF_SRC)
+        .agg(F.sum("n_tokens_removed"))
+        .first()[0]
+    )
+    assert sd10 >= sd01, "gram-df monotonicity broke at 10×"
+    # caption alignment: the 1:1 pairing maps each replica onto itself
+    # (replica offsets are ≡ 0 mod 10, so doc_id % 10 is replica-invariant)
+    # and the letter rotation is a character bijection applied to BOTH sides
+    # of each pair, so every replica reproduces the base score distribution
+    # exactly: 10× rows, 10× misaligned
+    assert got["multimodal_caption_align"] == 10 * base["multimodal_caption_align"]
+    mis10 = (
+        QUERY_REGISTRY["multimodal_caption_align"]
+        .fn(spark, sf1_dir)
+        .filter(~F.col("is_aligned"))
+        .count()
+    )
+    mis01 = (
+        QUERY_REGISTRY["multimodal_caption_align"]
+        .fn(spark, SF_SRC)
+        .filter(~F.col("is_aligned"))
+        .count()
+    )
+    assert mis10 == 10 * mis01, "alignment gate not replica-invariant"
 
     # no driver-side materialization: counts() move no rows to Python, so the
     # Python driver's peak RSS must not grow meaningfully with 10× data
