@@ -119,14 +119,18 @@ _PRIORITY = [
     "graph_pagerank",
     "corpus_curation_v2",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-10 QUEUE.  (1) Eight r8-green queries changed plan late in
-    # round 9 (the spread_scan rollout in the shared tokenization
-    # primitives: dedup_ngram_jaccard, dedup_simhash, dedup_simhash_hamming,
-    # dedup_containment, dedup_incremental_index, dedup_lsh_recall_report,
-    # dedup_cross_doc_lines, decontaminate_ngram_overlap) — by
+    # ROUND-10 QUEUE.  (1) Fourteen r8-green queries changed plan late in
+    # round 9 (the spread_scan rollout — guarded small-scan parallelization
+    # in the shared tokenization/segmentation primitives and the six heavy
+    # per-token fold queries): bpe_apply_encode, corpus_curation_v6,
+    # corpus_datacard, decontaminate_ngram_overlap, dedup_containment,
+    # dedup_cross_doc_lines, dedup_incremental_index,
+    # dedup_lsh_recall_report, dedup_ngram_jaccard, dedup_simhash,
+    # dedup_simhash_hamming, multimodal_cdc_chunk_dedup,
+    # quality_dsir_importance, tokenizer_vocab_coverage.  By
     # code-changed-first policy they lead round 10 together with (2) the
-    # 35 remaining r5-stale rows below (43 total ≤ 50 slots).  All eight
-    # were hash-verified locally at sf0.01 (and the heavy ones at sf0.1)
+    # 35 remaining r5-stale rows below (49 total ≤ 50 slots).  All fourteen
+    # were hash-verified locally at sf0.01 (the heavy ones also at sf0.1)
     # after the change.
     "bloom_semijoin_lineitem",
     "dedup_exact_distinct",

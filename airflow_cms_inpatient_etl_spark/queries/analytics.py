@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 from airflow_cms_inpatient_etl_spark.functions.exact import dec
 from airflow_cms_inpatient_etl_spark.operators.text import hash60
 from airflow_cms_inpatient_etl_spark.queries.base import register
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table, spread_scan
 
 
 
@@ -1798,7 +1798,7 @@ def bpe_apply_encode(spark, sf_dir):
     keyed by corpus size).  The oracle runs the same replace chain in
     DuckDB, so the rank-order/greedy-pass semantics are value-checked
     cross-engine."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")  # degenerate-scan guard (see sources.registry.spread_scan)
     tok = bpe_token_count_spark("w")
     return d.select(
         "doc_id",
@@ -2021,7 +2021,7 @@ def tokenizer_vocab_coverage(spark, sf_dir):
     count needs a word-level explode, and that one shuffles (lang, word)
     pairs bounded by vocabulary, not corpus, after the map-side distinct."""
     tok = bpe_token_count_spark("x")
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")  # degenerate-scan guard (see sources.registry.spread_scan)
     words = d.select(
         "lang",
         F.expr(r"filter(split(trim(lower(text)), '\\s+'), x -> x != '')").alias("w"),
@@ -2237,7 +2237,7 @@ def corpus_datacard(spark, sf_dir):
         bpe_token_count_spark,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")  # degenerate-scan guard (see sources.registry.spread_scan)
     tok = bpe_token_count_spark("x")
     enc = d.select(
         "doc_id",

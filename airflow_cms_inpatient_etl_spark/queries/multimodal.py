@@ -12,7 +12,7 @@ from airflow_cms_inpatient_etl_spark.operators.multimodal import (
 )
 from airflow_cms_inpatient_etl_spark.operators.text import hash60, words
 from airflow_cms_inpatient_etl_spark.queries.base import register
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table, spread_scan
 
 
 @register(
@@ -243,7 +243,7 @@ def multimodal_cdc_chunk_dedup(spark, sf_dir):
     with an O(1) per-byte constant; expected chunk ≈ {_d} units.
     Shift-robustness is asserted in tests (prefix edit preserves the shared
     tail chunks)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")  # degenerate-scan guard (see sources.registry.spread_scan)
     # newh is written twice (hash update + cut test) because SQL lambdas have
     # no let-binding; it is O(1) either way and Catalyst CSEs the subtree.
     newh = (

@@ -27,7 +27,7 @@ from airflow_cms_inpatient_etl_spark.queries.dedup import _CDL_CTES, _SHINGLES_C
 from airflow_cms_inpatient_etl_spark.operators.dedup import cross_doc_line_dedup
 from airflow_cms_inpatient_etl_spark.operators.scrub import scrub_text
 from airflow_cms_inpatient_etl_spark.queries.textops import _LEXICONS, _SCRUB_CHAIN, _scrub_sql
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table, spread_scan
 
 
 @register(
@@ -724,7 +724,7 @@ def corpus_curation_v6(spark, sf_dir):
         bpe_token_count_spark,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")  # degenerate-scan guard (see sources.registry.spread_scan)
     tok = bpe_token_count_spark("w")
     counted = d.select(
         "doc_id",

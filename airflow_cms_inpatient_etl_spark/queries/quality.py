@@ -22,7 +22,7 @@ from airflow_cms_inpatient_etl_spark.operators.lm import (
     train_bigram_lm,
 )
 from airflow_cms_inpatient_etl_spark.queries.base import register
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table, spread_scan
 
 _REF_LANG = "en"  # the trusted reference slice (CCNet uses Wikipedia)
 
@@ -489,7 +489,7 @@ def quality_dsir_importance(spark, sf_dir):
     TakeOrderedAndProject on the rounded Gumbel key.  Two corpus-scale
     shuffles total (bucket counts, per-doc fold) — no joins keyed by
     anything larger than the doc id."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")  # degenerate-scan guard (see sources.registry.spread_scan)
     ids = d.select("doc_id", "lang")
     bg_all = exploded_bigrams(d, "doc_id", "text").select(
         "doc_id",

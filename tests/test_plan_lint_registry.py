@@ -69,6 +69,12 @@ _NEW_SINCE_GATE = [
     "dedup_cross_doc_lines",
     "dedup_prefix_jaccard",
     "decontaminate_ngram_overlap",
+    "bpe_apply_encode",
+    "tokenizer_vocab_coverage",
+    "corpus_datacard",
+    "corpus_curation_v6",
+    "quality_dsir_importance",
+    "multimodal_cdc_chunk_dedup",
 ]
 
 
