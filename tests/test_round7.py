@@ -114,6 +114,14 @@ def test_bpe_counts_bounded_by_chars_and_words(spark):
 
 
 def test_bpe_encoder_is_shuffle_free(spark):
+    """The encode pass must stay a pure map: no aggregation/join exchange.
+
+    Round 9 added the guarded degenerate-scan repartition
+    (``sources.registry.spread_scan``) in front of the per-token fold, so
+    locally — where the fixture is a single unsplittable parquet file — the
+    plan legitimately contains exactly one REPARTITION exchange that a
+    multi-split production scan would not have.  The invariant this test
+    protects is unchanged: nothing in the encode itself shuffles."""
     plan = (
         QUERY_REGISTRY["bpe_apply_encode"]
         .fn(spark, SF_ORACLE)
@@ -121,7 +129,12 @@ def test_bpe_encoder_is_shuffle_free(spark):
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan, "the tokenizer encode pass must be a pure map"
+    exchanges = [ln.strip() for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("REPARTITION" in ln for ln in exchanges), (
+        "the tokenizer encode pass must be a pure map aside from the "
+        f"spread_scan guard; found exchanges: {exchanges}"
+    )
+    assert len(exchanges) <= 1, f"expected at most the spread_scan guard: {exchanges}"
 
 
 # ---------------------------------------------------------------------------
