@@ -398,7 +398,9 @@ def multimodal_phash_neardup(spark, sf_dir):
        positives.  At 100 TB the band key space must scale with corpus
        population — wider bands or a source/language pre-partition, the
        Manku WWW'07 table family."""
-    d = load_table(spark, sf_dir, "documents")
+    # degenerate-scan guard: the 64-md5-per-doc pixel decode is the cost
+    # center and must not run on a single unsplittable-file partition
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     pix = d.select(
         "doc_id",
         F.expr(
@@ -446,11 +448,13 @@ def multimodal_phash_neardup(spark, sf_dir):
         # bands feeds BOTH the occupancy census and the candidate join, so it
         # must not recompute the decode pipeline twice — but a .persist()
         # here would pin a CacheManager entry per invocation with no
-        # unpersist hook (the function returns lazily).  An eager
-        # localCheckpoint materializes once and its blocks are released by
-        # the ContextCleaner as soon as the caller drops the result — the
-        # same release discipline operators/graph.py uses for CC snapshots.
-        .localCheckpoint()
+        # unpersist hook (the function returns lazily), and the plan-keyed
+        # cache silently serves REPEATED invocations (it made the round-8
+        # bench sample a cache-hit time).  A lazy localCheckpoint
+        # materializes on first action and its blocks are released by the
+        # ContextCleaner as soon as the caller drops the result — the same
+        # release discipline operators/graph.py uses for CC snapshots.
+        .localCheckpoint(eager=False)
     )
     small = (
         bands.groupBy("i", "key")

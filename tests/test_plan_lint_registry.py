@@ -53,7 +53,7 @@ _ARROW_NODES = (
 _NEW_SINCE_GATE = [
     "corpus_curation_v7",        # r9: payload stripped from dedup exchange + spread
     "q2_min_cost_supplier",      # r9: s_suppkey total-order tiebreak
-    "multimodal_phash_neardup",  # r9: persist -> localCheckpoint
+    "multimodal_phash_neardup",  # r9: persist -> lazy localCheckpoint + spread
     "dedup_cross_doc_spans",     # r9: new — ExactSubstr-family span dedup
     "multimodal_caption_align",  # r9: new — CLIP-shaped alignment gate
     # r9 spread_scan rollout (guarded small-scan parallelization in the
