@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
+
 from airflow_cms_inpatient_etl_spark.operators.text import (
     exploded_shingle_hashes,
     hash60,
@@ -184,16 +186,20 @@ def minhash_lsh_pairs(
 
     ``max_df`` caps stop-shingles before signatures AND verification (both
     stages see the same capped sets, so scores stay internally consistent).
-    ``cache_shingles`` persists the exploded posting lists, which are read
-    three times (signatures, pair intersection ×2); callers who materialize
-    the result exactly once in a long-lived session can pass False to avoid
-    pinning executor storage until the session ends (a lazy plan has no safe
-    point for this function to unpersist at — the caller owns that decision).
+    ``cache_shingles`` snapshots the exploded posting lists (lazy
+    ``localCheckpoint``), which are read three times (signatures, pair
+    intersection ×2); the blocks are released by the ContextCleaner once the
+    caller drops the result, so nothing stays pinned in a long-lived
+    session.  Pass False to recompute instead of storing (tiny inputs).
     """
     rows_per_band = n_hashes // n_bands
     ex = cap_stop_shingles(exploded_shingle_hashes(df, id_col, text_col, k), max_df)
     if cache_shingles:
-        ex = ex.cache()
+        # tracked snapshot, not .cache(): a CacheManager pin has no safe
+        # release point in a lazily-returned plan, silently serves REPEAT
+        # invocations (it fakes bench numbers), and survives until session
+        # end; snapshot blocks are freed by sources.registry.release_snapshots
+        ex = snapshot(ex)
     sigs = minhash_signatures(ex, id_col, n_hashes)
     band_cols = [
         F.md5(

@@ -30,6 +30,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from airflow_cms_inpatient_etl_spark.sources.registry import track_snapshot_ids
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For every node u: attach each strictly-larger neighbor to
@@ -151,13 +153,17 @@ def connected_components_with_rounds(
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-    nodes = _lineage_snapshot(
+    nodes, node_ids = _snapshot_tracked(
         e.select("src")
         .union(e.select(F.col("dst").alias("src")))
         .distinct()
         .withColumnRenamed("src", "node"),
         checkpoint_dir,
     )
+    # the node snapshot lives until the caller consumes the labels — register
+    # it with the session-level registry so release_snapshots frees it
+    # deterministically instead of waiting on a ContextCleaner GC drain
+    track_snapshot_ids(node_ids)
     edges, prev_ids = _snapshot_tracked(
         e.filter(F.col("src") != F.col("dst")).distinct(), checkpoint_dir
     )
@@ -192,6 +198,9 @@ def connected_components_with_rounds(
         nodes.join(edges.withColumnRenamed("src", "node"), "node", "left")
         .select("node", F.coalesce(F.col("dst"), F.col("node")).alias("label"))
     )
+    # the final edge snapshot backs the returned labels plan — registry-track
+    # it (same contract as the node snapshot above)
+    track_snapshot_ids(prev_ids)
     return labels, rounds
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
+
 
 def _fold_sum(arr: Column) -> Column:
     """Ordered left fold Σ (bit-deterministic, unlike SUM over a shuffle)."""
@@ -517,16 +519,20 @@ def semdedup_assign_prune(
     # final projection) share one computation instead of re-deriving the
     # crossJoin+window each (Catalyst does not CSE sibling subplans).
     a = (
-        scored.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            norm(F.col(vec_col)).alias("vnorm"),
-            F.col("centroid_id").alias("cluster_id"),
-            "cos_c",
+        # tracked snapshot, not persist: a persist here would pin one
+        # CacheManager entry per invocation with no unpersist hook; see
+        # sources.registry.snapshot / release_snapshots
+        snapshot(
+            scored.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                norm(F.col(vec_col)).alias("vnorm"),
+                F.col("centroid_id").alias("cluster_id"),
+                "cos_c",
+            )
         )
-        .persist()
     )
     x = a.select(
         "cluster_id",

@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 from airflow_cms_inpatient_etl_spark.functions.exact import dec
 from airflow_cms_inpatient_etl_spark.operators.text import hash60
 from airflow_cms_inpatient_etl_spark.queries.base import register
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table, spread_scan
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table, snapshot, spread_scan
 
 
 
@@ -715,13 +715,12 @@ def basket_association_rules(spark, sf_dir):
     and lift are single double ops over exact bigints."""
     li = load_table(spark, sf_dir, "lineitem")
     # the distinct item set feeds five consumers (size filter, supports,
-    # both pair sides, order total) — cache it once so the fact scan +
-    # dedup shuffle run once (same catalog-releasable contract as
-    # curation2's cached SemDeDup assignment; caller owns clearCache)
-    raw_items = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .cache()
+    # both pair sides, order total) — snapshot it once so the fact scan +
+    # dedup shuffle run once.  Tracked snapshot, not .cache(): a CacheManager
+    # pin has no release hook in a lazily-returned plan (and silently serves
+    # repeat invocations); registry.release_snapshots frees the blocks.
+    raw_items = snapshot(
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     )
     sized = (
         raw_items.groupBy("o")
@@ -729,7 +728,7 @@ def basket_association_rules(spark, sf_dir):
         .filter(F.col("bsize") <= _MAX_BASKET)
         .select("o")
     )
-    items = raw_items.join(sized, "o").cache()
+    items = snapshot(raw_items.join(sized, "o"))
     isup = (
         items.groupBy("p")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1412,10 +1411,9 @@ def recsys_item_item_cosine(spark, sf_dir):
     are exact bigints, the cosine is one sqrt + one division over exact
     operands, and the rank window is per-item with a neighbor tie-break."""
     li = load_table(spark, sf_dir, "lineitem")
-    raw_items = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .cache()
+    # snapshot discipline identical to basket_association_rules above
+    raw_items = snapshot(
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     )
     sized = (
         raw_items.groupBy("o")
@@ -1423,7 +1421,7 @@ def recsys_item_item_cosine(spark, sf_dir):
         .filter(F.col("bsize") <= _MAX_BASKET)
         .select("o")
     )
-    items = raw_items.join(sized, "o").cache()
+    items = snapshot(raw_items.join(sized, "o"))
     isup = items.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     a = items.select("o", F.col("p").alias("p1"))
     b = items.select("o", F.col("p").alias("p2"))

@@ -19,7 +19,7 @@ from airflow_cms_inpatient_etl_spark.operators.sketch import cms_build, cms_esti
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.operators.text import hash60
 from airflow_cms_inpatient_etl_spark.queries.similarity import _cosine
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table, snapshot
 
 # --------------------------------------------------------------------------- #
 # doc_chunk_overlap — fixed-size token windows with overlap                    #
@@ -586,11 +586,11 @@ def dedup_containment(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     # three consumers (sizes + both join sides) read the posting lists —
-    # cache them once, same contract as the minhash operator's
-    # cache_shingles (catalog-releasable; caller owns clearCache timing)
-    ex = cap_stop_shingles(
-        exploded_shingle_hashes(d, "doc_id", "text"), _CONTAIN_MAX_DF
-    ).cache()
+    # snapshot them once (tracked lazy localCheckpoint, same contract as the
+    # minhash operator's cache_shingles; registry.release_snapshots frees it)
+    ex = snapshot(
+        cap_stop_shingles(exploded_shingle_hashes(d, "doc_id", "text"), _CONTAIN_MAX_DF)
+    )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("a_size"))
     a = ex.select(F.col("doc_id").alias("a_id"), "h")
     b = ex.select(F.col("doc_id").alias("b_id"), "h")

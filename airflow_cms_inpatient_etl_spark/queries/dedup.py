@@ -29,7 +29,7 @@ from airflow_cms_inpatient_etl_spark.operators.text import (
     words,
 )
 from airflow_cms_inpatient_etl_spark.queries.base import register
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table, snapshot
 
 # Shared oracle CTE: distinct (doc_id, 60-bit shingle hash) posting list,
 # mirroring operators.text.words/shingles/exploded_shingle_hashes exactly
@@ -511,8 +511,10 @@ def dedup_simhash_hamming(spark, sf_dir):
         .withColumn(
             "key", F.expr(f"shiftright(f, {_HAM_BAND_BITS} * i) & {2**_HAM_BAND_BITS - 1}")
         )
-        .persist()
     )
+    # tracked snapshot, not persist: a persist would pin one CacheManager
+    # entry per invocation with no unpersist hook (registry.release_snapshots)
+    bands = snapshot(bands)
     small = (
         bands.groupBy("i", "key")
         .agg(F.count(F.lit(1)).alias("occ"))

@@ -12,7 +12,7 @@ from airflow_cms_inpatient_etl_spark.operators.multimodal import (
 )
 from airflow_cms_inpatient_etl_spark.operators.text import hash60, words
 from airflow_cms_inpatient_etl_spark.queries.base import register
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table, spread_scan
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table, snapshot, spread_scan
 
 
 @register(
@@ -445,17 +445,15 @@ def multimodal_phash_neardup(spark, sf_dir):
             "key",
             F.expr(f"shiftright(f, {_PH_BAND_BITS} * i) & {2**_PH_BAND_BITS - 1}"),
         )
-        # bands feeds BOTH the occupancy census and the candidate join, so it
-        # must not recompute the decode pipeline twice — but a .persist()
-        # here would pin a CacheManager entry per invocation with no
-        # unpersist hook (the function returns lazily), and the plan-keyed
-        # cache silently serves REPEATED invocations (it made the round-8
-        # bench sample a cache-hit time).  A lazy localCheckpoint
-        # materializes on first action and its blocks are released by the
-        # ContextCleaner as soon as the caller drops the result — the same
-        # release discipline operators/graph.py uses for CC snapshots.
-        .localCheckpoint(eager=False)
     )
+    # bands feeds BOTH the occupancy census and the candidate join, so it
+    # must not recompute the decode pipeline twice — but a .persist() here
+    # would pin a CacheManager entry per invocation with no unpersist hook
+    # (the function returns lazily), and the plan-keyed cache silently serves
+    # REPEATED invocations (it made the round-8 bench sample a cache-hit
+    # time).  The tracked snapshot materializes on first action; callers
+    # free the blocks via sources.registry.release_snapshots.
+    bands = snapshot(bands)
     small = (
         bands.groupBy("i", "key")
         .agg(F.count(F.lit(1)).alias("occ"))

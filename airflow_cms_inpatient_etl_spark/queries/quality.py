@@ -16,6 +16,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.operators.text import hash60
+from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
 from airflow_cms_inpatient_etl_spark.operators.lm import (
     exploded_bigrams,
     score_bits_per_token,
@@ -123,13 +124,13 @@ def corpus_curation_v4(spark, sf_dir):
     broadcast back — two shuffles total beyond the scan."""
     d = load_table(spark, sf_dir, "documents")
     c2, c1, vocab = train_bigram_lm(d.filter(F.col("lang") == _REF_LANG))
-    # persist: the per-doc score table feeds BOTH the percentile aggregate
+    # snapshot: the per-doc score table feeds BOTH the percentile aggregate
     # and the final projection (Catalyst does not CSE sibling subplans —
-    # without the pin the explode+join scoring pass would run twice)
-    scored = (
-        score_bits_per_token(d, c2, c1, vocab)
-        .join(d.select("doc_id", "lang"), "doc_id")
-        .persist()
+    # without the snapshot the explode+join scoring pass would run twice).
+    # Tracked snapshot, not persist: released via registry.release_snapshots,
+    # no per-invocation CacheManager pin.
+    scored = snapshot(
+        score_bits_per_token(d, c2, c1, vocab).join(d.select("doc_id", "lang"), "doc_id")
     )
     pct = scored.groupBy("lang").agg(
         F.round(F.percentile("bits_per_token", F.lit(0.333333)), 6).alias("lm_t33"),
@@ -339,8 +340,9 @@ def corpus_curation_v5(spark, sf_dir):
                 + F.lit(10) * F.least(F.col("n_tokens"), F.lit(100).cast("bigint"))
             ).alias("score_milli"),
         )
-        .persist()
     )
+    # tracked snapshot, not a persist pin (registry.release_snapshots frees it)
+    scored = snapshot(scored)
     pct = scored.groupBy("lang").agg(
         F.round(F.percentile("bits_per_token", F.lit(0.666667)), 6).alias("lm_t66")
     )
@@ -352,8 +354,8 @@ def corpus_curation_v5(spark, sf_dir):
             & (F.col("n_bigrams") >= 5)
         )
         .select("doc_id", "lang", "n_chars")
-        .persist()
     )
+    kept = snapshot(kept)
     h = kept.groupBy(F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("c"))
     n_total = h.agg(F.sum("c").alias("n"))
     from pyspark.sql import Window as W

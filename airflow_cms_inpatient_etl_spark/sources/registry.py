@@ -112,3 +112,76 @@ def spread_scan(df: DataFrame, key_col: str, min_partitions: int | None = None) 
     from pyspark.sql import functions as F
 
     return df.repartition(target, F.col(key_col))
+
+
+# --------------------------------------------------------------------------- #
+# Tracked multi-consumer snapshots                                             #
+# --------------------------------------------------------------------------- #
+# Several queries materialize an expensive intermediate exactly once for 2-5
+# downstream consumers (LSH posting lists, band tables, per-doc score tables).
+# Neither storage primitive self-releases in a long-lived PySpark session:
+#   - ``.persist()``/``.cache()`` pins a CacheManager entry keyed by logical
+#     plan with no unpersist hook in a lazily-returned function — AND silently
+#     serves REPEATED invocations of the same query from the warm cache
+#     (measured: it faked the round-8 bench number for the pHash query).
+#   - ``.localCheckpoint()`` avoids the plan-keyed reuse, but its blocks are
+#     in practice never freed from Python either: the JVM-side RDD stays
+#     strongly reachable through the Py4J gateway bindings, so the
+#     ContextCleaner's weak references never fire (measured: blocks survive
+#     del + gc.collect() + System.gc()).
+# So snapshots must be RELEASED EXPLICITLY.  ``snapshot`` wraps a lazy
+# localCheckpoint and records the pinned RDD ids; ``release_snapshots`` frees
+# every block any snapshot pinned.  Long-lived callers (bench loops, REPL
+# sessions, services) call ``release_snapshots(spark)`` once the results of a
+# query have been fully consumed; short-lived jobs may skip it (executor
+# storage dies with the session).  Iterative operators (operators/graph.py)
+# keep their own tighter per-round tracking and are unaffected.
+
+_SNAPSHOT_RDD_IDS: set[int] = set()
+
+
+def snapshot(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint whose pinned RDD ids are tracked for release.
+
+    Lazy (``eager=False``) so DataFrame construction stays job-free — the
+    blocks materialize with the first action and every later consumer reads
+    them instead of recomputing the subtree.  ``RDD.localCheckpoint`` marks
+    persistence at call time, so the pinned ids are visible immediately via
+    ``getPersistentRDDs`` without running a job.
+    """
+    jsc = df.sparkSession.sparkContext._jsc
+    before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=False)
+    after = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    _SNAPSHOT_RDD_IDS.update(after - before)
+    return out
+
+
+def track_snapshot_ids(ids) -> None:
+    """Register already-pinned localCheckpoint RDD ids for release.
+
+    For operators that manage their own intermediate snapshots (the
+    iterative graph loops) but leave the FINAL snapshot alive as the
+    returned result's storage — tracking it here lets the caller free it
+    with the same ``release_snapshots`` call that frees query-level
+    snapshots, instead of waiting on the (slow, GC-dependent)
+    ContextCleaner drain."""
+    _SNAPSHOT_RDD_IDS.update(int(i) for i in ids)
+
+
+def release_snapshots(spark: SparkSession) -> int:
+    """Unpersist every tracked snapshot's blocks; returns how many released.
+
+    DESTRUCTIVE for in-flight plans: a localCheckpointed RDD has no lineage
+    to recompute from, so call this only between queries, after the previous
+    results are fully consumed.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    released = 0
+    for i in list(_SNAPSHOT_RDD_IDS):
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
+            released += 1
+        _SNAPSHOT_RDD_IDS.discard(i)
+    return released

@@ -23,6 +23,7 @@ import time
 
 from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
 from airflow_cms_inpatient_etl_spark.session import get_spark
+from airflow_cms_inpatient_etl_spark.sources.registry import release_snapshots
 
 HEADLINE = [
     "flagship_patient_claims_plus",
@@ -282,6 +283,8 @@ def main() -> None:
             xs.append(time.perf_counter() - t0)
         return round(statistics.median(xs), 4)
 
+    release_snapshots(spark)  # drop any blocks the warm-up pass pinned
+
     probe_parallel = _probe(spark.range(200_000_000))
     probe_serial = _probe(spark.range(20_000_000, numPartitions=1))
 
@@ -297,6 +300,11 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            # free this invocation's tracked snapshot blocks INSIDE the timed
+            # region's boundary (after the action): executor storage stays
+            # O(one query) across the whole recording, and no sample can read
+            # a prior sample's materialization
+            release_snapshots(spark)
     timings = {name: round(statistics.median(s), 4) for name, s in samples.items()}
     total = round(sum(timings.values()), 4)
 

@@ -75,6 +75,13 @@ _NEW_SINCE_GATE = [
     "corpus_curation_v6",
     "quality_dsir_importance",
     "multimodal_cdc_chunk_dedup",
+    # r9 tracked-snapshot conversion (persist/cache -> registry.snapshot):
+    "dedup_cluster_canonical",
+    "semdedup_prune",
+    "corpus_curation_v4",
+    "corpus_curation_v5",
+    "basket_association_rules",
+    "recsys_item_item_cosine",
 ]
 
 

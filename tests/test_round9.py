@@ -160,3 +160,38 @@ def test_caption_align_gate_separates_engineered_mismatches(spark):
     # overlap inside the first 12 tokens, the gate (not exact zero) is the
     # contract
     assert not mismatched.is_aligned.any(), "gate failed to reject a mis-caption"
+
+
+# --------------------------------------------------------------------------- #
+# Tracked multi-consumer snapshots (sources.registry.snapshot)                 #
+# --------------------------------------------------------------------------- #
+
+
+def test_snapshot_release_is_deterministic_and_complete(spark):
+    """Queries that snapshot an expensive intermediate (LSH posting lists,
+    band tables, per-doc score tables) must leave NO surviving executor
+    storage after release_snapshots — immediately, with no GC poll.  This is
+    the round-9 replacement for per-invocation .persist()/.cache(), which
+    pinned one CacheManager entry per call forever AND silently served
+    repeated invocations from the warm cache (it faked the round-8 bench
+    number for multimodal_phash_neardup)."""
+    from airflow_cms_inpatient_etl_spark.sources.registry import release_snapshots
+
+    sc = spark.sparkContext
+    release_snapshots(spark)  # isolate from earlier tests in the session
+    baseline = len(sc._jsc.sc().getRDDStorageInfo())
+    for name in ("dedup_minhash_lsh", "basket_association_rules", "corpus_curation_v4"):
+        n1 = QUERY_REGISTRY[name].fn(spark, SF_SMOKE).count()
+        assert n1 > 0, name
+        assert len(sc._jsc.sc().getRDDStorageInfo()) > baseline, (
+            f"{name}: expected the snapshot blocks to be pinned after the action"
+        )
+        released = release_snapshots(spark)
+        assert released > 0, name
+        assert len(sc._jsc.sc().getRDDStorageInfo()) <= baseline, (
+            f"{name}: snapshot blocks survived release_snapshots"
+        )
+        # a fresh invocation after release recomputes and matches (no stale
+        # reuse, no lineage loss)
+        assert QUERY_REGISTRY[name].fn(spark, SF_SMOKE).count() == n1, name
+        release_snapshots(spark)

@@ -28,7 +28,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table, release_snapshots
 
 SF_SRC = "/root/testdata/sf0.1"
 REPS = 10
@@ -550,14 +550,17 @@ def test_top5_queries_complete_at_sf1(spark, sf1_dir):
     # executor storage pinned by the run (the documented minhash shingle cache)
     # must be releasable — a pin that survives clearCache would accumulate
     # across jobs in a long-lived session until storage eviction thrash.
-    # Two release paths exist and both are exercised: cached tables drop via
-    # clearCache(); the iterative graph operators' FINAL localCheckpoints
+    # Three release paths exist and all are exercised: cached tables drop via
+    # clearCache(); the tracked multi-consumer snapshots
+    # (sources.registry.snapshot) drop DETERMINISTICALLY via
+    # release_snapshots; the iterative graph operators' FINAL localCheckpoints
     # (intermediates are freed deterministically inside the loops) drop via
     # the ContextCleaner once the driver no longer references them — that
     # path needs a Python GC (release the py4j handles) + JVM GC (enqueue
     # the weak refs), then drains asynchronously, hence the bounded poll.
     del kc10, kc01
     spark.catalog.clearCache()
+    release_snapshots(spark)
     gc.collect()
     deadline = time.monotonic() + 60
     while (
