@@ -119,19 +119,24 @@ _PRIORITY = [
     "graph_pagerank",
     "corpus_curation_v2",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-10 QUEUE.  (1) Fourteen r8-green queries changed plan late in
-    # round 9 (the spread_scan rollout — guarded small-scan parallelization
-    # in the shared tokenization/segmentation primitives and the six heavy
-    # per-token fold queries): bpe_apply_encode, corpus_curation_v6,
-    # corpus_datacard, decontaminate_ngram_overlap, dedup_containment,
-    # dedup_cross_doc_lines, dedup_incremental_index,
+    # ROUND-10 QUEUE.  (1) One never-driver-checked round-9 addition:
+    # corpus_ngram_novelty (marginal-novelty gram census).  (2) Queries whose
+    # plan changed late in round 9 — the spread_scan rollout (guarded
+    # small-scan parallelization in the shared tokenization/segmentation
+    # primitives and the six heavy per-token fold queries): bpe_apply_encode,
+    # corpus_curation_v6, corpus_datacard, decontaminate_ngram_overlap,
+    # dedup_containment, dedup_cross_doc_lines, dedup_incremental_index,
     # dedup_lsh_recall_report, dedup_ngram_jaccard, dedup_simhash,
     # dedup_simhash_hamming, multimodal_cdc_chunk_dedup,
-    # quality_dsir_importance, tokenizer_vocab_coverage.  By
-    # code-changed-first policy they lead round 10 together with (2) the
-    # 35 remaining r5-stale rows below (49 total ≤ 50 slots).  All fourteen
-    # were hash-verified locally at sf0.01 (the heavy ones also at sf0.1)
-    # after the change.
+    # quality_dsir_importance, tokenizer_vocab_coverage — plus the
+    # tracked-snapshot conversion (persist/cache → registry.snapshot) rows
+    # not already in the r9 window or the list above: semdedup_prune,
+    # corpus_curation_v4, corpus_curation_v5, basket_association_rules,
+    # recsys_item_item_cosine, dedup_cluster_canonical.  By
+    # never-checked-first + code-changed-first policy these lead round 10;
+    # the remaining slots go to the oldest of the 35 r5-stale rows below.
+    # Every changed query was hash-verified locally at sf0.01 (the heavy
+    # ones also at sf0.1) after each change.
     "bloom_semijoin_lineitem",
     "dedup_exact_distinct",
     "dedup_exact_text",

@@ -978,3 +978,57 @@ def dedup_cross_doc_spans(spark, sf_dir):
     doc-keyed rebuild floor shared with the line pass."""
     d = load_table(spark, sf_dir, "documents")
     return cross_doc_span_dedup(d, "doc_id", "text", k=_SPAN_K, min_len=_SPAN_L)
+
+
+# --------------------------------------------------------------------------- #
+# corpus_ngram_novelty — marginal-novelty scoring by ingestion order           #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    f AS (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h)
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = ex.doc_id) AS BIGINT) AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = ex.doc_id) * 1000000 // COUNT(*)
+               AS BIGINT) AS novelty_ppm
+    FROM ex JOIN f USING (h)
+    GROUP BY ex.doc_id
+    """,
+)
+def corpus_ngram_novelty(spark, sf_dir):
+    """Per-document marginal novelty: the fraction (ppm, integer-exact) of a
+    document's distinct word-3-gram hashes whose FIRST corpus occurrence
+    (minimum doc_id, standing in for ingestion order) is this document —
+    the standard curation signal for ranking documents by how much new
+    content they add to a growing corpus (a verbatim re-crawl scores 0, the
+    first copy scores 1e6; boilerplate-heavy pages score low without any
+    pairwise comparison).
+
+    Plan: the shared distinct posting list (8-byte gram hashes, spread off
+    the degenerate scan) → gram-first census (``min(doc_id)`` — algebraic,
+    map-side partial, one 8-byte-key exchange) → hash-join back → per-doc
+    counts.  No payload ever rides an exchange and no pair is enumerated:
+    cost is Σ posting-list length, the same inverted-index class as the
+    cross-doc line/span census, so the shape survives 100 TB.  Integer
+    ppm via ``div`` keeps the score oracle-exact (no double rounding)."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = exploded_shingle_hashes(d, "doc_id", "text")
+    first = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_grams").alias("novelty_ppm"),
+        )
+    )

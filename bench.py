@@ -242,6 +242,9 @@ HEADLINE = [
     # the CLIP-shaped caption-containment alignment gate
     "dedup_cross_doc_spans",
     "multimodal_caption_align",
+    # round-9 wave 2: per-doc marginal-novelty scoring (gram-first census —
+    # the inverted-index cost family)
+    "corpus_ngram_novelty",
 ]
 
 

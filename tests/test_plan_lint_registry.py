@@ -75,6 +75,7 @@ _NEW_SINCE_GATE = [
     "corpus_curation_v6",
     "quality_dsir_importance",
     "multimodal_cdc_chunk_dedup",
+    "corpus_ngram_novelty",      # r9: new — marginal-novelty gram census
     # r9 tracked-snapshot conversion (persist/cache -> registry.snapshot):
     "dedup_cluster_canonical",
     "semdedup_prune",

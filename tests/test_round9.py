@@ -195,3 +195,35 @@ def test_snapshot_release_is_deterministic_and_complete(spark):
         # reuse, no lineage loss)
         assert QUERY_REGISTRY[name].fn(spark, SF_SMOKE).count() == n1, name
         release_snapshots(spark)
+
+
+# --------------------------------------------------------------------------- #
+# corpus_ngram_novelty                                                         #
+# --------------------------------------------------------------------------- #
+
+
+def test_ngram_novelty_invariants(spark):
+    """Each distinct gram hash is novel in EXACTLY one document (its min
+    doc_id), so Σ n_novel over documents equals the corpus's distinct-gram
+    count; the earliest document is all-novel by construction; ppm is
+    integer-exact in [0, 1e6]."""
+    from airflow_cms_inpatient_etl_spark.operators.text import exploded_shingle_hashes
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+    from pyspark.sql import functions as F
+
+    res = QUERY_REGISTRY["corpus_ngram_novelty"].fn(spark, SF_SMOKE)
+    agg = res.agg(
+        F.sum("n_novel").alias("novel_total"),
+        F.min("novelty_ppm").alias("lo"),
+        F.max("novelty_ppm").alias("hi"),
+        F.min("doc_id").alias("first_doc"),
+    ).first()
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_distinct_grams = (
+        exploded_shingle_hashes(d, "doc_id", "text").select("h").distinct().count()
+    )
+    assert agg.novel_total == n_distinct_grams
+    assert 0 <= agg.lo <= agg.hi <= 1_000_000
+    first = res.filter(F.col("doc_id") == agg.first_doc).first()
+    assert first.novelty_ppm == 1_000_000, "earliest document must be all-novel"
