@@ -119,8 +119,9 @@ _PRIORITY = [
     "graph_pagerank",
     "corpus_curation_v2",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-10 QUEUE.  (1) One never-driver-checked round-9 addition:
-    # corpus_ngram_novelty (marginal-novelty gram census).  (2) Queries whose
+    # ROUND-10 QUEUE.  (1) Never-driver-checked round-9 additions:
+    # corpus_ngram_novelty (marginal-novelty gram census) and
+    # decontaminate_embedding_cosine (eval-leakage gate).  (2) Queries whose
     # plan changed late in round 9 — the spread_scan rollout (guarded
     # small-scan parallelization in the shared tokenization/segmentation
     # primitives and the six heavy per-token fold queries): bpe_apply_encode,

@@ -507,3 +507,125 @@ def embedding_label_confusion(spark, sf_dir):
         F.col("cb.n").alias("n_b"),
         F.round(cos, 6).alias("centroid_cosine"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# decontaminate_embedding_cosine — eval-set leakage detection                  #
+# --------------------------------------------------------------------------- #
+
+_DECON_TAU = 0.95     # flag train vectors this close to ANY eval vector
+_DECON_EVAL_PCT = 10  # hash-split eval share (stable, engine-portable)
+_DECON_PLANT = 20     # every 20th train vector is planted eval leakage
+
+
+@register(
+    "decontaminate_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               CAST('0x' || SUBSTR(MD5('dsplit:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 100 AS b
+        FROM embeddings
+    ),
+    ev AS (
+        SELECT vec_id AS eval_id, embedding AS w,
+               ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
+        FROM e WHERE b < {_DECON_EVAL_PCT}
+    ),
+    n AS (SELECT COUNT(*) AS n_eval FROM ev),
+    tr AS (
+        SELECT t.vec_id,
+               CASE WHEN t.vec_id % {_DECON_PLANT} = 0 THEN p.w ELSE t.embedding END AS v,
+               t.vec_id % {_DECON_PLANT} = 0 AS planted
+        FROM (SELECT vec_id, embedding FROM e WHERE b >= {_DECON_EVAL_PCT}) t
+        CROSS JOIN n
+        LEFT JOIN ev p
+          ON t.vec_id % {_DECON_PLANT} = 0 AND p.rnk = (t.vec_id // {_DECON_PLANT}) % n.n_eval
+    ),
+    scored AS (
+        SELECT tr.vec_id, tr.planted, ev.eval_id, {_cosine("tr.v", "ev.w")} AS cosine
+        FROM tr, ev
+    ),
+    best AS (
+        SELECT vec_id, planted, eval_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rn
+        FROM scored
+    )
+    SELECT vec_id, planted, eval_id AS nearest_eval, cosine AS max_cosine,
+           cosine >= {_DECON_TAU} AS is_contaminated
+    FROM best WHERE rn = 1
+    """,
+)
+def decontaminate_embedding_cosine(spark, sf_dir):
+    """Eval-set decontamination over embeddings: split vectors 90/10 by the
+    portable salted hash of vec_id (stable across runs/engines — adding
+    vectors never reassigns existing ones), then flag every TRAIN vector
+    whose max exact cosine against the EVAL set reaches {_DECON_TAU} — the
+    embedding-space sibling of ``decontaminate_ngram_overlap``, catching
+    paraphrased leakage n-gram overlap misses.  Because the fixture's
+    vectors are mutually far (max natural cross-split cosine ≈ 0.49), the
+    query PLANTS deterministic leakage the way the caption-align gate
+    plants mismatches: every {_DECON_PLANT}th train vector is replaced by a
+    rank-indexed eval vector, and the flag set must recover exactly the
+    planted rows (the ``planted`` column makes the separation auditable
+    per-row, here and in the oracle).
+
+    Scale shape: the eval side of a decontamination pass is model-eval-sized
+    by construction — it BROADCASTS (here both to the plant join and the
+    scoring join), so the train corpus is one map-side pass with no
+    train-sized exchange at all: the per-vector argmax folds map-side via
+    max(struct(cosine, -eval_id)) partial aggregation (one row per train
+    vector enters the exchange; the tie-break is exact because cosines are
+    ordered folds).  For eval sets too large to broadcast, the LSH-bucketed
+    path (`sim_ann_lsh_topk`) replaces the scoring join.  Cost |train| x
+    |eval| x d — the exactness baseline a production pass prefilters."""
+    from pyspark.sql import Window as W
+
+    from airflow_cms_inpatient_etl_spark.operators.similarity import dot, norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dsplit:"), F.col("vec_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    e = e.select("vec_id", "embedding", (h % 100).alias("b"))
+    ev = (
+        e.filter(F.col("b") < _DECON_EVAL_PCT)
+        .select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("w"))
+        .withColumn("rnk", F.row_number().over(W.orderBy("eval_id")) - 1)
+    )
+    n = ev.agg(F.count(F.lit(1)).alias("n_eval"))
+    tr0 = e.filter(F.col("b") >= _DECON_EVAL_PCT).select("vec_id", "embedding")
+    plant = (
+        tr0.filter(F.col("vec_id") % _DECON_PLANT == 0)
+        .join(F.broadcast(n))
+        .withColumn("rnk", F.expr(f"(vec_id div {_DECON_PLANT}) % n_eval"))
+        .join(F.broadcast(ev), "rnk")
+        .select("vec_id", F.col("w").alias("v"), F.lit(True).alias("planted"))
+    )
+    clean = tr0.filter(F.col("vec_id") % _DECON_PLANT != 0).select(
+        "vec_id", F.col("embedding").alias("v"), F.lit(False).alias("planted")
+    )
+    tr = plant.unionByName(clean).withColumn("vn", norm(F.col("v")))
+    evn = ev.select("eval_id", "w", norm(F.col("w")).alias("wn"))
+    scored = tr.join(F.broadcast(evn)).withColumn(
+        "cosine", dot(F.col("v"), F.col("w")) / (F.col("vn") * F.col("wn"))
+    )
+    best = scored.groupBy("vec_id", "planted").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("eval_id")).alias("neg_id"))).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        "planted",
+        (-F.col("m.neg_id")).cast("long").alias("nearest_eval"),
+        F.col("m.cosine").alias("max_cosine"),
+        (F.col("m.cosine") >= _DECON_TAU).alias("is_contaminated"),
+    )
+
+
+decontaminate_embedding_cosine.__doc__ = (
+    decontaminate_embedding_cosine.__doc__
+    .replace("{_DECON_TAU}", str(_DECON_TAU))
+    .replace("{_DECON_PLANT}", str(_DECON_PLANT))
+)

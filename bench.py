@@ -243,8 +243,10 @@ HEADLINE = [
     "dedup_cross_doc_spans",
     "multimodal_caption_align",
     # round-9 wave 2: per-doc marginal-novelty scoring (gram-first census —
-    # the inverted-index cost family)
+    # the inverted-index cost family) and the eval-leakage embedding gate
+    # (broadcast eval, map-side argmax)
     "corpus_ngram_novelty",
+    "decontaminate_embedding_cosine",
 ]
 
 

@@ -76,6 +76,7 @@ _NEW_SINCE_GATE = [
     "quality_dsir_importance",
     "multimodal_cdc_chunk_dedup",
     "corpus_ngram_novelty",      # r9: new — marginal-novelty gram census
+    "decontaminate_embedding_cosine",  # r9: new — eval-leakage cosine gate
     # r9 tracked-snapshot conversion (persist/cache -> registry.snapshot):
     "dedup_cluster_canonical",
     "semdedup_prune",

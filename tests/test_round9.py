@@ -227,3 +227,48 @@ def test_ngram_novelty_invariants(spark):
     assert 0 <= agg.lo <= agg.hi <= 1_000_000
     first = res.filter(F.col("doc_id") == agg.first_doc).first()
     assert first.novelty_ppm == 1_000_000, "earliest document must be all-novel"
+
+
+# --------------------------------------------------------------------------- #
+# decontaminate_embedding_cosine                                               #
+# --------------------------------------------------------------------------- #
+
+
+def test_embedding_decontamination_recovers_planted_set_exactly(spark):
+    """The flag set must equal the planted-leakage set: every planted train
+    vector (an exact copy of a rank-indexed eval vector) scores ~1.0 and is
+    flagged; no natural pair in the fixture comes near the 0.95 gate (max
+    natural cross-split cosine ~0.49), so false positives are zero."""
+    from pyspark.sql import functions as F
+
+    res = QUERY_REGISTRY["decontaminate_embedding_cosine"].fn(spark, SF_SMOKE)
+    agg = res.agg(
+        F.count_if(F.col("planted") & ~F.col("is_contaminated")).alias("missed"),
+        F.count_if(~F.col("planted") & F.col("is_contaminated")).alias("false_pos"),
+        F.count_if("planted").alias("n_planted"),
+        F.min(F.when(F.col("planted"), F.col("max_cosine"))).alias("planted_min_cos"),
+        F.max(F.when(~F.col("planted"), F.col("max_cosine"))).alias("natural_max_cos"),
+    ).first()
+    assert agg.n_planted > 0
+    assert agg.missed == 0, "planted leakage escaped the gate"
+    assert agg.false_pos == 0, "natural vectors misflagged"
+    assert agg.planted_min_cos > 0.999
+    assert agg.natural_max_cos < 0.6
+
+
+def test_embedding_decontamination_train_side_never_shuffles_wide(spark):
+    """Scale contract: the eval side broadcasts, so no train-sized row set
+    rides an exchange — every non-broadcast exchange in the plan must be
+    either the (tiny) eval-side rank/count exchange or the post-partial-agg
+    exchange that carries one row per train vector (hashpartitioning on
+    vec_id), never the scored |train| x |eval| expansion."""
+    df = QUERY_REGISTRY["decontaminate_embedding_cosine"].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    for b in _plan_blocks(plan):
+        head = b.strip().splitlines()[0] if b.strip() else ""
+        if head.startswith("(") and "Exchange" in head and "Broadcast" not in head:
+            assert (
+                "hashpartitioning(vec_id" in b
+                or "SinglePartition" in b  # the 10%-sized eval rank window
+                or "rows_only" in b
+            ), f"unexpected wide exchange:\n{b}"
