@@ -1406,10 +1406,12 @@ def recsys_item_item_cosine(spark, sf_dir):
     """Item-item collaborative filtering (Sarwar et al. WWW'01): cosine over
     basket co-occurrence counts — sim(i, j) = n_ij / sqrt(n_i * n_j) — and
     the top-5 neighbors per item, i.e. the "customers also bought" model.
-    Reuses the capped-basket discipline (pair volume ∝ Σ min(basket, cap)²)
-    with DIRECTED pairs so each item ranks its own neighbor list; counts
-    are exact bigints, the cosine is one sqrt + one division over exact
-    operands, and the rank window is per-item with a neighbor tie-break."""
+    Reuses the capped-basket discipline (pair volume ∝ Σ min(basket, cap)²);
+    co-occurrence is symmetric, so pairs aggregate UNDIRECTED (half the
+    exchange) and mirror post-aggregation so each item still ranks its own
+    neighbor list; counts are exact bigints, the cosine is one sqrt + one
+    division over exact operands, and the rank window is per-item with a
+    neighbor tie-break."""
     li = load_table(spark, sf_dir, "lineitem")
     # snapshot discipline identical to basket_association_rules above
     raw_items = snapshot(
@@ -1425,12 +1427,20 @@ def recsys_item_item_cosine(spark, sf_dir):
     isup = items.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     a = items.select("o", F.col("p").alias("p1"))
     b = items.select("o", F.col("p").alias("p2"))
-    pairs = (
+    # co-occurrence is symmetric (n_ij == n_ji), so aggregate UNDIRECTED
+    # pairs (p1 < p2) and mirror AFTER the aggregation: the pair exchange
+    # and the map-side combine hash table carry half the rows, and the
+    # mirror doubles only the (support-filtered) aggregate — at basket-cap
+    # scale that is orders of magnitude smaller than the raw expansion
+    und = snapshot(  # feeds both union branches — materialize the agg once
         a.join(b, "o")
-        .filter(F.col("p1") != F.col("p2"))
+        .filter(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _MIN_PAIR_SUP)
+    )
+    pairs = und.unionByName(
+        und.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"), "n_ab")
     )
     sa = isup.select(F.col("p").alias("p1"), F.col("n").alias("n_a"))
     sb = isup.select(F.col("p").alias("p2"), F.col("n").alias("n_b"))
