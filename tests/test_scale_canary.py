@@ -760,3 +760,65 @@ def test_lsh_candidate_volume_tracks_posting_lists_at_sf1(spark, sf1_dir):
     # are md5-128-bit — nil.  Strictly linear within a tolerance band.
     assert 8 * v01 <= v10 <= 12 * v01 + 10, \
         f"candidate volume {v01} -> {v10} is not ~linear at 10×"
+
+
+@pytest.mark.slow
+def test_round9_wave2_queries_scale_invariants_at_sf1(spark, sf1_dir):
+    """10× canary for the round-9 wave-2 additions.
+
+    corpus_ngram_novelty: the letter-rotation replicas preserve per-doc
+    token structure (translate is a bijective char map, whitespace
+    untouched), so rows and Σ n_grams scale exactly ×10; and because every
+    replica-0 doc_id is smaller than every later replica's, any
+    cross-replica gram collision still resolves its first occurrence into
+    replica 0 — replica 0's per-doc novelty at sf1 must EQUAL the base
+    run's, row for row.
+
+    decontaminate_embedding_cosine: the id shifts are ≡ 0 (mod 20), so the
+    planted pattern is preserved per replica and every plant must still be
+    flagged — AND the fixture's replication itself creates GENUINE
+    cross-split leakage (replica twins v and v + i·1e-3 land on opposite
+    sides of the re-hashed split with cosine ≈ 0.9999), which the gate must
+    also catch: exactly the behavior a decontamination pass exists for.
+    The separation claim at 10× is therefore margin-based: every flagged
+    row is a near-exact twin (cosine ≥ 0.99 — the i=9 replica's +9e-3
+    shift costs ~2.6e-3 of cosine), every unflagged row stays far below
+    the gate (< 0.7; the shared all-ones perturbation direction lifts
+    natural cosines from 0.49 to at most ~0.62) — nothing borderline on
+    either side."""
+    nov10 = QUERY_REGISTRY["corpus_ngram_novelty"].fn(spark, sf1_dir)
+    nov01 = QUERY_REGISTRY["corpus_ngram_novelty"].fn(spark, SF_SRC)
+    a10 = nov10.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("n_grams").alias("grams")
+    ).first()
+    a01 = nov01.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("n_grams").alias("grams")
+    ).first()
+    assert a10.rows == 10 * a01.rows
+    assert a10.grams == 10 * a01.grams
+    # replica 0 row-for-row equality (first-occurrence stays in replica 0)
+    rep0 = nov10.filter(F.col("doc_id") < 1_000_000)
+    assert rep0.exceptAll(nov01).isEmpty() and nov01.exceptAll(rep0).isEmpty()
+
+    dec = QUERY_REGISTRY["decontaminate_embedding_cosine"].fn(spark, sf1_dir)
+    g = dec.agg(
+        F.count_if(F.col("planted") & ~F.col("is_contaminated")).alias("missed"),
+        F.count_if(~F.col("planted") & F.col("is_contaminated")).alias("twins"),
+        F.count_if("planted").alias("n_planted"),
+        F.min(F.when(F.col("is_contaminated"), F.col("max_cosine"))).alias("flag_min"),
+        F.max(F.when(~F.col("is_contaminated"), F.col("max_cosine"))).alias("clean_max"),
+        F.count(F.lit(1)).alias("rows"),
+    ).first()
+    base_planted = (
+        QUERY_REGISTRY["decontaminate_embedding_cosine"]
+        .fn(spark, SF_SRC)
+        .agg(F.count_if("planted").alias("n"))
+        .first()
+        .n
+    )
+    assert g.missed == 0, "a planted copy escaped the gate at 10x"
+    assert g.twins > 0, "replication leakage exists by construction; none flagged"
+    assert g.flag_min > 0.99, "a borderline (non-twin) row was flagged"
+    assert g.clean_max < 0.7, "an unflagged row approaches the gate"
+    assert g.n_planted >= 9 * base_planted  # hash split reshuffles per replica
+    assert g.rows > 0
