@@ -133,7 +133,9 @@ _PRIORITY = [
     # tracked-snapshot conversion (persist/cache → registry.snapshot) rows
     # not already in the r9 window or the list above: semdedup_prune,
     # corpus_curation_v4, corpus_curation_v5, basket_association_rules,
-    # recsys_item_item_cosine, dedup_cluster_canonical.  By
+    # recsys_item_item_cosine (also rewritten to undirected pair
+    # aggregation), dedup_cluster_canonical — plus the skew-safe two-phase
+    # top-k rewrite of stratified_sample_exact_k.  By
     # never-checked-first + code-changed-first policy these lead round 10;
     # the remaining slots go to the oldest of the 35 r5-stale rows below.
     # Every changed query was hash-verified locally at sf0.01 (the heavy

@@ -593,6 +593,7 @@ def global_rank_via_sharding(spark, sf_dir):
 # --------------------------------------------------------------------------- #
 
 _STRAT_K = 20
+_STRAT_SHARDS = 16  # salt fan-out for the per-stratum local top-k pass
 
 
 @register(
@@ -618,22 +619,35 @@ def stratified_sample_exact_k(spark, sf_dir):
     carve every corpus needs where proportional sampling would starve small
     strata (Spark's ``sampleBy`` is probabilistic per row: it returns
     *approximately* fraction·n and a different set under a different
-    partitioning; this is exact-k and byte-stable).  One window shuffle
-    keyed by the stratum; the per-stratum sort is a top-k heap, not a
-    global sort, and at 100 TB the rank window only ever materializes
-    per-stratum state.  The hash makes inclusion a pure function of
-    (seed, doc_id) — re-runs, engines, and repartitionings agree."""
+    partitioning; this is exact-k and byte-stable).  The hash makes
+    inclusion a pure function of (seed, doc_id) — re-runs, engines, and
+    repartitionings agree.
+
+    Skew-safe two-phase top-k (round 9): a single window partitioned by
+    ``lang`` sorts each WHOLE stratum in one task — the canonical skew
+    killer when one language holds half a 100 TB corpus.  Phase 1 salts
+    each stratum into {_STRAT_SHARDS} shards by the hash itself and takes a
+    local top-k per (lang, shard) in parallel; phase 2 ranks only the
+    ≤ {_STRAT_SHARDS}·k survivors per stratum.  Exact by the sharding
+    identity: a stratum's global top-k rows each rank ≤ k inside their own
+    shard, so phase 1 never drops one (the oracle runs the naive single
+    window and the hash match proves it)."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
     h = hash60(F.col("doc_id").cast("string"), seed="strat:")
-    w = W.partitionBy("lang").orderBy("hv", "doc_id")
-    return (
+    wl = W.partitionBy("lang", "__shard").orderBy("hv", "doc_id")
+    local = (
         d.select("doc_id", "lang", "source", "n_chars")
         .withColumn("hv", h)
-        .withColumn("stratum_rank", F.row_number().over(w).cast("long"))
+        .withColumn("__shard", F.col("hv") % _STRAT_SHARDS)
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= _STRAT_K)
+    )
+    w = W.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        local.withColumn("stratum_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("stratum_rank") <= _STRAT_K)
-        .drop("hv")
         .select("doc_id", "lang", "source", "n_chars", "stratum_rank")
     )
 

@@ -77,6 +77,8 @@ _NEW_SINCE_GATE = [
     "multimodal_cdc_chunk_dedup",
     "corpus_ngram_novelty",      # r9: new — marginal-novelty gram census
     "decontaminate_embedding_cosine",  # r9: new — eval-leakage cosine gate
+    "stratified_sample_exact_k",  # r9: skew-safe two-phase top-k rewrite
+    "recsys_item_item_cosine",    # r9: undirected pair aggregation rewrite
     # r9 tracked-snapshot conversion (persist/cache -> registry.snapshot):
     "dedup_cluster_canonical",
     "semdedup_prune",
