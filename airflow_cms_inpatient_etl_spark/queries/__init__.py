@@ -135,7 +135,9 @@ _PRIORITY = [
     # corpus_curation_v4, corpus_curation_v5, basket_association_rules,
     # recsys_item_item_cosine (also rewritten to undirected pair
     # aggregation), dedup_cluster_canonical — plus the skew-safe two-phase
-    # top-k rewrite of stratified_sample_exact_k.  By
+    # top-k rewrites (stratified_sample_exact_k, docs_source_cap,
+    # corpus_curation_v3; corpus_curation_v2 sits in the r9 window and is
+    # re-checked there).  By
     # never-checked-first + code-changed-first policy these lead round 10;
     # the remaining slots go to the oldest of the 35 r5-stale rows below.
     # Every changed query was hash-verified locally at sf0.01 (the heavy

@@ -807,6 +807,17 @@ def corpus_curation_v3(spark, sf_dir):
         .withColumn("priority", F.expr("hv div n_chars"))
         .drop("p05", "p95", "rn", "hv", "fingerprint", "src_priority")
     )
+    # skew-safe two-phase top-K per language (the sharding identity of
+    # pipeline.stratified_sample_exact_k: a global top-K row ranks <= K in
+    # its own salted shard, so the local pass never drops one)
+    local_rank = F.row_number().over(
+        Window.partitionBy("lang", "__shard").orderBy("priority", "doc_id")
+    )
+    gated = (
+        gated.withColumn("__shard", F.col("doc_id") % 16)
+        .withColumn("__lr", local_rank)
+        .filter(F.col("__lr") <= _V3_PER_LANG_K)
+    )
     lang_rank = F.row_number().over(Window.partitionBy("lang").orderBy("priority", "doc_id"))
     return (
         gated.withColumn("lang_rank", lang_rank.cast("long"))

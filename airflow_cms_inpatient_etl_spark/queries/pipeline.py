@@ -268,6 +268,7 @@ def pack_token_budget(spark, sf_dir):
 
 
 SOURCE_CAP = 10
+_STRAT_SHARDS = 16  # salt fan-out for the skew-safe two-phase top-k windows
 
 
 @register(
@@ -294,14 +295,14 @@ def docs_source_cap(spark, sf_dir):
     reruns, AND corpus growth — re-crawling a domain only ever evicts docs in
     favor of lower-hash newcomers, it never reshuffles the whole quota (the
     property incremental recrawls need; Spark-internal xxhash64 would pin the
-    sample to one engine).  Shape: one hash projection (map-only) + a
-    per-source window rank — the shuffle keys on source, and K is tiny.  A
-    pathologically hot domain (10⁹ docs at web scale) would make one window
-    sort huge; the documented mitigation is a lossless two-phase pass: rank
-    only docs whose hash falls under an over-sampled threshold learned from
-    per-source counts (keeps ≥K with overwhelming probability, verified by a
-    count), then window-rank the survivors.  The registered shape is the
-    exact single-pass form."""
+    sample to one engine).  Shape (skew-safe two-phase top-k, round 9): a
+    single window partitioned by source sorts a pathologically hot domain
+    (10⁹ docs at web scale) in ONE task — so phase 1 salts each source into
+    16 shards by the hash and ranks locally in parallel, and phase 2 ranks
+    only the ≤ 16·K survivors per source.  Exact
+    by the sharding identity (a source's global top-K rows each rank ≤ K in
+    their own shard — the oracle runs the naive single window and the hash
+    match proves it)."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
@@ -310,10 +311,18 @@ def docs_source_cap(spark, sf_dir):
         16,
         10,
     ).cast("long")
-    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    wl = W.partitionBy("source", "__shard").orderBy(F.col("hv").asc(), F.col("doc_id").asc())
+    local = (
+        d.select("doc_id", "source", "lang", "n_chars", h.alias("hv"))
+        .withColumn("__shard", F.col("hv") % _STRAT_SHARDS)
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= SOURCE_CAP)
+    )
+    w = W.partitionBy("source").orderBy(F.col("hv").asc(), F.col("doc_id").asc())
     return (
-        d.select("doc_id", "source", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+        local.select("doc_id", "source", "lang", "n_chars", "hv", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= SOURCE_CAP)
+        .drop("hv")
     )
 
 
@@ -425,8 +434,17 @@ def corpus_curation_v2(spark, sf_dir):
         16,
         10,
     ).cast("long")
-    win = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
-    capped = kept.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") <= SOURCE_CAP)
+    # skew-safe two-phase top-K per source (same identity as docs_source_cap)
+    wl = W.partitionBy("source", "__shard").orderBy(F.col("__hv").asc(), F.col("doc_id").asc())
+    win = W.partitionBy("source").orderBy(F.col("__hv").asc(), F.col("doc_id").asc())
+    capped = (
+        kept.withColumn("__hv", h)
+        .withColumn("__shard", F.col("__hv") % _STRAT_SHARDS)
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= SOURCE_CAP)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= SOURCE_CAP)
+    )
     return capped.select(
         "doc_id",
         "source",
@@ -593,7 +611,6 @@ def global_rank_via_sharding(spark, sf_dir):
 # --------------------------------------------------------------------------- #
 
 _STRAT_K = 20
-_STRAT_SHARDS = 16  # salt fan-out for the per-stratum local top-k pass
 
 
 @register(

@@ -78,6 +78,9 @@ _NEW_SINCE_GATE = [
     "corpus_ngram_novelty",      # r9: new — marginal-novelty gram census
     "decontaminate_embedding_cosine",  # r9: new — eval-leakage cosine gate
     "stratified_sample_exact_k",  # r9: skew-safe two-phase top-k rewrite
+    "docs_source_cap",            # r9: skew-safe two-phase top-k rewrite
+    "corpus_curation_v2",         # r9: skew-safe cap stage (+ snapshot rows)
+    "corpus_curation_v3",         # r9: skew-safe per-lang cap stage
     "recsys_item_item_cosine",    # r9: undirected pair aggregation rewrite
     # r9 tracked-snapshot conversion (persist/cache -> registry.snapshot):
     "dedup_cluster_canonical",
@@ -85,7 +88,6 @@ _NEW_SINCE_GATE = [
     "corpus_curation_v4",
     "corpus_curation_v5",
     "basket_association_rules",
-    "recsys_item_item_cosine",
 ]
 
 

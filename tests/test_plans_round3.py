@@ -33,14 +33,17 @@ def test_incremental_index_is_equi_join(spark):
     assert "[h]" in plan or "h#" in plan  # join keys on the hash column
 
 
-def test_source_cap_single_window_shuffle(spark):
-    """The quota query is one hash projection + one per-source window: its
-    only exchange is the window's hashpartitioning on source."""
+def test_source_cap_two_phase_window_shuffles(spark):
+    """The quota query is one hash projection + the skew-safe two-phase
+    top-K (round 9): exactly two exchanges — phase 1 hash-partitioned on
+    (source, __shard) so no single task ever sorts a whole hot domain, and
+    phase 2 on source over the ≤ shards·K survivors."""
     import re
 
     plan = _formatted_plan(spark, "docs_source_cap")
     # formatted mode renders each node once as "(N) Exchange" with its
     # arguments on the next line — count node headers, not substrings
     shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
-    assert shuffles == 1, f"expected 1 window shuffle, saw {shuffles}"
+    assert shuffles == 2, f"expected the 2 two-phase window shuffles, saw {shuffles}"
     assert "hashpartitioning(source" in plan
+    assert "__shard" in plan, "phase-1 exchange lost its salt key"
