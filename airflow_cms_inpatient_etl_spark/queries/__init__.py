@@ -137,7 +137,8 @@ _PRIORITY = [
     # aggregation), dedup_cluster_canonical — plus the skew-safe two-phase
     # top-k rewrites (stratified_sample_exact_k, docs_source_cap,
     # corpus_curation_v3; corpus_curation_v2 sits in the r9 window and is
-    # re-checked there).  By
+    # re-checked there) and the value-decomposed rank rewrite of
+    # quality_quantile_normalize.  By
     # never-checked-first + code-changed-first policy these lead round 10;
     # the remaining slots go to the oldest of the 35 r5-stale rows below.
     # Every changed query was hash-verified locally at sf0.01 (the heavy

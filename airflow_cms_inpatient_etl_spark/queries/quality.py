@@ -607,28 +607,70 @@ def quality_quantile_normalize(spark, sf_dir):
     fractional index into the global order statistics, linearly
     interpolated between the two neighboring values — all IEEE +,-,×,÷
     after integer ranks, so results hash bit-exactly (only the fractional
-    position itself is rounded for display).  The per-source window is an
-    ordinary partitioned sort; the GLOBAL order statistics reuse the
-    single-window formulation in the oracle but at scale come from the
-    ``global_rank_via_sharding`` decomposition (shard offsets + per-shard
-    windows — same machinery, same exact ranks); the index joins are
-    keyed equi-joins.  Single-doc sources park at the median position
-    rather than dividing by zero."""
+    position itself is rounded for display).  Single-doc sources park at
+    the median position rather than dividing by zero.
+
+    Rank decomposition (round 9): the naive forms — a full per-source rank
+    window and a SINGLE-PARTITION global rank window (both what the oracle
+    runs) — sort whole strata / the whole corpus in one task.  The engine
+    instead decomposes every rank over (key, value, doc_id) as
+
+        rank = (rows of the key with a smaller value) + (tie rank by doc_id)
+
+    where the first term is a cumulative count over the key's DISTINCT
+    VALUES (value-cardinality-sized window — the sweep-line/weighted-median
+    machinery) joined back by (key, value), and the tie window partitions
+    by (key, value) — hot only if one exact value dominates one key.  The
+    hash match against the naive-window oracle proves the decomposition
+    exact at every scale."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
-    src = d.select(
-        "doc_id",
+    # per-source ranks: value histogram -> per-source cumulative (distinct
+    # values only) -> join back + tie rank by doc_id within (source, value)
+    hist_s = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    cum_s = hist_s.select(
         "source",
         "n_chars",
-        F.row_number().over(w_src).cast("long").alias("r_src"),
-        F.count(F.lit(1)).over(W.partitionBy("source")).cast("long").alias("n_src"),
+        F.coalesce(
+            F.sum("c").over(
+                W.partitionBy("source").orderBy("n_chars").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("cum_before"),
+        F.sum("c").over(W.partitionBy("source")).cast("long").alias("n_src"),
     )
-    w_glob = W.orderBy("n_chars", "doc_id")
-    glob = d.select(
-        F.col("n_chars").alias("gv"),
-        (F.row_number().over(w_glob) - 1).cast("long").alias("idx0"),
+    tie_s = F.row_number().over(W.partitionBy("source", "n_chars").orderBy("doc_id"))
+    src = (
+        d.withColumn("tr", tie_s.cast("long"))
+        .join(cum_s, ["source", "n_chars"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("cum_before") + F.col("tr")).alias("r_src"),
+            "n_src",
+        )
+    )
+    # global order statistics: same decomposition with no key
+    hist_g = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    cum_g = hist_g.select(
+        "n_chars",
+        F.coalesce(
+            F.sum("c").over(W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("gcum_before"),
+    )
+    tie_g = F.row_number().over(W.partitionBy("n_chars").orderBy("doc_id"))
+    glob = (
+        d.withColumn("gtr", tie_g.cast("long"))
+        .join(cum_g, "n_chars")
+        .select(
+            F.col("n_chars").alias("gv"),
+            (F.col("gcum_before") + F.col("gtr") - 1).alias("idx0"),
+        )
     )
     n = d.agg(F.count(F.lit(1)).alias("n_tot"))
     pos = src.crossJoin(F.broadcast(n)).select(

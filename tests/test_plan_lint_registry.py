@@ -81,6 +81,7 @@ _NEW_SINCE_GATE = [
     "docs_source_cap",            # r9: skew-safe two-phase top-k rewrite
     "corpus_curation_v2",         # r9: skew-safe cap stage (+ snapshot rows)
     "corpus_curation_v3",         # r9: skew-safe per-lang cap stage
+    "quality_quantile_normalize", # r9: value-decomposed rank windows
     "recsys_item_item_cosine",    # r9: undirected pair aggregation rewrite
     # r9 tracked-snapshot conversion (persist/cache -> registry.snapshot):
     "dedup_cluster_canonical",
