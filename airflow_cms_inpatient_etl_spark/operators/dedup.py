@@ -20,8 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
-
 from airflow_cms_inpatient_etl_spark.operators.text import (
     exploded_shingle_hashes,
     hash60,
@@ -198,7 +196,11 @@ def minhash_lsh_pairs(
         # tracked snapshot, not .cache(): a CacheManager pin has no safe
         # release point in a lazily-returned plan, silently serves REPEAT
         # invocations (it fakes bench numbers), and survives until session
-        # end; snapshot blocks are freed by sources.registry.release_snapshots
+        # end; snapshot blocks are freed by sources.registry.release_snapshots.
+        # Lazy import: operators stay importable without the sources package
+        # (operators/text.py convention).
+        from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
+
         ex = snapshot(ex)
     sigs = minhash_signatures(ex, id_col, n_hashes)
     band_cols = [

@@ -30,8 +30,6 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from airflow_cms_inpatient_etl_spark.sources.registry import track_snapshot_ids
-
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For every node u: attach each strictly-larger neighbor to
@@ -76,7 +74,17 @@ def _lineage_snapshot(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     should use.  The caller sets the context's checkpoint dir once up front.
     """
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        # registry-tracked (registry.tracked_localcheckpoint), so snapshots
+        # that outlive the operator — the final round backing the returned
+        # result — are freed by the caller's release_snapshots instead of
+        # waiting on a ContextCleaner drain that in practice never fires
+        # from PySpark.  Lazy import: operators stay importable without the
+        # sources package (operators/text.py convention).
+        from airflow_cms_inpatient_etl_spark.sources.registry import (
+            tracked_localcheckpoint,
+        )
+
+        return tracked_localcheckpoint(df, eager=True)[0]
     return df.checkpoint(eager=True)
 
 
@@ -95,11 +103,11 @@ def _snapshot_tracked(
     """
     if checkpoint_dir is not None:
         return df.checkpoint(eager=True), frozenset()
-    jsc = df.sparkSession.sparkContext._jsc
-    before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-    out = df.localCheckpoint(eager=True)
-    after = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-    return out, frozenset(after - before)
+    from airflow_cms_inpatient_etl_spark.sources.registry import (
+        tracked_localcheckpoint,
+    )
+
+    return tracked_localcheckpoint(df, eager=True)
 
 
 def _free_snapshot(df: DataFrame, ids: frozenset[int]) -> None:
@@ -153,17 +161,17 @@ def connected_components_with_rounds(
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-    nodes, node_ids = _snapshot_tracked(
+    # every local snapshot is registry-tracked inside _snapshot_tracked /
+    # _lineage_snapshot, so the ones that outlive this function (the node
+    # set and the final edge round backing the returned labels) are freed
+    # by the caller's release_snapshots
+    nodes, _ = _snapshot_tracked(
         e.select("src")
         .union(e.select(F.col("dst").alias("src")))
         .distinct()
         .withColumnRenamed("src", "node"),
         checkpoint_dir,
     )
-    # the node snapshot lives until the caller consumes the labels — register
-    # it with the session-level registry so release_snapshots frees it
-    # deterministically instead of waiting on a ContextCleaner GC drain
-    track_snapshot_ids(node_ids)
     edges, prev_ids = _snapshot_tracked(
         e.filter(F.col("src") != F.col("dst")).distinct(), checkpoint_dir
     )
@@ -198,9 +206,6 @@ def connected_components_with_rounds(
         nodes.join(edges.withColumnRenamed("src", "node"), "node", "left")
         .select("node", F.coalesce(F.col("dst"), F.col("node")).alias("label"))
     )
-    # the final edge snapshot backs the returned labels plan — registry-track
-    # it (same contract as the node snapshot above)
-    track_snapshot_ids(prev_ids)
     return labels, rounds
 
 

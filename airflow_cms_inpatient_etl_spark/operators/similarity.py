@@ -18,8 +18,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
-
 
 def _fold_sum(arr: Column) -> Column:
     """Ordered left fold Σ (bit-deterministic, unlike SUM over a shuffle)."""
@@ -463,6 +461,12 @@ def pq_train(
     return cb
 
 
+def _registry_snapshot(df):
+    from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
+
+    return snapshot(df)
+
+
 def semdedup_assign_prune(
     e: DataFrame,
     id_col: str = "vec_id",
@@ -521,8 +525,9 @@ def semdedup_assign_prune(
     a = (
         # tracked snapshot, not persist: a persist here would pin one
         # CacheManager entry per invocation with no unpersist hook; see
-        # sources.registry.snapshot / release_snapshots
-        snapshot(
+        # sources.registry.snapshot / release_snapshots (lazily imported —
+        # operators/text.py convention)
+        _registry_snapshot(
             scored.withColumn("rn", rn)
             .filter(F.col("rn") == 1)
             .select(

@@ -19,6 +19,7 @@ from airflow_cms_inpatient_etl_spark.operators.sketch import cms_build, cms_esti
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.operators.text import hash60
 from airflow_cms_inpatient_etl_spark.queries.similarity import _cosine
+from airflow_cms_inpatient_etl_spark.queries.pipeline import _STRAT_SHARDS
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table, snapshot
 
 # --------------------------------------------------------------------------- #
@@ -814,7 +815,7 @@ def corpus_curation_v3(spark, sf_dir):
         Window.partitionBy("lang", "__shard").orderBy("priority", "doc_id")
     )
     gated = (
-        gated.withColumn("__shard", F.col("doc_id") % 16)
+        gated.withColumn("__shard", F.col("doc_id") % _STRAT_SHARDS)
         .withColumn("__lr", local_rank)
         .filter(F.col("__lr") <= _V3_PER_LANG_K)
     )

@@ -643,9 +643,9 @@ def stratified_sample_exact_k(spark, sf_dir):
     Skew-safe two-phase top-k (round 9): a single window partitioned by
     ``lang`` sorts each WHOLE stratum in one task — the canonical skew
     killer when one language holds half a 100 TB corpus.  Phase 1 salts
-    each stratum into {_STRAT_SHARDS} shards by the hash itself and takes a
-    local top-k per (lang, shard) in parallel; phase 2 ranks only the
-    ≤ {_STRAT_SHARDS}·k survivors per stratum.  Exact by the sharding
+    each stratum into 16 shards by the hash itself and takes a local top-k
+    per (lang, shard) in parallel; phase 2 ranks only the ≤ 16·k survivors
+    per stratum.  Exact by the sharding
     identity: a stratum's global top-k rows each rank ≤ k inside their own
     shard, so phase 1 never drops one (the oracle runs the naive single
     window and the hash match proves it)."""

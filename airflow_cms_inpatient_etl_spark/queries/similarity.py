@@ -540,7 +540,7 @@ _DECON_PLANT = 20     # every 20th train vector is planted eval leakage
         FROM (SELECT vec_id, embedding FROM e WHERE b >= {_DECON_EVAL_PCT}) t
         CROSS JOIN n
         LEFT JOIN ev p
-          ON t.vec_id % {_DECON_PLANT} = 0 AND p.rnk = (t.vec_id // {_DECON_PLANT}) % n.n_eval
+          ON t.vec_id % {_DECON_PLANT} = 0 AND p.rnk = (t.vec_id // {_DECON_PLANT}) % GREATEST(n.n_eval, 1)
     ),
     scored AS (
         SELECT tr.vec_id, tr.planted, ev.eval_id, {_cosine("tr.v", "ev.w")} AS cosine
@@ -600,7 +600,11 @@ def decontaminate_embedding_cosine(spark, sf_dir):
     plant = (
         tr0.filter(F.col("vec_id") % _DECON_PLANT == 0)
         .join(F.broadcast(n))
-        .withColumn("rnk", F.expr(f"(vec_id div {_DECON_PLANT}) % n_eval"))
+        # GREATEST(n_eval, 1): with an empty eval split, Spark non-ANSI
+        # "% 0" yields NULL (silently dropping every plant) while DuckDB
+        # errors — the guard makes both engines return the same empty
+        # result through the inner scoring join instead
+        .withColumn("rnk", F.expr(f"(vec_id div {_DECON_PLANT}) % greatest(n_eval, 1)"))
         .join(F.broadcast(ev), "rnk")
         .select("vec_id", F.col("w").alias("v"), F.lit(True).alias("planted"))
     )
@@ -624,8 +628,9 @@ def decontaminate_embedding_cosine(spark, sf_dir):
     )
 
 
-decontaminate_embedding_cosine.__doc__ = (
-    decontaminate_embedding_cosine.__doc__
-    .replace("{_DECON_TAU}", str(_DECON_TAU))
-    .replace("{_DECON_PLANT}", str(_DECON_PLANT))
-)
+if decontaminate_embedding_cosine.__doc__:  # None under python -OO
+    decontaminate_embedding_cosine.__doc__ = (
+        decontaminate_embedding_cosine.__doc__
+        .replace("{_DECON_TAU}", str(_DECON_TAU))
+        .replace("{_DECON_PLANT}", str(_DECON_PLANT))
+    )

@@ -140,21 +140,40 @@ def spread_scan(df: DataFrame, key_col: str, min_partitions: int | None = None) 
 _SNAPSHOT_RDD_IDS: set[int] = set()
 
 
-def snapshot(df: DataFrame) -> DataFrame:
-    """Lazy localCheckpoint whose pinned RDD ids are tracked for release.
+def tracked_localcheckpoint(df: DataFrame, eager: bool) -> tuple[DataFrame, frozenset]:
+    """``localCheckpoint`` plus the ids of the persistent RDDs it pinned,
+    all registered with the session-level release registry.
 
-    Lazy (``eager=False``) so DataFrame construction stays job-free — the
-    blocks materialize with the first action and every later consumer reads
-    them instead of recomputing the subtree.  ``RDD.localCheckpoint`` marks
-    persistence at call time, so the pinned ids are visible immediately via
-    ``getPersistentRDDs`` without running a job.
+    The shared primitive behind ``snapshot`` (lazy, query-level) and the
+    iterative graph operators' per-round snapshots (eager, with the ids
+    also used for immediate intra-loop frees).  ``RDD.localCheckpoint``
+    marks persistence at call time, so the pinned ids are visible via
+    ``getPersistentRDDs`` without waiting for a job.
     """
     jsc = df.sparkSession.sparkContext._jsc
     before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-    out = df.localCheckpoint(eager=False)
+    out = df.localCheckpoint(eager=eager)
     after = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-    _SNAPSHOT_RDD_IDS.update(after - before)
-    return out
+    ids = frozenset(after - before)
+    _SNAPSHOT_RDD_IDS.update(ids)
+    return out, ids
+
+
+def snapshot(df: DataFrame) -> DataFrame:
+    """Lazy-action localCheckpoint whose pinned RDD ids are tracked for
+    release.
+
+    ``eager=False`` defers the final materialization to the first action —
+    every later consumer then reads the stored blocks instead of
+    recomputing the subtree.  NOTE: under AQE (on in the tuned session),
+    checkpoint construction still materializes the subtree's SHUFFLE
+    stages at call time (AdaptiveSparkPlanExec resolves its final plan by
+    running the query stages), so ``fn(spark, dir)`` on a snapshot-using
+    query is not job-free — only the final stage waits for the action.
+    Cost attribution is unchanged for callers that time construction and
+    action together (bench.py does).
+    """
+    return tracked_localcheckpoint(df, eager=False)[0]
 
 
 def track_snapshot_ids(ids) -> None:

@@ -289,6 +289,7 @@ def main() -> None:
         return round(statistics.median(xs), 4)
 
     release_snapshots(spark)  # drop any blocks the warm-up pass pinned
+    spark.catalog.clearCache()
 
     probe_parallel = _probe(spark.range(200_000_000))
     probe_serial = _probe(spark.range(20_000_000, numPartitions=1))
@@ -305,11 +306,17 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
-            # free this invocation's tracked snapshot blocks INSIDE the timed
-            # region's boundary (after the action): executor storage stays
-            # O(one query) across the whole recording, and no sample can read
-            # a prior sample's materialization
+            # free this invocation's storage INSIDE the timed region's
+            # boundary (after the action): tracked snapshots via the
+            # registry, and CacheManager entries via clearCache — the
+            # iterative graph operators' unrolled mode persists its
+            # edge/node inputs keyed by LOGICAL PLAN, so without the
+            # clearCache samples 2+ of the same query would read the warm
+            # cache (the round-8 pHash artifact, in persist form).
+            # Executor storage stays O(one query) across the recording and
+            # no sample can read a prior sample's materialization.
             release_snapshots(spark)
+            spark.catalog.clearCache()
     timings = {name: round(statistics.median(s), 4) for name, s in samples.items()}
     total = round(sum(timings.values()), 4)
 
