@@ -120,8 +120,9 @@ _PRIORITY = [
     "corpus_curation_v2",
     # ----------------------- window boundary (50) -------------------------- #
     # ROUND-10 QUEUE.  (1) Never-driver-checked round-9 additions:
-    # corpus_ngram_novelty (marginal-novelty gram census) and
-    # decontaminate_embedding_cosine (eval-leakage gate).  (2) Queries whose
+    # corpus_ngram_novelty (marginal-novelty gram census),
+    # decontaminate_embedding_cosine (eval-leakage gate), and
+    # text_mixed_language_flag (per-chunk code-switch gate).  (2) Queries whose
     # plan changed late in round 9 — the spread_scan rollout (guarded
     # small-scan parallelization in the shared tokenization/segmentation
     # primitives and the six heavy per-token fold queries): bpe_apply_encode,

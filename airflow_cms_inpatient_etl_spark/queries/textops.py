@@ -17,7 +17,7 @@ from airflow_cms_inpatient_etl_spark.operators.scrub import (
     scrub_text,
 )
 from airflow_cms_inpatient_etl_spark.queries.base import register
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table, spread_scan
 
 _STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
@@ -524,4 +524,155 @@ def text_bm25_search(spark, sf_dir):
         .over(Window.orderBy(F.col("score").desc(), "doc_id"))
         .cast("long")
         .alias("search_rank"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# text_mixed_language_flag — per-chunk language consistency                    #
+# --------------------------------------------------------------------------- #
+
+_MIX_CHUNK = 40  # tokens per classification window (non-overlapping)
+# planted code-switch block: 40 Spanish stopword tokens appended to every
+# 10th document (the fixture's corpus is monolingual per chunk, so the gate
+# would otherwise never fire — same engineered-signal pattern as the
+# caption-alignment and embedding-decontamination gates)
+_MIX_BLOCK = " ".join(["el la de los y"] * 8)
+
+
+def _chunk_lex_sql(lang: str) -> str:
+    return f"LEN(LIST_INTERSECT(LIST_DISTINCT(chunk), {_LEXICONS[lang]!r}))"
+
+
+@register(
+    "text_mixed_language_flag",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 10 = 0 AS planted,
+               STRING_SPLIT_REGEX(TRIM(LOWER(
+                   CASE WHEN doc_id % 10 = 0 THEN text || ' {_MIX_BLOCK}'
+                        ELSE text END)), '\\s+') AS w
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, planted,
+               LIST_SLICE(w, start_tok + 1, start_tok + {_MIX_CHUNK}) AS chunk
+        FROM (SELECT doc_id, planted, w, UNNEST(RANGE(0, LEN(w), {_MIX_CHUNK})) AS start_tok
+              FROM toks)
+    ),
+    scored AS (
+        SELECT doc_id, planted,
+               {_chunk_lex_sql("en")} AS en_hits,
+               {_chunk_lex_sql("es")} AS es_hits,
+               {_chunk_lex_sql("de")} AS de_hits,
+               {_chunk_lex_sql("fr")} AS fr_hits
+        FROM chunks
+    ),
+    labeled AS (
+        SELECT doc_id, planted,
+               CASE WHEN en_hits + es_hits + de_hits + fr_hits = 0 THEN 'und'
+                    WHEN en_hits >= GREATEST(es_hits, de_hits, fr_hits) THEN 'en'
+                    WHEN es_hits >= GREATEST(de_hits, fr_hits) THEN 'es'
+                    WHEN de_hits >= fr_hits THEN 'de'
+                    ELSE 'fr' END AS chunk_lang
+        FROM scored
+    ),
+    per_lang AS (
+        SELECT doc_id, planted, chunk_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM labeled GROUP BY doc_id, planted, chunk_lang
+    ),
+    dom AS (
+        SELECT doc_id, chunk_lang AS dominant_chunk_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, chunk_lang DESC) AS rn
+        FROM per_lang
+    ),
+    agg AS (
+        SELECT doc_id, planted,
+               CAST(SUM(n) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) FILTER (WHERE chunk_lang != 'und') AS BIGINT) AS n_langs
+        FROM per_lang GROUP BY doc_id, planted
+    )
+    SELECT agg.doc_id, agg.planted, agg.n_chunks, agg.n_langs,
+           dom.dominant_chunk_lang, agg.n_langs >= 2 AS is_mixed
+    FROM agg JOIN dom ON agg.doc_id = dom.doc_id AND dom.rn = 1
+    """,
+)
+def text_mixed_language_flag(spark, sf_dir):
+    """Mixed-language / code-switching detection: classify each
+    non-overlapping {_MIX_CHUNK}-token window with the same lexicon-argmax
+    heuristic as ``text_langid_heuristic``, then flag documents whose
+    chunks disagree — the curation signal that catches boilerplate-wrapped
+    translations and template pages that a whole-document language ID
+    averages away.  The fixture corpus is per-chunk monolingual, so the
+    query PLANTS code-switching the way the caption-align gate plants
+    mismatches: every 10th document gains a 40-token Spanish stopword
+    block (chunk alignment guarantees at least one pure-Spanish trailing
+    chunk), and the ``planted`` column makes the separation auditable
+    per-row in engine and oracle alike.  Emits per doc: chunk count,
+    number of distinct identified (non-'und') chunk languages, the
+    dominant chunk language (count argmax, lexicographically-last
+    tiebreak — deterministic), and the mixed flag (≥ 2 identified
+    languages).
+
+    Plan: tokenize + chunk-explode + per-chunk classification in ONE
+    map-side projection over the spread scan (the 4 lexicon intersects are
+    JVM array ops on ≤ {_MIX_CHUNK}-element arrays); then two aggregations
+    keyed by (doc_id, chunk_lang) and doc_id — 8-byte-ish keys, partial
+    combine map-side, never the token payload in an exchange.  The
+    dominance argmax folds as max(struct(n, lang)) inside the same
+    aggregate, so no window over corpus-sized input exists anywhere."""
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    planted = F.col("doc_id") % 10 == 0
+    text = F.when(planted, F.concat(F.col("text"), F.lit(" " + _MIX_BLOCK))).otherwise(
+        F.col("text")
+    )
+    w = _words(text)
+    chunks = d.select(
+        "doc_id",
+        planted.alias("planted"),
+        F.explode(F.sequence(F.lit(0), F.size(w) - 1, F.lit(_MIX_CHUNK))).alias("start_tok"),
+        w.alias("w"),
+    ).select(
+        "doc_id",
+        "planted",
+        F.array_distinct(F.slice(F.col("w"), F.col("start_tok") + 1, _MIX_CHUNK)).alias("cd"),
+    )
+    hits = {
+        lang: F.size(F.array_intersect(F.col("cd"), F.array(*[F.lit(t) for t in lex])))
+        for lang, lex in _LEXICONS.items()
+    }
+    total = hits["en"] + hits["es"] + hits["de"] + hits["fr"]
+    chunk_lang = (
+        F.when(total == 0, "und")
+        .when(hits["en"] >= F.greatest(hits["es"], hits["de"], hits["fr"]), "en")
+        .when(hits["es"] >= F.greatest(hits["de"], hits["fr"]), "es")
+        .when(hits["de"] >= hits["fr"], "de")
+        .otherwise("fr")
+    )
+    per_lang = (
+        chunks.select("doc_id", "planted", chunk_lang.alias("chunk_lang"))
+        .groupBy("doc_id", "planted", "chunk_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_lang.groupBy("doc_id", "planted")
+        .agg(
+            F.sum("n").alias("n_chunks"),
+            F.count_if(F.col("chunk_lang") != "und").alias("n_langs"),
+            F.max(F.struct(F.col("n"), F.col("chunk_lang"))).alias("m"),
+        )
+        .select(
+            "doc_id",
+            "planted",
+            "n_chunks",
+            "n_langs",
+            F.col("m.chunk_lang").alias("dominant_chunk_lang"),
+            (F.col("n_langs") >= 2).alias("is_mixed"),
+        )
+    )
+
+
+if text_mixed_language_flag.__doc__:  # None under python -OO
+    text_mixed_language_flag.__doc__ = text_mixed_language_flag.__doc__.replace(
+        "{_MIX_CHUNK}", str(_MIX_CHUNK)
     )

@@ -247,6 +247,9 @@ HEADLINE = [
     # (broadcast eval, map-side argmax)
     "corpus_ngram_novelty",
     "decontaminate_embedding_cosine",
+    # round-9 wave 3: per-chunk language-consistency gate (map-side
+    # classification + two keyed aggregations)
+    "text_mixed_language_flag",
 ]
 
 

@@ -82,6 +82,7 @@ _NEW_SINCE_GATE = [
     "corpus_curation_v2",         # r9: skew-safe cap stage (+ snapshot rows)
     "corpus_curation_v3",         # r9: skew-safe per-lang cap stage
     "quality_quantile_normalize", # r9: value-decomposed rank windows
+    "text_mixed_language_flag",   # r9: new — per-chunk code-switch gate
     "recsys_item_item_cosine",    # r9: undirected pair aggregation rewrite
     # r9 tracked-snapshot conversion (persist/cache -> registry.snapshot):
     "dedup_cluster_canonical",

@@ -272,3 +272,26 @@ def test_embedding_decontamination_train_side_never_shuffles_wide(spark):
                 or "SinglePartition" in b  # the 10%-sized eval rank window
                 or "rows_only" in b
             ), f"unexpected wide exchange:\n{b}"
+
+
+def test_mixed_language_gate_fires_only_on_planted_code_switch(spark):
+    """The planted Spanish block makes a doc mixed IFF its base chunks
+    identify a language (an all-'und' base gains es as its ONLY identified
+    language — one language is not mixed); nothing unplanted ever flags on
+    the per-chunk-monolingual fixture."""
+    from pyspark.sql import functions as F
+
+    res = QUERY_REGISTRY["text_mixed_language_flag"].fn(spark, SF_SMOKE)
+    g = res.agg(
+        F.count_if(F.col("is_mixed") & ~F.col("planted")).alias("false_pos"),
+        F.count_if(F.col("is_mixed")).alias("n_mixed"),
+        F.count_if(F.col("planted")).alias("n_planted"),
+        F.count_if(
+            F.col("planted") & (F.col("n_langs") >= 2) & ~F.col("is_mixed")
+        ).alias("missed"),
+    ).first()
+    assert g.false_pos == 0
+    assert g.missed == 0
+    assert 0 < g.n_mixed <= g.n_planted
+    # every planted doc has at least ONE identified language (the es block)
+    assert res.filter(F.col("planted") & (F.col("n_langs") == 0)).count() == 0
