@@ -116,12 +116,12 @@ def _free_snapshot(df: DataFrame, ids: frozenset[int]) -> None:
     DESTRUCTIVE: a localCheckpointed RDD has no lineage to recompute from, so
     this must only run once nothing live depends on the snapshot — i.e. after
     the NEXT round's eager snapshot (which consumed it) is materialized.
+    Routed through the registry's scoped release so the tracked-id set stays
+    exact (no stale ids accumulate across a many-round peel).
     """
-    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
-    for i in ids:
-        rdd = jmap.get(i)
-        if rdd is not None:
-            rdd.unpersist(False)
+    from airflow_cms_inpatient_etl_spark.sources.registry import release_snapshots
+
+    release_snapshots(df.sparkSession, ids=ids)
 
 
 def connected_components(

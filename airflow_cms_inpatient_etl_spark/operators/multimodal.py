@@ -126,3 +126,81 @@ def resize_features(decoded: DataFrame, target_w: int = 64, target_h: int = 64) 
         lambda it: resize_stub(it, target_w, target_h),
         schema="doc_id bigint, width int, height int, scale_x double, scale_y double",
     )
+
+
+def caption_containment_gate(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pair_img: str = "doc_id",
+    pair_cap: str = "caption_doc",
+    caption_tokens: int = 12,
+    shingle_k: int = 3,
+    gate_bp: int = 5000,
+) -> DataFrame:
+    """Image-text alignment gate (PURE operator — pairing comes in as data;
+    bench queries plant their mis-pairings in their own layer): score each
+    (image, caption) pair by CAPTION CONTAINMENT over word ``shingle_k``-gram
+    shingles — the share of the caption's first ``caption_tokens`` tokens'
+    shingles that appear anywhere in the image doc's text — and flag pairs
+    at or above ``gate_bp`` basis points.  Scores are integer basis points
+    (multiply-then-integer-divide): no float division in an oracle-checked
+    aggregate.
+
+    Scale: both shingle sides hash to 60-bit ints map-side (payload text
+    never keys an exchange); the containment join is hash-equi on (doc, h)
+    — cost ∝ caption shingles, i.e. ~``caption_tokens`` rows per image at
+    any corpus size; the gate is a filterable flag so downstream stages
+    prune misaligned pairs at the scan.
+    """
+    from airflow_cms_inpatient_etl_spark.operators.text import hash60, words
+    from airflow_cms_inpatient_etl_spark.sources.registry import spread_scan
+
+    # spread the degenerate single-file scan before the per-token md5 HOFs
+    # (guarded no-op on a parallel production scan)
+    toks = spread_scan(
+        docs.select(id_col, words(F.col(text_col)).alias("__w")), id_col
+    )
+
+    def sh_hashes(arr):
+        n = F.size(arr) - (shingle_k - 1)
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: hash60(F.concat_ws(" ", F.slice(arr, i, shingle_k))),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    img_sh = toks.select(
+        F.col(id_col), F.explode(sh_hashes(F.col("__w"))).alias("h")
+    ).distinct()
+    cap_sh = toks.select(
+        F.col(id_col),
+        F.explode(sh_hashes(F.slice(F.col("__w"), 1, caption_tokens))).alias("h"),
+    ).distinct()
+    c = cap_sh.select(F.col(id_col).alias(pair_cap), "h")
+    i = img_sh.select(F.col(id_col).alias("__img_doc"), F.col("h").alias("__ih"))
+    scored = (
+        pairs.join(c, pair_cap)
+        .join(
+            i,
+            (F.col(pair_img) == F.col("__img_doc")) & (F.col("h") == F.col("__ih")),
+            "left",
+        )
+        .groupBy(pair_img, pair_cap)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_caption_shingles"),
+            F.count("__ih").cast("long").alias("n_matched"),
+        )
+    )
+    bp = F.expr("n_matched * 10000 div n_caption_shingles")
+    return scored.select(
+        pair_img,
+        pair_cap,
+        "n_caption_shingles",
+        "n_matched",
+        bp.cast("long").alias("align_bp"),
+        (bp >= gate_bp).alias("is_aligned"),
+    )

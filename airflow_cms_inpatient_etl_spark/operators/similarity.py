@@ -744,3 +744,50 @@ def sq8_topk(
         .filter(F.col("rn") <= k)
         .select(qid_col, "cid", "int_score", "cosine", "rn")
     )
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    tau: float,
+    train_id: str = "vec_id",
+    train_vec: str = "v",
+    eval_id: str = "eval_id",
+    eval_vec: str = "w",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Pure eval-leakage gate (no fixture signal planting — bench queries and
+    tests seed leakage in their own layer before calling this): flag every
+    TRAIN vector whose max exact cosine against the EVAL set reaches ``tau``;
+    emit per train vector the nearest eval id, the max cosine, and the
+    contamination flag.  ``carry_cols`` are passthrough columns constant per
+    train vector (e.g. an audit flag).
+
+    Scale shape: the eval side of a decontamination pass is model-eval-sized
+    by construction — it BROADCASTS, so the train corpus is one map-side pass
+    with no train-sized exchange at all: the per-vector argmax folds map-side
+    via max(struct(cosine, -eval_id)) partial aggregation (one row per train
+    vector enters the exchange; the tie-break is exact because cosines are
+    ordered folds).  For eval sets too large to broadcast, an LSH-bucketed
+    prefilter (``ann_lsh_topk``) replaces the scoring join.
+    """
+    tr = train.withColumn("__vn", norm(F.col(train_vec)))
+    evn = eval_df.select(
+        eval_id, eval_vec, norm(F.col(eval_vec)).alias("__wn")
+    )
+    scored = tr.join(F.broadcast(evn)).withColumn(
+        "__cosine",
+        dot(F.col(train_vec), F.col(eval_vec)) / (F.col("__vn") * F.col("__wn")),
+    )
+    best = scored.groupBy(train_id, *carry_cols).agg(
+        F.max(
+            F.struct(F.col("__cosine"), (-F.col(eval_id)).alias("__neg_id"))
+        ).alias("__m")
+    )
+    return best.select(
+        train_id,
+        *carry_cols,
+        (-F.col("__m.__neg_id")).cast("long").alias("nearest_eval"),
+        F.col("__m.__cosine").alias("max_cosine"),
+        (F.col("__m.__cosine") >= tau).alias("is_contaminated"),
+    )

@@ -97,3 +97,81 @@ def normalized_fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over whitespace-collapsed lowercased text —
     the exact-dedup key that survives formatting noise."""
     return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def mixed_language_chunk_flags(
+    docs: DataFrame,
+    lexicons: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 40,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Mixed-language / code-switching gate (PURE operator — no fixture
+    signal planting; tests and bench queries plant synthetic code-switching
+    in their own layer before calling this).
+
+    Classifies each non-overlapping ``chunk_tokens``-token window with a
+    stopword-lexicon argmax (tie order = ``lexicons`` insertion order, 'und'
+    when no lexicon hits), then emits per document: chunk count, number of
+    distinct identified (non-'und') chunk languages, the dominant chunk
+    language (count argmax, lexicographically-last tiebreak) and the mixed
+    flag (>= 2 identified languages).  ``carry_cols`` are grouping
+    passthrough columns constant per document (e.g. an audit flag).
+
+    Plan: tokenize + chunk-explode + per-chunk classification in ONE
+    map-side projection over the (spread) scan — the lexicon intersects are
+    JVM array ops on <= chunk_tokens-element arrays; then two aggregations
+    keyed by (id, chunk_lang) and id with map-side partial combine; the
+    dominance argmax folds as max(struct(n, lang)) inside the aggregate, so
+    no window over corpus-sized input exists anywhere, and the token
+    payload never enters an exchange.
+    """
+    langs = list(lexicons)
+    w = words(F.col(text_col))
+    carry = [F.col(c) for c in carry_cols]
+    chunks = _spread(docs.select(id_col, *carry_cols, F.col(text_col)), id_col).select(
+        F.col(id_col),
+        *carry,
+        F.explode(F.sequence(F.lit(0), F.size(w) - 1, F.lit(chunk_tokens))).alias(
+            "start_tok"
+        ),
+        w.alias("__w"),
+    ).select(
+        F.col(id_col),
+        *carry,
+        F.array_distinct(
+            F.slice(F.col("__w"), F.col("start_tok") + 1, chunk_tokens)
+        ).alias("__cd"),
+    )
+    hits = {
+        lang: F.size(F.array_intersect(F.col("__cd"), F.array(*[F.lit(t) for t in lex])))
+        for lang, lex in lexicons.items()
+    }
+    total = sum(list(hits.values())[1:], start=hits[langs[0]])
+    expr = F.when(total == 0, "und")
+    for i, lang in enumerate(langs[:-1]):
+        rest = [hits[l] for l in langs[i + 1 :]]
+        expr = expr.when(hits[lang] >= F.greatest(*rest) if len(rest) > 1 else hits[lang] >= rest[0], lang)
+    chunk_lang = expr.otherwise(langs[-1])
+    per_lang = (
+        chunks.select(F.col(id_col), *carry, chunk_lang.alias("chunk_lang"))
+        .groupBy(id_col, *carry_cols, "chunk_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_lang.groupBy(id_col, *carry_cols)
+        .agg(
+            F.sum("n").alias("n_chunks"),
+            F.count_if(F.col("chunk_lang") != "und").alias("n_langs"),
+            F.max(F.struct(F.col("n"), F.col("chunk_lang"))).alias("__m"),
+        )
+        .select(
+            F.col(id_col),
+            *carry,
+            F.col("n_chunks"),
+            F.col("n_langs"),
+            F.col("__m.chunk_lang").alias("dominant_chunk_lang"),
+            (F.col("n_langs") >= 2).alias("is_mixed"),
+        )
+    )

@@ -554,22 +554,29 @@ def multimodal_caption_align(spark, sf_dir):
     contract from `attach_binary_payload`), and the alignment score is
     CAPTION CONTAINMENT over word-{_CAP_SHINGLE_K}-gram shingles — matched
     captions (a verbatim excerpt of the image's content) score 10000 bp;
-    mismatched captions share no 3-token sequence and score ~0.  The
-    pairing deliberately mis-captions every 10th image with its
-    neighbour's caption, so the gate has real work: ~10 % of pairs fall
-    below {_CAP_GATE_BP} bp and are flagged `is_aligned = false`.  Scores
+    mismatched captions share no 3-token sequence and score ~0.  Scores
     are integer BASIS POINTS (multiply-then-integer-divide) — no float
     division in an oracle-checked aggregate.
 
-    Scale: both shingle sides hash to 60-bit ints map-side (payload text
-    never keys an exchange); the pairing is 1:1 (doc-keyed, never a pair
-    enumeration); the containment join is hash-equi on (doc, h) — cost
-    ∝ caption shingles, i.e. ~{_CAP_TOKENS} rows per image at any corpus
-    size; the gate is a filterable flag so downstream stages prune
-    misaligned pairs at the scan."""
-    from airflow_cms_inpatient_etl_spark.sources.registry import spread_scan
+    The GATE itself is the pure operator
+    ``operators.multimodal.caption_containment_gate`` (pairing comes in as
+    data; no synthetic mis-pairing inside it — safe to point at real
+    pairs).  This registered query is the FIXTURE-BOUND bench harness
+    around it: the fixture has no image/caption pairing, so the wrapper
+    BUILDS one that deliberately mis-captions every 10th image with its
+    neighbour's caption — ~10 % of pairs fall below {_CAP_GATE_BP} bp and
+    are flagged `is_aligned = false`, giving the gate real work.
+
+    Scale (see the operator docstring): shingle sides hashed to 60-bit
+    ints map-side, 1:1 doc-keyed pairing (never a pair enumeration),
+    hash-equi containment join ∝ ~{_CAP_TOKENS} caption rows per image."""
+    from airflow_cms_inpatient_etl_spark.operators.multimodal import (
+        caption_containment_gate,
+    )
 
     d = load_table(spark, sf_dir, "documents")
+    # fixture-only mis-pairing — NOT part of the gate (kept out of the
+    # operator so promoting the gate to real pairs cannot corrupt them)
     pairs = d.select(
         "doc_id",
         (
@@ -577,53 +584,10 @@ def multimodal_caption_align(spark, sf_dir):
             + F.when(F.col("doc_id") % 10 == 0, F.lit(1)).otherwise(F.lit(0))
         ).alias("caption_doc"),
     )
-    # spread the degenerate single-file scan before the per-token md5 HOFs
-    # (guarded no-op on a parallel production scan)
-    toks = spread_scan(d.select("doc_id", words(F.col("text")).alias("__w")), "doc_id")
-
-    def sh_hashes(arr):
-        n = F.size(arr) - (_CAP_SHINGLE_K - 1)
-        grams = F.when(
-            n >= 1,
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-                lambda i: hash60(F.concat_ws(" ", F.slice(arr, i, _CAP_SHINGLE_K))),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-        return grams
-
-    img_sh = (
-        toks.select("doc_id", F.explode(sh_hashes(F.col("__w"))).alias("h")).distinct()
-    )
-    cap_sh = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                sh_hashes(F.slice(F.col("__w"), 1, _CAP_TOKENS))
-            ).alias("h"),
-        ).distinct()
-    )
-    c = cap_sh.select(F.col("doc_id").alias("caption_doc"), "h")
-    i = img_sh.select(F.col("doc_id").alias("img_doc"), F.col("h").alias("ih"))
-    scored = (
-        pairs.join(c, "caption_doc")
-        .join(
-            i,
-            (F.col("doc_id") == F.col("img_doc")) & (F.col("h") == F.col("ih")),
-            "left",
-        )
-        .groupBy("doc_id", "caption_doc")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_caption_shingles"),
-            F.count("ih").cast("long").alias("n_matched"),
-        )
-    )
-    bp = F.expr("n_matched * 10000 div n_caption_shingles")
-    return scored.select(
-        "doc_id",
-        "caption_doc",
-        "n_caption_shingles",
-        "n_matched",
-        bp.cast("long").alias("align_bp"),
-        (bp >= _CAP_GATE_BP).alias("is_aligned"),
+    return caption_containment_gate(
+        d,
+        pairs,
+        caption_tokens=_CAP_TOKENS,
+        shingle_k=_CAP_SHINGLE_K,
+        gate_bp=_CAP_GATE_BP,
     )

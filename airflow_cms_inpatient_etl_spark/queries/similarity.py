@@ -562,26 +562,29 @@ def decontaminate_embedding_cosine(spark, sf_dir):
     vectors never reassigns existing ones), then flag every TRAIN vector
     whose max exact cosine against the EVAL set reaches {_DECON_TAU} — the
     embedding-space sibling of ``decontaminate_ngram_overlap``, catching
-    paraphrased leakage n-gram overlap misses.  Because the fixture's
-    vectors are mutually far (max natural cross-split cosine ≈ 0.49), the
-    query PLANTS deterministic leakage the way the caption-align gate
-    plants mismatches: every {_DECON_PLANT}th train vector is replaced by a
-    rank-indexed eval vector, and the flag set must recover exactly the
-    planted rows (the ``planted`` column makes the separation auditable
-    per-row, here and in the oracle).
+    paraphrased leakage n-gram overlap misses.
 
-    Scale shape: the eval side of a decontamination pass is model-eval-sized
-    by construction — it BROADCASTS (here both to the plant join and the
-    scoring join), so the train corpus is one map-side pass with no
-    train-sized exchange at all: the per-vector argmax folds map-side via
-    max(struct(cosine, -eval_id)) partial aggregation (one row per train
-    vector enters the exchange; the tie-break is exact because cosines are
-    ordered folds).  For eval sets too large to broadcast, the LSH-bucketed
-    path (`sim_ann_lsh_topk`) replaces the scoring join.  Cost |train| x
-    |eval| x d — the exactness baseline a production pass prefilters."""
+    The GATE itself is the pure operator
+    ``operators.similarity.embedding_decontaminate`` (score → argmax →
+    flag; no synthetic mutation inside it — safe to point at real data).
+    This registered query is the FIXTURE-BOUND bench harness around it:
+    the fixture's vectors are mutually far (max natural cross-split cosine
+    ≈ 0.49), so the wrapper PLANTS deterministic leakage — every
+    {_DECON_PLANT}th train vector is replaced by a rank-indexed eval
+    vector — and the flag set must recover exactly the planted rows (the
+    ``planted`` column makes the separation auditable per-row, here and in
+    the oracle).
+
+    Scale shape (see the operator docstring): eval side broadcasts (here
+    both to the plant join and the scoring join), train corpus is one
+    map-side pass, per-vector argmax folds map-side — no train-sized
+    exchange.  Cost |train| x |eval| x d — the exactness baseline a
+    production pass prefilters (`sim_ann_lsh_topk` is the bucketed path)."""
     from pyspark.sql import Window as W
 
-    from airflow_cms_inpatient_etl_spark.operators.similarity import dot, norm
+    from airflow_cms_inpatient_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     h = F.conv(
@@ -597,6 +600,8 @@ def decontaminate_embedding_cosine(spark, sf_dir):
     )
     n = ev.agg(F.count(F.lit(1)).alias("n_eval"))
     tr0 = e.filter(F.col("b") >= _DECON_EVAL_PCT).select("vec_id", "embedding")
+    # fixture-only leakage planting — NOT part of the gate (kept out of the
+    # operator so promoting the gate to real data cannot replace vectors)
     plant = (
         tr0.filter(F.col("vec_id") % _DECON_PLANT == 0)
         .join(F.broadcast(n))
@@ -611,20 +616,12 @@ def decontaminate_embedding_cosine(spark, sf_dir):
     clean = tr0.filter(F.col("vec_id") % _DECON_PLANT != 0).select(
         "vec_id", F.col("embedding").alias("v"), F.lit(False).alias("planted")
     )
-    tr = plant.unionByName(clean).withColumn("vn", norm(F.col("v")))
-    evn = ev.select("eval_id", "w", norm(F.col("w")).alias("wn"))
-    scored = tr.join(F.broadcast(evn)).withColumn(
-        "cosine", dot(F.col("v"), F.col("w")) / (F.col("vn") * F.col("wn"))
-    )
-    best = scored.groupBy("vec_id", "planted").agg(
-        F.max(F.struct(F.col("cosine"), (-F.col("eval_id")).alias("neg_id"))).alias("m")
-    )
-    return best.select(
-        "vec_id",
-        "planted",
-        (-F.col("m.neg_id")).cast("long").alias("nearest_eval"),
-        F.col("m.cosine").alias("max_cosine"),
-        (F.col("m.cosine") >= _DECON_TAU).alias("is_contaminated"),
+    tr = plant.unionByName(clean)
+    return embedding_decontaminate(
+        tr,
+        ev.select("eval_id", "w"),
+        _DECON_TAU,
+        carry_cols=("planted",),
     )
 
 

@@ -603,72 +603,45 @@ def text_mixed_language_flag(spark, sf_dir):
     heuristic as ``text_langid_heuristic``, then flag documents whose
     chunks disagree — the curation signal that catches boilerplate-wrapped
     translations and template pages that a whole-document language ID
-    averages away.  The fixture corpus is per-chunk monolingual, so the
-    query PLANTS code-switching the way the caption-align gate plants
-    mismatches: every 10th document gains a 40-token Spanish stopword
-    block (chunk alignment guarantees at least one pure-Spanish trailing
-    chunk), and the ``planted`` column makes the separation auditable
-    per-row in engine and oracle alike.  Emits per doc: chunk count,
-    number of distinct identified (non-'und') chunk languages, the
-    dominant chunk language (count argmax, lexicographically-last
-    tiebreak — deterministic), and the mixed flag (≥ 2 identified
-    languages).
+    averages away.  Emits per doc: chunk count, number of distinct
+    identified (non-'und') chunk languages, the dominant chunk language
+    (count argmax, lexicographically-last tiebreak — deterministic), and
+    the mixed flag (≥ 2 identified languages).
 
-    Plan: tokenize + chunk-explode + per-chunk classification in ONE
-    map-side projection over the spread scan (the 4 lexicon intersects are
-    JVM array ops on ≤ {_MIX_CHUNK}-element arrays); then two aggregations
-    keyed by (doc_id, chunk_lang) and doc_id — 8-byte-ish keys, partial
-    combine map-side, never the token payload in an exchange.  The
-    dominance argmax folds as max(struct(n, lang)) inside the same
-    aggregate, so no window over corpus-sized input exists anywhere."""
-    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    planted = F.col("doc_id") % 10 == 0
-    text = F.when(planted, F.concat(F.col("text"), F.lit(" " + _MIX_BLOCK))).otherwise(
-        F.col("text")
+    The GATE itself is the pure operator
+    ``operators.text.mixed_language_chunk_flags`` (tokenize → chunk →
+    classify → flag; no synthetic mutation anywhere inside it — safe to
+    point at real data).  This registered query is the FIXTURE-BOUND bench
+    harness around it: the fixture corpus is per-chunk monolingual, so the
+    wrapper PLANTS code-switching (every 10th document gains a 40-token
+    Spanish stopword block; chunk alignment guarantees at least one
+    pure-Spanish trailing chunk) and carries a ``planted`` column so the
+    separation is auditable per-row in engine and oracle alike.
+
+    Plan (see the operator docstring): one map-side projection for
+    tokenize/chunk/classify, two small-key aggregations with map-side
+    partial combine, argmax folded as max(struct) — no corpus-sized window,
+    token payload never in an exchange."""
+    from airflow_cms_inpatient_etl_spark.operators.text import (
+        mixed_language_chunk_flags,
     )
-    w = _words(text)
-    chunks = d.select(
+
+    d = load_table(spark, sf_dir, "documents")
+    # fixture-only signal planting — NOT part of the gate (kept out of the
+    # operator so promoting the gate to real data cannot mutate the corpus)
+    planted = F.col("doc_id") % 10 == 0
+    seeded = d.select(
         "doc_id",
         planted.alias("planted"),
-        F.explode(F.sequence(F.lit(0), F.size(w) - 1, F.lit(_MIX_CHUNK))).alias("start_tok"),
-        w.alias("w"),
-    ).select(
-        "doc_id",
-        "planted",
-        F.array_distinct(F.slice(F.col("w"), F.col("start_tok") + 1, _MIX_CHUNK)).alias("cd"),
+        F.when(planted, F.concat(F.col("text"), F.lit(" " + _MIX_BLOCK)))
+        .otherwise(F.col("text"))
+        .alias("text"),
     )
-    hits = {
-        lang: F.size(F.array_intersect(F.col("cd"), F.array(*[F.lit(t) for t in lex])))
-        for lang, lex in _LEXICONS.items()
-    }
-    total = hits["en"] + hits["es"] + hits["de"] + hits["fr"]
-    chunk_lang = (
-        F.when(total == 0, "und")
-        .when(hits["en"] >= F.greatest(hits["es"], hits["de"], hits["fr"]), "en")
-        .when(hits["es"] >= F.greatest(hits["de"], hits["fr"]), "es")
-        .when(hits["de"] >= hits["fr"], "de")
-        .otherwise("fr")
-    )
-    per_lang = (
-        chunks.select("doc_id", "planted", chunk_lang.alias("chunk_lang"))
-        .groupBy("doc_id", "planted", "chunk_lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return (
-        per_lang.groupBy("doc_id", "planted")
-        .agg(
-            F.sum("n").alias("n_chunks"),
-            F.count_if(F.col("chunk_lang") != "und").alias("n_langs"),
-            F.max(F.struct(F.col("n"), F.col("chunk_lang"))).alias("m"),
-        )
-        .select(
-            "doc_id",
-            "planted",
-            "n_chunks",
-            "n_langs",
-            F.col("m.chunk_lang").alias("dominant_chunk_lang"),
-            (F.col("n_langs") >= 2).alias("is_mixed"),
-        )
+    return mixed_language_chunk_flags(
+        seeded,
+        _LEXICONS,
+        chunk_tokens=_MIX_CHUNK,
+        carry_cols=("planted",),
     )
 
 

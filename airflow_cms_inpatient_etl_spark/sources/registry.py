@@ -12,6 +12,7 @@ pushdown / column pruning behavior is uniform and testable in one place.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -84,6 +85,49 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# Logical-plan node names that put an exchange or a subquery between the scan
+# and spread_scan's probe.  Under AQE (on in the tuned session) ``df.rdd`` on
+# such a plan FINALIZES the adaptive plan — executing every upstream shuffle
+# query stage as real jobs at plan-build time — so spread_scan refuses them.
+_NON_SCAN_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Repartition",  # also matches RepartitionByExpression
+    "Deduplicate",
+    "Intersect",
+    "Except",
+    "CoGroup",
+    "FlatMapGroups",
+    "scalar-subquery",
+    "exists-subquery",
+    "in-subquery",
+)
+
+
+def _assert_scan_shaped(df: DataFrame) -> None:
+    """Raise unless ``df`` is scan-shaped (scan + project/filter/generate only).
+
+    Checks the OPTIMIZED LOGICAL plan — rendering it is pure analysis, never a
+    job.  A scan-shaped plan has no exchange and no subquery, so AQE does not
+    wrap it (``AdaptiveSparkPlanExec`` applies only to plans with exchanges or
+    subqueries unless forceApply is set) and ``df.rdd`` below stays job-free.
+    """
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for node in _NON_SCAN_NODES:
+        if re.search(rf"\b{re.escape(node)}", plan):
+            raise ValueError(
+                f"spread_scan requires a scan-shaped input (scan + project/"
+                f"filter only); found {node!r} in the plan. Under AQE, probing "
+                f"partition counts downstream of an exchange executes the "
+                f"upstream stages at plan-build time. Apply spread_scan to "
+                f"the scan BEFORE joins/aggregates, or repartition explicitly."
+            )
+
+
 def spread_scan(df: DataFrame, key_col: str, min_partitions: int | None = None) -> DataFrame:
     """Hash-repartition a SMALL-PARALLELISM scan by ``key_col`` so expensive
     map-side work (per-token md5 pipelines, HOF gram hashing) uses every
@@ -97,9 +141,14 @@ def spread_scan(df: DataFrame, key_col: str, min_partitions: int | None = None) 
     NO exchange — the guard is what makes it safe to leave in production
     plans.  Hash partitioning on the row key (not round-robin) avoids the
     sort-before-repartition pass and keeps rows co-located by the key the
-    downstream rebuild groups on.  ``getNumPartitions`` triggers plan
-    analysis only, never a job.
+    downstream rebuild groups on.
+
+    PRECONDITION (asserted): ``df`` must be scan-shaped — no join/aggregate/
+    sort/window/subquery upstream.  On such plans ``df.rdd`` is analysis-only;
+    downstream of an exchange it would finalize the AQE plan and execute the
+    upstream stages as real jobs, so that shape is rejected loudly instead.
     """
+    _assert_scan_shaped(df)
     target = min_partitions
     if target is None:
         spark = df.sparkSession
@@ -131,31 +180,43 @@ def spread_scan(df: DataFrame, key_col: str, min_partitions: int | None = None) 
 #     del + gc.collect() + System.gc()).
 # So snapshots must be RELEASED EXPLICITLY.  ``snapshot`` wraps a lazy
 # localCheckpoint and records the pinned RDD ids; ``release_snapshots`` frees
-# every block any snapshot pinned.  Long-lived callers (bench loops, REPL
-# sessions, services) call ``release_snapshots(spark)`` once the results of a
-# query have been fully consumed; short-lived jobs may skip it (executor
-# storage dies with the session).  Iterative operators (operators/graph.py)
-# keep their own tighter per-round tracking and are unaffected.
+# them.  Long-lived callers (bench loops, REPL sessions, services) call
+# ``release_snapshots(spark)`` once the results of a query have been fully
+# consumed; short-lived jobs may skip it (executor storage dies with the
+# session).  Scoped callers — anything with overlapping query lifetimes —
+# take the id handle from ``tracked_localcheckpoint`` and release ONLY those
+# ids via ``release_snapshots(spark, ids=...)`` so a still-unconsumed
+# concurrent result's blocks are never yanked from under it (a released
+# localCheckpoint cannot be recomputed: its lineage is truncated).  The
+# registry is keyed per SparkContext (ids from one context are invisible to
+# and unreleasable through another) and lock-guarded for threaded drivers.
+# Iterative operators (operators/graph.py) keep their own tighter per-round
+# tracking and are unaffected.
 
-_SNAPSHOT_RDD_IDS: set[int] = set()
+_SNAPSHOT_LOCK = threading.Lock()
+_SNAPSHOT_RDD_IDS: dict[str, set[int]] = {}  # SparkContext applicationId -> ids
 
 
 def tracked_localcheckpoint(df: DataFrame, eager: bool) -> tuple[DataFrame, frozenset]:
     """``localCheckpoint`` plus the ids of the persistent RDDs it pinned,
-    all registered with the session-level release registry.
+    all registered with this SparkContext's release registry.
 
     The shared primitive behind ``snapshot`` (lazy, query-level) and the
     iterative graph operators' per-round snapshots (eager, with the ids
     also used for immediate intra-loop frees).  ``RDD.localCheckpoint``
     marks persistence at call time, so the pinned ids are visible via
-    ``getPersistentRDDs`` without waiting for a job.
+    ``getPersistentRDDs`` without waiting for a job.  The returned id set
+    doubles as a RELEASE HANDLE: pass it to ``release_snapshots(spark,
+    ids=...)`` to free only this snapshot.
     """
-    jsc = df.sparkSession.sparkContext._jsc
-    before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-    out = df.localCheckpoint(eager=eager)
-    after = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-    ids = frozenset(after - before)
-    _SNAPSHOT_RDD_IDS.update(ids)
+    sc = df.sparkSession.sparkContext
+    jsc = sc._jsc
+    with _SNAPSHOT_LOCK:
+        before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+        out = df.localCheckpoint(eager=eager)
+        after = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+        ids = frozenset(after - before)
+        _SNAPSHOT_RDD_IDS.setdefault(sc.applicationId, set()).update(ids)
     return out, ids
 
 
@@ -171,36 +232,37 @@ def snapshot(df: DataFrame) -> DataFrame:
     running the query stages), so ``fn(spark, dir)`` on a snapshot-using
     query is not job-free — only the final stage waits for the action.
     Cost attribution is unchanged for callers that time construction and
-    action together (bench.py does).
+    action together (bench.py does).  Callers needing a per-query release
+    handle use ``tracked_localcheckpoint`` directly.
     """
     return tracked_localcheckpoint(df, eager=False)[0]
 
 
-def track_snapshot_ids(ids) -> None:
-    """Register already-pinned localCheckpoint RDD ids for release.
+def release_snapshots(spark: SparkSession, ids=None) -> int:
+    """Unpersist tracked snapshot blocks; returns how many were released.
 
-    For operators that manage their own intermediate snapshots (the
-    iterative graph loops) but leave the FINAL snapshot alive as the
-    returned result's storage — tracking it here lets the caller free it
-    with the same ``release_snapshots`` call that frees query-level
-    snapshots, instead of waiting on the (slow, GC-dependent)
-    ContextCleaner drain."""
-    _SNAPSHOT_RDD_IDS.update(int(i) for i in ids)
-
-
-def release_snapshots(spark: SparkSession) -> int:
-    """Unpersist every tracked snapshot's blocks; returns how many released.
+    With ``ids=None`` releases EVERY snapshot tracked for ``spark``'s
+    SparkContext — correct only when no other snapshot-backed result is
+    still being consumed (sequential bench loops, test teardowns).  With
+    ``ids`` (the handle from ``tracked_localcheckpoint``) releases only
+    those, which is the safe form under overlapping query lifetimes.
+    Ids tracked under a different SparkContext are never touched.
 
     DESTRUCTIVE for in-flight plans: a localCheckpointed RDD has no lineage
-    to recompute from, so call this only between queries, after the previous
-    results are fully consumed.
+    to recompute from, so release only after its results are fully consumed.
     """
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    sc = spark.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
     released = 0
-    for i in list(_SNAPSHOT_RDD_IDS):
-        rdd = jmap.get(i)
-        if rdd is not None:
-            rdd.unpersist(False)
-            released += 1
-        _SNAPSHOT_RDD_IDS.discard(i)
+    with _SNAPSHOT_LOCK:
+        tracked = _SNAPSHOT_RDD_IDS.get(sc.applicationId)
+        if not tracked:
+            return 0
+        targets = set(tracked) if ids is None else ({int(i) for i in ids} & tracked)
+        for i in targets:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+                released += 1
+            tracked.discard(i)
     return released

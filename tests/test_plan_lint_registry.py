@@ -98,20 +98,30 @@ def _formatted(df) -> str:
 
 
 def _lint(spark, names):
+    # Building snapshot-using queries pins localCheckpoint blocks (under AQE
+    # the subtree's shuffle stages run at construction); release them and any
+    # plan-keyed cache entries afterward so the lint is storage-neutral for
+    # the rest of the pytest session.
+    from airflow_cms_inpatient_etl_spark.sources.registry import release_snapshots
+
     violations = []
-    for name in names:
-        if name in _SKIP:
-            continue
-        plan = _formatted(QUERY_REGISTRY[name].fn(spark, SF_SMOKE))
-        if "CartesianProduct" in plan:
-            violations.append(f"{name}: CartesianProduct")
-        if "BatchEvalPython" in plan:
-            violations.append(f"{name}: row-at-a-time Python UDF")
-        arrow = [n for n in _ARROW_NODES if n in plan]
-        if arrow and name not in _ARROW_WHITELIST:
-            violations.append(f"{name}: unexpected Python stage {arrow}")
-        if name in _ARROW_WHITELIST and not arrow:
-            violations.append(f"{name}: whitelist entry no longer uses Arrow — prune it")
+    try:
+        for name in names:
+            if name in _SKIP:
+                continue
+            plan = _formatted(QUERY_REGISTRY[name].fn(spark, SF_SMOKE))
+            if "CartesianProduct" in plan:
+                violations.append(f"{name}: CartesianProduct")
+            if "BatchEvalPython" in plan:
+                violations.append(f"{name}: row-at-a-time Python UDF")
+            arrow = [n for n in _ARROW_NODES if n in plan]
+            if arrow and name not in _ARROW_WHITELIST:
+                violations.append(f"{name}: unexpected Python stage {arrow}")
+            if name in _ARROW_WHITELIST and not arrow:
+                violations.append(f"{name}: whitelist entry no longer uses Arrow — prune it")
+    finally:
+        release_snapshots(spark)
+        spark.catalog.clearCache()
     return violations
 
 
