@@ -175,3 +175,80 @@ def mixed_language_chunk_flags(
             (F.col("n_langs") >= 2).alias("is_mixed"),
         )
     )
+
+
+def bpe_train(words: DataFrame, n_merges: int) -> list[tuple[int, str, str, str, int]]:
+    """Full iterative BPE tokenizer-training loop (Sennrich et al. ACL'16
+    learn_bpe shape — the reference's single training step
+    ``bpe_merge_candidates`` iterated to a merge budget / target vocab):
+    repeat ``n_merges`` times {census adjacent token pairs weighted by word
+    frequency → greedy-merge the argmax pair (count desc, lexicographic
+    pair-string tiebreak) across the whole vocabulary}.  Returns the merge
+    table ``[(rank, left, right, merged, pair_count)]`` — target-vocab
+    training is the same loop with ``n_merges = target_vocab - n_chars``.
+
+    ``words``: (seq, freq) rows — one per DISTINCT corpus word — where
+    ``seq`` boundary-encodes the word's current token sequence as
+    ``' tok;'`` per token (leading space, trailing ';').  That encoding is
+    what makes merge application a PLAIN string replace with exact greedy
+    left-to-right semantics: the pattern ``' l; r;'`` consumes only its own
+    tokens' boundaries (each token carries its trailing ';'), so the NEXT
+    pair's leading space survives and runs of repeated tokens merge as
+    [aa, aa], not [aa, a, a] — matching the reference implementation's
+    lookaround-regex behavior while staying expressible as ``replace`` in
+    any engine (no lookbehind, which columnar engines' regex libs lack).
+    Callers must restrict tokens to characters excluding ' ' and ';'
+    (standard pre-tokenization does).
+
+    Scale: the census runs over the DISTINCT-word table with frequencies —
+    vocabulary-sized, corpus-size-independent (the one corpus-sized pass is
+    the word count the caller did to build ``words``).  Each iteration is
+    one vocab-sized map + one pair-keyed shuffle with map-side partial
+    combine + a single-row driver argmax; merge application folds a pure
+    ``replace`` map onto the snapshot lineage (no new exchange, no growing
+    plan-replay cost: the vocab table is snapshot once).  Driver state is
+    the merge table itself — ``n_merges`` rows — so the loop distributes to
+    any corpus whose VOCABULARY fits a shuffle, which is every corpus.
+    """
+    cur = _snapshot(words)  # scanned n_merges times — materialize once
+    pair_arr = F.expr(
+        "transform(sequence(1, size(__t) - 1),"
+        " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        toks = cur.select(
+            F.split(F.expr("trim(TRAILING ';' FROM substring(seq, 2))"), "; ").alias("__t"),
+            "freq",
+        )
+        pairs = toks.select(
+            F.explode(
+                F.when(F.size("__t") >= 2, pair_arr).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        left, right = pair.split(" ")
+        merges.append((rank, left, right, left + right, n))
+        cur = cur.withColumn(
+            "seq",
+            F.replace(F.col("seq"), F.lit(f" {left}; {right};"), F.lit(f" {left}{right};")),
+        )
+    return merges
+
+
+def _snapshot(df: DataFrame) -> DataFrame:
+    from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
+
+    return snapshot(df)

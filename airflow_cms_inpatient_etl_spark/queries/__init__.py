@@ -50,100 +50,57 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # ======================================================================= #
-    # ROUND-9 WINDOW (first 50).  Policy: never-checked > code-changed-since- #
-    # last-check > stalest-green.  Round 8 closed 50/50 green; this rotation  #
-    # targets the FIRST FULLY-CONFIRMED registry state: it seats ALL 20       #
-    # never-driver-checked round-8 rows, the 2 round-9 additions, the 1       #
-    # plan-changed row, ALL 17 r4-stale rows, and 10 of the 45 r5-stale rows  #
-    # — after round 9 no registry row is never-checked and every row's last   #
-    # driver check is >= r5.  EVERY slot in this window is hash-eligible.     #
+    # ROUND-10 WINDOW (first 50).  Policy: never-checked > code-changed-      #
+    # since-last-check > stalest-green.  Round 9 closed 50/50 green; this     #
+    # rotation seats (a) the 3 never-driver-checked round-9 additions,       #
+    # (b) the round-10 additions, (c) EVERY row whose code or plan changed   #
+    # since its last green driver row — the round-9 spread_scan rollout,     #
+    # the tracked-snapshot conversions, the skew-safe top-k rewrites, and    #
+    # this round's pure-operator gate refactors — and (d) 21 of the 35      #
+    # r5-stale rows.  After round 10: no never-checked rows, no unchecked    #
+    # plan changes, and only 14 r5-stale rows remain (they lead round 11).  #
     # ======================================================================= #
-    # -- a. the 20 never-driver-checked round-8 rows (waves 2 + 5) ---------- #
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "corpus_curation_v7",
-    "events_peak_concurrency",
-    "dedup_prefix_jaccard",
-    "weighted_median_price",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_brands",
-    "q12_late_line_priority",
-    "q16_supplier_part_count",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    # -- b. new this round (never driver-checked): the ExactSubstr span      #
-    #    dedup and the CLIP-shaped caption-alignment gate                    #
-    "dedup_cross_doc_spans",
+    # -- a. never driver-checked round-9 additions -------------------------- #
+    "corpus_ngram_novelty",
+    "decontaminate_embedding_cosine",   # also refactored this round (pure op)
+    "text_mixed_language_flag",         # also refactored this round (pure op)
+    # -- b. new this round: the full iterative BPE trainer ------------------ #
+    "bpe_train_vocab",
+    # -- c. code/plan changed since last green driver row: the round-9       #
+    #    spread_scan rollout (guarded small-scan parallelization in the      #
+    #    shared tokenization/segmentation primitives)...                     #
+    "bpe_apply_encode",
+    "corpus_curation_v6",
+    "corpus_datacard",
+    "decontaminate_ngram_overlap",
+    "dedup_containment",
+    "dedup_cross_doc_lines",
+    "dedup_incremental_index",
+    "dedup_lsh_recall_report",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "multimodal_cdc_chunk_dedup",
+    "quality_dsir_importance",
+    "tokenizer_vocab_coverage",
+    #    ...the round-9 tracked-snapshot conversions (persist/cache →        #
+    #    registry.snapshot) not already re-checked in the r9 window...       #
+    "semdedup_prune",
+    "corpus_curation_v4",
+    "corpus_curation_v5",
+    "basket_association_rules",
+    "recsys_item_item_cosine",
+    "dedup_cluster_canonical",
+    #    ...the skew-safe two-phase top-k rewrites + the value-decomposed    #
+    #    rank rewrite...                                                     #
+    "stratified_sample_exact_k",
+    "docs_source_cap",
+    "corpus_curation_v3",
+    "quality_quantile_normalize",
+    #    ...and this round's pure-operator refactor of the caption gate      #
+    #    (result hash-identical, code moved into operators.multimodal).      #
     "multimodal_caption_align",
-    # -- c. code/plan changed since last green driver row (persist →         #
-    #    localCheckpoint — the result is identical, the plan is not)         #
-    "multimodal_phash_neardup",
-    # -- d. all 17 r4-stale rows (the self-contained scalar-function and     #
-    #    relational-shape modules deferred by the round-8 rotation)          #
-    "array_functions",
-    "date_functions",
-    "json_functions",
-    "map_functions",
-    "null_handling",
-    "string_functions",
-    "cube_flag_status",
-    "rollup_region_nation",
-    "grouping_sets_events",
-    "pivot_status_by_flag",
-    "unpivot_part_attrs",
-    "set_union_nations",
-    "set_intersect_custkeys",
-    "set_except_custkeys",
-    "explode_token_counts",
-    "posexplode_tokens",
-    "date_spine_monthly",
-    # -- e. 10 of the 45 r5-stale rows: the flagship + the rows with the     #
-    #    widest shared-helper exposure (load_table/text/dedup/similarity     #
-    #    helpers keep evolving); the remaining 35 r5 rows lead round 10      #
-    "flagship_patient_claims_plus",
-    "q1_pricing_summary",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "sim_cosine_topk_brute",
-    "events_asof_last_click",
-    "events_session_window",
-    "text_tfidf_top_terms",
-    "graph_pagerank",
-    "corpus_curation_v2",
-    # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-10 QUEUE.  (1) Never-driver-checked round-9 additions:
-    # corpus_ngram_novelty (marginal-novelty gram census),
-    # decontaminate_embedding_cosine (eval-leakage gate), and
-    # text_mixed_language_flag (per-chunk code-switch gate).  (2) Queries whose
-    # plan changed late in round 9 — the spread_scan rollout (guarded
-    # small-scan parallelization in the shared tokenization/segmentation
-    # primitives and the six heavy per-token fold queries): bpe_apply_encode,
-    # corpus_curation_v6, corpus_datacard, decontaminate_ngram_overlap,
-    # dedup_containment, dedup_cross_doc_lines, dedup_incremental_index,
-    # dedup_lsh_recall_report, dedup_ngram_jaccard, dedup_simhash,
-    # dedup_simhash_hamming, multimodal_cdc_chunk_dedup,
-    # quality_dsir_importance, tokenizer_vocab_coverage — plus the
-    # tracked-snapshot conversion (persist/cache → registry.snapshot) rows
-    # not already in the r9 window or the list above: semdedup_prune,
-    # corpus_curation_v4, corpus_curation_v5, basket_association_rules,
-    # recsys_item_item_cosine (also rewritten to undirected pair
-    # aggregation), dedup_cluster_canonical — plus the skew-safe two-phase
-    # top-k rewrites (stratified_sample_exact_k, docs_source_cap,
-    # corpus_curation_v3; corpus_curation_v2 sits in the r9 window and is
-    # re-checked there) and the value-decomposed rank rewrite of
-    # quality_quantile_normalize.  By
-    # never-checked-first + code-changed-first policy these lead round 10;
-    # the remaining slots go to the oldest of the 35 r5-stale rows below.
-    # Every changed query was hash-verified locally at sf0.01 (the heavy
-    # ones also at sf0.1) after each change.
+    # -- d. the 21 oldest r5-stale rows ------------------------------------- #
     "bloom_semijoin_lineitem",
     "dedup_exact_distinct",
     "dedup_exact_text",
@@ -165,6 +122,10 @@ _PRIORITY = [
     "multimodal_decode_stub",
     "multimodal_metadata",
     "null_default_decode",
+    # ----------------------- window boundary (50) -------------------------- #
+    # ROUND-11 QUEUE: the 14 remaining r5-stale rows (below), then the       #
+    # r9-window rows in their round-9 order.  Every round-10 changed query   #
+    # was hash-verified locally at sf0.01 (heavy ones also at sf0.1).        #
     "projection_typed_cast",
     "set_except_all_linenums",
     "set_intersect_all_linenums",
@@ -179,6 +140,56 @@ _PRIORITY = [
     "variant_functions",
     "weighted_corpus_sample",
     "winsorize_quality_clip",
+    # -- the round-9 window rows (all driver-green in r9) ------------------- #
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "corpus_curation_v7",
+    "events_peak_concurrency",
+    "dedup_prefix_jaccard",
+    "weighted_median_price",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_brands",
+    "q12_late_line_priority",
+    "q16_supplier_part_count",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "dedup_cross_doc_spans",
+    "multimodal_phash_neardup",
+    "array_functions",
+    "date_functions",
+    "json_functions",
+    "map_functions",
+    "null_handling",
+    "string_functions",
+    "cube_flag_status",
+    "rollup_region_nation",
+    "grouping_sets_events",
+    "pivot_status_by_flag",
+    "unpivot_part_attrs",
+    "set_union_nations",
+    "set_intersect_custkeys",
+    "set_except_custkeys",
+    "explode_token_counts",
+    "posexplode_tokens",
+    "date_spine_monthly",
+    "flagship_patient_claims_plus",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "sim_cosine_topk_brute",
+    "events_asof_last_click",
+    "events_session_window",
+    "text_tfidf_top_terms",
+    "graph_pagerank",
+    "corpus_curation_v2",
 ]
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from airflow_cms_inpatient_etl_spark.functions.exact import dec
-from airflow_cms_inpatient_etl_spark.operators.text import hash60
+from airflow_cms_inpatient_etl_spark.operators.text import bpe_train, hash60
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table, snapshot, spread_scan
 
@@ -1523,6 +1523,107 @@ def bpe_merge_candidates(spark, sf_dir):
         counts.withColumn("rnk", F.row_number().over(rw).cast("long"))
         .filter(F.col("rnk") <= _BPE_TOPK)
     )
+
+
+# --------------------------------------------------------------------------- #
+# bpe_train_vocab — the FULL iterative BPE trainer (merge loop to a budget)    #
+# --------------------------------------------------------------------------- #
+
+_BPE_TRAIN_MERGES = 16
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled-iteration DuckDB oracle for the BPE training loop.
+
+    DuckDB's recursive CTEs cannot aggregate over the recursive reference,
+    so the loop is UNROLLED: one (census → argmax → apply) CTE block per
+    merge, mechanically generated.  Every w{{i}}/b{{i}} is MATERIALIZED —
+    each is referenced twice, and default CTE inlining would otherwise
+    expand the chain exponentially (2^n copies of the base scan; measured:
+    fd exhaustion at n=16).  Semantics per block mirror the engine exactly:
+    pair census over token lists weighted by word freq, argmax with (count
+    desc, pair-string asc) tiebreak, boundary-encoded single-pass replace.
+    """
+    parts = [
+        """WITH w0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', ' \\1;', 'g') AS seq,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE LENGTH(w) > 1 AND regexp_matches(w, '^[a-z0-9]+$')
+        GROUP BY w
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""", b{i} AS MATERIALIZED (
+        SELECT pair, n FROM (
+            SELECT toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT) + 1] AS pair,
+                   CAST(SUM(freq) AS BIGINT) AS n
+            FROM (SELECT STRING_SPLIT(RTRIM(SUBSTRING(seq, 2), ';'), '; ') AS toks, freq
+                  FROM w{i}) s,
+                 UNNEST(RANGE(1, LEN(toks))) AS t(i)
+            GROUP BY 1
+        ) ORDER BY n DESC, pair LIMIT 1
+    ), m{i} AS (
+        SELECT CAST({i + 1} AS BIGINT) AS rnk,
+               STRING_SPLIT(pair, ' ')[1] AS lft,
+               STRING_SPLIT(pair, ' ')[2] AS rgt,
+               REPLACE(pair, ' ', '') AS merged,
+               n AS pair_n
+        FROM b{i}
+    ), w{i + 1} AS MATERIALIZED (
+        SELECT REPLACE(w{i}.seq,
+                       ' ' || STRING_SPLIT(b{i}.pair, ' ')[1] || '; '
+                           || STRING_SPLIT(b{i}.pair, ' ')[2] || ';',
+                       ' ' || REPLACE(b{i}.pair, ' ', '') || ';') AS seq,
+               freq
+        FROM w{i}, b{i}
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(n_merges))
+    return "".join(parts) + " " + union
+
+
+@register("bpe_train_vocab", oracle=_bpe_train_oracle(_BPE_TRAIN_MERGES))
+def bpe_train_vocab(spark, sf_dir):
+    """The FULL iterative BPE tokenizer trainer — `bpe_merge_candidates`'s
+    single census step looped to a {_BPE_TRAIN_MERGES}-merge budget by
+    ``operators.text.bpe_train``, closing the one tokenizer op a real
+    pipeline still lacked (the static merge chain `bpe_apply_encode`
+    applies is what this loop PRODUCES).  Pre-tokenization: lowercase
+    whitespace words restricted to ^[a-z0-9]+$ (so the boundary-encoding
+    chars ' ' and ';' can never appear inside a token) with length > 1,
+    counted into a DISTINCT-word frequency table — the standard BPE moves
+    that make every later iteration vocabulary-sized, not corpus-sized.
+    Output: the ranked merge table (rnk, lft, rgt, merged, pair_n).
+
+    The oracle unrolls the identical loop as {_BPE_TRAIN_MERGES} chained
+    MATERIALIZED CTE blocks — same census, same (count desc, pair asc)
+    argmax, same boundary-encoded single-pass replace — so the hash match
+    proves every intermediate merge decision, not just the final table.
+
+    Scale (see the operator docstring): one corpus-sized shuffle total
+    (the word count); per merge, one vocab-sized map + one pair-keyed
+    partial-combined shuffle + a 1-row driver argmax; the vocab table is
+    snapshot once and merge application folds replace maps onto it."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .filter((F.length("w") > 1) & F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.regexp_replace("w", "(.)", " $1;").alias("seq"), "freq")
+    )
+    merges = bpe_train(words, _BPE_TRAIN_MERGES)
+    return spark.createDataFrame(
+        merges, schema="rnk bigint, lft string, rgt string, merged string, pair_n bigint"
+    )
+
+
+bpe_train_vocab.__doc__ = bpe_train_vocab.__doc__.replace(
+    "{_BPE_TRAIN_MERGES}", str(_BPE_TRAIN_MERGES)
+)
 
 
 # --------------------------------------------------------------------------- #

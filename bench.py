@@ -250,6 +250,10 @@ HEADLINE = [
     # round-9 wave 3: per-chunk language-consistency gate (map-side
     # classification + two keyed aggregations)
     "text_mixed_language_flag",
+    # round-10: the full iterative BPE trainer (16 sequential census →
+    # argmax → merge rounds over the snapshot vocab table; cost is
+    # iteration overhead at bench scale, like the pagerank family)
+    "bpe_train_vocab",
 ]
 
 

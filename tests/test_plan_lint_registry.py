@@ -48,48 +48,13 @@ _ARROW_NODES = (
     "ArrowAggregatePython",
 )
 
-# queries added or plan-changed since the round-8 gate went green — linted
-# in the NOT-slow inner loop.  Round 9 additions + this round's plan edits.
+# queries added or plan-changed since the round-9 gate went green — linted
+# in the NOT-slow inner loop.  Round-10 additions + this round's refactors.
 _NEW_SINCE_GATE = [
-    "corpus_curation_v7",        # r9: payload stripped from dedup exchange + spread
-    "q2_min_cost_supplier",      # r9: s_suppkey total-order tiebreak
-    "multimodal_phash_neardup",  # r9: persist -> lazy localCheckpoint + spread
-    "dedup_cross_doc_spans",     # r9: new — ExactSubstr-family span dedup
-    "multimodal_caption_align",  # r9: new — CLIP-shaped alignment gate
-    # r9 spread_scan rollout (guarded small-scan parallelization in the
-    # shared tokenization/segmentation primitives) — every query whose plan
-    # gained the REPARTITION_BY_NUM exchange:
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "dedup_containment",
-    "dedup_incremental_index",
-    "dedup_lsh_recall_report",
-    "dedup_cross_doc_lines",
-    "dedup_prefix_jaccard",
-    "decontaminate_ngram_overlap",
-    "bpe_apply_encode",
-    "tokenizer_vocab_coverage",
-    "corpus_datacard",
-    "corpus_curation_v6",
-    "quality_dsir_importance",
-    "multimodal_cdc_chunk_dedup",
-    "corpus_ngram_novelty",      # r9: new — marginal-novelty gram census
-    "decontaminate_embedding_cosine",  # r9: new — eval-leakage cosine gate
-    "stratified_sample_exact_k",  # r9: skew-safe two-phase top-k rewrite
-    "docs_source_cap",            # r9: skew-safe two-phase top-k rewrite
-    "corpus_curation_v2",         # r9: skew-safe cap stage (+ snapshot rows)
-    "corpus_curation_v3",         # r9: skew-safe per-lang cap stage
-    "quality_quantile_normalize", # r9: value-decomposed rank windows
-    "text_mixed_language_flag",   # r9: new — per-chunk code-switch gate
-    "recsys_item_item_cosine",    # r9: undirected pair aggregation rewrite
-    # r9 tracked-snapshot conversion (persist/cache -> registry.snapshot):
-    "dedup_cluster_canonical",
-    "semdedup_prune",
-    "corpus_curation_v4",
-    "corpus_curation_v5",
-    "basket_association_rules",
+    "bpe_train_vocab",                 # r10: new — full iterative BPE trainer
+    "text_mixed_language_flag",        # r10: gate factored into pure operator
+    "decontaminate_embedding_cosine",  # r10: gate factored into pure operator
+    "multimodal_caption_align",        # r10: gate factored into pure operator
 ]
 
 
