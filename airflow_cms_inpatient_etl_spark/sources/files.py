@@ -114,6 +114,58 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).format("avro").save(path)
 
 
+def lakehouse_format_available(spark: SparkSession, fmt: str) -> bool:
+    """Probe for a lakehouse table format connector (``delta`` / ``iceberg``).
+
+    Both ship as external connectors (io.delta:delta-spark /
+    org.apache.iceberg:iceberg-spark-runtime) — availability depends on the
+    deployment's classpath, so the engine probes with the same authoritative
+    resolution Spark performs for ``format(fmt)`` (see ``avro_available``).
+    """
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            fmt, spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+_LAKEHOUSE_REMEDIATION = {
+    "delta": (
+        "Delta Lake is not on this deployment's classpath; submit with "
+        "--packages io.delta:delta-spark_2.13:<version> and "
+        "--conf spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension "
+        "--conf spark.sql.catalog.spark_catalog="
+        "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+    ),
+    "iceberg": (
+        "Apache Iceberg is not on this deployment's classpath; submit with "
+        "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version> "
+        "and configure an Iceberg catalog "
+        "(--conf spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog)"
+    ),
+}
+
+
+def read_lakehouse(spark: SparkSession, fmt: str, path: str) -> DataFrame:
+    """Lakehouse table scan (Delta/Iceberg) — the transaction-logged table
+    layer the CDC/upsert/SCD2 operators (``operators/upsert.py``) target in
+    a production deployment, where their MERGE-equivalent joins become the
+    connector's native ``MERGE INTO`` against the table log.  Gated like
+    Avro: a clear actionable error when the connector is absent, never a raw
+    JVM ClassNotFound."""
+    if not lakehouse_format_available(spark, fmt):
+        raise NotImplementedError(_LAKEHOUSE_REMEDIATION[fmt])
+    return spark.read.format(fmt).load(path)
+
+
+def write_lakehouse(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> None:
+    if not lakehouse_format_available(df.sparkSession, fmt):
+        raise NotImplementedError(_LAKEHOUSE_REMEDIATION[fmt])
+    df.write.mode(mode).format(fmt).save(path)
+
+
 def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
     """Native XML scan (built into Spark 4 — SPARK-44751): the classic
     enterprise-landing format.  Schema is inferred unless the caller supplies

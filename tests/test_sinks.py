@@ -333,3 +333,42 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert "score" in merged.columns
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_lakehouse_roundtrip_or_gated(spark, tmp_path):
+    """Delta/Iceberg are external connectors; on classpaths that carry them
+    the roundtrip must be lossless; elsewhere the gate must raise the
+    actionable NotImplementedError carrying the --packages remediation
+    (never a raw JVM ClassNotFound), and the test SKIPS VISIBLY so a
+    never-executed roundtrip shows up as `s` in every report.  (This
+    sandbox has neither connector jar and no network/pypi to vendor one —
+    the skip reason records exactly that.)"""
+    from airflow_cms_inpatient_etl_spark.sources.files import (
+        lakehouse_format_available,
+        read_lakehouse,
+        write_lakehouse,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    ran = []
+    for fmt, pkg in (("delta", "io.delta:delta-spark"), ("iceberg", "org.apache.iceberg:iceberg-spark-runtime")):
+        if lakehouse_format_available(spark, fmt):
+            write_lakehouse(df, fmt, str(tmp_path / fmt))
+            got = read_lakehouse(spark, fmt, str(tmp_path / fmt))
+            assert sorted(r["id"] for r in got.collect()) == [1, 2]
+            ran.append(fmt)
+        else:
+            import pytest
+
+            with pytest.raises(NotImplementedError) as exc:
+                write_lakehouse(df, fmt, str(tmp_path / fmt))
+            assert f"--packages {pkg}" in str(exc.value), "gate lost its remediation text"
+            with pytest.raises(NotImplementedError):
+                read_lakehouse(spark, fmt, str(tmp_path / fmt))
+    if not ran:
+        import pytest
+
+        pytest.skip(
+            "no lakehouse connector (delta/iceberg) on classpath (no network "
+            "to vendor one): gates + remediation asserted, roundtrips NOT executed"
+        )
