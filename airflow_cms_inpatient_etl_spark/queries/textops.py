@@ -528,6 +528,163 @@ def text_bm25_search(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------- #
+# search_hybrid_rrf — BM25 + embedding-cosine reciprocal-rank fusion           #
+# --------------------------------------------------------------------------- #
+
+_RRF_K = 60      # the standard RRF damping constant (Cormack et al. SIGIR'09)
+_RRF_LEG_N = 50  # per-leg candidate depth
+_RRF_TOP = 20    # fused output size
+
+
+def _rrf_cosine_sql(a: str, b: str) -> str:
+    """Ordered-fold cosine — the same contract as queries.similarity._cosine
+    (imported lazily there to avoid a module-load order coupling): products
+    in index order over the 64-d embedding, double accumulator, left fold."""
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (x, y) -> x + y)"
+        )
+
+    return f"{_dot(a, b)} / (SQRT({_dot(a, a)}) * SQRT({_dot(b, b)}))"
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    dls AS (SELECT doc_id, CAST(LEN(w) AS BIGINT) AS dl, w FROM toks),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dls
+    ),
+    tf AS (
+        SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, UNNEST(w) AS t FROM dls)
+        WHERE t IN {str(tuple(_BM25_TERMS))}
+        GROUP BY 1, 2
+    ),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT tf.doc_id, tf.term, {_BM25_CONTRIB} AS c
+        FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN stats
+    ),
+    sc AS (
+        SELECT doc_id,
+               ROUND(LIST_REDUCE(LIST(c ORDER BY term), (x, y) -> x + y), 6) AS score
+        FROM contrib GROUP BY doc_id
+    ),
+    lex AS (
+        SELECT doc_id, lex_score,
+               CAST(ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS BIGINT)
+                   AS lex_rank
+        FROM (SELECT doc_id, score AS lex_score
+              FROM sc ORDER BY score DESC, doc_id LIMIT {_RRF_LEG_N})
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id AS doc_id, {_rrf_cosine_sql("embedding", "qvec")} AS sem_cosine
+        FROM embeddings, q WHERE vec_id <> 0
+    ),
+    sem AS (
+        SELECT doc_id, sem_cosine,
+               CAST(ROW_NUMBER() OVER (ORDER BY sem_cosine DESC, doc_id) AS BIGINT)
+                   AS sem_rank
+        FROM (SELECT doc_id, sem_cosine
+              FROM scored ORDER BY sem_cosine DESC, doc_id LIMIT {_RRF_LEG_N})
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.lex_rank, s.sem_rank, l.lex_score, s.sem_cosine,
+               COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.lex_rank), CAST(0 AS DOUBLE))
+                 + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + s.sem_rank), CAST(0 AS DOUBLE))
+                   AS rrf_score
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, lex_score, sem_cosine, rrf_score,
+           lex_rank IS NOT NULL AND sem_rank IS NOT NULL AS in_both
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOP}
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval — reciprocal-rank fusion (Cormack et al. SIGIR'09:
+    the standard score-free fusion every RAG stack runs) of a LEXICAL leg
+    (the engine's Okapi BM25 inverted-index ranking, fixed query-term set)
+    and a SEMANTIC leg (exact broadcast-query cosine over the embedding
+    column; the query vector is doc 0's embedding, self-match excluded).
+    Each leg contributes 1/({_RRF_K} + rank) for its top-{_RRF_LEG_N};
+    output is the fused top-{_RRF_TOP} with both per-leg ranks/scores and
+    an ``in_both`` agreement flag.  Ranks are fully tiebroken (score desc,
+    doc_id), the BM25 score is the ordered-fold ROUND(...,6) contract and
+    the cosine the ordered-fold exact contract, so the float RRF sums are
+    bit-identical across engines.
+
+    Scale: each leg is an already-proven retrieval shape — the BM25 leg's
+    only corpus shuffle is the query-term-filtered tf aggregation; the
+    semantic leg is a map-side broadcast-query cosine with a
+    TakeOrderedAndProject top-k (the LSH/IVF family replaces it above
+    broadcast scale).  Fusion itself joins two {_RRF_LEG_N}-row lists —
+    constant size at any corpus scale."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import dot, norm
+
+    lex = text_bm25_search(spark, sf_dir).select(
+        "doc_id",
+        F.col("score").alias("lex_score"),
+        F.col("search_rank").alias("lex_rank"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), norm(F.col("embedding")).alias("qn")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .withColumn("cn", norm(F.col("embedding")))
+        .join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot(F.col("embedding"), F.col("qvec")) / (F.col("cn") * F.col("qn"))).alias(
+                "sem_cosine"
+            ),
+        )
+    )
+    sem = (
+        scored.orderBy(F.col("sem_cosine").desc(), "doc_id")
+        .limit(_RRF_LEG_N)
+        .select(
+            "doc_id",
+            "sem_cosine",
+            F.row_number()
+            .over(Window.orderBy(F.col("sem_cosine").desc(), "doc_id"))
+            .cast("long")
+            .alias("sem_rank"),
+        )
+    )
+    leg = F.lit(1.0)  # double literal (SQL '1.0' would be decimal — cross-engine trap)
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            "lex_score",
+            "sem_cosine",
+            (
+                F.coalesce(leg / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(leg / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0))
+            ).alias("rrf_score"),
+            (F.col("lex_rank").isNotNull() & F.col("sem_rank").isNotNull()).alias(
+                "in_both"
+            ),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(_RRF_TOP)
+
+
+# --------------------------------------------------------------------------- #
 # text_mixed_language_flag — per-chunk language consistency                    #
 # --------------------------------------------------------------------------- #
 

@@ -254,6 +254,9 @@ HEADLINE = [
     # argmax → merge rounds over the snapshot vocab table; cost is
     # iteration overhead at bench scale, like the pagerank family)
     "bpe_train_vocab",
+    # round-10 wave 2: hybrid retrieval — BM25 leg + broadcast-query cosine
+    # leg fused by reciprocal rank (two constant-size lists joined)
+    "search_hybrid_rrf",
 ]
 
 
