@@ -79,6 +79,10 @@ _HAZARD_CLASS = [
     # all cleared sf0.1 on landing; this pins them
     "q14_promo_revenue_by_month",
     "q19_disjunctive_predicates",
+    # round-10: double RRF sums over BM25 (LN-ulp, ROUND(...,6) contract) +
+    # ordered-fold cosine legs, with CAST(1.0 AS DOUBLE) reciprocal terms —
+    # cleared sf0.1 (and both smaller scales) on landing; this pins it
+    "search_hybrid_rrf",
 ]
 
 _NAMES = (
