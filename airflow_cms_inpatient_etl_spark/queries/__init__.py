@@ -56,17 +56,19 @@ _PRIORITY = [
     # (b) the round-10 additions, (c) EVERY row whose code or plan changed   #
     # since its last green driver row — the round-9 spread_scan rollout,     #
     # the tracked-snapshot conversions, the skew-safe top-k rewrites, and    #
-    # this round's pure-operator gate refactors — and (d) 20 of the 35      #
+    # this round's pure-operator gate refactors — and (d) 19 of the 35      #
     # r5-stale rows.  After round 10: no never-checked rows, no unchecked    #
-    # plan changes, and only 15 r5-stale rows remain (they lead round 11).  #
+    # plan changes, and only 16 r5-stale rows remain (they lead round 11).  #
     # ======================================================================= #
     # -- a. never driver-checked round-9 additions -------------------------- #
     "corpus_ngram_novelty",
     "decontaminate_embedding_cosine",   # also refactored this round (pure op)
     "text_mixed_language_flag",         # also refactored this round (pure op)
-    # -- b. new this round: the full iterative BPE trainer and the           #
-    #    BM25 + cosine reciprocal-rank-fusion hybrid retrieval query         #
+    # -- b. new this round: the full iterative BPE trainer, its train-then-  #
+    #    encode compression close, and the BM25 + cosine reciprocal-rank-    #
+    #    fusion hybrid retrieval query                                       #
     "bpe_train_vocab",
+    "bpe_train_apply_compression",
     "search_hybrid_rrf",
     # -- c. code/plan changed since last green driver row: the round-9       #
     #    spread_scan rollout (guarded small-scan parallelization in the      #
@@ -102,7 +104,7 @@ _PRIORITY = [
     #    ...and this round's pure-operator refactor of the caption gate      #
     #    (result hash-identical, code moved into operators.multimodal).      #
     "multimodal_caption_align",
-    # -- d. the 20 oldest r5-stale rows ------------------------------------- #
+    # -- d. the 19 oldest r5-stale rows ------------------------------------- #
     "bloom_semijoin_lineitem",
     "dedup_exact_distinct",
     "dedup_exact_text",
@@ -122,12 +124,12 @@ _PRIORITY = [
     "graph_triangle_count",
     "join_multiway_revenue",
     "multimodal_decode_stub",
-    "multimodal_metadata",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-11 QUEUE: the 15 remaining r5-stale rows (below), then the       #
+    # ROUND-11 QUEUE: the 16 remaining r5-stale rows (below), then the       #
     # r9-window rows in their round-9 order.  Every round-10 changed query   #
     # was hash-verified locally at sf0.01 (heavy ones also at sf0.1; the     #
-    # two new queries at all three scales).                                  #
+    # three new queries at all three scales).                                #
+    "multimodal_metadata",
     "null_default_decode",
     "projection_typed_cast",
     "set_except_all_linenums",

@@ -1532,8 +1532,9 @@ def bpe_merge_candidates(spark, sf_dir):
 _BPE_TRAIN_MERGES = 16
 
 
-def _bpe_train_oracle(n_merges: int) -> str:
-    """Unrolled-iteration DuckDB oracle for the BPE training loop.
+def _bpe_train_cte_blocks(n_merges: int) -> str:
+    """The WITH-body of the unrolled BPE training loop, shared by the
+    trainer oracle and the train-then-apply composition oracle.
 
     DuckDB's recursive CTEs cannot aggregate over the recursive reference,
     so the loop is UNROLLED: one (census → argmax → apply) CTE block per
@@ -1581,8 +1582,12 @@ def _bpe_train_oracle(n_merges: int) -> str:
         FROM w{i}, b{i}
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
     union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(n_merges))
-    return "".join(parts) + " " + union
+    return _bpe_train_cte_blocks(n_merges) + " " + union
 
 
 @register("bpe_train_vocab", oracle=_bpe_train_oracle(_BPE_TRAIN_MERGES))
@@ -1622,6 +1627,118 @@ def bpe_train_vocab(spark, sf_dir):
 
 
 bpe_train_vocab.__doc__ = bpe_train_vocab.__doc__.replace(
+    "{_BPE_TRAIN_MERGES}", str(_BPE_TRAIN_MERGES)
+)
+
+
+# --------------------------------------------------------------------------- #
+# bpe_train_apply_compression — train merges, encode the corpus with them      #
+# --------------------------------------------------------------------------- #
+
+
+def _bpe_apply_oracle(n_merges: int) -> str:
+    """Trainer blocks + apply: the trained merge chain re-encodes the corpus
+    and per-doc compression is reported.  The chain is the same nested
+    single-pass REPLACE the engine folds; token count = ';' count (each
+    token carries exactly one trailing ';' in the boundary encoding)."""
+    enc = "regexp_replace(w, '(.)', ' \\1;', 'g')"
+    for i in range(n_merges):
+        enc = (
+            f"REPLACE({enc}, ' ' || m{i}.lft || '; ' || m{i}.rgt || ';',"
+            f" ' ' || m{i}.merged || ';')"
+        )
+    crossm = " CROSS JOIN ".join(f"m{i}" for i in range(n_merges))
+    return (
+        _bpe_train_cte_blocks(n_merges)
+        + f"""
+    , vocab AS MATERIALIZED (
+        SELECT w, CAST(LENGTH(enc) - LENGTH(REPLACE(enc, ';', '')) AS BIGINT)
+                   AS tok_after
+        FROM (SELECT w0w.w, {enc} AS enc
+              FROM (SELECT DISTINCT w FROM (
+                        SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w
+                        FROM documents)
+                    WHERE LENGTH(w) > 1 AND regexp_matches(w, '^[a-z0-9]+$')) w0w
+              CROSS JOIN {crossm})
+    ),
+    doc_words AS (
+        SELECT doc_id, t AS w
+        FROM (SELECT doc_id,
+                     UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS t
+              FROM documents)
+        WHERE LENGTH(t) > 1 AND regexp_matches(t, '^[a-z0-9]+$')
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(LENGTH(d.w)) AS BIGINT) AS tokens_before,
+           CAST(SUM(v.tok_after) AS BIGINT) AS tokens_after,
+           CAST(SUM(v.tok_after) * 10000 // SUM(LENGTH(d.w)) AS BIGINT)
+               AS compression_bp
+    FROM doc_words d JOIN vocab v USING (w)
+    GROUP BY doc_id
+    """
+    )
+
+
+@register("bpe_train_apply_compression", oracle=_bpe_apply_oracle(_BPE_TRAIN_MERGES))
+def bpe_train_apply_compression(spark, sf_dir):
+    """The tokenizer loop CLOSED end-to-end: train {_BPE_TRAIN_MERGES} BPE
+    merges on the corpus (`operators.text.bpe_train` — the same loop as
+    `bpe_train_vocab`), then ENCODE the corpus with the merges just
+    trained and report per-document compression — the metric a tokenizer
+    training run is actually judged by (chars-per-token before/after).
+    Output per doc: eligible word count, initial token count (= chars,
+    char-level start), token count after the trained merge chain, and
+    integer-basis-point compression (after × 10000 div before).
+
+    Plan: the trainer's census cost (see `bpe_train`); then encoding is
+    VOCABULARY-sized, not corpus-sized — the merge chain folds over the
+    distinct-word table once (token count = trailing-';' count of the
+    boundary encoding, a length difference), and documents join that tiny
+    (word → tok_after) map on the exploded eligible words with one
+    doc-keyed aggregation.  No token payload in any exchange; the oracle
+    unrolls the identical trainer and nests the identical 16 REPLACEs."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .filter((F.length("w") > 1) & F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    words = base.select(F.regexp_replace("w", "(.)", " $1;").alias("seq"), "freq")
+    merges = bpe_train(words, _BPE_TRAIN_MERGES)
+    enc = F.regexp_replace("w", "(.)", " $1;")
+    for _, left, right, merged, _n in merges:
+        enc = F.replace(enc, F.lit(f" {left}; {right};"), F.lit(f" {merged};"))
+    vocab = base.select(
+        "w",
+        (F.length(enc) - F.length(F.replace(enc, F.lit(";"), F.lit("")))).cast(
+            "long"
+        ).alias("tok_after"),
+    )
+    doc_words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter((F.length("w") > 1) & F.col("w").rlike("^[a-z0-9]+$"))
+    joined = doc_words.join(vocab, "w")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("tokens_before"),
+            F.sum("tok_after").alias("tokens_after"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "tokens_before",
+            "tokens_after",
+            F.expr("tokens_after * 10000 div tokens_before").alias("compression_bp"),
+        )
+    )
+
+
+bpe_train_apply_compression.__doc__ = bpe_train_apply_compression.__doc__.replace(
     "{_BPE_TRAIN_MERGES}", str(_BPE_TRAIN_MERGES)
 )
 

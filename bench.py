@@ -257,6 +257,10 @@ HEADLINE = [
     # round-10 wave 2: hybrid retrieval — BM25 leg + broadcast-query cosine
     # leg fused by reciprocal rank (two constant-size lists joined)
     "search_hybrid_rrf",
+    # round-10 wave 3: the tokenizer loop closed — train the merges, encode
+    # the corpus with them, per-doc compression (trainer cost + one
+    # vocab-sized encode join)
+    "bpe_train_apply_compression",
 ]
 
 

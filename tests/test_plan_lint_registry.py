@@ -52,6 +52,7 @@ _ARROW_NODES = (
 # in the NOT-slow inner loop.  Round-10 additions + this round's refactors.
 _NEW_SINCE_GATE = [
     "bpe_train_vocab",                 # r10: new — full iterative BPE trainer
+    "bpe_train_apply_compression",     # r10: new — train-then-encode close
     "search_hybrid_rrf",               # r10: new — BM25+cosine RRF hybrid retrieval
     "text_mixed_language_flag",        # r10: gate factored into pure operator
     "decontaminate_embedding_cosine",  # r10: gate factored into pure operator
