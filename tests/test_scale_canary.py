@@ -822,3 +822,46 @@ def test_round9_wave2_queries_scale_invariants_at_sf1(spark, sf1_dir):
     assert g.clean_max < 0.7, "an unflagged row approaches the gate"
     assert g.n_planted >= 9 * base_planted  # hash split reshuffles per replica
     assert g.rows > 0
+
+
+@pytest.mark.slow
+def test_bpe_trainer_census_scales_linearly_at_10x(spark):
+    """BPE-trainer scale canary: under PURE 10× corpus replication (same
+    texts, shifted doc ids — NOT the letter-translated sf1 fixture, which
+    deliberately changes character statistics), the distinct-word census
+    has identical vocabulary with exactly ×10 frequencies, so the trained
+    merge sequence must be IDENTICAL and every merge's pair count exactly
+    ×10.  Catches any corpus-sized leak into the per-iteration cost path
+    (the census must stay vocabulary-sized) and any tie-break instability
+    under count scaling."""
+    from airflow_cms_inpatient_etl_spark.operators.text import bpe_train
+
+    d = load_table(spark, SF_SRC, "documents").select("doc_id", "text")
+
+    def census(df):
+        return (
+            df.select(
+                F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+            )
+            .filter((F.length("w") > 1) & F.col("w").rlike("^[a-z0-9]+$"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .select(F.regexp_replace("w", "(.)", " $1;").alias("seq"), "freq")
+        )
+
+    try:
+        m1 = bpe_train(census(d), 16)
+        big = d
+        for i in range(1, REPS):
+            big = big.unionByName(
+                d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            )
+        m10 = bpe_train(census(big), 16)
+        assert [t[:4] for t in m1] == [t[:4] for t in m10], (
+            "merge sequence changed under pure replication"
+        )
+        assert [t[4] * REPS for t in m1] == [t[4] for t in m10], (
+            "pair counts are not exactly x10 — census leaked off the vocabulary"
+        )
+    finally:
+        release_snapshots(spark)
