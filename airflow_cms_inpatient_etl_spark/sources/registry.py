@@ -208,6 +208,11 @@ def tracked_localcheckpoint(df: DataFrame, eager: bool) -> tuple[DataFrame, froz
     ``getPersistentRDDs`` without waiting for a job.  The returned id set
     doubles as a RELEASE HANDLE: pass it to ``release_snapshots(spark,
     ids=...)`` to free only this snapshot.
+
+    The lock covers the before/after ``getPersistentRDDs`` diff so id
+    attribution is exact under threaded drivers; the cost is that EAGER
+    checkpoints (which run a job at call time) serialize across threads —
+    the right trade for a registry whose release is destructive.
     """
     sc = df.sparkSession.sparkContext
     jsc = sc._jsc
