@@ -839,7 +839,11 @@ def dedup_prefix_jaccard(spark, sf_dir):
     Σ prefix-df², and the rarest-first order makes that sum small by
     construction; one extra shuffle (global df join) buys it."""
     d = load_table(spark, sf_dir, "documents")
-    ex = exploded_shingle_hashes(d, "doc_id", "text")
+    # tracked snapshot: the per-token md5 shingle pipeline feeds FOUR
+    # consumers (df census, size census, prefix ranking, exact verification)
+    # — without it the gram hashing re-runs per consumer (measured ~2× on
+    # this query at sf0.1); registry.release_snapshots frees the blocks
+    ex = snapshot(exploded_shingle_hashes(d, "doc_id", "text"))
     df_ = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     ranked = (

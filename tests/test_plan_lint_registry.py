@@ -57,6 +57,7 @@ _NEW_SINCE_GATE = [
     "text_mixed_language_flag",        # r10: gate factored into pure operator
     "decontaminate_embedding_cosine",  # r10: gate factored into pure operator
     "multimodal_caption_align",        # r10: gate factored into pure operator
+    "dedup_prefix_jaccard",            # r10: gram hashing snapshot (4 consumers)
 ]
 
 
