@@ -56,9 +56,9 @@ _PRIORITY = [
     # (b) the round-10 additions, (c) EVERY row whose code or plan changed   #
     # since its last green driver row — the round-9 spread_scan rollout,     #
     # the tracked-snapshot conversions, the skew-safe top-k rewrites, and    #
-    # this round's pure-operator gate refactors — and (d) 18 of the 35      #
+    # this round's pure-operator gate refactors — and (d) 17 of the 35      #
     # r5-stale rows.  After round 10: no never-checked rows, no unchecked    #
-    # plan changes, and only 17 r5-stale rows remain (they lead round 11).  #
+    # plan changes, and only 18 r5-stale rows remain (they lead round 11).  #
     # ======================================================================= #
     # -- a. never driver-checked round-9 additions -------------------------- #
     "corpus_ngram_novelty",
@@ -70,6 +70,7 @@ _PRIORITY = [
     "bpe_train_vocab",
     "bpe_train_apply_compression",
     "search_hybrid_rrf",
+    "split_cluster_aware",
     # -- c. code/plan changed since last green driver row: the round-9       #
     #    spread_scan rollout (guarded small-scan parallelization in the      #
     #    shared tokenization/segmentation primitives)...                     #
@@ -108,7 +109,7 @@ _PRIORITY = [
     #    pipeline (four consumers of the gram hashing materialize it once;  #
     #    isolated p50 3.97 → 2.96 s).                                       #
     "dedup_prefix_jaccard",
-    # -- d. the 18 oldest r5-stale rows ------------------------------------- #
+    # -- d. the 17 oldest r5-stale rows ------------------------------------- #
     "bloom_semijoin_lineitem",
     "dedup_exact_distinct",
     "dedup_exact_text",
@@ -126,12 +127,12 @@ _PRIORITY = [
     "events_tumbling_window",
     "graph_personalized_pagerank",
     "graph_triangle_count",
-    "join_multiway_revenue",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-11 QUEUE: the 17 remaining r5-stale rows (below), then the       #
+    # ROUND-11 QUEUE: the 18 remaining r5-stale rows (below), then the       #
     # r9-window rows in their round-9 order.  Every round-10 changed query   #
     # was hash-verified locally at sf0.01 (heavy ones also at sf0.1; the     #
-    # three new queries at all three scales).                                #
+    # four new queries at all three scales).                                 #
+    "join_multiway_revenue",
     "multimodal_decode_stub",
     "multimodal_metadata",
     "null_default_decode",

@@ -231,6 +231,85 @@ def dedup_connected_components(spark, sf_dir):
 
 
 @register(
+    "split_cluster_aware",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_CTES},
+    pairs AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.8),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labeled AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a),
+    rep AS (
+        SELECT d.doc_id, COALESCE(l.cluster_rep, d.doc_id) AS cluster_rep
+        FROM (SELECT doc_id FROM documents) d LEFT JOIN labeled l USING (doc_id)
+    ),
+    sz AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM rep GROUP BY 1)
+    SELECT r.doc_id, r.cluster_rep, sz.cluster_size,
+           CASE WHEN CAST('0x' || SUBSTR(MD5('casplit:' || CAST(r.cluster_rep AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split
+    FROM rep r JOIN sz USING (cluster_rep)
+    """,
+)
+def split_cluster_aware(spark, sf_dir):
+    """LEAKAGE-SAFE train/eval split: assign the split at the NEAR-DUP
+    CLUSTER level, not the document level — a plain per-doc hash split
+    (`split_train_test_hash`) puts two near-duplicates on opposite sides of
+    the holdout, silently leaking training text into eval (the exact defect
+    `decontaminate_*` gates then have to catch downstream; splitting by
+    cluster prevents it by construction).  Clusters are the connected
+    components of the exact n-gram-Jaccard pair graph (>= 0.8; singletons
+    are their own cluster), and the split key is the portable salted md5 of
+    the cluster REPRESENTATIVE — so every member of a cluster lands on the
+    same side, membership is stable under corpus growth (adding documents
+    can merge clusters but never flips a rep-keyed hash), and the 90/10
+    rate applies to clusters, not docs.  Output per doc: cluster rep,
+    cluster size, split.
+
+    Scale: components via alternating large-star/small-star (O(log n)
+    rounds, `operators/graph.py`); the split itself is a map-side hash of
+    an 8-byte rep — no exchange beyond the cluster labeling the dedup
+    pipeline already ran.  The oracle recomputes the same components via a
+    recursive-CTE transitive closure — different algorithm, identical
+    fixpoint — then applies the identical split expression."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+    rep = (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+    sz = rep.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("casplit:"), F.col("cluster_rep").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return rep.join(sz, "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        F.when(h % 100 < 90, "train").otherwise("eval").alias("split"),
+    )
+
+
+@register(
     "dedup_levenshtein_block",
     oracle="""
     WITH d AS (SELECT doc_id, LOWER(TRIM(text)) AS t FROM documents),

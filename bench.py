@@ -261,6 +261,9 @@ HEADLINE = [
     # the corpus with them, per-doc compression (trainer cost + one
     # vocab-sized encode join)
     "bpe_train_apply_compression",
+    # round-10 wave 4: leakage-safe cluster-keyed train/eval split (pair
+    # graph + large-star/small-star components + rep-keyed hash split)
+    "split_cluster_aware",
 ]
 
 

@@ -58,6 +58,7 @@ _NEW_SINCE_GATE = [
     "decontaminate_embedding_cosine",  # r10: gate factored into pure operator
     "multimodal_caption_align",        # r10: gate factored into pure operator
     "dedup_prefix_jaccard",            # r10: gram hashing snapshot (4 consumers)
+    "split_cluster_aware",             # r10: new — leakage-safe cluster split
 ]
 
 

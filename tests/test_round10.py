@@ -143,3 +143,32 @@ def test_release_snapshots_scoped_by_ids(spark):
         assert release_snapshots(spark, ids=ids_a) == 0
     finally:
         release_snapshots(spark)
+
+
+def test_cluster_aware_split_never_straddles(spark):
+    """The leakage guarantee is structural: every member of a near-dup
+    cluster carries the SAME split (the hash is keyed on the cluster rep),
+    and both sides are non-empty at fixture scale."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    try:
+        out = QUERY_REGISTRY["split_cluster_aware"].fn(spark, SF_SMOKE)
+        g = out.groupBy("cluster_rep").agg(
+            F.count_distinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("cluster_size").alias("sz"),
+        )
+        bad = g.filter(F.col("n_splits") > 1).count()
+        assert bad == 0, f"{bad} clusters straddle the split"
+        # the size column is consistent with actual membership
+        assert g.filter(F.col("n") != F.col("sz")).count() == 0
+        splits = {r["split"] for r in out.select("split").distinct().collect()}
+        assert splits == {"train", "eval"}
+        # real multi-doc clusters exist, else the guarantee is vacuous here
+        assert out.filter(F.col("cluster_size") > 1).count() > 0
+    finally:
+        from airflow_cms_inpatient_etl_spark.sources.registry import (
+            release_snapshots,
+        )
+
+        release_snapshots(spark)
