@@ -766,8 +766,16 @@ def dedup_lsh_recall_report(spark, sf_dir):
     intersection is a pair-keyed semi-join, and the report is one row of
     integer ratios."""
     d = load_table(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.7).select("id1", "id2")
-    lsh = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.7).select("id1", "id2")
+    # tracked snapshots: each pair list is consumed 2-3× (semi-join + the
+    # count aggregates) and each one's PRODUCER is a full dedup pipeline —
+    # without the snapshots both pipelines re-run per consumer (measured
+    # ~2× on this query at sf0.1); registry.release_snapshots frees them
+    truth = snapshot(
+        ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.7).select("id1", "id2")
+    )
+    lsh = snapshot(
+        minhash_lsh_pairs(d, "doc_id", "text", threshold=0.7).select("id1", "id2")
+    )
     hit = lsh.join(truth, ["id1", "id2"], "semi")
     m = (
         truth.agg(F.count(F.lit(1)).alias("n_truth"))
