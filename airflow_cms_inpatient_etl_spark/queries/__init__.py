@@ -56,9 +56,9 @@ _PRIORITY = [
     # (b) the round-10 additions, (c) EVERY row whose code or plan changed   #
     # since its last green driver row — the round-9 spread_scan rollout,     #
     # the tracked-snapshot conversions, the skew-safe top-k rewrites, and    #
-    # this round's pure-operator gate refactors — and (d) 17 of the 35      #
+    # this round's pure-operator gate refactors — and (d) 16 of the 35      #
     # r5-stale rows.  After round 10: no never-checked rows, no unchecked    #
-    # plan changes, and only 18 r5-stale rows remain (they lead round 11).  #
+    # plan changes, and only 19 r5-stale rows remain (they lead round 11).  #
     # ======================================================================= #
     # -- a. never driver-checked round-9 additions -------------------------- #
     "corpus_ngram_novelty",
@@ -105,11 +105,15 @@ _PRIORITY = [
     #    ...this round's pure-operator refactor of the caption gate          #
     #    (result hash-identical, code moved into operators.multimodal)...    #
     "multimodal_caption_align",
-    #    ...and this round's snapshot conversion of the prefix-filtering     #
+    #    ...this round's snapshot conversion of the prefix-filtering         #
     #    pipeline (four consumers of the gram hashing materialize it once;  #
-    #    isolated p50 3.97 → 2.96 s).                                       #
+    #    isolated p50 3.97 → 2.96 s)...                                     #
     "dedup_prefix_jaccard",
-    # -- d. the 17 oldest r5-stale rows ------------------------------------- #
+    #    ...and this round's single-window-pass rewrite of the weighted     #
+    #    median (totals ride the cumulative window's exchange; 2.72 →       #
+    #    1.60 s isolated).                                                  #
+    "weighted_median_price",
+    # -- d. the 16 oldest r5-stale rows ------------------------------------- #
     "bloom_semijoin_lineitem",
     "dedup_exact_distinct",
     "dedup_exact_text",
@@ -126,12 +130,12 @@ _PRIORITY = [
     "events_sliding_window",
     "events_tumbling_window",
     "graph_personalized_pagerank",
-    "graph_triangle_count",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-11 QUEUE: the 18 remaining r5-stale rows (below), then the       #
+    # ROUND-11 QUEUE: the 19 remaining r5-stale rows (below), then the       #
     # r9-window rows in their round-9 order.  Every round-10 changed query   #
     # was hash-verified locally at sf0.01 (heavy ones also at sf0.1; the     #
     # four new queries at all three scales).                                 #
+    "graph_triangle_count",
     "join_multiway_revenue",
     "multimodal_decode_stub",
     "multimodal_metadata",

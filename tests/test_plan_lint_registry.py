@@ -60,6 +60,7 @@ _NEW_SINCE_GATE = [
     "dedup_prefix_jaccard",            # r10: gram hashing snapshot (4 consumers)
     "split_cluster_aware",             # r10: new — leakage-safe cluster split
     "dedup_lsh_recall_report",         # r10: truth/lsh pair-list snapshots
+    "weighted_median_price",           # r10: single-window-pass rewrite
 ]
 
 
