@@ -56,9 +56,9 @@ _PRIORITY = [
     # (b) the round-10 additions, (c) EVERY row whose code or plan changed   #
     # since its last green driver row — the round-9 spread_scan rollout,     #
     # the tracked-snapshot conversions, the skew-safe top-k rewrites, and    #
-    # this round's pure-operator gate refactors — and (d) 16 of the 35      #
+    # this round's pure-operator gate refactors — and (d) 15 of the 35      #
     # r5-stale rows.  After round 10: no never-checked rows, no unchecked    #
-    # plan changes, and only 19 r5-stale rows remain (they lead round 11).  #
+    # plan changes, and only 20 r5-stale rows remain (they lead round 11).  #
     # ======================================================================= #
     # -- a. never driver-checked round-9 additions -------------------------- #
     "corpus_ngram_novelty",
@@ -71,6 +71,7 @@ _PRIORITY = [
     "bpe_train_apply_compression",
     "search_hybrid_rrf",
     "split_cluster_aware",
+    "streaming_dedup_gate_live",
     # -- c. code/plan changed since last green driver row: the round-9       #
     #    spread_scan rollout (guarded small-scan parallelization in the      #
     #    shared tokenization/segmentation primitives)...                     #
@@ -113,7 +114,7 @@ _PRIORITY = [
     #    median (totals ride the cumulative window's exchange; 2.72 →       #
     #    1.60 s isolated).                                                  #
     "weighted_median_price",
-    # -- d. the 16 oldest r5-stale rows ------------------------------------- #
+    # -- d. the 15 oldest r5-stale rows ------------------------------------- #
     "bloom_semijoin_lineitem",
     "dedup_exact_distinct",
     "dedup_exact_text",
@@ -129,12 +130,12 @@ _PRIORITY = [
     "events_interval_attribution",
     "events_sliding_window",
     "events_tumbling_window",
-    "graph_personalized_pagerank",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-11 QUEUE: the 19 remaining r5-stale rows (below), then the       #
+    # ROUND-11 QUEUE: the 20 remaining r5-stale rows (below), then the       #
     # r9-window rows in their round-9 order.  Every round-10 changed query   #
     # was hash-verified locally at sf0.01 (heavy ones also at sf0.1; the     #
-    # four new queries at all three scales).                                 #
+    # five new queries at all three scales).                                 #
+    "graph_personalized_pagerank",
     "graph_triangle_count",
     "join_multiway_revenue",
     "multimodal_decode_stub",
@@ -164,8 +165,8 @@ _PRIORITY = [
     "q17_small_quantity_revenue",
     "corpus_curation_v7",
     "events_peak_concurrency",
-    "dedup_prefix_jaccard",
-    "weighted_median_price",
+    # (dedup_prefix_jaccard and weighted_median_price moved up into the
+    # round-10 window — plans changed this round)
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",

@@ -416,3 +416,88 @@ def streaming_sliding_window_live(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+@register(
+    "streaming_dedup_gate_live",
+    # the drained sink equals the BATCH incremental-dedup query exactly (the
+    # gate is per-document and documents arrive whole, so micro-batching
+    # cannot change the result) — reuse its oracle verbatim
+    oracle=None,  # filled below from the registered batch query
+)
+def streaming_dedup_gate_live(spark, sf_dir):
+    """LIVE streaming ingest dedup — `dedup_incremental_index` as a running
+    stream: the delta documents (doc_id % 10 == 0) arrive as a file-source
+    stream in TWO forced micro-batches (maxFilesPerTrigger=1, mtime-ordered
+    files), each batch is shingled and gated against the STANDING corpus
+    shingle index (a tracked snapshot — materialized once, NOT re-derived
+    per batch), and foreachBatch appends the per-doc gate rows to a parquet
+    sink.  The drained sink is batching-invariant, so this live incremental
+    run keeps the batch query's full DuckDB oracle — same contract as
+    `streaming_tumbling_live`.  The two-batch split is the proof of
+    incrementality: a single-drain run would be indistinguishable from
+    batch."""
+    from pyspark.sql import functions as F
+
+    from airflow_cms_inpatient_etl_spark.operators.text import (
+        exploded_shingle_hashes,
+    )
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table, snapshot
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import stream_dedup_gate
+
+    d = load_table(spark, sf_dir, "documents")
+    index = snapshot(
+        exploded_shingle_hashes(d.filter(F.col("doc_id") % 10 != 0), "doc_id", "text")
+        .select("h")
+        .distinct()
+    )
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    stage_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    out_dir = tempfile.mkdtemp(prefix="dedup_gate_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="dedup_gate_ckpt_")
+    try:
+        _stage_single_parquet(
+            delta.filter(F.col("doc_id") % 20 == 0), stage_dir, "batch_a.parquet", 1_000
+        )
+        _stage_single_parquet(
+            delta.filter(F.col("doc_id") % 20 != 0), stage_dir, "batch_b.parquet", 2_000
+        )
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        # out_dir exists but is empty; foreachBatch appends into it
+        shutil.rmtree(out_dir, ignore_errors=True)
+        q = stream_dedup_gate(stream, index, out_dir, ckpt_dir)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = [
+            (r["doc_id"], r["n_shingles"], r["n_shared"], r["shared_frac"],
+             r["near_dup_of_corpus"])
+            for r in spark.read.parquet(out_dir).collect()
+        ]
+        return spark.createDataFrame(
+            rows,
+            schema="doc_id bigint, n_shingles bigint, n_shared bigint, "
+            "shared_frac double, near_dup_of_corpus boolean",
+        )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+# wire the batch query's oracle onto the live run (same final table by
+# construction); dedup is imported before this module by queries/__init__,
+# and a direct import keeps standalone module loading working too
+import dataclasses as _dc  # noqa: E402
+
+from airflow_cms_inpatient_etl_spark.queries import dedup as _dedup  # noqa: E402,F401
+from airflow_cms_inpatient_etl_spark.queries.base import QUERY_REGISTRY as _REG  # noqa: E402
+
+_REG["streaming_dedup_gate_live"] = _dc.replace(
+    _REG["streaming_dedup_gate_live"], oracle=_REG["dedup_incremental_index"].oracle
+)

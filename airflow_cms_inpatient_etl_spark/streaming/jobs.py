@@ -212,3 +212,64 @@ def stream_cms_cells(events: DataFrame, depth: int = 4, width: int = 64) -> Data
     # cell-exact equivalence the test asserts is true BY CONSTRUCTION
     item = F.get_json_object("props", "$.k").cast("long").alias("item")
     return cms_build(events.select(item), "item", depth, width)
+
+
+def stream_dedup_gate(
+    docs_stream: DataFrame,
+    index_hashes: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming incremental near-dup gate — `dedup_incremental_index` driven
+    continuously: each micro-batch of arriving documents is shingled and
+    joined against the STANDING corpus shingle index (never re-shingling the
+    corpus), and the per-doc gate rows (shingle total, corpus-shared count,
+    ≥50 % near-dup flag) are appended to a parquet sink.  Because the gate
+    is computed per document and documents arrive whole, the drained sink is
+    independent of how the stream was micro-batched — the final table equals
+    the batch query exactly, which is what lets a LIVE streaming run keep a
+    full SQL oracle.  foreachBatch is the pattern (no native streaming
+    writer composes a static-side join + two aggregations per batch).
+
+    Cost per batch: O(batch shingles) map-side + one int64-keyed equi-join
+    against the (bucketed, at scale) index — the daily-crawl ingest shape.
+    Callers pass ``index_hashes`` already materialized (a tracked snapshot /
+    bucketed table): a lazy plan here would re-derive the index EVERY batch.
+
+    Returns the started StreamingQuery (caller drains/stops it).
+    """
+    from airflow_cms_inpatient_etl_spark.operators.text import (
+        exploded_shingle_hashes,
+    )
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sh = exploded_shingle_hashes(batch_df, "doc_id", "text")
+        tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        hit = (
+            sh.join(index_hashes, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        n_sh = F.coalesce(F.col("n_shingles"), F.lit(0).cast("bigint"))
+        n_hit = F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint"))
+        frac = n_hit / F.greatest(n_sh, F.lit(1).cast("bigint"))
+        (
+            batch_df.select("doc_id")
+            .join(tot, "doc_id", "left")
+            .join(hit, "doc_id", "left")
+            .select(
+                "doc_id",
+                n_sh.alias("n_shingles"),
+                n_hit.alias("n_shared"),
+                frac.alias("shared_frac"),
+                (frac >= 0.5).alias("near_dup_of_corpus"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

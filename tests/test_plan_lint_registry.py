@@ -30,6 +30,7 @@ _SKIP = {
     "streaming_late_data_live",
     "streaming_stream_stream_join_live",
     "streaming_stateful_profile_live",
+    "streaming_dedup_gate_live",
 }
 
 # the ONLY queries allowed to cross into Python, all Arrow-batched

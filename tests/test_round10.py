@@ -172,3 +172,19 @@ def test_cluster_aware_split_never_straddles(spark):
         )
 
         release_snapshots(spark)
+
+
+def test_streaming_dedup_gate_equals_batch(spark):
+    """The live foreachBatch gate's drained sink equals the batch
+    incremental-dedup query exactly — batching cannot change a per-document
+    gate (this is what justifies reusing the batch oracle verbatim)."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    try:
+        live = QUERY_REGISTRY["streaming_dedup_gate_live"].fn(spark, SF_SMOKE)
+        batch = QUERY_REGISTRY["dedup_incremental_index"].fn(spark, SF_SMOKE)
+        a = {tuple(r) for r in live.collect()}
+        b = {tuple(r) for r in batch.collect()}
+        assert a == b and len(a) > 0
+    finally:
+        release_snapshots(spark)
