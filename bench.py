@@ -264,6 +264,9 @@ HEADLINE = [
     # round-10 wave 4: leakage-safe cluster-keyed train/eval split (pair
     # graph + large-star/small-star components + rep-keyed hash split)
     "split_cluster_aware",
+    # round-10 wave 5: the live streaming ingest dedup gate (two forced
+    # micro-batches through foreachBatch against the standing index)
+    "streaming_dedup_gate_live",
 ]
 
 
