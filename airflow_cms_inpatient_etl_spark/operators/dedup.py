@@ -135,14 +135,25 @@ def ngram_jaccard_pairs(
     threshold: float,
     k: int = 3,
     max_df: int | None = None,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (id1 < id2, jaccard ≥ threshold).
 
     ``max_df`` drops stop-shingles before the self-join (see
     cap_stop_shingles); Jaccard is then computed over the capped shingle sets,
     which slightly *raises* scores for boilerplate-heavy pairs — acceptable:
-    the cap exists to bound the join, not to be invisible."""
+    the cap exists to bound the join, not to be invisible.
+
+    ``cache_shingles``: the posting list feeds THREE consumers inside
+    ``_pair_jaccard`` (size census + both sides of the inverted-index
+    self-join), so by default it is materialized once as a tracked snapshot
+    (same contract and rationale as ``minhash_lsh_pairs``; freed by
+    ``sources.registry.release_snapshots``).  Pass False for tiny inputs."""
     ex = cap_stop_shingles(exploded_shingle_hashes(df, id_col, text_col, k), max_df)
+    if cache_shingles:
+        from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
+
+        ex = snapshot(ex)
     return (
         _pair_jaccard(ex, id_col)
         .filter(F.col("jaccard") >= threshold)

@@ -56,9 +56,9 @@ _PRIORITY = [
     # (b) the round-10 additions, (c) EVERY row whose code or plan changed   #
     # since its last green driver row — the round-9 spread_scan rollout,     #
     # the tracked-snapshot conversions, the skew-safe top-k rewrites, and    #
-    # this round's pure-operator gate refactors — and (d) 15 of the 35      #
+    # this round's pure-operator gate refactors — and (d) 14 of the 35      #
     # r5-stale rows.  After round 10: no never-checked rows, no unchecked    #
-    # plan changes, and only 20 r5-stale rows remain (they lead round 11).  #
+    # plan changes, and only 21 r5-stale rows remain (they lead round 11).  #
     # ======================================================================= #
     # -- a. never driver-checked round-9 additions -------------------------- #
     "corpus_ngram_novelty",
@@ -110,11 +110,15 @@ _PRIORITY = [
     #    pipeline (four consumers of the gram hashing materialize it once;  #
     #    isolated p50 3.97 → 2.96 s)...                                     #
     "dedup_prefix_jaccard",
-    #    ...and this round's single-window-pass rewrite of the weighted     #
+    #    ...this round's single-window-pass rewrite of the weighted         #
     #    median (totals ride the cumulative window's exchange; 2.72 →       #
-    #    1.60 s isolated).                                                  #
+    #    1.60 s isolated)...                                                #
     "weighted_median_price",
-    # -- d. the 15 oldest r5-stale rows ------------------------------------- #
+    #    ...and the cache_shingles default on ngram_jaccard_pairs (the      #
+    #    posting list feeds 3 consumers; split_cluster_aware 6.2 → 4.3 s)   #
+    #    — re-seating the one affected caller not already in this window.   #
+    "dedup_connected_components",
+    # -- d. the 14 oldest r5-stale rows ------------------------------------- #
     "bloom_semijoin_lineitem",
     "dedup_exact_distinct",
     "dedup_exact_text",
@@ -129,12 +133,12 @@ _PRIORITY = [
     "events_gap_fill_hourly",
     "events_interval_attribution",
     "events_sliding_window",
-    "events_tumbling_window",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-11 QUEUE: the 20 remaining r5-stale rows (below), then the       #
+    # ROUND-11 QUEUE: the 21 remaining r5-stale rows (below), then the       #
     # r9-window rows in their round-9 order.  Every round-10 changed query   #
     # was hash-verified locally at sf0.01 (heavy ones also at sf0.1; the     #
     # five new queries at all three scales).                                 #
+    "events_tumbling_window",
     "graph_personalized_pagerank",
     "graph_triangle_count",
     "join_multiway_revenue",
@@ -198,7 +202,8 @@ _PRIORITY = [
     "flagship_patient_claims_plus",
     "q1_pricing_summary",
     "dedup_minhash_lsh",
-    "dedup_connected_components",
+    # (dedup_connected_components moved up into the round-10 window — its
+    # producer's plan changed with the cache_shingles default)
     "sim_cosine_topk_brute",
     "events_asof_last_click",
     "events_session_window",

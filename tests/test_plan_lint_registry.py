@@ -62,6 +62,10 @@ _NEW_SINCE_GATE = [
     "split_cluster_aware",             # r10: new — leakage-safe cluster split
     "dedup_lsh_recall_report",         # r10: truth/lsh pair-list snapshots
     "weighted_median_price",           # r10: single-window-pass rewrite
+    # r10: ngram_jaccard_pairs cache_shingles default (3-consumer posting list)
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "split_cluster_aware",
 ]
 
 
