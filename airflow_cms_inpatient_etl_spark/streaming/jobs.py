@@ -236,6 +236,14 @@ def stream_dedup_gate(
     Callers pass ``index_hashes`` already materialized (a tracked snapshot /
     bucketed table): a lazy plan here would re-derive the index EVERY batch.
 
+    Restart safety: each batch OVERWRITES its own ``batch_id=N``
+    subdirectory of ``out_dir`` (a plain append would double-write on a
+    crash-replay between the sink write and the checkpoint commit — the
+    same torn-write hazard the CDC sink's idempotent merge handles); a
+    replayed batch recreates identical content, so the drained sink is
+    exactly-once.  Readers see ``batch_id`` as a discovered partition
+    column and project it away.
+
     Returns the started StreamingQuery (caller drains/stops it).
     """
     from airflow_cms_inpatient_etl_spark.operators.text import (
@@ -264,8 +272,8 @@ def stream_dedup_gate(
                 frac.alias("shared_frac"),
                 (frac >= 0.5).alias("near_dup_of_corpus"),
             )
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={int(batch_id)}")
         )
 
     return (
