@@ -225,3 +225,38 @@ def test_cdc_rolling_hash_cuts_match_reference_on_random_text(spark, s):
         .collect()[0]["ends"]
     )
     assert got == expected, s
+
+
+# --------------------------------------------------------------------------- #
+# BPE boundary-encoding theorem (round 10)                                     #
+# --------------------------------------------------------------------------- #
+# The trainer applies a merge as ONE single-pass string replace over the
+# ' tok;' boundary encoding.  The claim: for ANY token sequence and ANY merge
+# pair, that replace equals the canonical left-to-right greedy list merge.
+# Python's str.replace has the same single-pass non-overlapping semantics as
+# Spark's and DuckDB's REPLACE (the 3-scale oracle differentials pin the
+# engines to each other; this pins the shared semantics to the canonical
+# algorithm over the whole input space, not just the fixture corpus).
+
+_tok = st.text(alphabet="ab1", min_size=1, max_size=3)  # tiny alphabet → dense collisions
+
+
+def _greedy_merge(tokens, left, right):
+    out, i = [], 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and tokens[i] == left and tokens[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_tok, min_size=1, max_size=12), _tok, _tok)
+def test_boundary_encoded_replace_equals_greedy_merge(tokens, left, right):
+    encoded = "".join(f" {t};" for t in tokens)
+    replaced = encoded.replace(f" {left}; {right};", f" {left}{right};")
+    decoded = replaced[1:].rstrip(";").split("; ") if replaced else []
+    assert decoded == _greedy_merge(tokens, left, right)
