@@ -267,6 +267,10 @@ HEADLINE = [
     # round-10 wave 5: the live streaming ingest dedup gate (two forced
     # micro-batches through foreachBatch against the standing index)
     "streaming_dedup_gate_live",
+    # round-10 wave 6: the exact-Jaccard pair family measured directly (its
+    # shared producer gained the cache_shingles snapshot this round)
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
 ]
 
 
