@@ -147,8 +147,12 @@ def ngram_jaccard_pairs(
     ``cache_shingles``: the posting list feeds THREE consumers inside
     ``_pair_jaccard`` (size census + both sides of the inverted-index
     self-join), so by default it is materialized once as a tracked snapshot
-    (same contract and rationale as ``minhash_lsh_pairs``; freed by
-    ``sources.registry.release_snapshots``).  Pass False for tiny inputs."""
+    (same contract and rationale as ``minhash_lsh_pairs``).  **Caller
+    obligation**: with the default True, the snapshot pins executor storage
+    until ``sources.registry.release_snapshots(spark)`` is called — library
+    callers outside the bench/driver loop (which both release per query) must
+    either call it when done or pass ``cache_shingles=False`` (correct, just
+    re-derives the posting list per consumer)."""
     ex = cap_stop_shingles(exploded_shingle_hashes(df, id_col, text_col, k), max_df)
     if cache_shingles:
         from airflow_cms_inpatient_etl_spark.sources.registry import snapshot

@@ -177,7 +177,12 @@ def mixed_language_chunk_flags(
     )
 
 
-def bpe_train(words: DataFrame, n_merges: int) -> list[tuple[int, str, str, str, int]]:
+def bpe_train(
+    words: DataFrame,
+    n_merges: int,
+    resnapshot_every: int = 64,
+    merge_seconds: list[float] | None = None,
+) -> list[tuple[int, str, str, str, int]]:
     """Full iterative BPE tokenizer-training loop (Sennrich et al. ACL'16
     learn_bpe shape — the reference's single training step
     ``bpe_merge_candidates`` iterated to a merge budget / target vocab):
@@ -205,18 +210,39 @@ def bpe_train(words: DataFrame, n_merges: int) -> list[tuple[int, str, str, str,
     the word count the caller did to build ``words``).  Each iteration is
     one vocab-sized map + one pair-keyed shuffle with map-side partial
     combine + a single-row driver argmax; merge application folds a pure
-    ``replace`` map onto the snapshot lineage (no new exchange, no growing
-    plan-replay cost: the vocab table is snapshot once).  Driver state is
-    the merge table itself — ``n_merges`` rows — so the loop distributes to
-    any corpus whose VOCABULARY fits a shuffle, which is every corpus.
+    ``replace`` map onto the snapshot lineage (no new exchange).  That
+    lineage DOES grow — the census at merge k replays every ``replace``
+    appended since the last snapshot — so ``cur`` is re-snapshot (eager
+    localCheckpoint, previous blocks released) every ``resnapshot_every``
+    merges, bounding per-census replay to O(resnapshot_every) and total
+    transform work to O(n_merges * resnapshot_every) instead of the
+    O(n_merges**2) a single up-front snapshot gives at a production 32k
+    merge budget.  Driver state is the merge table itself — ``n_merges``
+    rows — so the loop distributes to any corpus whose VOCABULARY fits a
+    shuffle, which is every corpus.
+
+    ``merge_seconds``: optional canary instrumentation — when a list is
+    passed, per-merge wall seconds are appended to it (used by the scale
+    canary asserting the per-merge cost stays flat across the budget).
     """
-    cur = _snapshot(words)  # scanned n_merges times — materialize once
+    import time as _time
+
+    from airflow_cms_inpatient_etl_spark.sources.registry import (
+        release_snapshots,
+        tracked_localcheckpoint,
+    )
+
+    spark = words.sparkSession
+    # scanned n_merges times — materialize once; keep the release handle so
+    # periodic re-snapshots can free the superseded blocks mid-loop
+    cur, cur_ids = tracked_localcheckpoint(words, eager=False)
     pair_arr = F.expr(
         "transform(sequence(1, size(__t) - 1),"
         " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
+        t0 = _time.perf_counter()
         toks = cur.select(
             F.split(F.expr("trim(TRAILING ';' FROM substring(seq, 2))"), "; ").alias("__t"),
             "freq",
@@ -245,6 +271,14 @@ def bpe_train(words: DataFrame, n_merges: int) -> list[tuple[int, str, str, str,
             "seq",
             F.replace(F.col("seq"), F.lit(f" {left}; {right};"), F.lit(f" {left}{right};")),
         )
+        if rank % resnapshot_every == 0 and rank < n_merges:
+            # EAGER so the new blocks exist before the superseded snapshot
+            # (which has no recompute lineage) is released out from under it
+            cur, new_ids = tracked_localcheckpoint(cur, eager=True)
+            release_snapshots(spark, ids=cur_ids)
+            cur_ids = new_ids
+        if merge_seconds is not None:
+            merge_seconds.append(_time.perf_counter() - t0)
     return merges
 
 

@@ -1610,8 +1610,9 @@ def bpe_train_vocab(spark, sf_dir):
 
     Scale (see the operator docstring): one corpus-sized shuffle total
     (the word count); per merge, one vocab-sized map + one pair-keyed
-    partial-combined shuffle + a 1-row driver argmax; the vocab table is
-    snapshot once and merge application folds replace maps onto it."""
+    partial-combined shuffle + a 1-row driver argmax; merge application
+    folds replace maps onto the vocab snapshot, re-snapshot every 64
+    merges so lineage replay stays bounded at large merge budgets."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
@@ -1621,6 +1622,17 @@ def bpe_train_vocab(spark, sf_dir):
         .select(F.regexp_replace("w", "(.)", " $1;").alias("seq"), "freq")
     )
     merges = bpe_train(words, _BPE_TRAIN_MERGES)
+    # The oracle unrolls exactly _BPE_TRAIN_MERGES blocks as w{i} CROSS JOIN
+    # b{i}; if the census ran dry early, b{i} would be EMPTY and empty the
+    # oracle's whole vocab chain while the engine broke gracefully with
+    # partial merges — a silent engine/oracle divergence.  Fail loudly here
+    # instead: the fixture corpus must sustain the full merge budget.
+    if len(merges) != _BPE_TRAIN_MERGES:
+        raise ValueError(
+            f"bpe_train_vocab: census ran dry after {len(merges)} of "
+            f"{_BPE_TRAIN_MERGES} merges; the unrolled oracle assumes the "
+            f"full budget — lower _BPE_TRAIN_MERGES or grow the corpus."
+        )
     return spark.createDataFrame(
         merges, schema="rnk bigint, lft string, rgt string, merged string, pair_n bigint"
     )
@@ -1707,6 +1719,14 @@ def bpe_train_apply_compression(spark, sf_dir):
     )
     words = base.select(F.regexp_replace("w", "(.)", " $1;").alias("seq"), "freq")
     merges = bpe_train(words, _BPE_TRAIN_MERGES)
+    if len(merges) != _BPE_TRAIN_MERGES:
+        # see bpe_train_vocab: a dry census would silently empty the oracle's
+        # CROSS JOIN chain while the engine returned partial-merge results
+        raise ValueError(
+            f"bpe_train_apply_compression: census ran dry after "
+            f"{len(merges)} of {_BPE_TRAIN_MERGES} merges; the unrolled "
+            f"oracle assumes the full budget."
+        )
     enc = F.regexp_replace("w", "(.)", " $1;")
     for _, left, right, merged, _n in merges:
         enc = F.replace(enc, F.lit(f" {left}; {right};"), F.lit(f" {merged};"))

@@ -85,47 +85,69 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-# Logical-plan node names that put an exchange or a subquery between the scan
-# and spread_scan's probe.  Under AQE (on in the tuned session) ``df.rdd`` on
-# such a plan FINALIZES the adaptive plan — executing every upstream shuffle
-# query stage as real jobs at plan-build time — so spread_scan refuses them.
-_NON_SCAN_NODES = (
-    "Join",
-    "Aggregate",
-    "Window",
-    "Sort",
-    "Repartition",  # also matches RepartitionByExpression
-    "Deduplicate",
-    "Intersect",
-    "Except",
-    "CoGroup",
-    "FlatMapGroups",
-    "scalar-subquery",
-    "exists-subquery",
-    "in-subquery",
+# Logical-plan node names ALLOWED between the scan and spread_scan's probe —
+# nodes that never introduce an exchange or a subquery.  Under AQE (on in the
+# tuned session) ``df.rdd`` on a plan WITH an exchange/subquery FINALIZES the
+# adaptive plan — executing every upstream shuffle query stage as real jobs at
+# plan-build time — so spread_scan accepts only these and refuses everything
+# else (an allowlist: a future exchange-introducing node is rejected by
+# default instead of silently admitted, the round-10 ADVICE hazard).
+_SCAN_SHAPED_NODES = frozenset(
+    {
+        # scans (v1 LogicalRelation renders as "Relation", DSv2 as "RelationV2")
+        "Relation",
+        "RelationV2",
+        "LogicalRelation",
+        "LocalRelation",
+        "OneRowRelation",
+        "Range",
+        "LogicalRDD",
+        # exchange-free row-local transforms
+        "Project",
+        "Filter",
+        "Generate",
+        # resolution wrappers the optimizer usually (but not contractually)
+        # removes — exchange-free either way
+        "SubqueryAlias",
+        "View",
+    }
 )
 
 
 def _assert_scan_shaped(df: DataFrame) -> None:
     """Raise unless ``df`` is scan-shaped (scan + project/filter/generate only).
 
-    Checks the OPTIMIZED LOGICAL plan — rendering it is pure analysis, never a
-    job.  A scan-shaped plan has no exchange and no subquery, so AQE does not
-    wrap it (``AdaptiveSparkPlanExec`` applies only to plans with exchanges or
-    subqueries unless forceApply is set) and ``df.rdd`` below stays job-free.
+    Walks the OPTIMIZED LOGICAL plan tree by node name — pure analysis, never
+    a job, and immune to column/literal names that happen to contain words
+    like 'Sort' or 'Join' (the substring false-positive the round-10 ADVICE
+    flagged).  A scan-shaped plan has no exchange and no subquery, so AQE does
+    not wrap it (``AdaptiveSparkPlanExec`` applies only to plans with
+    exchanges or subqueries unless forceApply is set) and ``df.rdd`` below
+    stays job-free.  Expression-level subqueries (scalar/exists/in) don't
+    appear as children, so ``QueryPlan.subqueries()`` is checked per node.
     """
-    import re
-
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    for node in _NON_SCAN_NODES:
-        if re.search(rf"\b{re.escape(node)}", plan):
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name not in _SCAN_SHAPED_NODES:
             raise ValueError(
                 f"spread_scan requires a scan-shaped input (scan + project/"
-                f"filter only); found {node!r} in the plan. Under AQE, probing "
+                f"filter only); found {name!r} in the plan. Under AQE, probing "
                 f"partition counts downstream of an exchange executes the "
                 f"upstream stages at plan-build time. Apply spread_scan to "
                 f"the scan BEFORE joins/aggregates, or repartition explicitly."
             )
+        subqueries = node.subqueries()
+        if subqueries.nonEmpty():
+            raise ValueError(
+                f"spread_scan requires a subquery-free input; node {name!r} "
+                f"carries an expression subquery, which makes AQE wrap the "
+                f"plan and turns the partition probe into real jobs."
+            )
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
 
 
 def spread_scan(df: DataFrame, key_col: str, min_partitions: int | None = None) -> DataFrame:

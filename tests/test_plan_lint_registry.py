@@ -63,9 +63,9 @@ _NEW_SINCE_GATE = [
     "dedup_lsh_recall_report",         # r10: truth/lsh pair-list snapshots
     "weighted_median_price",           # r10: single-window-pass rewrite
     # r10: ngram_jaccard_pairs cache_shingles default (3-consumer posting list)
+    # (split_cluster_aware already listed above — don't re-add it here)
     "dedup_ngram_jaccard",
     "dedup_connected_components",
-    "split_cluster_aware",
 ]
 
 

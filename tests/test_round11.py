@@ -1,0 +1,136 @@
+"""Round-11 additions: BPE trainer lineage-bound canary, spread_scan
+allowlist plan walk, and the round-11 verdict-directive fixes."""
+
+from __future__ import annotations
+
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.operators.text import bpe_train
+from airflow_cms_inpatient_etl_spark.sources.registry import (
+    load_table,
+    release_snapshots,
+    spread_scan,
+)
+from tests.conftest import SF_SMOKE
+
+
+# --------------------------------------------------------------------------- #
+# BPE trainer: periodic re-snapshot (round-10 verdict directive #4)            #
+# --------------------------------------------------------------------------- #
+
+
+def _synthetic_words(spark, n_words: int = 400):
+    """Deterministic distinct-word table that sustains 128+ merges: words are
+    mixed-radix digit strings over a 7-letter alphabet, 12 tokens each, so
+    the pair census stays rich as merges consume pairs."""
+    alpha = "abcdefg"
+    rows = []
+    for i in range(n_words):
+        x, chars = i * 2654435761 % (7**12), []
+        for _ in range(12):
+            chars.append(alpha[x % 7])
+            x //= 7
+        rows.append((" " + "; ".join(chars) + ";", (i % 9) + 1))
+    return spark.createDataFrame(rows, schema="seq string, freq int")
+
+
+def test_bpe_resnapshot_semantically_invisible(spark):
+    """The re-snapshot cadence is a pure execution detail: every cadence
+    yields the identical merge table (the correctness guard for the
+    O(n_merges^2) lineage fix)."""
+    words = _synthetic_words(spark, 120)
+    try:
+        base = bpe_train(words, 24, resnapshot_every=10**9)  # never re-snapshot
+        for every in (4, 7, 24):
+            assert bpe_train(words, 24, resnapshot_every=every) == base
+    finally:
+        release_snapshots(spark)
+
+
+def test_bpe_128_merge_flat_slope_canary(spark):
+    """Per-merge wall time stays flat across a 128-merge budget with the
+    default re-snapshot cadence — the directive's canary that the census at
+    merge k no longer replays k-1 replace maps.  Windows skip the first 16
+    merges (session/codegen warmup) and the bound is generous (3x) because
+    fixture-scale merges are scheduling-overhead-dominated."""
+    words = _synthetic_words(spark, 400)
+    timings: list[float] = []
+    try:
+        merges = bpe_train(words, 128, resnapshot_every=32, merge_seconds=timings)
+        assert len(merges) == 128, "fixture must sustain the full budget"
+        assert len(timings) == 128
+        early = statistics.mean(timings[16:48])
+        late = statistics.mean(timings[96:128])
+        assert late <= 3.0 * early, (
+            f"per-merge cost grew {late / early:.2f}x across the budget "
+            f"(early {early:.3f}s, late {late:.3f}s) - lineage replay is back"
+        )
+    finally:
+        release_snapshots(spark)
+
+
+def test_bpe_resnapshot_releases_superseded_blocks(spark):
+    """Mid-loop re-snapshots FREE the superseded snapshot: after training
+    with a tight cadence, at most one tracked vocab snapshot remains pinned
+    (plus nothing from the released predecessors)."""
+    jsc = spark.sparkContext._jsc
+
+    def live() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    release_snapshots(spark)
+    before = live()
+    words = _synthetic_words(spark, 120)
+    try:
+        bpe_train(words, 24, resnapshot_every=4)
+        leaked = live() - before
+        # one live snapshot (the final one) is the operator's documented
+        # contract; 6 would mean the mid-loop releases did not happen
+        assert len(leaked) <= 1, f"superseded snapshots still pinned: {leaked}"
+    finally:
+        release_snapshots(spark)
+
+
+# --------------------------------------------------------------------------- #
+# spread_scan: allowlist plan-tree walk (round-10 ADVICE)                      #
+# --------------------------------------------------------------------------- #
+
+
+def test_spread_scan_ignores_banned_words_in_column_names(spark):
+    """The old substring screen false-positived on plans whose COLUMN NAMES
+    contain banned node words; the node-name tree walk must not."""
+    d = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(
+            F.col("doc_id").alias("SortKey"),
+            F.col("text").alias("JoinHint"),
+            F.lit("Aggregate Window Except").alias("Repartition"),
+        )
+        .filter(F.col("SortKey") >= 0)
+    )
+    out = spread_scan(d, "SortKey")
+    assert out.count() > 0
+
+
+def test_spread_scan_rejects_expression_subquery(spark):
+    """Scalar subqueries live in EXPRESSIONS, not plan children — the walk
+    must still refuse them (AQE wraps subquery plans)."""
+    load_table(spark, SF_SMOKE, "documents").createOrReplaceTempView("r11_docs")
+    d = spark.sql(
+        "SELECT doc_id, text FROM r11_docs "
+        "WHERE doc_id > (SELECT MIN(doc_id) FROM r11_docs)"
+    )
+    with pytest.raises(ValueError, match="subquery"):
+        spread_scan(d, "doc_id")
+
+
+def test_spread_scan_rejects_unknown_nodes_by_default(spark):
+    """Allowlist semantics: a node the list does not know (here Sort) is
+    rejected even though the old denylist would also have caught it — the
+    point is future exchange-introducing nodes fail closed."""
+    d = load_table(spark, SF_SMOKE, "documents").orderBy("doc_id")
+    with pytest.raises(ValueError, match="scan-shaped"):
+        spread_scan(d, "doc_id")
