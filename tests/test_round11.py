@@ -134,3 +134,72 @@ def test_spread_scan_rejects_unknown_nodes_by_default(spark):
     d = load_table(spark, SF_SMOKE, "documents").orderBy("doc_id")
     with pytest.raises(ValueError, match="scan-shaped"):
         spread_scan(d, "doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# cluster_aware_split: LSH-pairs scale variant (round-10 verdict directive #5) #
+# --------------------------------------------------------------------------- #
+
+
+def test_cluster_split_lsh_pairs_equivalent_where_recall_is_1(spark):
+    """The 100-TB posture swaps the exact-Jaccard pair graph for the verified
+    MinHash-LSH pairs inside the SAME cluster_aware_split machinery.  Both
+    produce verified-Jaccard edges, so wherever LSH recall = 1 the edge sets
+    — and therefore clusters, reps, sizes, and splits — are identical."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import (
+        cluster_aware_split,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    try:
+        exact = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+        lsh = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8)
+        e_pairs = {(r.id1, r.id2) for r in exact.select("id1", "id2").collect()}
+        l_pairs = {(r.id1, r.id2) for r in lsh.select("id1", "id2").collect()}
+        # precondition the equivalence claim is scoped to: banding missed
+        # nothing at >=0.8 on this fixture (RECALL.md tracks this over rounds)
+        assert l_pairs == e_pairs, (
+            f"LSH recall != 1 on fixture: missed {len(e_pairs - l_pairs)}, "
+            f"extra {len(l_pairs - e_pairs)} - equivalence test needs a "
+            f"recall-1 slice"
+        )
+        split_e = {
+            tuple(r)
+            for r in cluster_aware_split(d, "doc_id", exact, train_pct=90).collect()
+        }
+        split_l = {
+            tuple(r)
+            for r in cluster_aware_split(d, "doc_id", lsh, train_pct=90).collect()
+        }
+        assert split_e == split_l
+    finally:
+        release_snapshots(spark)
+
+
+def test_cluster_split_leakage_guarantee(spark):
+    """The invariant that holds at EVERY corpus snapshot (unlike rep-hash
+    stability, which the round-10 verdict corrected): both ends of every
+    near-dup pair land on the same side of the holdout."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import (
+        cluster_aware_split,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    try:
+        pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+        split = cluster_aware_split(d, "doc_id", pairs, train_pct=90)
+        s1 = split.select(F.col("doc_id").alias("id1"), F.col("split").alias("split1"))
+        s2 = split.select(F.col("doc_id").alias("id2"), F.col("split").alias("split2"))
+        straddlers = (
+            pairs.join(s1, "id1").join(s2, "id2")
+            .filter(F.col("split1") != F.col("split2"))
+            .count()
+        )
+        assert straddlers == 0
+        # and the pair graph is non-trivial, so the test has teeth
+        assert pairs.count() > 0
+    finally:
+        release_snapshots(spark)
