@@ -865,3 +865,116 @@ def test_bpe_trainer_census_scales_linearly_at_10x(spark):
         )
     finally:
         release_snapshots(spark)
+
+
+# --------------------------------------------------------------------------- #
+# Hot-stratum canary (round-10 verdict directive #3, twice-deferred):          #
+# the skew-safe two-phase top-k windows exercised against a stratum that      #
+# actually IS hot — 90% of documents in ONE source and ONE language (the     #
+# shipped fixture is near-uniform, so until now the salting was insurance    #
+# priced at zero).                                                            #
+# --------------------------------------------------------------------------- #
+
+HOT_SRC_DIR = "/root/testdata/sf0.1"
+HOT_SHARE = 0.9
+
+
+@pytest.fixture(scope="module")
+def hot_stratum_dir(spark, tmp_path_factory):
+    """sf0.1 documents re-skewed: doc_id % 10 != 0 (~90% of 5000 rows) lands
+    in source 'src99' and lang 'xx'; the rest keep their values so small
+    strata still exist beside the hot one.  ('srcNN' respects the corpus
+    contract corpus_curation_v3 parses a priority from.)"""
+    d = str(tmp_path_factory.mktemp("hotstrat"))
+    docs = load_table(spark, HOT_SRC_DIR, "documents")
+    hot = F.col("doc_id") % 10 != 0
+    docs.select(
+        "doc_id",
+        "text",
+        F.when(hot, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+        F.when(hot, F.lit("src99")).otherwise(F.col("source")).alias("source"),
+        "n_chars",
+    ).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _hot_ddb(hot_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{hot_dir}/documents.parquet/*.parquet'"
+    )
+    return con
+
+
+def test_hot_stratum_two_phase_topk_hash_unchanged(spark, hot_stratum_dir):
+    """The two directive-named quota/sample queries stay bit-exact vs the
+    naive-single-window oracle when one stratum holds 90% of the corpus —
+    the sharding identity proven under real skew, not just uniform data."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from conftest import assert_frames_match
+
+    con = _hot_ddb(hot_stratum_dir)
+    try:
+        for name in ("docs_source_cap", "stratified_sample_exact_k"):
+            spec = QUERY_REGISTRY[name]
+            sp = spec.fn(spark, hot_stratum_dir).toPandas()
+            assert_frames_match(sp, con.execute(spec.oracle).df(), f"hot:{name}")
+    finally:
+        con.close()
+        release_snapshots(spark)
+
+
+def test_hot_stratum_phase1_per_shard_input_bounded(spark, hot_stratum_dir):
+    """The point of the salting: phase 1's window partitions are (stratum,
+    shard), so the hot stratum's rows spread across _STRAT_SHARDS shards and
+    NO single sort task sees the whole stratum.  Recomputes the queries' own
+    shard keys and asserts the max per-(stratum, shard) group is ~1/shards
+    of the hot stratum (2x tolerance for hash variance) — without the salt
+    it would be the full 90%."""
+    from airflow_cms_inpatient_etl_spark.operators.text import hash60
+    from airflow_cms_inpatient_etl_spark.queries.pipeline import _STRAT_SHARDS
+
+    d = load_table(spark, hot_stratum_dir, "documents")
+    n = d.count()
+    hot_n = d.filter(F.col("source") == "src99").count()
+    assert hot_n >= HOT_SHARE * n * 0.95, "fixture must actually be hot"
+
+    for stratum_col, seed in (("source", "cap:"), ("lang", "strat:")):
+        hv = hash60(F.col("doc_id").cast("string"), seed=seed)
+        per_shard = (
+            d.select(stratum_col, (hv % _STRAT_SHARDS).alias("__shard"))
+            .groupBy(stratum_col, "__shard")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .agg(F.max("rows").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        bound = 2.0 * hot_n / _STRAT_SHARDS
+        assert per_shard <= bound, (
+            f"{stratum_col}: a phase-1 sort task sees {per_shard} rows "
+            f"(> {bound:.0f}) - the hot stratum is not being spread"
+        )
+
+
+@pytest.mark.slow
+def test_hot_stratum_curation_pipelines_hash_unchanged(spark, hot_stratum_dir):
+    """The remaining two-phase top-k consumers (the curation pipelines'
+    per-source quota and per-language cap) also stay bit-exact under the
+    90% stratum."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from conftest import assert_frames_match
+
+    con = _hot_ddb(hot_stratum_dir)
+    try:
+        for name in ("corpus_curation_v2", "corpus_curation_v3"):
+            spec = QUERY_REGISTRY[name]
+            sp = spec.fn(spark, hot_stratum_dir).toPandas()
+            assert_frames_match(sp, con.execute(spec.oracle).df(), f"hot:{name}")
+    finally:
+        con.close()
+        release_snapshots(spark)
