@@ -204,3 +204,76 @@ def caption_containment_gate(
         bp.cast("long").alias("align_bp"),
         (bp >= gate_bp).alias("is_aligned"),
     )
+
+
+def transcript_containment_gate(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pair_audio: str = "doc_id",
+    pair_transcript: str = "transcript_doc",
+    chunk_ms: int = 5000,
+    gate_bp: int = 5000,
+) -> DataFrame:
+    """Audio-transcript ALIGNMENT gate (PURE operator — pairing comes in as
+    data, exactly like ``caption_containment_gate``): score each (audio,
+    transcript) pair by CHUNK-HASH CONTAINMENT — the share of the audio
+    doc's ``chunk_ms`` segments whose decoded-content hash appears anywhere
+    in the paired transcript's segment-hash set — and flag pairs at or
+    above ``gate_bp`` basis points.  Scores are integer basis points
+    (multiply-then-integer-divide): no float division in an oracle-checked
+    aggregate.
+
+    The ASR kernel is replaced by the container's deterministic stub
+    contract (``attach_binary_payload``: 1 payload byte = 1 ms, and a
+    segment "transcribes" back to the text it covers), so a segment's
+    transcription is the ``chunk_ms``-char substring at its offset and both
+    sides chunk identically — a matched transcript contains every audio
+    chunk hash (10000 bp); a swapped transcript shares none (~0 bp).
+
+    Scale: chunk hashes are 60-bit ints derived map-side (payload text
+    never keys an exchange); per-doc chunk count is duration/chunk_ms (the
+    ``multimodal_audio_chunks`` explode); the containment join is hash-equi
+    on (transcript_doc, h); the gate is a filterable flag so downstream
+    ASR-training stages prune misaligned pairs at the scan.
+    """
+    from airflow_cms_inpatient_etl_spark.operators.text import hash60
+    from airflow_cms_inpatient_etl_spark.sources.registry import spread_scan
+
+    base = spread_scan(
+        docs.select(F.col(id_col), F.col(text_col).alias("__t")), id_col
+    )
+    starts = F.when(
+        F.length("__t") >= 1,
+        F.sequence(F.lit(0), F.length("__t") - 1, F.lit(chunk_ms)),
+    ).otherwise(F.array().cast("array<integer>"))
+    chunk_hashes = F.transform(
+        starts, lambda s: hash60(F.substring(F.col("__t"), s + 1, F.lit(chunk_ms)))
+    )
+    ch = base.select(F.col(id_col), F.explode(chunk_hashes).alias("h")).distinct()
+    a = ch.select(F.col(id_col).alias(pair_audio), "h")
+    t = ch.select(F.col(id_col).alias("__tr_doc"), F.col("h").alias("__th"))
+    scored = (
+        pairs.join(a, pair_audio)
+        .join(
+            t,
+            (F.col(pair_transcript) == F.col("__tr_doc"))
+            & (F.col("h") == F.col("__th")),
+            "left",
+        )
+        .groupBy(pair_audio, pair_transcript)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count("__th").cast("long").alias("n_matched"),
+        )
+    )
+    bp = F.expr("n_matched * 10000 div n_chunks")
+    return scored.select(
+        pair_audio,
+        pair_transcript,
+        "n_chunks",
+        "n_matched",
+        bp.cast("long").alias("align_bp"),
+        (bp >= gate_bp).alias("is_aligned"),
+    )

@@ -50,94 +50,33 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # ======================================================================= #
-    # ROUND-10 WINDOW (first 50).  Policy: never-checked > code-changed-      #
-    # since-last-check > stalest-green.  Round 9 closed 50/50 green; this     #
-    # rotation seats (a) the 3 never-driver-checked round-9 additions,       #
-    # (b) the round-10 additions, (c) EVERY row whose code or plan changed   #
-    # since its last green driver row — the round-9 spread_scan rollout,     #
-    # the tracked-snapshot conversions, the skew-safe top-k rewrites, and    #
-    # this round's pure-operator gate refactors — and (d) 14 of the 35      #
-    # r5-stale rows.  After round 10: no never-checked rows, no unchecked    #
-    # plan changes, and only 21 r5-stale rows remain (they lead round 11).  #
+    # ROUND-11 WINDOW (first 50).  Policy: never-checked > code-changed-      #
+    # since-last-check > stalest-green.  Round 10 closed 50/50 green and the  #
+    # cross-round union has NO never-checked rows, so this rotation seats     #
+    # (a) the round-11 additions, (b) the rows whose code changed in round    #
+    # 11 (BPE trainer re-snapshot cadence; split machinery factored into     #
+    # operators.dedup.cluster_aware_split), (c) the rows whose plans changed #
+    # in LATE round 10 after the driver recording (the cache_shingles        #
+    # default's consumers and the final perf rewrites), (d) ALL 21 r5-stale  #
+    # rows, and (e) the oldest r6-stale rows filling the remaining slots.    #
+    # After round 11: no row older than r6, and the r6 cohort shrinks 40->21.#
     # ======================================================================= #
-    # -- a. never driver-checked round-9 additions -------------------------- #
-    "corpus_ngram_novelty",
-    "decontaminate_embedding_cosine",   # also refactored this round (pure op)
-    "text_mixed_language_flag",         # also refactored this round (pure op)
-    # -- b. new this round: the full iterative BPE trainer, its train-then-  #
-    #    encode compression close, and the BM25 + cosine reciprocal-rank-    #
-    #    fusion hybrid retrieval query                                       #
+    # -- a. new this round ---------------------------------------------------#
+    "multimodal_audio_transcript_align",
+    # -- b. code changed in round 11 ---------------------------------------- #
+    "split_cluster_aware",
     "bpe_train_vocab",
     "bpe_train_apply_compression",
-    "search_hybrid_rrf",
-    "split_cluster_aware",
-    "streaming_dedup_gate_live",
-    # -- c. code/plan changed since last green driver row: the round-9       #
-    #    spread_scan rollout (guarded small-scan parallelization in the      #
-    #    shared tokenization/segmentation primitives)...                     #
-    "bpe_apply_encode",
-    "corpus_curation_v6",
-    "corpus_datacard",
-    "decontaminate_ngram_overlap",
-    "dedup_containment",
-    "dedup_cross_doc_lines",
-    "dedup_incremental_index",
-    "dedup_lsh_recall_report",
+    # -- c. plan changed in late round 10 (after the r10 driver recording):   #
+    #    the cache_shingles default on the exact-Jaccard pair producer and    #
+    #    the closing perf rewrites                                            #
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "multimodal_cdc_chunk_dedup",
-    "quality_dsir_importance",
-    "tokenizer_vocab_coverage",
-    #    ...the round-9 tracked-snapshot conversions (persist/cache →        #
-    #    registry.snapshot) not already re-checked in the r9 window...       #
-    "semdedup_prune",
-    "corpus_curation_v4",
-    "corpus_curation_v5",
-    "basket_association_rules",
-    "recsys_item_item_cosine",
-    "dedup_cluster_canonical",
-    #    ...the skew-safe two-phase top-k rewrites + the value-decomposed    #
-    #    rank rewrite...                                                     #
-    "stratified_sample_exact_k",
-    "docs_source_cap",
-    "corpus_curation_v3",
-    "quality_quantile_normalize",
-    #    ...this round's pure-operator refactor of the caption gate          #
-    #    (result hash-identical, code moved into operators.multimodal)...    #
-    "multimodal_caption_align",
-    #    ...this round's snapshot conversion of the prefix-filtering         #
-    #    pipeline (four consumers of the gram hashing materialize it once;  #
-    #    isolated p50 3.97 → 2.96 s)...                                     #
+    "dedup_minhash_lsh",
     "dedup_prefix_jaccard",
-    #    ...this round's single-window-pass rewrite of the weighted         #
-    #    median (totals ride the cumulative window's exchange; 2.72 →       #
-    #    1.60 s isolated)...                                                #
+    "dedup_lsh_recall_report",
     "weighted_median_price",
-    #    ...and the cache_shingles default on ngram_jaccard_pairs (the      #
-    #    posting list feeds 3 consumers; split_cluster_aware 6.2 → 4.3 s)   #
-    #    — re-seating the one affected caller not already in this window.   #
     "dedup_connected_components",
-    # -- d. the 14 oldest r5-stale rows ------------------------------------- #
-    "bloom_semijoin_lineitem",
-    "dedup_exact_distinct",
-    "dedup_exact_text",
-    "dedup_fingerprint",
-    "doc_chunk_overlap",
-    "dq_k_anonymity",
-    "dq_rowcount_flag",
-    "epoch_shuffle_order",
-    "error_safe_functions",
-    "events_dedup_within_window",
-    "events_funnel_conversion",
-    "events_gap_fill_hourly",
-    "events_interval_attribution",
-    "events_sliding_window",
-    # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-11 QUEUE: the 21 remaining r5-stale rows (below), then the       #
-    # r9-window rows in their round-9 order.  Every round-10 changed query   #
-    # was hash-verified locally at sf0.01 (heavy ones also at sf0.1; the     #
-    # five new queries at all three scales).                                 #
+    # -- d. ALL 21 r5-stale rows (clears the r5 cohort completely) ----------- #
     "events_tumbling_window",
     "graph_personalized_pagerank",
     "graph_triangle_count",
@@ -159,57 +98,50 @@ _PRIORITY = [
     "variant_functions",
     "weighted_corpus_sample",
     "winsorize_quality_clip",
-    # -- the round-9 window rows (all driver-green in r9) ------------------- #
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "corpus_curation_v7",
-    "events_peak_concurrency",
-    # (dedup_prefix_jaccard and weighted_median_price moved up into the
-    # round-10 window — plans changed this round)
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_brands",
-    "q12_late_line_priority",
-    "q16_supplier_part_count",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    "dedup_cross_doc_spans",
-    "multimodal_phash_neardup",
-    "array_functions",
-    "date_functions",
-    "json_functions",
-    "map_functions",
-    "null_handling",
-    "string_functions",
-    "cube_flag_status",
-    "rollup_region_nation",
-    "grouping_sets_events",
-    "pivot_status_by_flag",
-    "unpivot_part_attrs",
-    "set_union_nations",
-    "set_intersect_custkeys",
-    "set_except_custkeys",
-    "explode_token_counts",
-    "posexplode_tokens",
-    "date_spine_monthly",
-    "flagship_patient_claims_plus",
-    "q1_pricing_summary",
-    "dedup_minhash_lsh",
-    # (dedup_connected_components moved up into the round-10 window — its
-    # producer's plan changed with the cache_shingles default)
-    "sim_cosine_topk_brute",
-    "events_asof_last_click",
-    "events_session_window",
-    "text_tfidf_top_terms",
-    "graph_pagerank",
-    "corpus_curation_v2",
+    # -- e. the oldest r6-stale rows fill the window to 50 ------------------- #
+    "cdc_apply_change_feed",
+    "cdc_delete_propagation",
+    "cdc_scd2_point_in_time",
+    "contribution_pct_of_total",
+    "corpus_mixture_plan",
+    "corpus_range_shards",
+    "customer_rfm_segments",
+    "dedup_repeated_spans",
+    "dq_benford_first_digit",
+    "dq_referential_integrity",
+    "events_ab_test_zscore",
+    "events_anomaly_mad",
+    "events_autocorrelation",
+    "events_bounce_rate_daily",
+    "events_cohort_retention",
+    "events_cusum_drift",
+    "events_dow_seasonality",
+    "events_ewma_kernel",
+    "events_gaps_islands",
+    # ----------------------- window boundary (50) -------------------------- #
+    # ROUND-12 QUEUE: the remaining 21 r6-stale rows, then everything else    #
+    # in registration order (all r7+ and driver-green in its latest row).     #
+    "events_markov_transitions",
+    "events_path_trigrams",
+    "events_rolling_active_users",
+    "events_time_weighted_avg",
+    "global_rank_via_sharding",
+    "graph_degree_assortativity",
+    "graph_jaccard_neighbors",
+    "graph_kcore",
+    "graph_modularity",
+    "hierarchy_rollup_subtree",
+    "multimodal_cas_chunk_dedup",
+    "orders_mom_growth",
+    "profile_table_stats",
+    "q18_large_orders",
+    "quality_linear_score",
+    "quality_lm_perplexity",
+    "sim_hard_negatives",
+    "sim_sq8_topk",
+    "skew_dominant_supplier_orders",
+    "text_bm25_search",
+    "window_sliding_distinct_users",
 ]
 
 

@@ -591,3 +591,81 @@ def multimodal_caption_align(spark, sf_dir):
         shingle_k=_CAP_SHINGLE_K,
         gate_bp=_CAP_GATE_BP,
     )
+
+
+# --------------------------------------------------------------------------- #
+# multimodal_audio_transcript_align — ASR-shaped audio-text alignment gate     #
+# --------------------------------------------------------------------------- #
+
+_ATA_CHUNK_MS = 50   # fixture audio is 48-553 "ms" long (1 byte = 1 ms stub
+                     # contract), so the production 5 s segment would leave one
+                     # chunk per doc; 50 ms gives 1-12 chunks and makes the
+                     # CONTAINMENT fraction (not just a binary hit) do work
+_ATA_GATE_BP = 5000  # keep pairs with >= 50.00 % chunk containment
+
+
+@register(
+    "multimodal_audio_transcript_align",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_id,
+               doc_id + CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS transcript_doc
+        FROM documents
+    ),
+    ch AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || SUBSTR(MD5(
+                   SUBSTRING(text, CAST(s AS BIGINT) + 1, {_ATA_CHUNK_MS})
+               ), 1, 15) AS BIGINT) AS h
+        FROM documents, UNNEST(RANGE(0, LENGTH(text), {_ATA_CHUNK_MS})) t(s)
+    ),
+    scored AS (
+        SELECT p.doc_id, p.transcript_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(t.h) AS BIGINT) AS n_matched
+        FROM pairs p
+        JOIN ch a ON a.doc_id = p.doc_id
+        LEFT JOIN ch t ON t.doc_id = p.transcript_doc AND t.h = a.h
+        GROUP BY p.doc_id, p.transcript_doc
+    )
+    SELECT doc_id, transcript_doc, n_chunks, n_matched,
+           CAST(n_matched * 10000 // n_chunks AS BIGINT) AS align_bp,
+           n_matched * 10000 // n_chunks >= {_ATA_GATE_BP} AS is_aligned
+    FROM scored
+    """,
+)
+def multimodal_audio_transcript_align(spark, sf_dir):
+    """Audio-transcript ALIGNMENT gate — the ASR-data sibling of
+    `multimodal_caption_align` (round-9 stretch #8 / round-10 directive #7):
+    real speech pipelines gate (audio, transcript) pairs by whether the
+    transcript actually covers the audio before training on them.  The ASR
+    kernel is replaced by the container's deterministic stub (a 5 s — here
+    {_ATA_CHUNK_MS} ms, fixture-scaled; see _ATA_CHUNK_MS — segment
+    "transcribes" to the text it covers, the `multimodal_audio_chunks`
+    timeline), and the score is CHUNK-HASH CONTAINMENT in integer basis
+    points: matched transcripts contain every audio chunk hash (10000 bp);
+    the planted mis-pairings (every 10th doc gets its neighbour's
+    transcript) share no positional chunk and score ~0.
+
+    The GATE is the pure operator
+    `operators.multimodal.transcript_containment_gate` (pairing comes in
+    as data; the mis-pairing lives only in this fixture-bound wrapper —
+    same safety split as the caption gate).
+
+    Scale (see the operator docstring): map-side 60-bit chunk hashes,
+    1:1 doc-keyed pairing, hash-equi containment join, filterable flag."""
+    from airflow_cms_inpatient_etl_spark.operators.multimodal import (
+        transcript_containment_gate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            + F.when(F.col("doc_id") % 10 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("transcript_doc"),
+    )
+    return transcript_containment_gate(
+        d, pairs, chunk_ms=_ATA_CHUNK_MS, gate_bp=_ATA_GATE_BP
+    )

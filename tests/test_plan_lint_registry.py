@@ -66,6 +66,8 @@ _NEW_SINCE_GATE = [
     # (split_cluster_aware already listed above — don't re-add it here)
     "dedup_ngram_jaccard",
     "dedup_connected_components",
+    # r11: new — ASR-shaped audio-transcript alignment gate
+    "multimodal_audio_transcript_align",
 ]
 
 

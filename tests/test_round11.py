@@ -3,6 +3,7 @@ allowlist plan walk, and the round-11 verdict-directive fixes."""
 
 from __future__ import annotations
 
+import os
 import statistics
 
 import pytest
@@ -203,3 +204,55 @@ def test_cluster_split_leakage_guarantee(spark):
         assert pairs.count() > 0
     finally:
         release_snapshots(spark)
+
+
+# --------------------------------------------------------------------------- #
+# audio-transcript alignment gate (round-10 verdict directive #7)              #
+# --------------------------------------------------------------------------- #
+
+
+def test_audio_transcript_gate_separation(spark):
+    """Engineered mis-pairings (every 10th doc gets its neighbour's
+    transcript) are separated EXACTLY: matched pairs score 10000 bp, planted
+    mismatches score below the gate — and the flag partitions on precisely
+    the planted key set."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    out = QUERY_REGISTRY["multimodal_audio_transcript_align"].fn(
+        spark, "/root/testdata/sf0.01"
+    )
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        planted = r["doc_id"] % 10 == 0 and r["transcript_doc"] == r["doc_id"] + 1
+        if planted:
+            assert not r["is_aligned"] and r["align_bp"] < 5000, r
+        else:
+            assert r["is_aligned"] and r["align_bp"] == 10000, r
+    n_planted = sum(1 for r in rows if not r["is_aligned"])
+    assert n_planted > 0, "fixture must plant mismatches for the gate to work on"
+
+
+def test_audio_transcript_gate_sf01_hash(spark):
+    """The new gate at 10x the oracle scale (the round-1 hazard class that
+    only appears at sf0.1)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["multimodal_audio_transcript_align"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.1/documents.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "ata:sf0.1")
+    finally:
+        con.close()
