@@ -1317,3 +1317,254 @@ def graph_bfs_khop(spark, sf_dir):
 
 
 graph_bfs_khop.__doc__ = graph_bfs_khop.__doc__.replace("{_k}", str(_BFS_K))
+
+
+# --------------------------------------------------------------------------- #
+# corpus_curation_v8 — per-domain incremental RECRAWL pipeline (delta-only)    #
+# --------------------------------------------------------------------------- #
+
+_V8_GATE_BP = 8000        # standing-index containment >= 80.00 % => near-dup
+_V8_BUDGET_TOKENS = 100_000  # next-epoch token budget (mixture_refresh's)
+
+# Shared shingle shape (the _SHINGLES_CTE of queries/dedup.py, parameterized
+# on the source relation so the delta CTE can be shingled too).
+_V8_SHINGLE_SQL = """
+    SELECT DISTINCT doc_id,
+           CAST('0x' || SUBSTR(MD5(s.shingle), 1, 15) AS BIGINT) AS h
+    FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+              FROM {rel})
+    ) s
+"""
+
+
+def _v8_oracle() -> str:
+    """FULL-RECOMPUTE oracle: materializes the entire next-epoch corpus
+    (carried base docs UNION accepted delta docs) and aggregates its token
+    mass per source directly — the engine derives the same numbers
+    INCREMENTALLY (carried aggregate + accepted-delta aggregate, never
+    materializing the union), so the hash match proves the incremental
+    identity, not just the arithmetic."""
+    ntok = "LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))"
+    return f"""
+    WITH changed AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 2 = 0 THEN REVERSE(text)
+                    ELSE text || ' refetched' END AS text
+        FROM documents WHERE doc_id % 11 = 1
+    ),
+    added AS (
+        SELECT doc_id + 1000000 AS doc_id, source, REVERSE(text) || ' new' AS text
+        FROM documents WHERE doc_id % 13 = 0
+    ),
+    delta AS (SELECT * FROM changed UNION ALL SELECT * FROM added),
+    idx AS (SELECT DISTINCT h FROM ({_V8_SHINGLE_SQL.format(rel='documents')})),
+    dsh AS ({_V8_SHINGLE_SQL.format(rel='delta')}),
+    gate AS (
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sh,
+               CAST(COUNT(i.h) AS BIGINT) AS n_hit
+        FROM dsh d LEFT JOIN idx i ON i.h = d.h
+        GROUP BY d.doc_id
+    ),
+    verdict AS (
+        SELECT dl.doc_id, dl.source, dl.text,
+               COALESCE(g.n_hit * 10000 // g.n_sh >= {_V8_GATE_BP}, FALSE) AS is_dup
+        FROM delta dl LEFT JOIN gate g USING (doc_id)
+    ),
+    next_corpus AS (
+        SELECT source, text, FALSE AS fresh FROM documents
+        WHERE doc_id % 11 NOT IN (0, 1)
+        UNION ALL
+        SELECT source, text, TRUE FROM verdict WHERE NOT is_dup
+    ),
+    per_next AS (
+        SELECT source,
+               CAST(SUM({ntok}) AS BIGINT) AS n_tokens_next,
+               CAST(COALESCE(SUM({ntok}) FILTER (WHERE NOT fresh), 0) AS BIGINT)
+                 AS tokens_carried,
+               CAST(COALESCE(SUM({ntok}) FILTER (WHERE fresh), 0) AS BIGINT)
+                 AS tokens_accepted
+        FROM next_corpus GROUP BY source
+    ),
+    acct AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_delta,
+               CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_gated,
+               CAST(COUNT(*) FILTER (WHERE NOT is_dup) AS BIGINT) AS n_accepted
+        FROM verdict GROUP BY source
+    ),
+    w AS (
+        SELECT p.source,
+               COALESCE(a.n_delta, 0) AS n_delta,
+               COALESCE(a.n_dup_gated, 0) AS n_dup_gated,
+               COALESCE(a.n_accepted, 0) AS n_accepted,
+               p.tokens_carried, p.tokens_accepted, p.n_tokens_next,
+               SQRT(CAST(p.n_tokens_next AS DOUBLE))
+                 * (1 + CAST(p.tokens_accepted AS DOUBLE) / p.n_tokens_next) AS wraw
+        FROM per_next p LEFT JOIN acct a USING (source)
+    ),
+    denom AS (
+        SELECT LIST_REDUCE(LIST(wraw ORDER BY source), (a2, v) -> a2 + v) AS z
+        FROM w
+    )
+    SELECT source, n_delta, n_dup_gated, n_accepted,
+           tokens_carried, tokens_accepted, n_tokens_next,
+           wraw / z AS weight,
+           wraw / z * {_V8_BUDGET_TOKENS} / n_tokens_next AS sampling_rate,
+           CAST(CEIL(wraw / z * {_V8_BUDGET_TOKENS} / n_tokens_next) AS BIGINT)
+             AS n_epochs
+    FROM w, denom
+    """
+
+
+@register("corpus_curation_v8", oracle=_v8_oracle())
+def corpus_curation_v8(spark, sf_dir):
+    """Per-domain incremental RECRAWL pipeline (curation v8, the round-10
+    stretch #8): the production refresh shape that touches ONLY the delta —
+    compose `corpus_delta_report`'s recrawl classification,
+    `streaming_dedup_gate_live`'s standing-index dedup gate (batch form),
+    and `corpus_mixture_refresh`'s freshness-weighted rebalance into one
+    end-to-end pass.  Stages: (1) the recrawl twin ships a DELTA of changed
+    + added documents (dead links are drops; the fixture plants half the
+    changes as boilerplate refetches and half — plus all additions — as
+    genuinely novel reversed text, so the gate has real work on both
+    sides); (2) each delta doc is shingled and containment-scored against
+    the STANDING corpus's shingle index — >= {gate} bp containment means
+    the "new" content already exists and is gated out (integer basis
+    points, the `multimodal_caption_align` score discipline); (3) per
+    source, next-epoch token mass is derived INCREMENTALLY — carried
+    tokens (one aggregate over the base scan; removed and changed-old
+    docs excluded) plus accepted-delta tokens — and fed through
+    `corpus_mixture_plan`'s temperature rule with the freshness
+    multiplier, yielding next-epoch weights / sampling rates / repeat
+    epochs.
+
+    The oracle is a FULL RECOMPUTE: it materializes the whole next-epoch
+    corpus and aggregates it directly, so the hash match proves the
+    engine's delta-only arithmetic reconstructs exactly the
+    from-scratch state — the invariant an incremental production pipeline
+    must hold.
+
+    Scale: only the delta (a few % of the corpus) is ever shingled or
+    gated; the standing index is reused (in production it is the
+    incrementally-maintained structure `dedup_incremental_index` /
+    the streaming gate already built — here derived once per run); the
+    carried-token aggregate moves (source, ntok) pairs, never text; the
+    mixture math is dimension-sized.  cf. reference
+    `dags/patient_claims_plus_postgres.py:63-68` (full drop-and-recreate
+    idempotency — the recompute posture this pipeline exists to beat)."""
+    d = load_table(spark, sf_dir, "documents")
+    from airflow_cms_inpatient_etl_spark.operators.text import exploded_shingle_hashes
+
+    ntok = lambda c: F.size(F.split(F.trim(c), r"\s+")).cast("long")  # noqa: E731
+
+    # -- stage 1: the delta (changed + added), each branch scan-shaped ------- #
+    changed = d.filter(F.col("doc_id") % 11 == 1).select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.reverse(F.col("text")))
+        .otherwise(F.concat(F.col("text"), F.lit(" refetched")))
+        .alias("text"),
+    )
+    added = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.reverse(F.col("text")), F.lit(" new")).alias("text"),
+    )
+
+    # -- stage 2: standing-index containment gate over the delta ONLY -------- #
+    idx = exploded_shingle_hashes(d, "doc_id", "text", 3).select("h").distinct()
+    dsh = exploded_shingle_hashes(changed, "doc_id", "text", 3).unionByName(
+        exploded_shingle_hashes(added, "doc_id", "text", 3)
+    )
+    gate = (
+        dsh.join(idx.withColumn("__in_idx", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.count("__in_idx").cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            (F.expr("n_hit * 10000 div n_sh") >= _V8_GATE_BP).alias("is_dup"),
+        )
+    )
+    delta_meta = (
+        changed.unionByName(added)
+        .select("doc_id", "source", ntok(F.col("text")).alias("ntok"))
+        .join(gate, "doc_id", "left")
+        .select(
+            "doc_id", "source", "ntok", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+        )
+    )
+
+    # -- stage 3: incremental per-source accounting + mixture rebalance ------ #
+    acct = delta_meta.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta"),
+        F.coalesce(F.sum(F.when(F.col("is_dup"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_dup_gated"),
+        F.coalesce(F.sum(F.when(~F.col("is_dup"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_accepted"),
+        F.coalesce(F.sum(F.when(~F.col("is_dup"), F.col("ntok"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_accepted"),
+    )
+    carried = (
+        d.filter(F.col("doc_id") % 11 >= 2)
+        .groupBy("source")
+        .agg(F.sum(ntok(F.col("text"))).cast("long").alias("tokens_carried"))
+    )
+    per_src = (
+        carried.join(acct, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+            F.coalesce("n_dup_gated", F.lit(0)).cast("long").alias("n_dup_gated"),
+            F.coalesce("n_accepted", F.lit(0)).cast("long").alias("n_accepted"),
+            "tokens_carried",
+            F.coalesce("tokens_accepted", F.lit(0)).cast("long").alias("tokens_accepted"),
+        )
+        .withColumn(
+            "n_tokens_next", (F.col("tokens_carried") + F.col("tokens_accepted"))
+        )
+    )
+    w = per_src.withColumn(
+        "wraw",
+        F.sqrt(F.col("n_tokens_next").cast("double"))
+        * (
+            F.lit(1)
+            + F.col("tokens_accepted").cast("double") / F.col("n_tokens_next")
+        ),
+    )
+    denom = w.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, wraw))), "
+            "s -> s.wraw), cast(0.0 as double), (acc, v) -> acc + v)"
+        ).alias("z")
+    )
+    joined = w.crossJoin(F.broadcast(denom))
+    weight = F.col("wraw") / F.col("z")
+    rate = weight * _V8_BUDGET_TOKENS / F.col("n_tokens_next")
+    return joined.select(
+        "source",
+        "n_delta",
+        "n_dup_gated",
+        "n_accepted",
+        "tokens_carried",
+        "tokens_accepted",
+        "n_tokens_next",
+        weight.alias("weight"),
+        rate.alias("sampling_rate"),
+        F.ceil(rate).cast("long").alias("n_epochs"),
+    )
+
+
+corpus_curation_v8.__doc__ = corpus_curation_v8.__doc__.replace(
+    "{gate}", str(_V8_GATE_BP)
+)

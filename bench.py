@@ -271,6 +271,12 @@ HEADLINE = [
     # shared producer gained the cache_shingles snapshot this round)
     "dedup_ngram_jaccard",
     "dedup_connected_components",
+    # round-11: the ASR-shaped audio-transcript alignment gate (map-side
+    # chunk hashing + hash-equi containment join) and the delta-only
+    # incremental recrawl pipeline (delta shingling + standing-index gate +
+    # incremental mixture rebalance — the production refresh shape)
+    "multimodal_audio_transcript_align",
+    "corpus_curation_v8",
 ]
 
 

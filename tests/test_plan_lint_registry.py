@@ -66,8 +66,10 @@ _NEW_SINCE_GATE = [
     # (split_cluster_aware already listed above — don't re-add it here)
     "dedup_ngram_jaccard",
     "dedup_connected_components",
-    # r11: new — ASR-shaped audio-transcript alignment gate
+    # r11: new — ASR-shaped audio-transcript alignment gate and the
+    # delta-only incremental recrawl pipeline
     "multimodal_audio_transcript_align",
+    "corpus_curation_v8",
 ]
 
 

@@ -256,3 +256,56 @@ def test_audio_transcript_gate_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "ata:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# corpus_curation_v8 — delta-only recrawl pipeline (round-10 stretch #8)       #
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+def test_curation_v8_hash_across_scales(spark, sf_dir):
+    """The delta-only pipeline vs its full-recompute oracle at the two
+    non-driver scales (sf0.01 runs in the standard differential)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["corpus_curation_v8"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        sp = spec.fn(spark, sf_dir).toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), f"v8:{sf_dir}")
+    finally:
+        con.close()
+        release_snapshots(spark)
+
+
+def test_curation_v8_gate_does_real_work(spark):
+    """Both gate branches are exercised: boilerplate refetches are gated out
+    as near-dups of the standing index, novel (reversed-text) changes and
+    additions are accepted — and the incremental token identity holds row
+    by row (n_tokens_next = carried + accepted)."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["corpus_curation_v8"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    try:
+        assert rows
+        assert sum(r["n_dup_gated"] for r in rows) > 0, "no refetch was gated"
+        assert sum(r["n_accepted"] for r in rows) > 0, "no novel doc survived"
+        for r in rows:
+            assert r["n_tokens_next"] == r["tokens_carried"] + r["tokens_accepted"]
+            assert r["n_delta"] == r["n_dup_gated"] + r["n_accepted"]
+            assert 0.0 < r["weight"] < 1.0
+    finally:
+        release_snapshots(spark)
