@@ -509,3 +509,61 @@ def weighted_median_price(spark, sf_dir):
             "weighted_median",
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# Q3 — shipping priority (top 10 unshipped-revenue orders)                     #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM({_REV_SQL}) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: top-10 orders by revenue not yet shipped as of a date, for
+    one market segment — completing the 22-query TPC-H suite (the fixture
+    has no o_shippriority column, so o_orderpriority is carried in its
+    place; semantics otherwise per spec Q3).  Plan: the segment predicate
+    prunes CUSTOMER to ~1/5 and broadcasts it into ORDERS (dimension
+    filter before the fact join); the two date predicates push to their
+    scans; one fact-fact hash join on l_orderkey; exact-decimal revenue
+    sum; ORDER BY ... LIMIT 10 compiles to TakeOrderedAndProject
+    (per-partition heaps, never a global sort) with l_orderkey as the
+    total-order tiebreak under revenue ties."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("1998-03-15 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts("1998-03-15 00:00:00")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev()).alias("__rev"))
+        .orderBy(F.col("__rev").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )

@@ -277,6 +277,9 @@ HEADLINE = [
     # incremental mixture rebalance — the production refresh shape)
     "multimodal_audio_transcript_align",
     "corpus_curation_v8",
+    # round-11 wave 2: TPC-H Q3 completes the 22-query suite (segment-pruned
+    # broadcast dim + fact-fact join + exact-decimal top-10)
+    "q3_shipping_priority",
 ]
 
 
