@@ -286,3 +286,96 @@ def _snapshot(df: DataFrame) -> DataFrame:
     from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
 
     return snapshot(df)
+
+
+def unigram_viterbi_segment(words: DataFrame, max_piece_len: int = 4) -> DataFrame:
+    """SentencePiece-style UNIGRAM Viterbi segmentation (Kudo, ACL'18) with an
+    integer-deterministic objective — the tokenizer family's inference-side
+    sibling of ``bpe_train``/``bpe_apply_encode``: segment every distinct
+    corpus word into vocabulary pieces by exact dynamic programming over the
+    word's character positions.
+
+    The piece vocabulary is every substring of length 1..``max_piece_len``
+    of the corpus words, scored by occurrence mass (Σ word_freq over
+    occurrences); single characters are always present, so every word is
+    segmentable (SentencePiece's character-coverage guarantee).  The real
+    unigram LM maximizes Σ log p(piece) — float-summation territory — so the
+    objective here is the integer-deterministic proxy: MINIMIZE piece count,
+    then MAXIMIZE total piece score, then lexicographically-least
+    segmentation string.  The key is additive/prefix-decomposable, so
+    Bellman optimality holds and the DP cell can carry (np, score, parts)
+    directly — same "integers instead of floats in oracle-checked
+    aggregates" discipline as the caption/transcript gates.
+
+    Scale: the census behind ``words`` is the only corpus-sized pass; the
+    piece explode is vocab-sized × ≤ L·max_piece_len, the score join is
+    piece-keyed, and the whole DP is ONE map-side higher-order ``aggregate``
+    over the per-word edge list — no per-row Python, no iteration shuffles
+    (the loop is over character positions inside the row, not over the
+    table).  Output: (w, freq, n_pieces, piece_score, segmentation).
+    """
+    occ = words.select(
+        "w",
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(filter(sequence(1, {max_piece_len}),"
+                f" l -> l <= length(w)),"
+                f" l -> transform(sequence(1, length(w) - l + 1),"
+                f" j -> named_struct('b', j - 1, 'i', j - 1 + l,"
+                f" 'p', substring(w, j, l)))))"
+            )
+        ).alias("o"),
+    ).select("w", "freq", "o.b", "o.i", "o.p")
+    scores = occ.groupBy("p").agg(F.sum("freq").cast("long").alias("s"))
+    edges = (
+        occ.join(scores, "p")
+        .groupBy("w", "freq")
+        .agg(F.collect_list(F.struct("b", "i", "p", "s")).alias("__edges"))
+    )
+    # DP cell: (np, sc, parts).  Candidate c from edge e extends cell e.b;
+    # better(c, best) = np ASC, then sc DESC, then parts ASC.  The candidate
+    # expression is repeated inside the comparison (SQL lambdas cannot bind
+    # locals); the subtrees are identical, which runtime CSE handles.
+    cand = (
+        "named_struct("
+        "'np', element_at(acc, e.b + 1).np + 1, "
+        "'sc', element_at(acc, e.b + 1).sc + e.s, "
+        "'parts', CASE WHEN element_at(acc, e.b + 1).parts = '' THEN e.p "
+        "ELSE concat(element_at(acc, e.b + 1).parts, ' ', e.p) END)"
+    )
+    dp = F.expr(
+        f"""
+        element_at(
+          aggregate(
+            sequence(1, length(w)),
+            array(named_struct('np', 0, 'sc', cast(0 as bigint), 'parts', '')),
+            (acc, i) -> array_append(acc,
+              aggregate(
+                filter(__edges, e -> e.i = i),
+                named_struct('np', 2147483647,
+                             'sc', cast(-1 as bigint), 'parts', ''),
+                (best, e) -> CASE
+                  WHEN {cand}.np < best.np
+                    OR ({cand}.np = best.np AND {cand}.sc > best.sc)
+                    OR ({cand}.np = best.np AND {cand}.sc = best.sc
+                        AND {cand}.parts < best.parts)
+                  THEN {cand} ELSE best END
+              )
+            )
+          ),
+          length(w) + 1
+        )
+        """
+    )
+    return edges.select(
+        "w",
+        "freq",
+        dp.alias("__dp"),
+    ).select(
+        "w",
+        "freq",
+        F.col("__dp.np").cast("long").alias("n_pieces"),
+        F.col("__dp.sc").alias("piece_score"),
+        F.col("__dp.parts").alias("segmentation"),
+    )

@@ -65,6 +65,7 @@ _PRIORITY = [
     "multimodal_audio_transcript_align",
     "corpus_curation_v8",
     "q3_shipping_priority",
+    "tokenizer_unigram_viterbi",
     # -- b. code changed in round 11 ---------------------------------------- #
     "split_cluster_aware",
     "bpe_train_vocab",
@@ -117,10 +118,10 @@ _PRIORITY = [
     "events_bounce_rate_daily",
     "events_cohort_retention",
     "events_cusum_drift",
-    "events_dow_seasonality",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-12 QUEUE: the remaining 23 r6-stale rows, then everything else    #
+    # ROUND-12 QUEUE: the remaining 24 r6-stale rows, then everything else    #
     # in registration order (all r7+ and driver-green in its latest row).     #
+    "events_dow_seasonality",
     "events_ewma_kernel",
     "events_gaps_islands",
     "events_markov_transitions",

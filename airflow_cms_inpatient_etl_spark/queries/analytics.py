@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from airflow_cms_inpatient_etl_spark.functions.exact import dec
-from airflow_cms_inpatient_etl_spark.operators.text import bpe_train, hash60
+from airflow_cms_inpatient_etl_spark.operators.text import bpe_train, hash60, unigram_viterbi_segment
 from airflow_cms_inpatient_etl_spark.queries.base import register
 from airflow_cms_inpatient_etl_spark.sources.registry import load_table, snapshot, spread_scan
 
@@ -2757,3 +2757,88 @@ def supplier_concentration_hhi(spark, sf_dir):
     return shares.groupBy("p_type", "n_suppliers").agg(
         F.sum(F.col("ppm") * F.col("ppm")).alias("hhi_x1e12")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tokenizer_unigram_viterbi — SentencePiece-style Viterbi segmentation         #
+# --------------------------------------------------------------------------- #
+
+_UV_MAX_PIECE = 4
+
+
+@register(
+    "tokenizer_unigram_viterbi",
+    oracle=f"""
+    WITH RECURSIVE words0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE LEN(w) > 1 AND regexp_matches(w, '^[a-z0-9]+$')
+        GROUP BY w
+    ),
+    occ AS (
+        SELECT w, freq,
+               CAST(tj.j AS BIGINT) AS b,
+               CAST(tj.j + tl.l AS BIGINT) AS i,
+               SUBSTRING(w, CAST(tj.j AS BIGINT) + 1, CAST(tl.l AS BIGINT)) AS p
+        FROM words0,
+             UNNEST(RANGE(1, {_UV_MAX_PIECE} + 1)) AS tl(l),
+             UNNEST(RANGE(0, LEN(w))) AS tj(j)
+        WHERE tl.l <= LEN(w) AND tj.j + tl.l <= LEN(w)
+    ),
+    sc AS (SELECT p, CAST(SUM(freq) AS BIGINT) AS s FROM occ GROUP BY p),
+    edges AS (SELECT o.w, o.b, o.i, o.p, sc.s FROM occ o JOIN sc USING (p)),
+    paths AS (
+        SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np,
+               CAST(0 AS BIGINT) AS score, '' AS parts
+        FROM words0
+        UNION ALL
+        SELECT pa.w, e.i, pa.np + 1, pa.score + e.s,
+               CASE WHEN pa.parts = '' THEN e.p
+                    ELSE pa.parts || ' ' || e.p END
+        FROM paths pa JOIN edges e ON e.w = pa.w AND e.b = pa.pos
+    ),
+    best AS (
+        SELECT w, np, score, parts,
+               ROW_NUMBER() OVER (PARTITION BY w
+                                  ORDER BY np ASC, score DESC, parts ASC) AS rn
+        FROM paths WHERE pos = LEN(w)
+    )
+    SELECT b.w, w0.freq, b.np AS n_pieces, b.score AS piece_score,
+           b.parts AS segmentation
+    FROM best b JOIN words0 w0 USING (w)
+    WHERE b.rn = 1
+    """,
+)
+def tokenizer_unigram_viterbi(spark, sf_dir):
+    """SentencePiece-style UNIGRAM Viterbi segmentation (Kudo, ACL'18) —
+    the inference-side tokenizer op the BPE family doesn't cover: segment
+    every distinct corpus word into vocabulary pieces (all substrings up to
+    {_UV_MAX_PIECE} chars, scored by corpus occurrence mass) by EXACT
+    dynamic programming, under the integer-deterministic objective
+    (fewest pieces, then highest total piece score, then
+    lexicographically-least segmentation — the engine's
+    integers-not-floats discipline standing in for Σ log p).
+
+    Engine: one corpus-sized census shuffle, then everything is
+    vocabulary-sized — the piece explode, the piece-score join, and the
+    whole DP as a single map-side higher-order ``aggregate`` over each
+    word's edge list (`operators.text.unigram_viterbi_segment`; the loop
+    is over character positions inside the row, never over the table).
+    The oracle takes the OPPOSITE strategy — it enumerates every
+    segmentation path of every word via a recursive CTE and picks the best
+    by the same key — so the hash match proves the DP optimal against an
+    exhaustive search, not against a reimplementation of itself."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .filter((F.length("w") > 1) & F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return unigram_viterbi_segment(words, max_piece_len=_UV_MAX_PIECE)
+
+
+tokenizer_unigram_viterbi.__doc__ = tokenizer_unigram_viterbi.__doc__.replace(
+    "{_UV_MAX_PIECE}", str(_UV_MAX_PIECE)
+)

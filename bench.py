@@ -280,6 +280,9 @@ HEADLINE = [
     # round-11 wave 2: TPC-H Q3 completes the 22-query suite (segment-pruned
     # broadcast dim + fact-fact join + exact-decimal top-10)
     "q3_shipping_priority",
+    # round-11 wave 3: unigram Viterbi segmentation (one census shuffle,
+    # then a vocab-sized map-side HOF dynamic program per word)
+    "tokenizer_unigram_viterbi",
 ]
 
 

@@ -70,6 +70,8 @@ _NEW_SINCE_GATE = [
     # delta-only incremental recrawl pipeline
     "multimodal_audio_transcript_align",
     "corpus_curation_v8",
+    "q3_shipping_priority",
+    "tokenizer_unigram_viterbi",
 ]
 
 

@@ -309,3 +309,80 @@ def test_curation_v8_gate_does_real_work(spark):
             assert 0.0 < r["weight"] < 1.0
     finally:
         release_snapshots(spark)
+
+
+# --------------------------------------------------------------------------- #
+# tokenizer_unigram_viterbi (round-11 addition)                                #
+# --------------------------------------------------------------------------- #
+
+
+def test_unigram_viterbi_dp_equals_exhaustive_on_adversarial_words(spark):
+    """The HOF-DP against a python exhaustive search on engineered words —
+    including exact (np, score) ties so the lexicographic parts tiebreak is
+    actually exercised (the fixture's 30 words may never tie)."""
+    from itertools import combinations
+
+    from airflow_cms_inpatient_etl_spark.operators.text import unigram_viterbi_segment
+
+    vocab = [
+        ("banana", 5), ("bandana", 2), ("nan", 7), ("ana", 4), ("ban", 1),
+        # 'xyxy': 'xy xy' vs 'x yxy'/'xyx y' — piece scores engineered close
+        ("xyxy", 3), ("yx", 3),
+        # symmetric tie bait: 'abab' with equal-scored 'ab'/'ba' contexts
+        ("abab", 2), ("baba", 2),
+        ("q0q0q0q0", 1),  # max fixture-like length, repeated structure
+    ]
+    words = spark.createDataFrame(vocab, schema="w string, freq int")
+    got = {
+        r["w"]: (r["n_pieces"], r["piece_score"], r["segmentation"])
+        for r in unigram_viterbi_segment(words).collect()
+    }
+
+    # python exhaustive reference
+    score: dict[str, int] = {}
+    for w, f in vocab:
+        for l in range(1, 5):
+            for j in range(len(w) - l + 1):
+                score[w[j:j + l]] = score.get(w[j:j + l], 0) + f
+
+    def segmentations(w):
+        if not w:
+            yield []
+            return
+        for l in range(1, min(4, len(w)) + 1):
+            for rest in segmentations(w[l:]):
+                yield [w[:l]] + rest
+
+    for w, f in vocab:
+        best = min(
+            segmentations(w),
+            key=lambda ps: (len(ps), -sum(score[p] for p in ps), " ".join(ps)),
+        )
+        assert got[w] == (
+            len(best),
+            sum(score[p] for p in best),
+            " ".join(best),
+        ), f"{w}: engine {got[w]} != exhaustive {best}"
+
+
+def test_unigram_viterbi_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["tokenizer_unigram_viterbi"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.1/documents.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "uv:sf0.1")
+    finally:
+        con.close()
