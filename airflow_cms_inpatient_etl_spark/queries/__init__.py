@@ -66,6 +66,7 @@ _PRIORITY = [
     "corpus_curation_v8",
     "q3_shipping_priority",
     "tokenizer_unigram_viterbi",
+    "stats_bootstrap_ci_price",
     # -- b. code changed in round 11 ---------------------------------------- #
     "split_cluster_aware",
     "bpe_train_vocab",
@@ -117,10 +118,10 @@ _PRIORITY = [
     "events_autocorrelation",
     "events_bounce_rate_daily",
     "events_cohort_retention",
-    "events_cusum_drift",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-12 QUEUE: the remaining 24 r6-stale rows, then everything else    #
+    # ROUND-12 QUEUE: the remaining 25 r6-stale rows, then everything else    #
     # in registration order (all r7+ and driver-green in its latest row).     #
+    "events_cusum_drift",
     "events_dow_seasonality",
     "events_ewma_kernel",
     "events_gaps_islands",

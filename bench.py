@@ -283,6 +283,10 @@ HEADLINE = [
     # round-11 wave 3: unigram Viterbi segmentation (one census shuffle,
     # then a vocab-sized map-side HOF dynamic program per word)
     "tokenizer_unigram_viterbi",
+    # round-11 wave 4: one-pass Poisson bootstrap CIs (map-side x32 replica
+    # expansion collapsing under partial aggregation; hex-slice inverse-CDF
+    # draws, exact BIGINT weighted sums)
+    "stats_bootstrap_ci_price",
 ]
 
 

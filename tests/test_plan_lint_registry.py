@@ -72,6 +72,7 @@ _NEW_SINCE_GATE = [
     "corpus_curation_v8",
     "q3_shipping_priority",
     "tokenizer_unigram_viterbi",
+    "stats_bootstrap_ci_price",
 ]
 
 

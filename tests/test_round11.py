@@ -386,3 +386,49 @@ def test_unigram_viterbi_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "uv:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# stats_bootstrap_ci_price (round-11 addition)                                 #
+# --------------------------------------------------------------------------- #
+
+
+def test_bootstrap_ci_statistical_sanity(spark):
+    """The rank-based interval brackets the point mean tightly (n is in the
+    tens of thousands per flag, so replica means concentrate ~1/sqrt(n)),
+    and the interval is non-degenerate."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["stats_bootstrap_ci_price"].fn(
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    assert len(rows) == 3  # A / N / R
+    for r in rows:
+        assert r["ci_lo_cents"] < r["ci_hi_cents"]
+        assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"]
+        halfwidth = (r["ci_hi_cents"] - r["ci_lo_cents"]) / 2
+        assert halfwidth / r["mean_cents"] < 0.05, "interval implausibly wide"
+        assert halfwidth > 0
+
+
+def test_bootstrap_ci_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["stats_bootstrap_ci_price"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            "'/root/testdata/sf0.1/lineitem.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "boot:sf0.1")
+    finally:
+        con.close()
