@@ -277,3 +277,52 @@ def transcript_containment_gate(
         bp.cast("long").alias("align_bp"),
         (bp >= gate_bp).alias("is_aligned"),
     )
+
+
+def scene_cut_segments(
+    multimodal: DataFrame,
+    frame_bytes: int = 100,
+    modulus: int = 251,
+    threshold: int = 125,
+) -> DataFrame:
+    """Video scene segmentation: per-frame feature → adjacent-frame delta →
+    cut when the delta exceeds ``threshold`` → scenes as the running count of
+    cuts (gaps-and-islands over the frame timeline) → one row per scene with
+    its frame span and summed feature mass.
+
+    The frame feature is a deterministic stub (``(n_bytes·(idx+1)) mod m`` —
+    integer, oracle-checkable); real pipelines swap in a decoded histogram /
+    embedding delta and keep everything downstream of the feature column
+    unchanged.  Scale shape: the payload column is never read (metadata-driven
+    explode, same as ``sample_frames``); ONE exchange on doc_id feeds both the
+    lag window and the cumulative-sum window, and the final (doc_id, scene_id)
+    aggregation reuses that partitioning (hash(doc_id) clusters every scene
+    key), so the whole operator is explode → 1 shuffle → two window passes +
+    partial agg, linear in total frames at any corpus size."""
+    from pyspark.sql import Window as W
+
+    n_bytes = F.col("meta.n_bytes").cast("bigint")
+    n_frames = F.floor(n_bytes / frame_bytes) + 1
+    frames = multimodal.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).alias("frame_idx"),
+    ).withColumn(
+        "intensity", (F.col("n_bytes") * (F.col("frame_idx") + 1)) % modulus
+    )
+    timeline = W.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = frames.withColumn(
+        "is_cut",
+        F.when(
+            F.abs(
+                F.col("intensity") - F.lag("intensity").over(timeline)
+            ) > threshold,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("scene_id", F.sum("is_cut").over(timeline))
+    return cuts.groupBy("doc_id", "scene_id").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("scene_frames"),
+        F.sum("intensity").alias("sum_intensity"),
+    )

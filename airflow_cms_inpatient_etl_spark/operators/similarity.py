@@ -791,3 +791,69 @@ def embedding_decontaminate(
         F.col("__m.__cosine").alias("max_cosine"),
         (F.col("__m.__cosine") >= tau).alias("is_contaminated"),
     )
+
+
+def matryoshka_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    prefix_dim: int = 16,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Matryoshka (MRL-style) two-stage retrieval: rank all candidates with
+    the cosine over only the FIRST ``prefix_dim`` coordinates (nested-prefix
+    embeddings concentrate signal in their leading dims), keep the top
+    ``k*overfetch`` survivors per query, then rerank ONLY those survivors
+    with the full-dimension cosine (tie-broken on candidate id at both
+    stages, so the result is exact and deterministic given the prefix
+    ranking).
+
+    Scale shape: the full-d fold runs on ``k*overfetch`` rows per query
+    instead of |C|; phase 1 touches ``prefix_dim/d`` of the vector floats —
+    with a columnar layout that stores the prefix as its own column, the
+    full vector column is never scanned for the losers (Parquet column
+    pruning does this for free).  Phase 1 is a map-side broadcast scoring
+    pass (one |C|-sized exchange on qid for the per-query heap); compose
+    with IVF/LSH buckets (``ivf_topk`` / ``ann_lsh_topk``) to also bound
+    the phase-1 candidate count at 100 TB.
+    """
+    from pyspark.sql import Window as W
+
+    pq = F.slice(F.col(vec_col), 1, prefix_dim)
+    q = queries.select(
+        F.col(id_col).alias(qid_col),
+        F.col(vec_col).alias("qvec"),
+        pq.alias("qpre"),
+        norm(pq).alias("qpn"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        pq.alias("cpre"),
+        norm(pq).alias("cpn"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    pre_w = W.partitionBy(qid_col).orderBy(F.col("prefix_cosine").desc(), F.col("cid"))
+    survivors = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col(qid_col))
+        .withColumn(
+            "prefix_cosine",
+            dot(F.col("qpre"), F.col("cpre")) / (F.col("qpn") * F.col("cpn")),
+        )
+        .withColumn("prn", F.row_number().over(pre_w))
+        .filter(F.col("prn") <= k * overfetch)
+    )
+    full_w = W.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        survivors.withColumn(
+            "cosine", dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+        )
+        .withColumn("rn", F.row_number().over(full_w))
+        .filter(F.col("rn") <= k)
+        .select(qid_col, "cid", "cosine", "rn")
+    )

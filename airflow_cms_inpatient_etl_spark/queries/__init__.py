@@ -67,6 +67,8 @@ _PRIORITY = [
     "q3_shipping_priority",
     "tokenizer_unigram_viterbi",
     "stats_bootstrap_ci_price",
+    "sim_matryoshka_topk",
+    "multimodal_scene_cuts",
     # -- b. code changed in round 11 ---------------------------------------- #
     "split_cluster_aware",
     "bpe_train_vocab",
@@ -116,11 +118,11 @@ _PRIORITY = [
     "events_ab_test_zscore",
     "events_anomaly_mad",
     "events_autocorrelation",
+    # ----------------------- window boundary (50) -------------------------- #
+    # ROUND-12 QUEUE: the remaining 27 r6-stale rows, then everything else    #
+    # in registration order (all r7+ and driver-green in its latest row).     #
     "events_bounce_rate_daily",
     "events_cohort_retention",
-    # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-12 QUEUE: the remaining 25 r6-stale rows, then everything else    #
-    # in registration order (all r7+ and driver-green in its latest row).     #
     "events_cusum_drift",
     "events_dow_seasonality",
     "events_ewma_kernel",

@@ -669,3 +669,55 @@ def multimodal_audio_transcript_align(spark, sf_dir):
     return transcript_containment_gate(
         d, pairs, chunk_ms=_ATA_CHUNK_MS, gate_bp=_ATA_GATE_BP
     )
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               CAST(FLOOR(OCTET_LENGTH(CAST(text AS BLOB)) / 100) AS BIGINT) + 1 AS n_frames
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, n_bytes,
+               CAST(UNNEST(RANGE(0, n_frames)) AS BIGINT) AS frame_idx
+        FROM meta
+    ),
+    feat AS (
+        SELECT doc_id, frame_idx,
+               (n_bytes * (frame_idx + 1)) % 251 AS intensity
+        FROM frames
+    ),
+    cuts AS (
+        SELECT doc_id, frame_idx, intensity,
+               CASE WHEN ABS(intensity - LAG(intensity) OVER tl) > 125
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM feat
+        WINDOW tl AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ),
+    scenes AS (
+        SELECT doc_id, frame_idx, intensity,
+               CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT) AS scene_id
+        FROM cuts
+    )
+    SELECT doc_id, scene_id,
+           MIN(frame_idx) AS start_frame,
+           MAX(frame_idx) AS end_frame,
+           COUNT(*) AS scene_frames,
+           CAST(SUM(intensity) AS BIGINT) AS sum_intensity
+    FROM scenes
+    GROUP BY doc_id, scene_id
+    """,
+)
+def multimodal_scene_cuts(spark, sf_dir):
+    """Video scene-cut detection: per-frame stub feature, lag-delta threshold
+    cut flags, running-sum scene ids (gaps-and-islands on the frame timeline),
+    one row per scene — the shot-segmentation shape video curation pipelines
+    run before per-scene sampling/captioning.  Payload bytes never read; one
+    doc_id exchange feeds both windows AND the final scene aggregation."""
+    from airflow_cms_inpatient_etl_spark.operators.multimodal import scene_cut_segments
+
+    d = load_table(spark, sf_dir, "documents")
+    return scene_cut_segments(attach_binary_payload(d))

@@ -631,3 +631,63 @@ if decontaminate_embedding_cosine.__doc__:  # None under python -OO
         .replace("{_DECON_TAU}", str(_DECON_TAU))
         .replace("{_DECON_PLANT}", str(_DECON_PLANT))
     )
+
+
+def _dot_n(a: str, b: str, n: int) -> str:
+    """Left-fold dot over the first n coordinates (mirrors F.slice + fold)."""
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {n + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cosine_n(a: str, b: str, n: int) -> str:
+    return f"{_dot_n(a, b, n)} / (SQRT({_dot_n(a, a, n)}) * SQRT({_dot_n(b, b, n)}))"
+
+
+_MRL_PREFIX = 16  # phase-1 dims (64-d vectors; MRL prefixes carry the signal)
+_MRL_K = 3
+_MRL_OVERFETCH = 4
+
+
+@register(
+    "sim_matryoshka_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings),
+    pre AS (
+        SELECT qid, cid, qvec, cvec,
+               {_cosine_n("qvec", "cvec", _MRL_PREFIX)} AS prefix_cosine
+        FROM c, q WHERE cid <> qid
+    ),
+    survivors AS (
+        SELECT qid, cid, qvec, cvec,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY prefix_cosine DESC, cid) AS prn
+        FROM pre
+    ),
+    reranked AS (
+        SELECT qid, cid, {_cosine("qvec", "cvec")} AS cosine
+        FROM survivors WHERE prn <= {_MRL_K * _MRL_OVERFETCH}
+    ),
+    ranked AS (
+        SELECT qid, cid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+        FROM reranked
+    )
+    SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= {_MRL_K}
+    """,
+)
+def sim_matryoshka_topk(spark, sf_dir):
+    """Matryoshka two-stage ANN: prefix-dim (16/64) cosine prunes each query's
+    candidates to k*overfetch, full-dim cosine reranks only the survivors —
+    the cheap-filter/exact-rerank shape MRL embeddings exist for.  Both
+    stages are exact ordered folds, so the oracle reproduces them verbatim
+    (same prune, same rerank, same tie-breaks)."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import matryoshka_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(e.vec_id < 8)
+    return matryoshka_topk(
+        e, queries, k=_MRL_K, prefix_dim=_MRL_PREFIX, overfetch=_MRL_OVERFETCH
+    )

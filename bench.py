@@ -287,6 +287,12 @@ HEADLINE = [
     # expansion collapsing under partial aggregation; hex-slice inverse-CDF
     # draws, exact BIGINT weighted sums)
     "stats_bootstrap_ci_price",
+    # round-11 wave 5: Matryoshka two-stage retrieval (prefix-cosine prune →
+    # full-dim rerank, map-side partial top-k before the one qid exchange)
+    # and video scene-cut segmentation (metadata-driven frame explode, one
+    # doc_id exchange shared by both windows and the scene aggregation)
+    "sim_matryoshka_topk",
+    "multimodal_scene_cuts",
 ]
 
 

@@ -73,6 +73,10 @@ _NEW_SINCE_GATE = [
     "q3_shipping_priority",
     "tokenizer_unigram_viterbi",
     "stats_bootstrap_ci_price",
+    # r11: new — Matryoshka two-stage retrieval and video scene-cut
+    # segmentation
+    "sim_matryoshka_topk",
+    "multimodal_scene_cuts",
 ]
 
 

@@ -432,3 +432,152 @@ def test_bootstrap_ci_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "boot:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# sim_matryoshka_topk — prefix-prune / full-rerank retrieval (wave 5)          #
+# --------------------------------------------------------------------------- #
+
+
+def test_matryoshka_exhaustive_overfetch_equals_brute_force(spark):
+    """With overfetch large enough that phase 1 keeps every candidate, the
+    two-stage rerank must reproduce exact brute-force top-k bit-for-bit —
+    proving the rerank stage itself is exact; the registry differential then
+    proves the PRUNED variant against the same-pruning oracle."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import (
+        brute_force_topk,
+        matryoshka_topk,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    n = e.count()
+    mrl = matryoshka_topk(e, q, k=5, prefix_dim=16, overfetch=n).toPandas()
+    brute = brute_force_topk(e, q, k=5).toPandas()
+    key = lambda df: df.sort_values(["qid", "rn"]).reset_index(drop=True)
+    a, b = key(mrl), key(brute)
+    assert a[["qid", "cid", "rn"]].equals(b[["qid", "cid", "rn"]])
+    assert (a["cosine"] == b["cosine"]).all()  # bit-exact, same fold
+
+
+def test_matryoshka_results_come_from_prefix_survivors(spark):
+    """Every returned hit must be inside the phase-1 prefix-cosine top-
+    (k*overfetch) set for its query — the structural prune invariant."""
+    from pyspark.sql import Window as W
+
+    from airflow_cms_inpatient_etl_spark.operators.similarity import (
+        dot,
+        matryoshka_topk,
+        norm,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    out = matryoshka_topk(e, q, k=3, prefix_dim=16, overfetch=4).toPandas()
+
+    pre = F.slice(F.col("embedding"), 1, 16)
+    qs = q.select(
+        F.col("vec_id").alias("qid"), pre.alias("qpre"), norm(pre).alias("qpn")
+    )
+    cs = e.select(
+        F.col("vec_id").alias("cid"), pre.alias("cpre"), norm(pre).alias("cpn")
+    )
+    w = W.partitionBy("qid").orderBy(
+        (dot(F.col("qpre"), F.col("cpre")) / (F.col("qpn") * F.col("cpn"))).desc(),
+        F.col("cid"),
+    )
+    survivors = (
+        cs.crossJoin(F.broadcast(qs))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= 12)
+        .select("qid", "cid")
+        .toPandas()
+    )
+    allowed = set(map(tuple, survivors.values))
+    assert all((r.qid, r.cid) in allowed for r in out.itertuples())
+
+
+def test_matryoshka_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["sim_matryoshka_topk"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "'/root/testdata/sf0.1/embeddings.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "mrl:sf0.1")
+    finally:
+        con.close()
+
+
+# --------------------------------------------------------------------------- #
+# multimodal_scene_cuts — video shot segmentation (wave 5)                     #
+# --------------------------------------------------------------------------- #
+
+
+def test_scene_cuts_python_reference(spark):
+    """Recompute scene segmentation with a direct python loop over the same
+    stub feature and compare every scene row — independent of both engines'
+    window machinery."""
+    from airflow_cms_inpatient_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        scene_cut_segments,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r.doc_id, r.scene_id): (r.start_frame, r.end_frame, r.scene_frames, r.sum_intensity)
+        for r in scene_cut_segments(attach_binary_payload(d)).collect()
+    }
+
+    docs = d.select("doc_id", "text").collect()
+    want = {}
+    for row in docs:
+        n_bytes = len(row.text.encode("utf-8"))
+        n_frames = n_bytes // 100 + 1
+        scene, prev = 0, None
+        agg = {}
+        for idx in range(n_frames):
+            inten = (n_bytes * (idx + 1)) % 251
+            if prev is not None and abs(inten - prev) > 125:
+                scene += 1
+            prev = inten
+            s = agg.setdefault(scene, [idx, idx, 0, 0])
+            s[1], s[2], s[3] = idx, s[2] + 1, s[3] + inten
+        for scene_id, (a, b, n, tot) in agg.items():
+            want[(row.doc_id, scene_id)] = (a, b, n, tot)
+    assert got == want
+
+
+def test_scene_cuts_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["multimodal_scene_cuts"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.1/documents.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "scenes:sf0.1")
+    finally:
+        con.close()
