@@ -132,3 +132,31 @@ def compact_small_files(
         raise IOError(f"compaction rename failed: {tmp} -> {path}")
     fs.delete(jvm.Path(old), True)
     return n_files
+
+
+def zorder_key_int(
+    quantized: list[Column], bits: int = 8, alias: str = "zorder_key"
+) -> Column:
+    """Morton key over ALREADY-QUANTIZED integer bucket columns (each in
+    [0, 2^bits)).  Pure integer bit arithmetic — unlike ``zorder_key`` there
+    is no double quantization and no driver scalar collect, so the result is
+    engine-portable (an oracle can reproduce it with `>>`/`&`/`*` exactly)
+    and the expression composes into a fully declarative plan."""
+    k = len(quantized)
+    terms = [
+        (F.shiftright(q, bit).bitwiseAND(F.lit(1)) * F.lit(1 << (bit * k + j))).cast(
+            "bigint"
+        )
+        for bit in range(bits)
+        for j, q in enumerate(quantized)
+    ]
+    return reduce(lambda a, b: a + b, terms).alias(alias)
+
+
+def equi_width_bucket_int(v: str, lo: str, hi: str, n_buckets: int) -> Column:
+    """Equi-width quantization of an integer column into [0, n_buckets) with
+    BIGINT arithmetic only: ((v - lo) * n) DIV (hi - lo + 1).  Args are SQL
+    expression strings (the same text an oracle embeds), so both engines run
+    byte-identical integer arithmetic.  For v in [lo, hi] the result is
+    < n_buckets by construction — no clamp, no float rounding anywhere."""
+    return F.expr(f"(({v} - {lo}) * {n_buckets}) DIV ({hi} - {lo} + 1)").cast("bigint")

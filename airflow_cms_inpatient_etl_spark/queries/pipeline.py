@@ -16,6 +16,7 @@ eval-set posting list.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from airflow_cms_inpatient_etl_spark.operators.text import (
     exploded_shingle_hashes,
@@ -1081,4 +1082,149 @@ def corpus_curation_v7(spark, sf_dir):
             F.count("k_doc").alias("docs_kept"),
             F.coalesce(F.sum("ntok"), F.lit(0)).cast("long").alias("kept_ws_tokens"),
         )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# layout_zorder_locality — Morton-clustered shard manifest (2-D file skipping) #
+# --------------------------------------------------------------------------- #
+
+_Z_BITS = 8
+_Z_BUCKETS = 1 << _Z_BITS
+_Z_SHARDS = 8
+
+
+def _z_interleave_sql(qc: str, qp: str, bits: int = _Z_BITS) -> str:
+    """SQL text of the Morton interleave (col 0 → even bits, col 1 → odd) —
+    the same bit arithmetic operators.layout.zorder_key_int emits."""
+    terms: list[str] = []
+    for b in range(bits):
+        terms.append(f"((({qc}) >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"((({qp}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    n_ref = "(SELECT n FROM n)"
+    bounds = ", ".join(
+        f"(SELECT MIN(v) FROM cum WHERE cum >= ({i} * {n_ref} + {_Z_SHARDS - 1}) // {_Z_SHARDS}) AS b{i}"
+        for i in range(1, _Z_SHARDS)
+    )
+    gt_sum = " + ".join(
+        f"CASE WHEN z.zkey > b.b{i} THEN 1 ELSE 0 END" for i in range(1, _Z_SHARDS)
+    )
+    return f"""
+    WITH stats AS (
+        SELECT MIN(o_custkey) AS lo_c, MAX(o_custkey) AS hi_c,
+               MIN(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS lo_p,
+               MAX(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS hi_p
+        FROM orders
+    ),
+    q AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+               ((o_custkey - lo_c) * {_Z_BUCKETS}) // (hi_c - lo_c + 1) AS qc,
+               ((CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) - lo_p) * {_Z_BUCKETS}) // (hi_p - lo_p + 1) AS qp
+        FROM orders CROSS JOIN stats
+    ),
+    z AS (
+        SELECT o_orderkey, o_custkey, cents,
+               CAST({_z_interleave_sql("qc", "qp")} AS BIGINT) AS zkey
+        FROM q
+    ),
+    h AS (SELECT zkey AS v, CAST(COUNT(*) AS BIGINT) AS c FROM z GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+    cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+    b AS (SELECT {bounds}),
+    assigned AS (
+        SELECT z.o_custkey, z.cents, z.zkey, 1 + {gt_sum} AS shard_id
+        FROM z CROSS JOIN b
+    )
+    SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(zkey) AS z_lo, MAX(zkey) AS z_hi,
+           MIN(o_custkey) AS cust_lo, MAX(o_custkey) AS cust_hi,
+           MIN(cents) AS cents_lo, MAX(cents) AS cents_hi
+    FROM assigned GROUP BY shard_id
+    """
+
+
+@register("layout_zorder_locality", oracle=_zorder_oracle())
+def layout_zorder_locality(spark, sf_dir):
+    """Z-order (Morton) clustering manifest over orders on the 2-D key
+    (o_custkey, price cents): equi-width integer quantization of each
+    dimension to 8 bits, bit interleave, then EXACT histogram-quantile range
+    shards on the Z key (corpus_range_shards' boundary machinery — no
+    sampling RangePartitioner, so the manifest is byte-reproducible), and
+    per-shard min/max spans of BOTH source dimensions.  This is the layout
+    planner for multi-dimensional file skipping (what Delta OPTIMIZE ZORDER
+    does): every shard's parquet footer would carry narrow ranges on both
+    custkey AND price, so point/range predicates on either column prune
+    files.  Scale shape: one scalar min/max aggregate (broadcast), one
+    map-side quantize+interleave pass, a histogram over ≤ 2^16 distinct Z
+    values (the only windowed stage — value-histogram-sized, not
+    corpus-sized), and one broadcast of 7 boundary scalars; integer
+    arithmetic end to end ⇒ hash-exact."""
+    from pyspark.sql import Window as W
+
+    from airflow_cms_inpatient_etl_spark.operators.layout import (
+        equi_width_bucket_int,
+        zorder_key_int,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(T.DecimalType(14, 2)) * 100).cast("bigint")
+    stats = o.agg(
+        F.min("o_custkey").alias("lo_c"),
+        F.max("o_custkey").alias("hi_c"),
+        F.min(cents).alias("lo_p"),
+        F.max(cents).alias("hi_p"),
+    )
+    q = (
+        o.select("o_orderkey", "o_custkey", cents.alias("cents"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "cents",
+            equi_width_bucket_int("o_custkey", "lo_c", "hi_c", _Z_BUCKETS).alias("qc"),
+            equi_width_bucket_int("cents", "lo_p", "hi_p", _Z_BUCKETS).alias("qp"),
+        )
+    )
+    z = q.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        zorder_key_int([F.col("qc"), F.col("qp")], bits=_Z_BITS, alias="zkey"),
+    )
+    h = z.groupBy(F.col("zkey").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    n_total = h.agg(F.sum("c").alias("n"))
+    cum = h.select(
+        "v",
+        F.sum("c").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    bounds = cum.crossJoin(F.broadcast(n_total)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({i} * n + {_Z_SHARDS - 1}) div {_Z_SHARDS}"),
+                    F.col("v"),
+                )
+            ).alias(f"b{i}")
+            for i in range(1, _Z_SHARDS)
+        ]
+    )
+    shard = F.lit(1)
+    for i in range(1, _Z_SHARDS):
+        shard = shard + F.when(F.col("zkey") > F.col(f"b{i}"), 1).otherwise(0)
+    assigned = z.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey", "cents", "zkey", shard.alias("shard_id")
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("zkey").alias("z_lo"),
+        F.max("zkey").alias("z_hi"),
+        F.min("o_custkey").alias("cust_lo"),
+        F.max("o_custkey").alias("cust_hi"),
+        F.min("cents").alias("cents_lo"),
+        F.max("cents").alias("cents_hi"),
     )

@@ -293,6 +293,9 @@ HEADLINE = [
     # doc_id exchange shared by both windows and the scene aggregation)
     "sim_matryoshka_topk",
     "multimodal_scene_cuts",
+    # round-11 wave 6: Z-order shard manifest (scalar stats broadcast +
+    # map-side quantize/interleave + histogram-quantile boundaries)
+    "layout_zorder_locality",
 ]
 
 

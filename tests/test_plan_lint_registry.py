@@ -77,6 +77,8 @@ _NEW_SINCE_GATE = [
     # segmentation
     "sim_matryoshka_topk",
     "multimodal_scene_cuts",
+    # r11: new — Morton-clustered shard manifest
+    "layout_zorder_locality",
 ]
 
 

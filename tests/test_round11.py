@@ -581,3 +581,92 @@ def test_scene_cuts_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "scenes:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# layout_zorder_locality — Morton shard manifest (wave 6)                      #
+# --------------------------------------------------------------------------- #
+
+
+def test_zorder_python_reference_and_locality(spark):
+    """Recompute quantization + bit interleave + boundary sharding in plain
+    python (independent of both engines' SQL) and compare the full manifest;
+    then assert the locality property z-order exists for: every shard's span
+    is narrow on BOTH dimensions (vs a 1-D sort, which leaves the second
+    dimension spanning ~the whole domain)."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    got = {
+        r.shard_id: (r.n_rows, r.z_lo, r.z_hi, r.cust_lo, r.cust_hi, r.cents_lo, r.cents_hi)
+        for r in QUERY_REGISTRY["layout_zorder_locality"].fn(spark, SF_SMOKE).collect()
+    }
+
+    import decimal
+
+    rows = [
+        (r.o_custkey, int(decimal.Decimal(str(round(r.o_totalprice, 2))) * 100))
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ]
+    lo_c, hi_c = min(r[0] for r in rows), max(r[0] for r in rows)
+    lo_p, hi_p = min(r[1] for r in rows), max(r[1] for r in rows)
+
+    def z(c, p):
+        qc = ((c - lo_c) * 256) // (hi_c - lo_c + 1)
+        qp = ((p - lo_p) * 256) // (hi_p - lo_p + 1)
+        out = 0
+        for b in range(8):
+            out |= ((qc >> b) & 1) << (2 * b)
+            out |= ((qp >> b) & 1) << (2 * b + 1)
+        return out
+
+    zs = sorted(z(c, p) for c, p in rows)
+    n = len(zs)
+    import bisect
+
+    bounds = []
+    for i in range(1, 8):
+        target = (i * n + 7) // 8
+        # min zkey value whose cumulative count reaches target
+        bounds.append(zs[target - 1])
+    want = {}
+    for (c, p) in rows:
+        zk = z(c, p)
+        shard = 1 + sum(1 for b in bounds if zk > b)
+        s = want.setdefault(shard, [0, zk, zk, c, c, p, p])
+        s[0] += 1
+        s[1], s[2] = min(s[1], zk), max(s[2], zk)
+        s[3], s[4] = min(s[3], c), max(s[4], c)
+        s[5], s[6] = min(s[5], p), max(s[6], p)
+    want = {k: tuple(v) for k, v in want.items()}
+    assert got == want
+
+    # locality: median per-shard span is well under the full domain on BOTH dims
+    cust_spans = sorted((v[4] - v[3]) / max(hi_c - lo_c, 1) for v in got.values())
+    cents_spans = sorted((v[6] - v[5]) / max(hi_p - lo_p, 1) for v in got.values())
+    assert cust_spans[len(cust_spans) // 2] < 0.75
+    assert cents_spans[len(cents_spans) // 2] < 0.75
+
+
+def test_zorder_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["layout_zorder_locality"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            "'/root/testdata/sf0.1/orders.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "zorder:sf0.1")
+    finally:
+        con.close()
