@@ -490,3 +490,55 @@ def ancestor_closure(
         if jmp.isEmpty():  # every pointer has sailed past its root: converged
             break
     return cl.select(F.col("d").alias(node), F.col("a").alias("anc"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection): every
+    node starts in its own community; each round every node adopts the label
+    with the largest total incident edge weight among its neighbors'
+    PREVIOUS-round labels, ties broken toward the SMALLEST label.  Synchronous
+    updates + integer weights + a total tie order make the whole iteration
+    bit-deterministic — the property that lets a community-detection
+    algorithm be value-checked against an unrolled SQL oracle (asynchronous
+    LPA, the textbook default, is order-dependent and unverifiable).
+
+    ``edges``: (src, dst, w) DIRECTED pairs — symmetrized here (self-loops
+    dropped, parallel edges' weights summed) so communities are undirected.
+    ``nodes`` must cover every endpoint; isolated nodes keep their own label.
+
+    Scale shape: per round, one equi-join of the edge list against the
+    node-sized label table, a (dst, label) partial-aggregate, and an argmax
+    per node via max(struct(wsum, -label)) that folds map-side — two
+    key-bounded exchanges per round, no driver participation.  The fixed
+    small budget stays ONE unrolled lazy plan with nothing persisted (no
+    storage pins — see pagerank_integer's snapshot mode for deep budgets)."""
+    sym = edges.filter(F.col("src") != F.col("dst"))
+    uedges = (
+        sym.select("src", "dst", "w")
+        .union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iter):
+        scores = (
+            uedges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst", "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        best = scores.groupBy("dst").agg(
+            F.max(F.struct(F.col("wsum"), (-F.col("label")).alias("neg"))).alias("m")
+        )
+        labels = (
+            nodes.join(best.withColumnRenamed("dst", "node"), "node", "left")
+            .join(labels.withColumnRenamed("label", "prev"), "node")
+            .select(
+                "node",
+                F.coalesce((-F.col("m.neg")).cast("long"), F.col("prev")).alias("label"),
+            )
+        )
+    return labels

@@ -1568,3 +1568,91 @@ def corpus_curation_v8(spark, sf_dir):
 corpus_curation_v8.__doc__ = corpus_curation_v8.__doc__.replace(
     "{gate}", str(_V8_GATE_BP)
 )
+
+
+# --------------------------------------------------------------------------- #
+# graph_label_propagation — synchronous community detection (round 11)         #
+# --------------------------------------------------------------------------- #
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """
+    WITH ev AS (
+        SELECT user_id, ts, event_id, CAST(props->>'k' AS BIGINT) AS node FROM events
+    ),
+    tr AS (
+        SELECT node AS dst,
+               LAG(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM ev
+    ),
+    edges AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+        FROM tr WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    nodes AS (SELECT DISTINCT node FROM ev),
+    sym AS (
+        SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+            SELECT src, dst, w FROM edges WHERE src <> dst
+            UNION ALL
+            SELECT dst AS src, src AS dst, w FROM edges WHERE src <> dst
+        ) GROUP BY src, dst
+    ),
+    l0 AS (SELECT node, node AS label FROM nodes)"""
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        parts.append(
+            f""",
+    s{i} AS (
+        SELECT e.dst AS node, l.label, CAST(SUM(e.w) AS BIGINT) AS wsum
+        FROM sym e JOIN l{i - 1} l ON l.node = e.src
+        GROUP BY e.dst, l.label
+    ),
+    a{i} AS (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY wsum DESC, label) AS rn
+        FROM s{i}
+    ),
+    l{i} AS (
+        SELECT n.node, COALESCE(a.label, p.label) AS label
+        FROM nodes n
+        LEFT JOIN (SELECT node, label FROM a{i} WHERE rn = 1) a ON a.node = n.node
+        JOIN l{i - 1} p ON p.node = n.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, label,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+    FROM l{_LPA_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Synchronous weighted label propagation ({n} rounds) over the
+    symmetrized event transition graph: community detection with integer
+    weights and min-label tie-breaks, so a normally-heuristic algorithm is
+    bit-deterministic and hash-matches an independently-unrolled SQL oracle
+    (each round one CTE: per-(node, neighbor-label) weight census, argmax by
+    (wsum DESC, label)).  Output is every node's community plus the community
+    size.  See operators.graph.label_propagation for the two-exchange-per-
+    round scale contract."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import label_propagation
+
+    _, edges, nodes = _transition_graph(spark, sf_dir)
+    labels = label_propagation(edges, nodes, n_iter=_LPA_ITERS)
+    return labels.select(
+        "node",
+        "label",
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("community_size"),
+    )
+
+
+if graph_label_propagation.__doc__:  # None under python -OO
+    graph_label_propagation.__doc__ = graph_label_propagation.__doc__.replace(
+        "{n}", str(_LPA_ITERS)
+    )

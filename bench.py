@@ -296,6 +296,9 @@ HEADLINE = [
     # round-11 wave 6: Z-order shard manifest (scalar stats broadcast +
     # map-side quantize/interleave + histogram-quantile boundaries)
     "layout_zorder_locality",
+    # round-11 wave 7: synchronous LPA (two key-bounded exchanges per round,
+    # 3-round unrolled lazy plan — the iterative-join family's newest member)
+    "graph_label_propagation",
 ]
 
 

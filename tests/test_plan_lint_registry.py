@@ -79,6 +79,8 @@ _NEW_SINCE_GATE = [
     "multimodal_scene_cuts",
     # r11: new — Morton-clustered shard manifest
     "layout_zorder_locality",
+    # r11: new — synchronous community detection
+    "graph_label_propagation",
 ]
 
 

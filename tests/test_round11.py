@@ -670,3 +670,78 @@ def test_zorder_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "zorder:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# graph_label_propagation — synchronous LPA (wave 7)                           #
+# --------------------------------------------------------------------------- #
+
+
+def test_lpa_python_reference(spark):
+    """Recompute 3 synchronous LPA rounds with plain python dicts over the
+    same transition graph and compare every node's community — independent of
+    both engines' join/window machinery; also asserts the run does real work
+    (some labels move off the identity and a community has > 1 member)."""
+    from collections import defaultdict
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+    from airflow_cms_inpatient_etl_spark.queries.curation2 import _transition_graph
+
+    got = {
+        r.node: (r.label, r.community_size)
+        for r in QUERY_REGISTRY["graph_label_propagation"].fn(spark, SF_SMOKE).collect()
+    }
+
+    _, edges_df, nodes_df = _transition_graph(spark, SF_SMOKE)
+    nodes = [r.node for r in nodes_df.collect()]
+    sym = defaultdict(int)
+    for r in edges_df.collect():
+        if r.src != r.dst:
+            sym[(r.src, r.dst)] += r.w
+            sym[(r.dst, r.src)] += r.w
+    nbrs = defaultdict(list)
+    for (u, v), w in sym.items():
+        nbrs[v].append((u, w))  # incident weight arriving at v from u
+    label = {n: n for n in nodes}
+    for _ in range(3):
+        nxt = {}
+        for n in nodes:
+            census = defaultdict(int)
+            for u, w in nbrs[n]:
+                census[label[u]] += w
+            if census:
+                # max weight, tie -> smallest label
+                nxt[n] = min(census, key=lambda L: (-census[L], L))
+            else:
+                nxt[n] = label[n]
+        label = nxt
+    sizes = defaultdict(int)
+    for n in nodes:
+        sizes[label[n]] += 1
+    want = {n: (label[n], sizes[label[n]]) for n in nodes}
+    assert got == want
+    assert any(label[n] != n for n in nodes)
+    assert max(sizes.values()) > 1
+
+
+def test_lpa_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["graph_label_propagation"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "'/root/testdata/sf0.1/events.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "lpa:sf0.1")
+    finally:
+        con.close()
