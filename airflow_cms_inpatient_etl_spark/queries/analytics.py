@@ -3008,3 +3008,148 @@ def stats_bootstrap_ci_price(spark, sf_dir):
 stats_bootstrap_ci_price.__doc__ = stats_bootstrap_ci_price.__doc__.replace(
     "{_BOOT_B}", str(_BOOT_B)
 )
+
+
+# --------------------------------------------------------------------------- #
+# ml_auc_exact — tie-corrected ROC-AUC via rank statistics (round 11)          #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "ml_auc_exact",
+    oracle="""
+    WITH base AS (
+        SELECT DAYOFWEEK(ts) + 1 AS dow,  -- DuckDB 0=Sunday; Spark dayofweek 1=Sunday
+               CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+        SELECT dow, cents, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS npos
+        FROM base GROUP BY dow, cents
+    ),
+    cum AS (
+        SELECT dow, n, npos,
+               CAST(SUM(n) OVER (PARTITION BY dow ORDER BY cents) AS BIGINT) AS cumn
+        FROM hist
+    ),
+    agg AS (
+        SELECT dow,
+               CAST(SUM(npos) AS BIGINT) AS n_pos,
+               CAST(SUM(n - npos) AS BIGINT) AS n_neg,
+               CAST(SUM(npos * (2 * (cumn - n) + n + 1)) AS BIGINT) AS rs2
+        FROM cum GROUP BY dow
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, n_pos, n_neg,
+           rs2 - n_pos * (n_pos + 1) AS auc_num2,
+           CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM agg WHERE n_pos > 0 AND n_neg > 0
+    """,
+)
+def ml_auc_exact(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC of purchase value as a purchase predictor,
+    per day-of-week — the Mann-Whitney rank statistic computed ENTIRELY in
+    integer arithmetic: per (dow, score) histogram, cumulative rank offsets,
+    2x-scaled tie-averaged rank sums (so half-ranks stay integral), and ONE
+    terminal double division of two exact bigints (correctly rounded
+    identically in every engine — the events_dow_seasonality discipline).
+    This is the model-eval primitive training pipelines recompute at corpus
+    scale; the usual implementation sorts all scores globally — here the
+    global sort collapses to a score-HISTOGRAM window (distinct scores per
+    partition, not rows), after one map-side partial aggregate over the
+    corpus.  DOW parity: Spark dayofweek is 1=Sunday..7; DuckDB DAYOFWEEK is 0=Sunday..6, so the oracle adds 1."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.dayofweek("ts").cast("long").alias("dow"),
+            (F.col("value").cast("decimal(14,2)") * 100).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+        )
+    )
+    hist = base.groupBy("dow", "cents").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("npos")
+    )
+    w = W.partitionBy("dow").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.withColumn("cumn", F.sum("n").over(w))
+    agg = cum.groupBy("dow").agg(
+        F.sum("npos").alias("n_pos"),
+        F.sum(F.col("n") - F.col("npos")).alias("n_neg"),
+        F.sum(
+            F.col("npos") * (2 * (F.col("cumn") - F.col("n")) + F.col("n") + 1)
+        ).alias("rs2"),
+    )
+    num2 = F.col("rs2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        "dow",
+        "n_pos",
+        "n_neg",
+        num2.alias("auc_num2"),
+        (num2.cast("double") / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")).alias(
+            "auc"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# ml_target_encoding_loo — leakage-free categorical feature encoding           #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "ml_target_encoding_loo",
+    oracle="""
+    WITH base AS (
+        SELECT o.o_orderkey, c.c_nationkey AS nation,
+               CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    stats AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM base GROUP BY nation
+    )
+    SELECT b.o_orderkey, b.nation, b.cents,
+           s.cnt - 1 AS loo_cnt,
+           s.sum_cents - b.cents AS loo_sum_cents,
+           CASE WHEN s.cnt > 1
+                THEN CAST(s.sum_cents - b.cents AS DOUBLE) / CAST(s.cnt - 1 AS DOUBLE)
+           END AS enc
+    FROM base b JOIN stats s USING (nation)
+    """,
+)
+def ml_target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding of the customer's nation against order
+    value — the leakage-free categorical-feature primitive (a naive
+    per-category mean lets every row see its own target; LOO subtracts the
+    row's contribution before averaging, so train-time encodings never leak
+    the row's own label).  All sums are exact bigint cents; the encoding is
+    ONE terminal double division of two exact integers (identically rounded
+    in every engine).  Scale shape: one dim join orders→customer (AQE
+    broadcasts the smaller side), one map-side partial aggregate to ~25
+    nation rows, and a broadcast of those stats back over the fact scan —
+    the encode pass itself is corpus-shuffle-free; singleton categories
+    yield NULL (no 0/0), exactly as the oracle's CASE does."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", F.col("c_nationkey").alias("nation"), cents.alias("cents")
+    )
+    stats = base.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("sum_cents")
+    )
+    loo_sum = F.col("sum_cents") - F.col("cents")
+    loo_cnt = F.col("cnt") - 1
+    return base.join(F.broadcast(stats), "nation").select(
+        "o_orderkey",
+        "nation",
+        "cents",
+        loo_cnt.alias("loo_cnt"),
+        loo_sum.alias("loo_sum_cents"),
+        F.when(
+            F.col("cnt") > 1, loo_sum.cast("double") / loo_cnt.cast("double")
+        ).alias("enc"),
+    )

@@ -299,6 +299,11 @@ HEADLINE = [
     # round-11 wave 7: synchronous LPA (two key-bounded exchanges per round,
     # 3-round unrolled lazy plan — the iterative-join family's newest member)
     "graph_label_propagation",
+    # round-11 wave 8: integer-exact ML primitives — rank-statistic AUC
+    # (histogram window, not a global sort) and LOO target encoding
+    # (broadcast stats back over the fact scan)
+    "ml_auc_exact",
+    "ml_target_encoding_loo",
 ]
 
 

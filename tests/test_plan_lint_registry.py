@@ -81,6 +81,9 @@ _NEW_SINCE_GATE = [
     "layout_zorder_locality",
     # r11: new — synchronous community detection
     "graph_label_propagation",
+    # r11: new — integer-exact ML-eval/feature primitives
+    "ml_auc_exact",
+    "ml_target_encoding_loo",
 ]
 
 

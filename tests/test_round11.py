@@ -745,3 +745,127 @@ def test_lpa_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "lpa:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# ml_auc_exact — tie-corrected Mann-Whitney ROC-AUC (wave 7)                   #
+# --------------------------------------------------------------------------- #
+
+
+def test_auc_python_reference(spark):
+    """Recompute the per-dow AUC with a direct O(n log n) python
+    implementation of tie-averaged ranks and compare bit-for-bat — plus
+    sanity bounds (0 <= auc <= 1, counts add up)."""
+    from collections import defaultdict
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    got = {
+        r.dow: (r.n_pos, r.n_neg, r.auc_num2, r.auc)
+        for r in QUERY_REGISTRY["ml_auc_exact"].fn(spark, SF_SMOKE).collect()
+    }
+
+    import decimal
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.dayofweek("ts").alias("dow"), "value", "event_type")
+        .collect()
+    )
+    by_dow = defaultdict(list)
+    for r in rows:
+        cents = int(decimal.Decimal(str(round(r.value, 2))) * 100)
+        by_dow[r.dow].append((cents, 1 if r.event_type == "purchase" else 0))
+    want = {}
+    for dow, data in by_dow.items():
+        data.sort()
+        n = len(data)
+        npos = sum(p for _, p in data)
+        nneg = n - npos
+        if npos == 0 or nneg == 0:
+            continue
+        # tie-averaged ranks, x2 to stay integral
+        rs2 = 0
+        i = 0
+        while i < n:
+            j = i
+            while j < n and data[j][0] == data[i][0]:
+                j += 1
+            # group ranks i+1..j (1-based); 2*avg_rank = (i+1) + j
+            grp_pos = sum(p for _, p in data[i:j])
+            rs2 += grp_pos * ((i + 1) + j)
+            i = j
+        num2 = rs2 - npos * (npos + 1)
+        want[dow] = (npos, nneg, num2, num2 / (2 * npos * nneg))
+    assert got == want
+    for npos, nneg, num2, auc in got.values():
+        assert 0.0 <= auc <= 1.0
+
+
+def test_auc_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["ml_auc_exact"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "'/root/testdata/sf0.1/events.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "auc:sf0.1")
+    finally:
+        con.close()
+
+
+def test_target_encoding_loo_no_self_leakage(spark):
+    """Structural leakage check: for every order, the LOO encoding must not
+    include the row's own cents — verified by reconstructing the category
+    mean WITH the row and asserting enc differs whenever cents differs from
+    the category mean (plus exact identity loo_sum = cat_sum - cents)."""
+    from collections import defaultdict
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["ml_target_encoding_loo"].fn(spark, SF_SMOKE).collect()
+    cat_sum = defaultdict(int)
+    cat_cnt = defaultdict(int)
+    for r in rows:
+        cat_sum[r.nation] += r.cents
+        cat_cnt[r.nation] += 1
+    for r in rows:
+        assert r.loo_sum_cents == cat_sum[r.nation] - r.cents
+        assert r.loo_cnt == cat_cnt[r.nation] - 1
+        if r.loo_cnt > 0:
+            assert r.enc == r.loo_sum_cents / r.loo_cnt
+
+
+def test_target_encoding_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["ml_target_encoding_loo"]
+    con = duckdb.connect()
+    try:
+        for t in ("orders", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.1/{t}.parquet'"
+            )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "loo:sf0.1")
+    finally:
+        con.close()
