@@ -636,3 +636,65 @@ def cluster_aware_split(
         "cluster_size",
         F.when(h % 100 < train_pct, "train").otherwise("eval").alias("split"),
     )
+
+
+_WINNOW_H_BITS = 43
+_WINNOW_POS_BITS = 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every word k-gram IN ORDER, slide a
+    ``window``-gram window, and select each window's minimum hash — the
+    guarantee is every shared run of window+k-1 words between two documents
+    yields at least one IDENTICAL selected fingerprint, while only
+    ~2/(window+1) of grams are kept.  Selection is made totally ordered by
+    packing (hash, position) into ONE bigint — hash in the high 43 bits,
+    1-based gram position in the low 20 — so MIN() breaks hash ties toward
+    the smallest position identically in every engine (the packed key needs
+    pos < 2^20 grams/doc and exactly fills int64: 43+20 = 63 bits; a 100 TB
+    deployment with longer docs re-chunks or widens to a struct-min, which
+    Spark supports natively).
+
+    Returns DISTINCT (id, fpos, fh) selected fingerprints.  Scale shape: one
+    guarded-spread map-side gram/hash/pack pass, one doc-keyed window (the
+    only exchange), then distinct — linear in corpus grams."""
+    from airflow_cms_inpatient_etl_spark.operators.text import hash60, shingles, words
+    from airflow_cms_inpatient_etl_spark.sources.registry import spread_scan
+
+    from pyspark.sql import Window as W
+
+    tok = spread_scan(
+        df.select(F.col(id_col), words(F.col(text_col)).alias("__w")), id_col
+    )
+    grams = tok.select(
+        F.col(id_col),
+        F.posexplode(shingles(F.col("__w"), k)).alias("pos0", "shingle"),
+    ).select(
+        F.col(id_col),
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        (hash60(F.col("shingle")) % F.lit(1 << _WINNOW_H_BITS)).alias("h"),
+    )
+    packed = grams.select(
+        F.col(id_col),
+        "pos",
+        (F.col("h") * F.lit(1 << _WINNOW_POS_BITS) + F.col("pos")).alias("k"),
+    )
+    w = W.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
+    sel = (
+        packed.withColumn("fpk", F.min("k").over(w))
+        .filter(F.col("pos") >= window)
+        .select(
+            F.col(id_col),
+            F.expr(f"fpk div {1 << _WINNOW_POS_BITS}").alias("fh"),
+            (F.col("fpk") % F.lit(1 << _WINNOW_POS_BITS)).alias("fpos"),
+        )
+        .distinct()
+    )
+    return sel

@@ -1103,3 +1103,85 @@ def corpus_ngram_novelty(spark, sf_dir):
             F.expr("(n_novel * 1000000) div n_grams").alias("novelty_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# dedup_winnowing — MOSS-style robust fingerprint overlap census (round 11)    #
+# --------------------------------------------------------------------------- #
+
+_WIN_MAX_DF = 100   # stop-fingerprint cap (the minhash max_df contract)
+_WIN_MIN_SHARED = 2
+
+
+@register(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               UNNEST(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1)) AS pos,
+               UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks
+    ),
+    kk AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               (CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) % {1 << 43})
+                   * {1 << 20} + CAST(pos AS BIGINT) AS k
+        FROM g
+    ),
+    win AS (
+        SELECT doc_id, pos,
+               MIN(k) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fpk
+        FROM kk
+    ),
+    dfh AS (
+        SELECT DISTINCT doc_id, fpk // {1 << 20} AS fh
+        FROM win WHERE pos >= 4
+    ),
+    cap AS (
+        SELECT fh FROM (SELECT fh, COUNT(*) AS nd FROM dfh GROUP BY fh) t
+        WHERE nd <= {_WIN_MAX_DF}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM dfh a JOIN dfh b USING (fh) JOIN cap USING (fh)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2, n_shared FROM pairs WHERE n_shared >= {_WIN_MIN_SHARED}
+    """,
+)
+def dedup_winnowing(spark, sf_dir):
+    """MOSS winnowing overlap census: robust-winnowed fingerprints (every
+    shared 6-word run is guaranteed at least one common selected fingerprint,
+    at ~2/(w+1) storage) → per-fingerprint doc census with the standard
+    stop-fingerprint df cap → doc-pair shared-fingerprint counts ≥ 2.  The
+    plagiarism/derivative-content detector that positional dedup families
+    (rolling hash, repeated spans) don't cover: winnowing is position-robust
+    (insertions between shared runs don't move the selected grams).  One
+    doc-keyed window + one 8-byte-key census join — payload never shuffled."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "doc_id", "text", k=3, window=4)
+    dfh = fps.select("doc_id", "fh").distinct()
+    cap = (
+        dfh.groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") <= _WIN_MAX_DF)
+        .select("fh")
+    )
+    capped = dfh.join(cap, "fh")
+    a = capped.select(F.col("fh"), F.col("doc_id").alias("id1"))
+    b = capped.select(F.col("fh"), F.col("doc_id").alias("id2"))
+    return (
+        a.join(b, "fh")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )

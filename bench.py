@@ -304,6 +304,8 @@ HEADLINE = [
     # (broadcast stats back over the fact scan)
     "ml_auc_exact",
     "ml_target_encoding_loo",
+    # round-11 wave 8b: MOSS winnowing (doc-keyed window + 8-byte census join)
+    "dedup_winnowing",
 ]
 
 

@@ -84,6 +84,8 @@ _NEW_SINCE_GATE = [
     # r11: new — integer-exact ML-eval/feature primitives
     "ml_auc_exact",
     "ml_target_encoding_loo",
+    # r11: new — MOSS winnowing fingerprint census
+    "dedup_winnowing",
 ]
 
 

@@ -869,3 +869,72 @@ def test_target_encoding_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "loo:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# dedup_winnowing — MOSS robust fingerprints (wave 8)                          #
+# --------------------------------------------------------------------------- #
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Schleimer et al.'s core guarantee: any shared run of window+k-1 = 6
+    words yields at least one IDENTICAL selected fingerprint in both
+    documents — even when the run sits at different positions (winnowing is
+    position-robust).  Construct doc pairs embedding the same 8-word run at
+    different offsets amid different noise and assert overlap; a control
+    pair with no shared run must share nothing."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import winnow_fingerprints
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, "x1 y1 z1 " + run + " q1 r1"),
+        (2, "a2 b2 c2 d2 e2 f2 " + run),
+        (3, "unrelated words only here nothing shared at all"),
+        (4, "totally different content again nothing in common whatsoever"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fh)
+    assert by_doc[1] & by_doc[2], "shared 8-word run must share a fingerprint"
+    assert not (by_doc[3] & by_doc[4])
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnowing_density(spark):
+    """Selected fingerprints must be a small fraction of grams (the point of
+    winnowing): expected density 2/(w+1) = 0.4; assert well under 1.0 and
+    above the theoretical floor 1/w."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import winnow_fingerprints
+    from airflow_cms_inpatient_etl_spark.operators.text import shingles, words
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_grams = (
+        d.select(F.explode(shingles(words(F.col("text")), 3))).count()
+    )
+    n_sel = winnow_fingerprints(d, "doc_id", "text", k=3, window=4).count()
+    assert 0.25 * n_grams * 0.9 <= n_sel <= 0.6 * n_grams
+
+
+def test_winnowing_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["dedup_winnowing"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.1/documents.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "winnow:sf0.1")
+    finally:
+        con.close()
