@@ -857,3 +857,51 @@ def matryoshka_topk(
         .filter(F.col("rn") <= k)
         .select(qid_col, "cid", "cosine", "rn")
     )
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float]]:
+    """Gonzalez greedy k-center: start from the minimum id, then repeatedly
+    select the vector FARTHEST (squared L2, exact ordered fold) from the
+    already-selected set, ties toward the smallest id.  The classic 2-approx
+    coreset / diversity-sampling primitive (pick maximally-spread seeds for
+    annotation, eval, or centroid init).  Returns [(sel_rank, id, radius)]
+    where radius is the pick's distance-to-selected-set at selection time
+    (rank 0 → 0.0) — the k-th radius IS the covering radius bound.
+
+    Determinism: every distance is a fixed-order fold over exact doubles and
+    the argmax is tie-broken on id, so the trajectory is bit-reproducible —
+    an inherently-sequential greedy algorithm that still hash-matches an
+    unrolled SQL oracle.
+
+    Scale shape: the algorithm is k SEQUENTIAL passes by nature (each pick
+    depends on the last).  Per step: broadcast ONE 64-float center literal,
+    fold it into a running per-vector d_min column (map-side `least`), and
+    take a 1-row argmax (TakeOrdered — no global sort); the driver touches k
+    single rows, never the corpus (the pagerank-count style of legitimate
+    coordination).  The d_min recurrence accumulates k map-side stages on one
+    cached scan — at production k (hundreds) re-snapshot d_min on the graph
+    operators' cadence."""
+    picks: list[tuple[int, int, float]] = []
+    first = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(1).first()
+    )
+    picks.append((0, first[id_col], 0.0))
+    center = F.array(*[F.lit(float(x)) for x in first[vec_col]])
+    cur = embeddings.select(
+        F.col(id_col), F.col(vec_col), l2_sq(F.col(vec_col), center).alias("dmin")
+    )
+    for rank in range(1, k):
+        row = cur.orderBy(F.col("dmin").desc(), F.col(id_col)).limit(1).first()
+        picks.append((rank, row[id_col], float(row["dmin"])))
+        center = F.array(*[F.lit(float(x)) for x in row[vec_col]])
+        cur = cur.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.least(F.col("dmin"), l2_sq(F.col(vec_col), center)).alias("dmin"),
+        )
+    return picks

@@ -691,3 +691,65 @@ def sim_matryoshka_topk(spark, sf_dir):
     return matryoshka_topk(
         e, queries, k=_MRL_K, prefix_dim=_MRL_PREFIX, overfetch=_MRL_OVERFETCH
     )
+
+
+def _l2sq(a: str, b: str) -> str:
+    """DuckDB mirror of operators.similarity.l2_sq (same fold order)."""
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+_KCENTER_K = 6
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (SELECT vec_id, embedding FROM e WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
+    d1 AS (
+        SELECT e.vec_id, e.embedding, {_l2sq("e.embedding", "c.embedding")} AS dmin
+        FROM e CROSS JOIN c0 c
+    )"""
+    ]
+    for i in range(1, _KCENTER_K):
+        parts.append(
+            f""",
+    c{i} AS (SELECT vec_id, embedding, dmin FROM d{i} ORDER BY dmin DESC, vec_id LIMIT 1)"""
+        )
+        if i < _KCENTER_K - 1:
+            parts.append(
+                f""",
+    d{i + 1} AS (
+        SELECT d.vec_id, d.embedding,
+               LEAST(d.dmin, {_l2sq("d.embedding", "c.embedding")}) AS dmin
+        FROM d{i} d CROSS JOIN c{i} c
+    )"""
+            )
+    selects = ["SELECT 0 AS sel_rank, vec_id, CAST(0.0 AS DOUBLE) AS radius FROM c0"]
+    for i in range(1, _KCENTER_K):
+        selects.append(f"SELECT {i} AS sel_rank, vec_id, dmin AS radius FROM c{i}")
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@register("sample_kcenter_diverse", oracle=_kcenter_oracle())
+def sample_kcenter_diverse(spark, sf_dir):
+    """Gonzalez greedy k-center over the embedding corpus: 6 maximally-spread
+    vectors (the diversity-sampling / coreset-seed primitive), each pick the
+    exact argmax of distance-to-selected-set with id tie-breaks — an
+    inherently sequential algorithm made bit-deterministic, hash-matched
+    against an unrolled CTE oracle that replays every greedy decision.
+    Output: (sel_rank, vec_id, radius); the final radius bounds the covering
+    radius within 2x of optimal."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import kcenter_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    picks = kcenter_select(e, k=_KCENTER_K)
+    return spark.createDataFrame(
+        [(int(r), int(v), float(d)) for r, v, d in picks],
+        "sel_rank int, vec_id bigint, radius double",
+    )

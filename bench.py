@@ -306,6 +306,8 @@ HEADLINE = [
     "ml_target_encoding_loo",
     # round-11 wave 8b: MOSS winnowing (doc-keyed window + 8-byte census join)
     "dedup_winnowing",
+    # round-11 wave 9: Gonzalez k-center (k sequential 1-row argmax passes)
+    "sample_kcenter_diverse",
 ]
 
 

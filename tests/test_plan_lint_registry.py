@@ -86,6 +86,8 @@ _NEW_SINCE_GATE = [
     "ml_target_encoding_loo",
     # r11: new — MOSS winnowing fingerprint census
     "dedup_winnowing",
+    # r11: new — Gonzalez greedy k-center diversity sample
+    "sample_kcenter_diverse",
 ]
 
 

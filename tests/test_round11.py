@@ -938,3 +938,65 @@ def test_winnowing_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "winnow:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# sample_kcenter_diverse — Gonzalez greedy coreset (wave 9)                    #
+# --------------------------------------------------------------------------- #
+
+
+def test_kcenter_python_reference(spark):
+    """Replay the greedy trajectory in plain python (numpy-free exact float
+    arithmetic over the same fold order) and compare every pick and radius;
+    then assert the greedy invariants: radii are non-increasing from rank 2
+    on, and all picks are distinct."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import kcenter_select
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    got = kcenter_select(e, k=6)
+
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in e.collect()}
+
+    def l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    first = min(vecs)
+    picks = [(0, first, 0.0)]
+    dmin = {v: l2sq(vecs[v], vecs[first]) for v in vecs}
+    for rank in range(1, 6):
+        best = max(sorted(dmin), key=lambda v: (dmin[v], -v))
+        picks.append((rank, best, dmin[best]))
+        for v in vecs:
+            d = l2sq(vecs[v], vecs[best])
+            if d < dmin[v]:
+                dmin[v] = d
+    assert got == picks
+    radii = [r for _, _, r in got[1:]]
+    assert all(radii[i] >= radii[i + 1] for i in range(len(radii) - 1))
+    assert len({v for _, v, _ in got}) == 6
+
+
+def test_kcenter_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["sample_kcenter_diverse"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "'/root/testdata/sf0.1/embeddings.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "kcenter:sf0.1")
+    finally:
+        con.close()
