@@ -75,6 +75,7 @@ _PRIORITY = [
     "ml_target_encoding_loo",
     "dedup_winnowing",
     "sample_kcenter_diverse",
+    "text_textrank_keywords",
     # -- b. code changed in round 11 ---------------------------------------- #
     "split_cluster_aware",
     "bpe_train_vocab",
@@ -118,10 +119,10 @@ _PRIORITY = [
     "corpus_mixture_plan",
     "corpus_range_shards",
     "customer_rfm_segments",
-    "dedup_repeated_spans",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-12 QUEUE: the remaining 33 r6-stale rows, then everything else    #
+    # ROUND-12 QUEUE: the remaining 34 r6-stale rows, then everything else    #
     # in registration order (all r7+ and driver-green in its latest row).     #
+    "dedup_repeated_spans",
     "dq_benford_first_digit",
     "dq_referential_integrity",
     "events_ab_test_zscore",

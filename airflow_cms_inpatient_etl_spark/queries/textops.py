@@ -806,3 +806,122 @@ if text_mixed_language_flag.__doc__:  # None under python -OO
     text_mixed_language_flag.__doc__ = text_mixed_language_flag.__doc__.replace(
         "{_MIX_CHUNK}", str(_MIX_CHUNK)
     )
+
+
+# --------------------------------------------------------------------------- #
+# text_textrank_keywords — PageRank over the word co-occurrence graph          #
+# --------------------------------------------------------------------------- #
+
+_TR_ITERS = 4
+_TR_SCALE = 10**12
+_TR_TOPK = 20
+_TR_MINLEN = 4
+
+
+def _textrank_oracle() -> str:
+    scale, d = _TR_SCALE, 85
+    nref = "(SELECT n_nodes FROM n)"
+    parts = [
+        f"""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                           t -> LEN(t) >= {_TR_MINLEN}) AS lw
+        FROM documents
+    ),
+    pairs AS (
+        SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(lw) - 1, 0) + 1),
+                      i -> lw[i])) AS a,
+               UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(lw) - 1, 0) + 1),
+                      i -> lw[i + 1])) AS b
+        FROM toks
+    ),
+    edges AS (
+        SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+            SELECT a AS src, b AS dst, 1 AS w FROM pairs WHERE a <> b
+            UNION ALL
+            SELECT b AS src, a AS dst, 1 AS w FROM pairs WHERE a <> b
+        ) GROUP BY src, dst
+    ),
+    outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, {scale} // {nref} AS rank FROM nodes)"""
+    ]
+    for i in range(1, _TR_ITERS + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+        SELECT nodes.node,
+               (15 * ({scale} // {nref})) // 100
+                   + ({d} * COALESCE(CAST(SUM((r.rank * e.w) // o.wsum) AS BIGINT), 0)) // 100
+                   AS rank
+        FROM nodes
+        LEFT JOIN edges e ON e.dst = nodes.node
+        LEFT JOIN r{i - 1} r ON r.node = e.src
+        LEFT JOIN outd o ON o.src = e.src
+        GROUP BY nodes.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS word, rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rn
+    FROM r{_TR_ITERS}
+    ORDER BY rn LIMIT {_TR_TOPK}"""
+    )
+    return "".join(parts)
+
+
+@register("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): corpus-level
+    PageRank over the word co-occurrence graph — content words (len >= 4),
+    adjacent-pair edges symmetrized with multiplicity weights, 4 integer
+    PageRank rounds (reusing operators.graph.pagerank_integer verbatim — the
+    composition story: the graph engine ranks words exactly like it ranks
+    event nodes), top-20 by (rank DESC, word).  Node keys stay the word
+    strings at fixture scale; a 100 TB corpus hash60-keys the vocabulary and
+    joins the surface form back for the final 20 rows.  The unrolled oracle
+    replays all 4 rounds of the integer recurrence."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import pagerank_integer
+
+    d = load_table(spark, sf_dir, "documents")
+    lw = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: F.length(t) >= _TR_MINLEN,
+    )
+    toks = spread_scan(d.select("doc_id", lw.alias("lw")), "doc_id")
+    n = F.size("lw")
+    zipped = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("lw", 1, n - 1),
+            F.slice("lw", 2, n - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = toks.select(F.explode(zipped).alias("p")).select("p.a", "p.b")
+    fwd = pairs.filter(F.col("a") != F.col("b"))
+    edges = (
+        fwd.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(fwd.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = pagerank_integer(
+        edges, nodes, n_iter=_TR_ITERS, scale=_TR_SCALE, materialize_every=None
+    )
+    return (
+        ranks.select(
+            F.col("node").alias("word"),
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rank").desc(), F.col("node")))
+            .cast("long")
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _TR_TOPK)
+        .orderBy("rn")
+    )

@@ -308,6 +308,8 @@ HEADLINE = [
     "dedup_winnowing",
     # round-11 wave 9: Gonzalez k-center (k sequential 1-row argmax passes)
     "sample_kcenter_diverse",
+    # round-11 wave 9b: TextRank (pagerank_integer over the word graph)
+    "text_textrank_keywords",
 ]
 
 

@@ -88,6 +88,8 @@ _NEW_SINCE_GATE = [
     "dedup_winnowing",
     # r11: new — Gonzalez greedy k-center diversity sample
     "sample_kcenter_diverse",
+    # r11: new — TextRank keyword extraction (pagerank composition)
+    "text_textrank_keywords",
 ]
 
 

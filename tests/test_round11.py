@@ -1000,3 +1000,69 @@ def test_kcenter_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "kcenter:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# text_textrank_keywords — PageRank-composed keyword extraction (wave 9)       #
+# --------------------------------------------------------------------------- #
+
+
+def test_textrank_python_reference(spark):
+    """Replay the full TextRank pipeline (tokenize -> co-occurrence graph ->
+    4 integer PageRank rounds -> top-20) in plain python integer arithmetic
+    and compare every (word, rank, rn) row."""
+    from collections import defaultdict
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    got = [
+        (r.word, r.rank, r.rn)
+        for r in QUERY_REGISTRY["text_textrank_keywords"].fn(spark, SF_SMOKE).collect()
+    ]
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    edges = defaultdict(int)
+    for row in docs:
+        toks = [t for t in row.text.strip().lower().split() if len(t) >= 4]
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                edges[(a, b)] += 1
+                edges[(b, a)] += 1
+    nodes = sorted({s for s, _ in edges})
+    outw = defaultdict(int)
+    for (s, _), w in edges.items():
+        outw[s] += w
+    scale, d = 10**12, 85
+    n = len(nodes)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(4):
+        inbound = defaultdict(int)
+        for (s, t), w in edges.items():
+            inbound[t] += rank[s] * w // outw[s]
+        rank = {v: (15 * (scale // n)) // 100 + d * inbound[v] // 100 for v in nodes}
+    top = sorted(nodes, key=lambda v: (-rank[v], v))[:20]
+    want = [(v, rank[v], i + 1) for i, v in enumerate(top)]
+    assert got == want
+
+
+def test_textrank_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["text_textrank_keywords"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.1/documents.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "textrank:sf0.1")
+    finally:
+        con.close()
