@@ -81,3 +81,30 @@ def k_anonymity_profile(df, quasi_identifiers: list[str], k: int = 5):
         F.count(F.lit(1)).alias("class_size"),
         (F.count(F.lit(1)) < k).alias("at_risk"),
     )
+
+
+def l_diversity_profile(df, quasi_identifiers: list[str], sensitive: str, l: int = 3):
+    """Per-equivalence-class l-diversity profile (Machanavajjhala et al. 2007,
+    public literature): k-anonymity bounds class SIZE, but a class whose
+    members all share one sensitive value still leaks it — l-diversity
+    requires >= l distinct sensitive values per class, and the dominance
+    check flags classes where one value covers more than half the rows
+    (the integer form of the entropy/recursive variants — no libm, so
+    engine-exact).  Shape: one (quasi, sensitive) census with map-side
+    partials, then a class-level roll-up that reuses the same hash
+    partitioning (quasi is a prefix of the census key) — two exchanges,
+    both census-sized, never row-sized."""
+    from pyspark.sql import functions as F
+
+    census = df.groupBy(*quasi_identifiers, sensitive).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return census.groupBy(*quasi_identifiers).agg(
+        F.sum("__n").alias("class_size"),
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.max("__n").alias("top_sensitive_n"),
+        (
+            (F.count(F.lit(1)) < l)
+            | (2 * F.max("__n") > F.sum("__n"))
+        ).alias("at_risk"),
+    )

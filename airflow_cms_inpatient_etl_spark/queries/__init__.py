@@ -76,6 +76,7 @@ _PRIORITY = [
     "dedup_winnowing",
     "sample_kcenter_diverse",
     "text_textrank_keywords",
+    "dq_l_diversity",
     # -- b. code changed in round 11 ---------------------------------------- #
     "split_cluster_aware",
     "bpe_train_vocab",
@@ -118,10 +119,10 @@ _PRIORITY = [
     "contribution_pct_of_total",
     "corpus_mixture_plan",
     "corpus_range_shards",
-    "customer_rfm_segments",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-12 QUEUE: the remaining 34 r6-stale rows, then everything else    #
+    # ROUND-12 QUEUE: the remaining 35 r6-stale rows, then everything else    #
     # in registration order (all r7+ and driver-green in its latest row).     #
+    "customer_rfm_segments",
     "dedup_repeated_spans",
     "dq_benford_first_digit",
     "dq_referential_integrity",

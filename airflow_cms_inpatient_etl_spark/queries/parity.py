@@ -224,3 +224,43 @@ def text_wordcount_udtf(spark, sf_dir):
     return spark.sql(
         f"SELECT doc_id, t.word, t.n FROM udtf_docs, LATERAL {name}(text) t"
     )
+
+
+@register(
+    "dq_l_diversity",
+    oracle="""
+    WITH census AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) // 100000 AS sens,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(SUM(n) AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           CAST(MAX(n) AS BIGINT) AS top_sensitive_n,
+           (COUNT(*) < 3 OR 2 * MAX(n) > SUM(n)) AS at_risk
+    FROM census
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_l_diversity(spark, sf_dir):
+    """l-diversity release gate (plans/dq.py:l_diversity_profile) over
+    customer with (nation, segment) quasi-identifiers and the coarse account
+    balance band (1000-currency buckets of exact cents) as the sensitive
+    attribute: distinct-value count per class plus the integer dominance
+    check (one value covering > half the class) — the privacy gate
+    k-anonymity alone misses (a size-50 class that is all one balance band
+    still leaks).  Same two-exchange census/roll-up shape as the AUC
+    histogram; exact decimal cents bucketing keeps both engines identical."""
+    from airflow_cms_inpatient_etl_spark.plans.dq import l_diversity_profile
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) div 100000"
+        ).alias("sens"),
+    )
+    return l_diversity_profile(c, ["c_nationkey", "c_mktsegment"], "sens", l=3)

@@ -310,6 +310,8 @@ HEADLINE = [
     "sample_kcenter_diverse",
     # round-11 wave 9b: TextRank (pagerank_integer over the word graph)
     "text_textrank_keywords",
+    # round-11 wave 9c: l-diversity census/roll-up
+    "dq_l_diversity",
 ]
 
 

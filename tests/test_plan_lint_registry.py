@@ -90,6 +90,8 @@ _NEW_SINCE_GATE = [
     "sample_kcenter_diverse",
     # r11: new — TextRank keyword extraction (pagerank composition)
     "text_textrank_keywords",
+    # r11: new — l-diversity privacy gate
+    "dq_l_diversity",
 ]
 
 

@@ -1066,3 +1066,53 @@ def test_textrank_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "textrank:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# dq_l_diversity — sensitive-attribute diversity gate (wave 9)                 #
+# --------------------------------------------------------------------------- #
+
+
+def test_l_diversity_python_reference(spark):
+    """Recompute the census/roll-up in python and check the gate fires for
+    the right reason on constructed classes: low distinct count AND
+    single-value dominance must both flag; a balanced class must pass."""
+    from airflow_cms_inpatient_etl_spark.plans.dq import l_diversity_profile
+
+    rows = (
+        # class A: 4 rows, 1 sensitive value -> l=1 at risk
+        [("A", "x", 1)] * 4
+        # class B: 6 rows, 3 values but one covers 4/6 > half -> dominance risk
+        + [("B", "x", 1)] * 4 + [("B", "x", 2), ("B", "x", 3)]
+        # class C: 6 rows, 3 values, max 2 of 6 -> passes
+        + [("C", "x", 1), ("C", "x", 1), ("C", "x", 2), ("C", "x", 2), ("C", "x", 3), ("C", "x", 3)]
+    )
+    df = spark.createDataFrame(rows, ["q1", "q2", "sens"])
+    got = {r.q1: (r.class_size, r.l_distinct, r.top_sensitive_n, r.at_risk)
+           for r in l_diversity_profile(df, ["q1", "q2"], "sens", l=3).collect()}
+    assert got["A"] == (4, 1, 4, True)
+    assert got["B"] == (6, 3, 4, True)
+    assert got["C"] == (6, 3, 2, False)
+
+
+def test_l_diversity_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["dq_l_diversity"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW customer AS SELECT * FROM "
+            "'/root/testdata/sf0.1/customer.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "ldiv:sf0.1")
+    finally:
+        con.close()
