@@ -77,6 +77,7 @@ _PRIORITY = [
     "sample_kcenter_diverse",
     "text_textrank_keywords",
     "dq_l_diversity",
+    "streaming_heavy_hitters_live",
     # -- b. code changed in round 11 ---------------------------------------- #
     "split_cluster_aware",
     "bpe_train_vocab",
@@ -118,9 +119,9 @@ _PRIORITY = [
     "cdc_scd2_point_in_time",
     "contribution_pct_of_total",
     "corpus_mixture_plan",
-    "corpus_range_shards",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-12 QUEUE: the remaining 35 r6-stale rows, then everything else    #
+    # ROUND-12 QUEUE: the remaining 36 r6-stale rows, then everything else    #
+    "corpus_range_shards",
     # in registration order (all r7+ and driver-green in its latest row).     #
     "customer_rfm_segments",
     "dedup_repeated_spans",

@@ -501,3 +501,87 @@ from airflow_cms_inpatient_etl_spark.queries.base import QUERY_REGISTRY as _REG 
 _REG["streaming_dedup_gate_live"] = _dc.replace(
     _REG["streaming_dedup_gate_live"], oracle=_REG["dedup_incremental_index"].oracle
 )
+
+
+@register(
+    "streaming_heavy_hitters_live",
+    # the drained COMPLETE-mode grid is CELL-EXACT equal to the batch sketch
+    # (cell updates are associative integer adds, so micro-batching cannot
+    # change the final grid) — the estimate/accountability tail is therefore
+    # identical to heavy_hitters_cms and its oracle is reused verbatim below
+    oracle=None,  # filled below from the registered batch query
+)
+def streaming_heavy_hitters_live(spark, sf_dir):
+    """LIVE streaming count-min sketch — `heavy_hitters_cms` as a running
+    stream: events arrive as a file-source stream in TWO forced micro-batches
+    (event_id-parity split, mtime-ordered, maxFilesPerTrigger=1), and
+    `stream_cms_cells` maintains the depth x width grid as streaming
+    aggregation STATE (bounded at 256 counters no matter how many distinct
+    items flow — the whole reason CMS is the streaming heavy-hitters
+    structure).  Complete-mode drain yields the final grid; because cell
+    updates are associative adds the drained grid is cell-exact equal to the
+    batch sketch, so the estimate + accountability tail (est >= exact,
+    within the empirical width bound) keeps the batch query's full DuckDB
+    oracle — the `streaming_tumbling_live` contract extended to sketches.
+    The two-batch split is the proof of incremental state maintenance."""
+    from pyspark.sql import functions as F
+
+    from airflow_cms_inpatient_etl_spark.operators.sketch import cms_estimate
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_cms_cells,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    stage_dir = tempfile.mkdtemp(prefix="events_cms_")
+    try:
+        _stage_single_parquet(
+            ev.filter(F.col("event_id") % 2 == 0), stage_dir,
+            "a_even.parquet", mtime=1_000_000_000.0,
+        )
+        _stage_single_parquet(
+            ev.filter(F.col("event_id") % 2 == 1), stage_dir,
+            "b_odd.parquet", mtime=1_000_000_100.0,
+        )
+        raw = (
+            spark.readStream.schema("event_id long, props string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+        run_stream_to_memory(stream_cms_cells(raw), name, output_mode="complete")
+        sketch = spark.table(name)
+
+        # accountability tail — identical to heavy_hitters_cms, fed by the
+        # STREAMED grid instead of a batch build
+        items = (
+            load_table(spark, sf_dir, "events")
+            .select(F.get_json_object("props", "$.k").cast("long").alias("item"))
+            .filter(F.col("item").isNotNull())
+        )
+        exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("exact_count"))
+        est = cms_estimate(exact, sketch, "item", 4, 64)
+        total = exact.agg(F.sum("exact_count").alias("n_total"))
+        return (
+            exact.join(est, "item")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "item",
+                "exact_count",
+                (F.col("cms_estimate") >= F.col("exact_count")).alias("est_ge_exact"),
+                (
+                    F.col("cms_estimate") - F.col("exact_count")
+                    <= F.expr("8 * n_total div 64")
+                ).alias("within_bound"),
+            )
+        )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+from airflow_cms_inpatient_etl_spark.queries import curation2 as _curation2  # noqa: E402,F401
+
+_REG["streaming_heavy_hitters_live"] = _dc.replace(
+    _REG["streaming_heavy_hitters_live"], oracle=_REG["heavy_hitters_cms"].oracle
+)

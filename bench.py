@@ -312,6 +312,9 @@ HEADLINE = [
     "text_textrank_keywords",
     # round-11 wave 9c: l-diversity census/roll-up
     "dq_l_diversity",
+    # round-11 wave 10: CMS as streaming state (complete-mode drain ==
+    # batch sketch, incl. stream startup overhead like the other lives)
+    "streaming_heavy_hitters_live",
 ]
 
 

@@ -31,6 +31,7 @@ _SKIP = {
     "streaming_stream_stream_join_live",
     "streaming_stateful_profile_live",
     "streaming_dedup_gate_live",
+    "streaming_heavy_hitters_live",
 }
 
 # the ONLY queries allowed to cross into Python, all Arrow-batched

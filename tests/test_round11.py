@@ -1116,3 +1116,26 @@ def test_l_diversity_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "ldiv:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# streaming_heavy_hitters_live — CMS as streaming state (wave 10)              #
+# --------------------------------------------------------------------------- #
+
+
+def test_streaming_heavy_hitters_equals_batch(spark):
+    """The live two-micro-batch CMS run must produce the SAME final table as
+    the batch heavy_hitters_cms query (cell updates are associative adds, so
+    batching is invisible) — the multiset equality that justifies reusing
+    the batch oracle."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    live = sorted(
+        map(tuple, QUERY_REGISTRY["streaming_heavy_hitters_live"]
+            .fn(spark, SF_SMOKE).toPandas().values.tolist())
+    )
+    batch = sorted(
+        map(tuple, QUERY_REGISTRY["heavy_hitters_cms"]
+            .fn(spark, SF_SMOKE).toPandas().values.tolist())
+    )
+    assert live == batch and len(live) > 0
