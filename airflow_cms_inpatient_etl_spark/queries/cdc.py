@@ -603,3 +603,67 @@ def corpus_delta_report(spark, sf_dir):
         F.sum(F.when(F.col("status") == "changed", 1).otherwise(0)).alias("n_changed"),
         F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0)).alias("n_unchanged"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# ivm_join_view_delta — incremental maintenance of a JOIN view (round 11)      #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "ivm_join_view_delta",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def ivm_join_view_delta(spark, sf_dir):
+    """Incremental maintenance of a JOIN view under deltas on BOTH inputs —
+    the classic bilinear delta rule: with orders = O ∪ dO and lineitem =
+    L ∪ dL, the new view's aggregate is the MERGE of four partial
+    aggregates, old⋈old (the standing view, not recomputed in production)
+    plus the three delta terms dO⋈L, O⋈dL, dO⋈dL — cost O(|delta| · join
+    fan-out + |groups|), never O(|history|²).  Deltas here are key-sliced
+    (orders % 17, lineitem % 23) so all four terms are non-trivially
+    exercised, including the doubly-new dO⋈dL corner the naive
+    "delta-join-the-old-side-only" implementation silently drops.  Counts
+    and exact bigint cent sums merge by addition (insert-only); the oracle
+    recomputes the aggregate over the FULL join, so hash equality proves the
+    delta algebra.  Scale shape: the three delta joins broadcast the delta
+    side; the merge is a union of |groups|-sized partials."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    d_o = o.filter(F.col("o_orderkey") % 17 == 0)
+    old_o = o.filter(F.col("o_orderkey") % 17 != 0)
+    d_l = li.filter(F.col("l_orderkey") % 23 == 0)
+    old_l = li.filter(F.col("l_orderkey") % 23 != 0)
+
+    def part(odf, ldf, broadcast_side=None):
+        j = odf.join(ldf, odf.o_orderkey == ldf.l_orderkey)
+        return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).alias("n_lines"), F.sum("cents").alias("cents")
+        )
+
+    terms = [
+        part(old_o, old_l),                       # standing view
+        part(F.broadcast(d_o), old_l),            # dO ⋈ L
+        part(old_o, F.broadcast(d_l)),            # O ⋈ dL
+        part(F.broadcast(d_o), d_l),              # dO ⋈ dL (the dropped corner)
+    ]
+    merged = terms[0]
+    for t in terms[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("priority").agg(
+        F.sum("n_lines").alias("n_lines"), F.sum("cents").alias("cents")
+    )

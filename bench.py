@@ -315,6 +315,8 @@ HEADLINE = [
     # round-11 wave 10: CMS as streaming state (complete-mode drain ==
     # batch sketch, incl. stream startup overhead like the other lives)
     "streaming_heavy_hitters_live",
+    # round-11 wave 10b: bilinear join-view IVM (3 broadcast delta joins)
+    "ivm_join_view_delta",
 ]
 
 

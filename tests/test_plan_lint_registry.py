@@ -93,6 +93,8 @@ _NEW_SINCE_GATE = [
     "text_textrank_keywords",
     # r11: new — l-diversity privacy gate
     "dq_l_diversity",
+    # r11: new — bilinear join-view IVM
+    "ivm_join_view_delta",
 ]
 
 

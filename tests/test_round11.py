@@ -1139,3 +1139,56 @@ def test_streaming_heavy_hitters_equals_batch(spark):
             .fn(spark, SF_SMOKE).toPandas().values.tolist())
     )
     assert live == batch and len(live) > 0
+
+
+# --------------------------------------------------------------------------- #
+# ivm_join_view_delta — bilinear join-view maintenance (wave 10)               #
+# --------------------------------------------------------------------------- #
+
+
+def test_ivm_join_delta_terms_all_nonempty(spark):
+    """The delta algebra is only proven if every term does work: each of the
+    four partial aggregates (old⋈old, dO⋈L, O⋈dL, dO⋈dL) must contribute
+    rows at the smoke scale — in particular the doubly-new dO⋈dL corner the
+    naive implementation drops; dropping any term must change the result."""
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long").alias("cents"),
+    )
+    d_o = o.filter(F.col("o_orderkey") % 17 == 0)
+    old_o = o.filter(F.col("o_orderkey") % 17 != 0)
+    d_l = li.filter(F.col("l_orderkey") % 23 == 0)
+    old_l = li.filter(F.col("l_orderkey") % 23 != 0)
+    counts = {
+        "old_old": old_o.join(old_l, old_o.o_orderkey == old_l.l_orderkey).count(),
+        "d_old": d_o.join(old_l, d_o.o_orderkey == old_l.l_orderkey).count(),
+        "old_d": old_o.join(d_l, old_o.o_orderkey == d_l.l_orderkey).count(),
+        "d_d": d_o.join(d_l, d_o.o_orderkey == d_l.l_orderkey).count(),
+    }
+    assert all(v > 0 for v in counts.values()), counts
+    full = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    assert sum(counts.values()) == full
+
+
+def test_ivm_join_delta_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["ivm_join_view_delta"]
+    con = duckdb.connect()
+    try:
+        for t in ("orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.1/{t}.parquet'"
+            )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "ivm:sf0.1")
+    finally:
+        con.close()
