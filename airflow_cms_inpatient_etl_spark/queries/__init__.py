@@ -79,6 +79,7 @@ _PRIORITY = [
     "dq_l_diversity",
     "streaming_heavy_hitters_live",
     "ivm_join_view_delta",
+    "split_temporal_embargo",
     # -- b. code changed in round 11 ---------------------------------------- #
     "split_cluster_aware",
     "bpe_train_vocab",
@@ -118,9 +119,9 @@ _PRIORITY = [
     "cdc_apply_change_feed",
     "cdc_delete_propagation",
     "cdc_scd2_point_in_time",
-    "contribution_pct_of_total",
     # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-12 QUEUE: the remaining 37 r6-stale rows, then everything else    #
+    # ROUND-12 QUEUE: the remaining 38 r6-stale rows, then everything else    #
+    "contribution_pct_of_total",
     "corpus_mixture_plan",
     "corpus_range_shards",
     # in registration order (all r7+ and driver-green in its latest row).     #

@@ -1228,3 +1228,66 @@ def layout_zorder_locality(spark, sf_dir):
         F.min("cents").alias("cents_lo"),
         F.max("cents").alias("cents_hi"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# split_temporal_embargo — leakage-safe time-based split (round 11)            #
+# --------------------------------------------------------------------------- #
+
+_EMBARGO_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "split_temporal_embargo",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    cut AS (SELECT lo + (hi - lo) * 7 // 10 AS t FROM b),
+    labeled AS (
+        SELECT CASE WHEN epoch_us(e.ts) < c.t THEN 'train'
+                    WHEN epoch_us(e.ts) >= c.t + {_EMBARGO_US} THEN 'test'
+                    ELSE 'embargoed' END AS split,
+               e.user_id, epoch_us(e.ts) AS us
+        FROM events e CROSS JOIN cut c
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(us) AS lo_us, MAX(us) AS hi_us
+    FROM labeled GROUP BY split
+    """,
+)
+def split_temporal_embargo(spark, sf_dir):
+    """Time-based train/test split with an embargo gap — the third member of
+    the split trilogy (hash split_train_test_hash, near-dup
+    split_cluster_aware, temporal this): train is everything before the 70 %
+    time cut, test everything at least one hour AFTER it, and the hour in
+    between is EMBARGOED (dropped) so no test example is within the
+    information horizon of any train example — the purged-split discipline
+    time-series/finance ML uses against look-ahead leakage (López de Prado,
+    public literature).  Integer-µs cut arithmetic (float timestamp math rounds
+    differently across engines; bigints don't).  Output is the split
+    manifest; the structural test asserts the hard gap max(train ts) +
+    embargo <= min(test ts).  One map-side label pass + one tiny aggregate —
+    no shuffle beyond the 3-group rollup."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
+    )
+    us = F.unix_micros("ts")
+    cut = F.expr("lo + (hi - lo) * 7 div 10")
+    labeled = ev.crossJoin(F.broadcast(b)).select(
+        F.when(us < cut, "train")
+        .when(us >= cut + _EMBARGO_US, "test")
+        .otherwise("embargoed")
+        .alias("split"),
+        "user_id",
+        us.alias("us"),
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("us").alias("lo_us"),
+        F.max("us").alias("hi_us"),
+    )

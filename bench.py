@@ -317,6 +317,8 @@ HEADLINE = [
     "streaming_heavy_hitters_live",
     # round-11 wave 10b: bilinear join-view IVM (3 broadcast delta joins)
     "ivm_join_view_delta",
+    # round-11 wave 10c: purged temporal split (map-side label + 3-group agg)
+    "split_temporal_embargo",
 ]
 
 

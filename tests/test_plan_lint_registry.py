@@ -95,6 +95,8 @@ _NEW_SINCE_GATE = [
     "dq_l_diversity",
     # r11: new — bilinear join-view IVM
     "ivm_join_view_delta",
+    # r11: new — purged temporal split
+    "split_temporal_embargo",
 ]
 
 

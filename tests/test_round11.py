@@ -1192,3 +1192,48 @@ def test_ivm_join_delta_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "ivm:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# split_temporal_embargo — purged time split (wave 10)                         #
+# --------------------------------------------------------------------------- #
+
+
+def test_temporal_embargo_hard_gap(spark):
+    """The leakage guarantee: every test event is at least the embargo gap
+    after every train event, and the three splits partition the table."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+    from airflow_cms_inpatient_etl_spark.queries.pipeline import _EMBARGO_US
+
+    rows = {
+        r.split: r
+        for r in QUERY_REGISTRY["split_temporal_embargo"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"train", "embargoed", "test"}
+    assert rows["train"].hi_us + _EMBARGO_US <= rows["test"].lo_us
+    total = sum(r.n_events for r in rows.values())
+    n_all = load_table(spark, SF_SMOKE, "events").count()
+    assert total == n_all
+
+
+def test_temporal_embargo_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["split_temporal_embargo"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "'/root/testdata/sf0.1/events.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "embargo:sf0.1")
+    finally:
+        con.close()
