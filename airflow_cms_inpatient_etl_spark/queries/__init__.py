@@ -80,6 +80,8 @@ _PRIORITY = [
     "streaming_heavy_hitters_live",
     "ivm_join_view_delta",
     "split_temporal_embargo",
+    "recsys_negative_samples",
+    "ml_calibration_bins",
     # -- b. code changed in round 11 ---------------------------------------- #
     "split_cluster_aware",
     "bpe_train_vocab",
@@ -115,16 +117,17 @@ _PRIORITY = [
     "variant_functions",
     "weighted_corpus_sample",
     "winsorize_quality_clip",
-    # -- e. the oldest r6-stale rows fill the window to 50 ------------------- #
+    # ----------------------- window boundary (50) -------------------------- #
+    # (the 20 round-11 additions + 3 code-changed + 6 late-r10 plan-changed   #
+    # + ALL 21 r5-stale rows fill the window exactly.)                        #
+    # ROUND-12 QUEUE: the 40 r6-stale rows first, then everything else in     #
+    # registration order (all r7+ and driver-green in its latest row).        #
     "cdc_apply_change_feed",
     "cdc_delete_propagation",
     "cdc_scd2_point_in_time",
-    # ----------------------- window boundary (50) -------------------------- #
-    # ROUND-12 QUEUE: the remaining 38 r6-stale rows, then everything else    #
     "contribution_pct_of_total",
     "corpus_mixture_plan",
     "corpus_range_shards",
-    # in registration order (all r7+ and driver-green in its latest row).     #
     "customer_rfm_segments",
     "dedup_repeated_spans",
     "dq_benford_first_digit",

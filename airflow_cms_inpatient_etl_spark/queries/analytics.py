@@ -3153,3 +3153,154 @@ def ml_target_encoding_loo(spark, sf_dir):
             F.col("cnt") > 1, loo_sum.cast("double") / loo_cnt.cast("double")
         ).alias("enc"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# recsys_negative_samples — deterministic hash-based negative sampling         #
+# --------------------------------------------------------------------------- #
+
+_NEG_DRAWS = 3  # candidate draws per user (survivors after the anti-join vary)
+
+
+@register(
+    "recsys_negative_samples",
+    oracle=f"""
+    WITH pos AS (
+        SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item
+        FROM events WHERE event_type = 'click' AND (props->>'k') IS NOT NULL
+    ),
+    items AS (
+        SELECT item, ROW_NUMBER() OVER (ORDER BY item) - 1 AS idx FROM (
+            SELECT DISTINCT item FROM pos
+        )
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM items),
+    draws AS (
+        SELECT u.user_id, j.j,
+               CAST('0x' || SUBSTR(MD5(u.user_id || ':' || j.j), 1, 15) AS BIGINT)
+                   % {"(SELECT n_items FROM n)"} AS idx
+        FROM (SELECT DISTINCT user_id FROM pos) u
+        CROSS JOIN (SELECT UNNEST(RANGE(1, {_NEG_DRAWS} + 1)) AS j) j
+    ),
+    cand AS (
+        SELECT d.user_id, CAST(d.j AS BIGINT) AS draw, i.item AS neg_item
+        FROM draws d JOIN items i USING (idx)
+    )
+    SELECT c.user_id, c.draw, c.neg_item
+    FROM cand c
+    ANTI JOIN pos p ON p.user_id = c.user_id AND p.item = c.neg_item
+    """,
+)
+def recsys_negative_samples(spark, sf_dir):
+    """Deterministic negative sampling for implicit-feedback training: for
+    every user with click positives, draw {_NEG_DRAWS} candidate items via a
+    portable seeded hash (md5-prefix of user:draw) mapped onto the
+    dense-ranked item vocabulary, then ANTI-JOIN the user's true positives —
+    the false-negative filter most naive samplers skip.  Everything is
+    reproducible data, not RNG state: retraining or backfilling regenerates
+    byte-identical negatives (the property that makes offline metrics
+    comparable across runs).  Scale shape: the item index is a dim-sized
+    broadcast; candidate generation is a map-side explode over users; the
+    only fact-sized exchange is the (user, item) anti-join.  At 100 TB the
+    dense rank comes from the item dim's bucketed key, not a window."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id", F.get_json_object("props", "$.k").cast("long").alias("item")
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    items = pos.select("item").distinct().select(
+        "item",
+        (F.row_number().over(W.orderBy("item")) - 1).cast("long").alias("idx"),
+    )
+    n_items = items.agg(F.count(F.lit(1)).alias("n_items"))
+    users = pos.select("user_id").distinct()
+    draws = (
+        users.crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(1), F.lit(_NEG_DRAWS))).alias("draw"),
+            "n_items",
+        )
+        .select(
+            "user_id",
+            F.col("draw").cast("long").alias("draw"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("user_id"), F.col("draw"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_items")
+            ).alias("idx"),
+        )
+    )
+    cand = draws.join(F.broadcast(items), "idx").select(
+        "user_id", "draw", F.col("item").alias("neg_item")
+    )
+    return cand.join(
+        pos.withColumnRenamed("item", "neg_item"), ["user_id", "neg_item"], "left_anti"
+    )
+
+
+if recsys_negative_samples.__doc__:  # None under python -OO
+    recsys_negative_samples.__doc__ = recsys_negative_samples.__doc__.replace(
+        "{_NEG_DRAWS}", str(_NEG_DRAWS)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# ml_calibration_bins — reliability-diagram bins in integer arithmetic         #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "ml_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT (CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) % 1000) AS score_mills,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT score_mills // 100 AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(SUM(score_mills) * 1000 // COUNT(*) AS BIGINT) AS mean_score_ppm
+    FROM scored GROUP BY 1
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability-diagram (calibration) bins for a pseudo-probability score
+    against the purchase label: 10 equal-width bins, per-bin support,
+    positive count, observed positive rate, and mean predicted score — the
+    two ppm columns are what a calibration plot/ECE computation consumes,
+    and keeping BOTH as integer parts-per-million (single integer division
+    per bin) makes the whole diagram engine-exact with no float
+    accumulation anywhere.  The score is a deterministic value-derived
+    stand-in (cents mod 1000 as millis); production swaps in a model score
+    column and keeps every shape downstream.  One map-side bin pass + a
+    10-group rollup — the cheapest possible eval query at any corpus size."""
+    scored = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (
+                (F.col("value").cast("decimal(14,2)") * 100).cast("long") % 1000
+            ).alias("score_mills"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+        )
+    )
+    return scored.groupBy(
+        F.expr("score_mills div 100").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.expr("sum(pos) * 1000000 div count(*)").alias("pos_rate_ppm"),
+        F.expr("sum(score_mills) * 1000 div count(*)").alias("mean_score_ppm"),
+    )

@@ -319,6 +319,10 @@ HEADLINE = [
     "ivm_join_view_delta",
     # round-11 wave 10c: purged temporal split (map-side label + 3-group agg)
     "split_temporal_embargo",
+    # round-11 wave 11: hash negative sampling (dim broadcast + anti-join)
+    # and integer calibration bins (map-side 10-group rollup)
+    "recsys_negative_samples",
+    "ml_calibration_bins",
 ]
 
 

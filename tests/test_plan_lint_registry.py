@@ -97,6 +97,9 @@ _NEW_SINCE_GATE = [
     "ivm_join_view_delta",
     # r11: new — purged temporal split
     "split_temporal_embargo",
+    # r11: new — hash-based negative sampling + calibration bins
+    "recsys_negative_samples",
+    "ml_calibration_bins",
 ]
 
 

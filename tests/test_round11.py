@@ -1237,3 +1237,98 @@ def test_temporal_embargo_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "embargo:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# recsys_negative_samples + ml_calibration_bins (wave 11)                      #
+# --------------------------------------------------------------------------- #
+
+
+def test_negative_samples_never_positive(spark):
+    """The false-negative filter is the point: no emitted negative may be a
+    true positive for its user, draws stay within the item vocabulary, and
+    the sampler is reproducible run to run."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    fn = QUERY_REGISTRY["recsys_negative_samples"].fn
+    out = fn(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events")
+    pos = {
+        (r.user_id, r.item)
+        for r in ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.get_json_object("props", "$.k").cast("long").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+        .collect()
+    }
+    items = {i for _, i in pos}
+    assert len(out) > 0
+    for r in out:
+        assert (r.user_id, r.neg_item) not in pos
+        assert r.neg_item in items
+        assert 1 <= r.draw <= 3
+    again = fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_calibration_bins_partition_and_bounds(spark):
+    """Bins partition the rows, ppm columns are exact integer ratios, and
+    bin means sit inside their bin's score range."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["ml_calibration_bins"].fn(spark, SF_SMOKE).collect()
+    n_all = (
+        load_table(spark, SF_SMOKE, "events").filter(F.col("value").isNotNull()).count()
+    )
+    assert sum(r.n for r in rows) == n_all
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert r.pos_rate_ppm == r.n_pos * 1_000_000 // r.n
+        lo, hi = r.bin * 100_000, (r.bin + 1) * 100_000
+        assert lo <= r.mean_score_ppm < hi
+
+
+def test_negative_samples_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["recsys_negative_samples"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "'/root/testdata/sf0.1/events.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "negs:sf0.1")
+    finally:
+        con.close()
+
+
+def test_calibration_bins_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["ml_calibration_bins"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "'/root/testdata/sf0.1/events.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "calib:sf0.1")
+    finally:
+        con.close()
