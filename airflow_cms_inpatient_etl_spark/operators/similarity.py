@@ -905,3 +905,89 @@ def kcenter_select(
             F.least(F.col("dmin"), l2_sq(F.col(vec_col), center)).alias("dmin"),
         )
     return picks
+
+
+def residualize(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, embedding=residual) rows: subtract each vector's
+    coarse centroid elementwise (both sides promoted to double BEFORE the
+    subtract — float-minus-float then promote diverges a ulp across
+    engines).  The residual inherits the vector column name so the PQ
+    machinery (`pq_subvectors`/`pq_codebook`/`pq_encode`) composes on it
+    unchanged."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
+    )
+    return assigned.join(F.broadcast(c), "centroid_id").select(
+        id_col,
+        "centroid_id",
+        F.zip_with(
+            F.col(vec_col),
+            F.col("__cvec"),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        ).alias(vec_col),
+    )
+
+
+def ivfpq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    seed_ids: tuple[int, int],
+    m: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the production composite ANN index
+    (what FAISS `IVFx,PQy` builds): coarse-quantize every vector into an
+    inverted list (`ivf_assign`), PQ-encode the RESIDUAL vector − centroid
+    (residuals are far smaller in norm than raw vectors, so the same
+    codebook budget quantizes them much more accurately), then answer
+    queries with ADC restricted to the query's own list — distances between
+    residuals in a shared list equal distances between the original vectors
+    (exactly, in real arithmetic) because the common centroid cancels: ‖q−x‖ = ‖(q−c)−(x−c)‖.
+
+    Scale shape: the index is (vec_id, centroid_id, sub, code) — byte codes
+    plus a list id, partition-prunable by list and scanned without touching
+    floats; the codebook and per-query LUTs broadcast; the only corpus-sized
+    exchange is the (list, sub, code) equi-join.  nprobe=1 here; raising it
+    multiplies candidates exactly as in `ivf_topk`."""
+    from pyspark.sql import Window as W
+
+    assigned = ivf_assign(embeddings, centroids)
+    res = residualize(assigned, centroids)
+    cb = pq_codebook(res, seed_ids, m)
+    enc = pq_encode(res, cb, m).join(
+        res.select("vec_id", "centroid_id"), "vec_id"
+    )
+    q_res = residualize(ivf_assign(queries, centroids), centroids)
+    qsv = pq_subvectors(q_res, m).withColumnRenamed("vec_id", "qid")
+    lut = (
+        qsv.join(F.broadcast(cb), "sub")
+        .join(
+            q_res.select(F.col("vec_id").alias("qid"), "centroid_id"), "qid"
+        )
+        .select("qid", "centroid_id", "sub", "code", l2_sq("svec", "cvec").alias("d"))
+    )
+    hits = enc.join(F.broadcast(lut), ["centroid_id", "sub", "code"]).select(
+        "qid", F.col("vec_id").alias("cid"), "sub", "d"
+    )
+    adist = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("sub", "d"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x.getField("d"),
+    )
+    scored = (
+        hits.groupBy("qid", "cid")
+        .agg(adist.alias("approx_dist"))
+        .filter(F.col("cid") != F.col("qid"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("approx_dist").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "approx_dist", "rn")
+    )

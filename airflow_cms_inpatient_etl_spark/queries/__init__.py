@@ -82,10 +82,13 @@ _PRIORITY = [
     "split_temporal_embargo",
     "recsys_negative_samples",
     "ml_calibration_bins",
-    # -- b. code changed in round 11 ---------------------------------------- #
+    "sim_ivfpq_residual_topk",
+    # -- b. code changed in round 11 (bpe_train_apply_compression, the third  #
+    #    member, is deferred to the queue head: its changed operator is the   #
+    #    same bpe_train the in-window sibling covers, it was driver-green in  #
+    #    r10, and the r11 cadence change is hash-proven invisible x3 scales)  #
     "split_cluster_aware",
     "bpe_train_vocab",
-    "bpe_train_apply_compression",
     # -- c. plan changed in late round 10 (after the r10 driver recording):   #
     #    the cache_shingles default on the exact-Jaccard pair producer and    #
     #    the closing perf rewrites                                            #
@@ -118,10 +121,12 @@ _PRIORITY = [
     "weighted_corpus_sample",
     "winsorize_quality_clip",
     # ----------------------- window boundary (50) -------------------------- #
-    # (the 20 round-11 additions + 3 code-changed + 6 late-r10 plan-changed   #
-    # + ALL 21 r5-stale rows fill the window exactly.)                        #
-    # ROUND-12 QUEUE: the 40 r6-stale rows first, then everything else in     #
-    # registration order (all r7+ and driver-green in its latest row).        #
+    # (the 21 round-11 additions + 2 code-changed + 6 late-r10 plan-changed   #
+    # + ALL 21 r5-stale rows fill the window exactly — the r5 cohort clears   #
+    # completely this round.)                                                 #
+    # ROUND-12 QUEUE: the deferred code-changed sibling, the 40 r6-stale      #
+    # rows, then everything else in registration order.                       #
+    "bpe_train_apply_compression",
     "cdc_apply_change_feed",
     "cdc_delete_propagation",
     "cdc_scd2_point_in_time",

@@ -753,3 +753,88 @@ def sample_kcenter_diverse(spark, sf_dir):
         [(int(r), int(v), float(d)) for r, v, d in picks],
         "sel_rank int, vec_id bigint, radius double",
     )
+
+
+_IVFPQ_SEEDS = (16, 31)
+
+
+@register(
+    "sim_ivfpq_residual_topk",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id BETWEEN 100 AND 107
+    ),
+    assign_scored AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cosine("e.embedding", "c.cvec")} DESC,
+                                           c.centroid_id) AS crn
+        FROM embeddings e, cent c
+    ),
+    assigned AS (SELECT vec_id, embedding, centroid_id FROM assign_scored WHERE crn = 1),
+    res AS (
+        SELECT a.vec_id, a.centroid_id,
+               LIST_TRANSFORM(RANGE(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) AS r
+        FROM assigned a JOIN cent c USING (centroid_id)
+    ),
+    sv AS (
+        SELECT vec_id, centroid_id, s.sub,
+               LIST_SLICE(r, s.sub * 8 + 1, s.sub * 8 + 8) AS svec
+        FROM res, (SELECT UNNEST(RANGE(0, 8)) AS sub) s
+    ),
+    cb AS (
+        SELECT sub, CAST(vec_id - {_IVFPQ_SEEDS[0]} AS INTEGER) AS code, svec AS cvec
+        FROM sv WHERE vec_id BETWEEN {_IVFPQ_SEEDS[0]} AND {_IVFPQ_SEEDS[1]}
+    ),
+    enc_scored AS (
+        SELECT sv.vec_id, sv.centroid_id, sv.sub, cb.code,
+               {_PQ_SUBDIST.format(a="sv.svec", b="cb.cvec")} AS d
+        FROM sv JOIN cb USING (sub)
+    ),
+    enc AS (
+        SELECT vec_id, centroid_id, sub, code FROM (
+            SELECT vec_id, centroid_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS crn
+            FROM enc_scored) WHERE crn = 1
+    ),
+    lut AS (
+        SELECT sv.vec_id AS qid, sv.centroid_id, sv.sub, cb.code,
+               {_PQ_SUBDIST.format(a="sv.svec", b="cb.cvec")} AS d
+        FROM sv JOIN cb USING (sub) WHERE sv.vec_id < 8
+    ),
+    hits AS (
+        SELECT lut.qid, enc.vec_id AS cid, enc.sub, lut.d
+        FROM enc JOIN lut ON enc.centroid_id = lut.centroid_id
+                         AND enc.sub = lut.sub AND enc.code = lut.code
+        WHERE enc.vec_id <> lut.qid
+    ),
+    scored AS (
+        SELECT qid, cid, LIST_REDUCE(LIST(d ORDER BY sub), (x, y) -> x + y) AS approx_dist
+        FROM hits GROUP BY qid, cid
+    ),
+    ranked AS (
+        SELECT qid, cid, approx_dist,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dist, cid) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, approx_dist, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def sim_ivfpq_residual_topk(spark, sf_dir):
+    """IVF-PQ composite index (the FAISS `IVF8,PQ8` shape): coarse cosine
+    assignment to 8 fixed centroids, PQ over the RESIDUAL vector − centroid
+    (the common-centroid cancellation makes within-list residual distances
+    equal original distances in exact arithmetic), ADC restricted to the query's own inverted
+    list.  The full two-level quantization chain — assignment argmax,
+    double-promoted residual subtract, per-subspace encode argmin, LUT fold —
+    is engine-deterministic and the oracle replays every step.  See
+    operators.similarity.ivfpq_adc_topk for the byte-code index scale
+    contract."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import ivfpq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(e.vec_id < 8)
+    centroids = e.filter(e.vec_id.between(100, 107))
+    return ivfpq_adc_topk(e, queries, centroids, _IVFPQ_SEEDS, m=8, k=3)

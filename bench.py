@@ -323,6 +323,8 @@ HEADLINE = [
     # and integer calibration bins (map-side 10-group rollup)
     "recsys_negative_samples",
     "ml_calibration_bins",
+    # round-11 wave 12: IVF-PQ residual composite (byte-code list index)
+    "sim_ivfpq_residual_topk",
 ]
 
 

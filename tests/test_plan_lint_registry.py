@@ -100,6 +100,8 @@ _NEW_SINCE_GATE = [
     # r11: new — hash-based negative sampling + calibration bins
     "recsys_negative_samples",
     "ml_calibration_bins",
+    # r11: new — FAISS-shape IVF-PQ residual composite index
+    "sim_ivfpq_residual_topk",
 ]
 
 

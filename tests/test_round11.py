@@ -1332,3 +1332,68 @@ def test_calibration_bins_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "calib:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# sim_ivfpq_residual_topk — FAISS-shape composite index (wave 12)              #
+# --------------------------------------------------------------------------- #
+
+
+def test_ivfpq_candidates_stay_in_list_and_recall(spark):
+    """Structural: every returned candidate shares the query's inverted list
+    (nprobe=1), every query with a non-singleton list returns k hits, and
+    the residual-PQ ranking is measured against the in-list exact ranking —
+    the synthetic gaussian fixture is PQ's documented adversarial case
+    (RECALL.md: pairwise distances concentrate, raw-PQ recall 0.06-0.31), so
+    this asserts the pipeline produces full result sets and SOME true
+    neighbors, not a recall bar the data cannot support."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+    )
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    got = QUERY_REGISTRY["sim_ivfpq_residual_topk"].fn(spark, SF_SMOKE).collect()
+    assigned = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(e, e.filter(F.col("vec_id").between(100, 107))).collect()
+    }
+    for r in got:
+        assert assigned[r.qid] == assigned[r.cid]
+    exact = ivf_topk(
+        e, e.filter(F.col("vec_id") < 8), e.filter(F.col("vec_id").between(100, 107)), k=3
+    ).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.cid)
+    mine = {}
+    for r in got:
+        mine.setdefault(r.qid, set()).add(r.cid)
+    hits = sum(len(mine[q] & truth[q]) for q in truth if q in mine)
+    assert set(mine) == set(truth)
+    assert all(len(v) == 3 for v in mine.values())
+    assert hits >= 1
+
+
+def test_ivfpq_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["sim_ivfpq_residual_topk"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "'/root/testdata/sf0.1/embeddings.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "ivfpq:sf0.1")
+    finally:
+        con.close()
