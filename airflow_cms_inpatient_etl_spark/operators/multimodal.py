@@ -299,6 +299,21 @@ def scene_cut_segments(
     aggregation reuses that partitioning (hash(doc_id) clusters every scene
     key), so the whole operator is explode → 1 shuffle → two window passes +
     partial agg, linear in total frames at any corpus size."""
+    cuts = _scene_labeled_frames(multimodal, frame_bytes, modulus, threshold)
+    return cuts.groupBy("doc_id", "scene_id").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("scene_frames"),
+        F.sum("intensity").alias("sum_intensity"),
+    )
+
+
+def _scene_labeled_frames(
+    multimodal: DataFrame, frame_bytes: int, modulus: int, threshold: int
+) -> DataFrame:
+    """Frame-level scene labeling shared by scene_cut_segments and
+    scene_keyframes: (doc_id, frame_idx, intensity, scene_id) — the explode +
+    lag-delta + running-sum chain over ONE doc_id exchange."""
     from pyspark.sql import Window as W
 
     n_bytes = F.col("meta.n_bytes").cast("bigint")
@@ -311,7 +326,7 @@ def scene_cut_segments(
         "intensity", (F.col("n_bytes") * (F.col("frame_idx") + 1)) % modulus
     )
     timeline = W.partitionBy("doc_id").orderBy("frame_idx")
-    cuts = frames.withColumn(
+    return frames.withColumn(
         "is_cut",
         F.when(
             F.abs(
@@ -320,9 +335,32 @@ def scene_cut_segments(
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn("scene_id", F.sum("is_cut").over(timeline))
-    return cuts.groupBy("doc_id", "scene_id").agg(
-        F.min("frame_idx").alias("start_frame"),
-        F.max("frame_idx").alias("end_frame"),
+
+
+def scene_keyframes(
+    multimodal: DataFrame,
+    frame_bytes: int = 100,
+    modulus: int = 251,
+    threshold: int = 125,
+) -> DataFrame:
+    """Keyframe selection per detected scene — the step video curation runs
+    AFTER shot segmentation (one representative frame per shot feeds the
+    captioner/embedder instead of every frame): the keyframe is the scene's
+    max-feature frame, ties toward the earliest index (argmax via
+    max(struct(intensity, -frame_idx)) — folds map-side under partial
+    aggregation).  Same single doc_id exchange as scene_cut_segments; the
+    keyframe aggregation reuses that partitioning."""
+    cuts = _scene_labeled_frames(multimodal, frame_bytes, modulus, threshold)
+    best = cuts.groupBy("doc_id", "scene_id").agg(
         F.count(F.lit(1)).alias("scene_frames"),
-        F.sum("intensity").alias("sum_intensity"),
+        F.max(
+            F.struct(F.col("intensity"), (-F.col("frame_idx")).alias("neg"))
+        ).alias("m"),
+    )
+    return best.select(
+        "doc_id",
+        "scene_id",
+        (-F.col("m.neg")).cast("long").alias("keyframe_idx"),
+        F.col("m.intensity").alias("keyframe_intensity"),
+        "scene_frames",
     )

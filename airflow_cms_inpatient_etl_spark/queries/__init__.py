@@ -83,6 +83,7 @@ _PRIORITY = [
     "recsys_negative_samples",
     "ml_calibration_bins",
     "sim_ivfpq_residual_topk",
+    "multimodal_scene_keyframes",
     # -- b. code changed in round 11 (bpe_train_apply_compression, the third  #
     #    member, is deferred to the queue head: its changed operator is the   #
     #    same bpe_train the in-window sibling covers, it was driver-green in  #
@@ -97,7 +98,9 @@ _PRIORITY = [
     "dedup_prefix_jaccard",
     "dedup_lsh_recall_report",
     "weighted_median_price",
-    "dedup_connected_components",
+    # (dedup_connected_components defers to the queue head: its late-r10
+    #  change is the SHARED cache_shingles producer the five sibling rows
+    #  above still cover, and it is hash-verified x3 scales post-change)
     # -- d. ALL 21 r5-stale rows (clears the r5 cohort completely) ----------- #
     "events_tumbling_window",
     "graph_personalized_pagerank",
@@ -124,9 +127,10 @@ _PRIORITY = [
     # (the 21 round-11 additions + 2 code-changed + 6 late-r10 plan-changed   #
     # + ALL 21 r5-stale rows fill the window exactly — the r5 cohort clears   #
     # completely this round.)                                                 #
-    # ROUND-12 QUEUE: the deferred code-changed sibling, the 40 r6-stale      #
-    # rows, then everything else in registration order.                       #
+    # ROUND-12 QUEUE: the deferred code-changed rows, the 40 r6-stale rows,   #
+    # then everything else in registration order.                             #
     "bpe_train_apply_compression",
+    "dedup_connected_components",
     "cdc_apply_change_feed",
     "cdc_delete_propagation",
     "cdc_scd2_point_in_time",

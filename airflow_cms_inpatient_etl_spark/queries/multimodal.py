@@ -721,3 +721,61 @@ def multimodal_scene_cuts(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return scene_cut_segments(attach_binary_payload(d))
+
+
+@register(
+    "multimodal_scene_keyframes",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               CAST(FLOOR(OCTET_LENGTH(CAST(text AS BLOB)) / 100) AS BIGINT) + 1 AS n_frames
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, n_bytes,
+               CAST(UNNEST(RANGE(0, n_frames)) AS BIGINT) AS frame_idx
+        FROM meta
+    ),
+    feat AS (
+        SELECT doc_id, frame_idx,
+               (n_bytes * (frame_idx + 1)) % 251 AS intensity
+        FROM frames
+    ),
+    cuts AS (
+        SELECT doc_id, frame_idx, intensity,
+               CASE WHEN ABS(intensity - LAG(intensity) OVER tl) > 125
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM feat
+        WINDOW tl AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ),
+    scenes AS (
+        SELECT doc_id, frame_idx, intensity,
+               CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT) AS scene_id
+        FROM cuts
+    ),
+    ranked AS (
+        SELECT doc_id, scene_id, frame_idx, intensity,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, scene_id
+                                  ORDER BY intensity DESC, frame_idx) AS rn,
+               COUNT(*) OVER (PARTITION BY doc_id, scene_id) AS scene_frames
+        FROM scenes
+    )
+    SELECT doc_id, scene_id,
+           frame_idx AS keyframe_idx,
+           intensity AS keyframe_intensity,
+           CAST(scene_frames AS BIGINT) AS scene_frames
+    FROM ranked WHERE rn = 1
+    """,
+)
+def multimodal_scene_keyframes(spark, sf_dir):
+    """Keyframe selection per detected scene — the detect→select pair video
+    curation actually runs (shot segmentation, then ONE representative frame
+    per shot to the captioner/embedder): per scene the max-feature frame,
+    earliest index on ties, plus the scene's frame count.  Shares
+    scene_cut_segments' frame-labeling chain (one doc_id exchange); the
+    keyframe argmax is a map-side-folding max(struct)."""
+    from airflow_cms_inpatient_etl_spark.operators.multimodal import scene_keyframes
+
+    d = load_table(spark, sf_dir, "documents")
+    return scene_keyframes(attach_binary_payload(d))

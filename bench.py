@@ -325,6 +325,8 @@ HEADLINE = [
     "ml_calibration_bins",
     # round-11 wave 12: IVF-PQ residual composite (byte-code list index)
     "sim_ivfpq_residual_topk",
+    # round-11 wave 12b: per-scene keyframe argmax (shares the scene chain)
+    "multimodal_scene_keyframes",
 ]
 
 

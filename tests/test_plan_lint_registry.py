@@ -102,6 +102,10 @@ _NEW_SINCE_GATE = [
     "ml_calibration_bins",
     # r11: new — FAISS-shape IVF-PQ residual composite index
     "sim_ivfpq_residual_topk",
+    # r11: new — per-scene keyframe selection (+ shared frame-labeling
+    # refactor under multimodal_scene_cuts)
+    "multimodal_scene_keyframes",
+    "multimodal_scene_cuts",
 ]
 
 

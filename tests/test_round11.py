@@ -1397,3 +1397,61 @@ def test_ivfpq_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "ivfpq:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# multimodal_scene_keyframes — detect→select video pair (wave 12)              #
+# --------------------------------------------------------------------------- #
+
+
+def test_scene_keyframes_inside_scene_and_maximal(spark):
+    """Every keyframe must lie inside its scene's frame span, carry that
+    scene's maximum intensity, and be the earliest frame achieving it —
+    checked against the python frame walk."""
+    from airflow_cms_inpatient_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        scene_cut_segments,
+        scene_keyframes,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    mm = attach_binary_payload(d)
+    spans = {
+        (r.doc_id, r.scene_id): (r.start_frame, r.end_frame)
+        for r in scene_cut_segments(mm).collect()
+    }
+    keys = scene_keyframes(mm).collect()
+    assert len(keys) == len(spans)
+    docs = {r.doc_id: len(r.text.encode("utf-8")) for r in d.select("doc_id", "text").collect()}
+    for r in keys:
+        lo, hi = spans[(r.doc_id, r.scene_id)]
+        assert lo <= r.keyframe_idx <= hi
+        n_bytes = docs[r.doc_id]
+        inten = lambda idx: (n_bytes * (idx + 1)) % 251
+        assert r.keyframe_intensity == inten(r.keyframe_idx)
+        assert all(inten(i) <= r.keyframe_intensity for i in range(lo, hi + 1))
+        firsts = [i for i in range(lo, hi + 1) if inten(i) == r.keyframe_intensity]
+        assert r.keyframe_idx == firsts[0]
+
+
+def test_scene_keyframes_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["multimodal_scene_keyframes"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.1/documents.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "keyframes:sf0.1")
+    finally:
+        con.close()
