@@ -978,3 +978,45 @@ def test_hot_stratum_curation_pipelines_hash_unchanged(spark, hot_stratum_dir):
     finally:
         con.close()
         release_snapshots(spark)
+
+
+def test_winnowing_hot_fingerprint_candidates_bounded(spark):
+    """Round-11 pair family: the winnowing census join must not go quadratic
+    on a ubiquitous fingerprint.  Adversarial corpus: ONE boilerplate run
+    shared by ALL 1 200 docs — winnowing GUARANTEES it yields an identical
+    selected fingerprint in every doc (df = 1 200 ≫ cap ⇒ an uncapped census
+    would emit ~7·10⁵ pairs on that key alone) — plus a legitimate 8-doc
+    shared-run group under the cap.  After the _WIN_MAX_DF df-cap the hot
+    fingerprint contributes ZERO pairs, the real group survives, and the
+    census input is bounded by Σ df·(df−1) over surviving fingerprints."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import winnow_fingerprints
+    from airflow_cms_inpatient_etl_spark.queries.dedup import _WIN_MAX_DF
+
+    n = 1200
+    boiler = "all rights reserved by the site operator worldwide"
+    shared = "identical duplicated paragraph body appears right here"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " "),
+            F.when(F.col("id") % 150 == 0, F.lit(shared + " ")).otherwise(F.lit("")),
+            F.format_string(
+                "unique token stream %d alpha %d beta %d gamma %d delta epsilon",
+                "id", "id", "id", "id",
+            ),
+        ).alias("text"),
+    )
+    dfh = winnow_fingerprints(docs, "doc_id", "text").select("doc_id", "fh").distinct()
+    by_fh = dfh.groupBy("fh").agg(F.count(F.lit(1)).alias("nd"))
+    hot = by_fh.filter(F.col("nd") > _WIN_MAX_DF).count()
+    assert hot > 0, "fixture must actually produce an over-cap fingerprint"
+    capped = dfh.join(
+        by_fh.filter(F.col("nd") <= _WIN_MAX_DF).select("fh"), "fh"
+    )
+    a = capped.select(F.col("doc_id").alias("a_id"), "fh")
+    b = capped.select(F.col("doc_id").alias("b_id"), "fh")
+    cand = a.join(b, "fh").filter(F.col("a_id") < F.col("b_id")).count()
+    n_fp = capped.select("fh").distinct().count()
+    assert cand > 0  # the 8-doc legitimate group survives
+    assert cand <= n_fp * _WIN_MAX_DF * _WIN_MAX_DF
+    assert cand < 10_000  # absolute: the boilerplate quadratic would be ~7e5
