@@ -84,6 +84,7 @@ _PRIORITY = [
     "ml_calibration_bins",
     "sim_ivfpq_residual_topk",
     "multimodal_scene_keyframes",
+    "text_concordance_kwic",
     # -- b. code changed in round 11 (bpe_train_apply_compression, the third  #
     #    member, is deferred to the queue head: its changed operator is the   #
     #    same bpe_train the in-window sibling covers, it was driver-green in  #
@@ -93,14 +94,14 @@ _PRIORITY = [
     # -- c. plan changed in late round 10 (after the r10 driver recording):   #
     #    the cache_shingles default on the exact-Jaccard pair producer and    #
     #    the closing perf rewrites                                            #
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_prefix_jaccard",
     "dedup_lsh_recall_report",
     "weighted_median_price",
-    # (dedup_connected_components defers to the queue head: its late-r10
-    #  change is the SHARED cache_shingles producer the five sibling rows
-    #  above still cover, and it is hash-verified x3 scales post-change)
+    # (dedup_connected_components and dedup_ngram_jaccard defer to the queue
+    #  head: their late-r10 change is the SHARED cache_shingles producer the
+    #  sibling rows above still cover, both hash-verified x3 scales
+    #  post-change)
     # -- d. ALL 21 r5-stale rows (clears the r5 cohort completely) ----------- #
     "events_tumbling_window",
     "graph_personalized_pagerank",
@@ -124,13 +125,14 @@ _PRIORITY = [
     "weighted_corpus_sample",
     "winsorize_quality_clip",
     # ----------------------- window boundary (50) -------------------------- #
-    # (the 21 round-11 additions + 2 code-changed + 6 late-r10 plan-changed   #
+    # (the 23 round-11 additions + 2 code-changed + 4 late-r10 plan-changed   #
     # + ALL 21 r5-stale rows fill the window exactly — the r5 cohort clears   #
     # completely this round.)                                                 #
     # ROUND-12 QUEUE: the deferred code-changed rows, the 40 r6-stale rows,   #
     # then everything else in registration order.                             #
     "bpe_train_apply_compression",
     "dedup_connected_components",
+    "dedup_ngram_jaccard",
     "cdc_apply_change_feed",
     "cdc_delete_propagation",
     "cdc_scd2_point_in_time",

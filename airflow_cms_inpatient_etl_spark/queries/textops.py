@@ -925,3 +925,89 @@ def text_textrank_keywords(spark, sf_dir):
         .filter(F.col("rn") <= _TR_TOPK)
         .orderBy("rn")
     )
+
+
+# --------------------------------------------------------------------------- #
+# text_concordance_kwic — keyword-in-context extraction (round 11)             #
+# --------------------------------------------------------------------------- #
+
+_KWIC_CTX = 3
+_KWIC_MINLEN = 4
+
+
+@register(
+    "text_concordance_kwic",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w FROM documents
+    ),
+    vocab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT UNNEST(w) AS word FROM toks
+        ) WHERE LEN(word) >= {_KWIC_MINLEN}
+        GROUP BY word
+    ),
+    term AS (
+        SELECT word FROM vocab ORDER BY n DESC, word LIMIT 1
+    ),
+    hits AS (
+        SELECT t.doc_id, t.w,
+               CAST(UNNEST(RANGE(1, LEN(t.w) + 1)) AS BIGINT) AS pos,
+               UNNEST(t.w) AS tok
+        FROM toks t
+    )
+    SELECT h.doc_id, h.pos, m.word AS term,
+           -- ARRAY_TO_STRING([]) is NULL in DuckDB; Spark concat_ws gives ''
+           COALESCE(ARRAY_TO_STRING(LIST_SLICE(h.w, GREATEST(h.pos - {_KWIC_CTX}, 1), h.pos - 1), ' '), '')
+               AS left_ctx,
+           COALESCE(ARRAY_TO_STRING(LIST_SLICE(h.w, h.pos + 1, h.pos + {_KWIC_CTX}), ' '), '')
+               AS right_ctx
+    FROM hits h JOIN term m ON h.tok = m.word
+    """,
+)
+def text_concordance_kwic(spark, sf_dir):
+    """Keyword-in-context concordance — the annotation-tooling view corpus
+    linguists and labeling pipelines pull before writing guidelines: every
+    occurrence of the corpus's most frequent content word (≥ {_KWIC_MINLEN}
+    chars, count-then-lexicographic argmax so the term itself is
+    reproducible data), with {_KWIC_CTX} words of left/right context joined
+    back to strings.  Boundary-clamped slices match LIST_SLICE semantics in
+    both engines.  Scale shape: the term argmax is a word-histogram
+    aggregate broadcast back as ONE row; occurrence extraction is a
+    map-side posexplode + equi-filter — no corpus-sized shuffle at all
+    beyond the histogram."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread_scan(
+        d.select("doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")),
+        "doc_id",
+    )
+    vocab = (
+        toks.select(F.explode("w").alias("word"))
+        .filter(F.length("word") >= _KWIC_MINLEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    term = vocab.orderBy(F.col("n").desc(), F.col("word")).limit(1).select("word")
+    hits = toks.select(
+        "doc_id", "w", F.posexplode("w").alias("pos0", "tok")
+    ).select("doc_id", "w", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    lo = F.greatest(F.col("pos") - _KWIC_CTX, F.lit(1))
+    return hits.join(
+        F.broadcast(term), hits.tok == F.col("word")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("word").alias("term"),
+        F.concat_ws(" ", F.slice("w", lo, F.col("pos") - lo)).alias("left_ctx"),
+        F.concat_ws(
+            " ", F.slice("w", F.col("pos") + 1, F.lit(_KWIC_CTX))
+        ).alias("right_ctx"),
+    )
+
+
+if text_concordance_kwic.__doc__:  # None under python -OO
+    text_concordance_kwic.__doc__ = (
+        text_concordance_kwic.__doc__
+        .replace("{_KWIC_MINLEN}", str(_KWIC_MINLEN))
+        .replace("{_KWIC_CTX}", str(_KWIC_CTX))
+    )

@@ -327,6 +327,9 @@ HEADLINE = [
     "sim_ivfpq_residual_topk",
     # round-11 wave 12b: per-scene keyframe argmax (shares the scene chain)
     "multimodal_scene_keyframes",
+    # round-11 wave 13: KWIC concordance (histogram argmax broadcast +
+    # map-side context slices)
+    "text_concordance_kwic",
 ]
 
 

@@ -106,6 +106,8 @@ _NEW_SINCE_GATE = [
     # refactor under multimodal_scene_cuts)
     "multimodal_scene_keyframes",
     "multimodal_scene_cuts",
+    # r11: new — KWIC concordance
+    "text_concordance_kwic",
 ]
 
 

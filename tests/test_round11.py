@@ -1455,3 +1455,62 @@ def test_scene_keyframes_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "keyframes:sf0.1")
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------- #
+# text_concordance_kwic — keyword-in-context (wave 13)                         #
+# --------------------------------------------------------------------------- #
+
+
+def test_kwic_python_reference(spark):
+    """Recompute the concordance in plain python — term argmax, every
+    occurrence, boundary-clamped 3-word contexts — and compare all rows."""
+    from collections import Counter
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    got = sorted(
+        (r.doc_id, r.pos, r.term, r.left_ctx, r.right_ctx)
+        for r in QUERY_REGISTRY["text_concordance_kwic"].fn(spark, SF_SMOKE).collect()
+    )
+    docs = {
+        r.doc_id: r.text.strip().lower().split()
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    counts = Counter(w for toks in docs.values() for w in toks if len(w) >= 4)
+    term = min(counts, key=lambda w: (-counts[w], w))
+    want = []
+    for doc_id, toks in docs.items():
+        for i, w in enumerate(toks):
+            if w == term:
+                pos = i + 1
+                left = " ".join(toks[max(i - 3, 0):i])
+                right = " ".join(toks[i + 1:i + 4])
+                want.append((doc_id, pos, term, left, right))
+    assert got == sorted(want)
+    assert any(l == "" for _, _, _, l, _ in got) or any(
+        r == "" for *_, r in got
+    ), "fixture should exercise at least one boundary context"
+
+
+def test_kwic_sf01_hash(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import assert_frames_match
+
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    spec = QUERY_REGISTRY["text_concordance_kwic"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.1/documents.parquet'"
+        )
+        sp = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+        assert_frames_match(sp, con.execute(spec.oracle).df(), "kwic:sf0.1")
+    finally:
+        con.close()
