@@ -1514,3 +1514,29 @@ def test_kwic_sf01_hash(spark):
         assert_frames_match(sp, con.execute(spec.oracle).df(), "kwic:sf0.1")
     finally:
         con.close()
+
+
+def test_residualize_promotes_before_subtract(spark):
+    """The documented 1-ulp hazard: float32-subtract-then-promote differs
+    from promote-then-subtract whenever the float32 difference rounds.
+    Construct such a pair and assert the operator produces the
+    promote-first value (what the DuckDB oracle computes), not the
+    float32-rounded one."""
+    import struct
+
+    a32 = struct.unpack("f", struct.pack("f", 0.1))[0]   # float32(0.1)
+    b32 = struct.unpack("f", struct.pack("f", 0.3))[0]   # float32(0.3)
+    promote_first = float(a32) - float(b32)
+    f32_first = struct.unpack("f", struct.pack("f", a32 - b32))[0]
+    assert promote_first != f32_first, "fixture must hit the rounding trap"
+
+    from airflow_cms_inpatient_etl_spark.operators.similarity import residualize
+
+    assigned = spark.createDataFrame(
+        [(1, [a32] * 64, 100)], "vec_id long, embedding array<float>, centroid_id long"
+    )
+    cents = spark.createDataFrame(
+        [(100, [b32] * 64)], "vec_id long, embedding array<float>"
+    )
+    out = residualize(assigned, cents).collect()[0]
+    assert all(v == promote_first for v in out.embedding)
