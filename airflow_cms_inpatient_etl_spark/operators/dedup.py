@@ -658,9 +658,10 @@ def winnow_fingerprints(
     packing (hash, position) into ONE bigint — hash in the high 43 bits,
     1-based gram position in the low 20 — so MIN() breaks hash ties toward
     the smallest position identically in every engine (the packed key needs
-    pos < 2^20 grams/doc and exactly fills int64: 43+20 = 63 bits; a 100 TB
-    deployment with longer docs re-chunks or widens to a struct-min, which
-    Spark supports natively).
+    pos < 2^20 grams/doc and exactly fills int64: 43+20 = 63 bits; the limit
+    is ENFORCED — a longer doc raises rather than silently corrupting
+    fingerprints — and a 100 TB deployment with longer docs re-chunks or
+    widens to a struct-min, which Spark supports natively).
 
     Returns DISTINCT (id, fpos, fh) selected fingerprints.  Scale shape: one
     guarded-spread map-side gram/hash/pack pass, one doc-keyed window (the
@@ -681,10 +682,29 @@ def winnow_fingerprints(
         (F.col("pos0") + 1).cast("long").alias("pos"),
         (hash60(F.col("shingle")) % F.lit(1 << _WINNOW_H_BITS)).alias("h"),
     )
+    # Fail LOUDLY past the packing limit: a doc with >= 2^20 word grams would
+    # silently bleed position bits into the hash field, corrupting the
+    # shared-run guarantee — raise instead (re-chunk or widen to a struct-min
+    # upstream).  The guard is a map-side when() on the already-computed pos,
+    # so the happy path costs one comparison per gram.
+    checked_pos = F.when(
+        F.col("pos") < F.lit(1 << _WINNOW_POS_BITS), F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "winnow_fingerprints: gram position exceeds the "
+                    f"2^{_WINNOW_POS_BITS}-1 packing limit in doc "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — chunk the document or widen the key to a struct-min"),
+            )
+        ).cast("long")
+    )
     packed = grams.select(
         F.col(id_col),
         "pos",
-        (F.col("h") * F.lit(1 << _WINNOW_POS_BITS) + F.col("pos")).alias("k"),
+        (F.col("h") * F.lit(1 << _WINNOW_POS_BITS) + checked_pos).alias("k"),
     )
     w = W.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
     sel = (

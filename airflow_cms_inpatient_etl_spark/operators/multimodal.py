@@ -219,9 +219,12 @@ def transcript_containment_gate(
     """Audio-transcript ALIGNMENT gate (PURE operator — pairing comes in as
     data, exactly like ``caption_containment_gate``): score each (audio,
     transcript) pair by CHUNK-HASH CONTAINMENT — the share of the audio
-    doc's ``chunk_ms`` segments whose decoded-content hash appears anywhere
-    in the paired transcript's segment-hash set — and flag pairs at or
-    above ``gate_bp`` basis points.  Scores are integer basis points
+    doc's DISTINCT ``chunk_ms``-segment content hashes that appear anywhere
+    in the paired transcript's (likewise distinct) segment-hash set — and
+    flag pairs at or above ``gate_bp`` basis points.  Set semantics are
+    deliberate (and what the oracle checks): repeated identical chunks
+    count once, so the score is containment of the distinct-hash set, not
+    a per-segment coverage ratio.  Scores are integer basis points
     (multiply-then-integer-divide): no float division in an oracle-checked
     aggregate.
 

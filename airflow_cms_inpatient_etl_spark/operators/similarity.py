@@ -841,9 +841,15 @@ def matryoshka_topk(
     survivors = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cid") != F.col(qid_col))
+        # A valid full vector can still have an all-zero prefix (norm 0 over
+        # the first prefix_dim coords); under the ANSI session even double
+        # division raises on /0, so define that cosine as 0.0 (mirrored by a
+        # CASE in the sim_matryoshka_topk oracle).
         .withColumn(
             "prefix_cosine",
-            dot(F.col("qpre"), F.col("cpre")) / (F.col("qpn") * F.col("cpn")),
+            F.when(F.col("qpn") * F.col("cpn") == 0, F.lit(0.0)).otherwise(
+                dot(F.col("qpre"), F.col("cpre")) / (F.col("qpn") * F.col("cpn"))
+            ),
         )
         .withColumn("prn", F.row_number().over(pre_w))
         .filter(F.col("prn") <= k * overfetch)

@@ -30,6 +30,7 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
     curation2,
     quality,
     analytics,
+    crawl,
 )
 
 # --------------------------------------------------------------------------- #
@@ -50,89 +51,32 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # ======================================================================= #
-    # ROUND-11 WINDOW (first 50).  Policy: never-checked > code-changed-      #
-    # since-last-check > stalest-green.  Round 10 closed 50/50 green and the  #
-    # cross-round union has NO never-checked rows, so this rotation seats     #
-    # (a) the round-11 additions, (b) the rows whose code changed in round    #
-    # 11 (BPE trainer re-snapshot cadence; split machinery factored into     #
-    # operators.dedup.cluster_aware_split), (c) the rows whose plans changed #
-    # in LATE round 10 after the driver recording (the cache_shingles        #
-    # default's consumers and the final perf rewrites), (d) ALL 21 r5-stale  #
-    # rows, and (e) the oldest r6-stale rows filling the remaining slots.    #
-    # After round 11: no row older than r6, and the r6 cohort shrinks 40->21.#
+    # ROUND-12 WINDOW (first 50).  Policy: never-checked > code-changed-      #
+    # since-last-check > stalest-green.  Round 11 closed 50/50 green; the     #
+    # cross-round union has NO never-checked rows and its staleness           #
+    # histogram was 40 r6 / 33 r7 / 48 r8 / 45 r9 / 45 r10 / 50 r11.  This   #
+    # rotation seats (a) the 3 round-12 additions, (b) the 4 rows whose      #
+    # plans changed in round 12 (textrank TakeOrderedAndProject rewrite,     #
+    # curation_v8 full-outer source fix, matryoshka zero-prefix guard,       #
+    # winnowing overflow guard), (c) the 3 rows deferred from the round-11   #
+    # window (bpe_train_apply_compression + the two cache_shingles           #
+    # siblings), and (d) ALL 40 r6-stale rows — retiring the r6 cohort       #
+    # completely.  After round 12: oldest cohort is r7 (33 rows).            #
     # ======================================================================= #
     # -- a. new this round ---------------------------------------------------#
-    "multimodal_audio_transcript_align",
-    "corpus_curation_v8",
-    "q3_shipping_priority",
-    "tokenizer_unigram_viterbi",
-    "stats_bootstrap_ci_price",
-    "sim_matryoshka_topk",
-    "multimodal_scene_cuts",
-    "layout_zorder_locality",
-    "graph_label_propagation",
-    "ml_auc_exact",
-    "ml_target_encoding_loo",
-    "dedup_winnowing",
-    "sample_kcenter_diverse",
+    "text_html_strip_c4",
+    "dedup_url_canonical",
+    "filter_domain_blocklist",
+    # -- b. code changed in round 12 ----------------------------------------- #
     "text_textrank_keywords",
-    "dq_l_diversity",
-    "streaming_heavy_hitters_live",
-    "ivm_join_view_delta",
-    "split_temporal_embargo",
-    "recsys_negative_samples",
-    "ml_calibration_bins",
-    "sim_ivfpq_residual_topk",
-    "multimodal_scene_keyframes",
-    "text_concordance_kwic",
-    # -- b. code changed in round 11 (bpe_train_apply_compression, the third  #
-    #    member, is deferred to the queue head: its changed operator is the   #
-    #    same bpe_train the in-window sibling covers, it was driver-green in  #
-    #    r10, and the r11 cadence change is hash-proven invisible x3 scales)  #
-    "split_cluster_aware",
-    "bpe_train_vocab",
-    # -- c. plan changed in late round 10 (after the r10 driver recording):   #
-    #    the cache_shingles default on the exact-Jaccard pair producer and    #
-    #    the closing perf rewrites                                            #
-    "dedup_minhash_lsh",
-    "dedup_prefix_jaccard",
-    "dedup_lsh_recall_report",
-    "weighted_median_price",
-    # (dedup_connected_components and dedup_ngram_jaccard defer to the queue
-    #  head: their late-r10 change is the SHARED cache_shingles producer the
-    #  sibling rows above still cover, both hash-verified x3 scales
-    #  post-change)
-    # -- d. ALL 21 r5-stale rows (clears the r5 cohort completely) ----------- #
-    "events_tumbling_window",
-    "graph_personalized_pagerank",
-    "graph_triangle_count",
-    "join_multiway_revenue",
-    "multimodal_decode_stub",
-    "multimodal_metadata",
-    "null_default_decode",
-    "projection_typed_cast",
-    "set_except_all_linenums",
-    "set_intersect_all_linenums",
-    "set_union_all_counts",
-    "sim_ann_lsh_topk",
-    "sim_embedding_neardup",
-    "sim_incremental_ivf",
-    "snapshot_table_diff",
-    "text_entropy_quality",
-    "text_pii_scrub",
-    "text_quality_scores",
-    "variant_functions",
-    "weighted_corpus_sample",
-    "winsorize_quality_clip",
-    # ----------------------- window boundary (50) -------------------------- #
-    # (the 23 round-11 additions + 2 code-changed + 4 late-r10 plan-changed   #
-    # + ALL 21 r5-stale rows fill the window exactly — the r5 cohort clears   #
-    # completely this round.)                                                 #
-    # ROUND-12 QUEUE: the deferred code-changed rows, the 40 r6-stale rows,   #
-    # then everything else in registration order.                             #
+    "corpus_curation_v8",
+    "sim_matryoshka_topk",
+    "dedup_winnowing",
+    # -- c. deferred from the round-11 window --------------------------------- #
     "bpe_train_apply_compression",
     "dedup_connected_components",
     "dedup_ngram_jaccard",
+    # -- d. ALL 40 r6-stale rows (retires the r6 cohort completely) ---------- #
     "cdc_apply_change_feed",
     "cdc_delete_propagation",
     "cdc_scd2_point_in_time",
@@ -173,6 +117,44 @@ _PRIORITY = [
     "skew_dominant_supplier_orders",
     "text_bm25_search",
     "window_sliding_distinct_users",
+    # ----------------------- window boundary (50) -------------------------- #
+    # (3 new + 4 code-changed + 3 deferred + 40 r6-stale = exactly 50.)       #
+    # ROUND-13 QUEUE: the r7 cohort (33 rows) leads, then everything else in  #
+    # registration order.                                                     #
+    "bpe_merge_candidates",
+    "cdc_scd2_segment_history",
+    "cdc_upsert_orders",
+    "corpus_curation_pipeline",
+    "corpus_delta_report",
+    "customer_pareto_class",
+    "customer_repurchase_intervals",
+    "dedup_levenshtein_block",
+    "dedup_source_precedence",
+    "dq_group_checksum_udaf",
+    "embedding_kmeans_iteration",
+    "embedding_label_confusion",
+    "events_funnel_steps",
+    "events_survival_time_to_convert",
+    "graph_bfs_khop",
+    "heavy_hitters_cms",
+    "incremental_agg_merge",
+    "orders_cohort_ltv",
+    "orders_leadtime_percentiles",
+    "pack_token_budget",
+    "q14_promo_revenue_by_month",
+    "q19_disjunctive_predicates",
+    "q4_late_shipping_priority",
+    "sample_language_rebalance",
+    "sim_ann_ivf_topk",
+    "sim_pq_adc_topk",
+    "snapshot_column_drift_profile",
+    "sql_q3_shipping_priority",
+    "streaming_sliding_window_live",
+    "streaming_stateful_profile_live",
+    "streaming_stream_stream_join_live",
+    "streaming_tumbling_live",
+    "text_readability_scores",
+    # (remaining rows follow in registration order via _reorder_registry)
 ]
 
 

@@ -1520,19 +1520,28 @@ def corpus_curation_v8(spark, sf_dir):
         .groupBy("source")
         .agg(F.sum(ntok(F.col("text"))).cast("long").alias("tokens_carried"))
     )
+    # FULL outer: a source present only in the delta (no carried docs — all
+    # its base docs fell in the changed/removed residues, or it arrives
+    # purely via added docs) must still appear in the next-epoch mixture,
+    # exactly as the full-recompute oracle's per_next does.  The n_tokens_next
+    # > 0 filter mirrors oracle membership precisely: a source is in
+    # next_corpus iff it contributes at least one carried or accepted doc
+    # (every doc has ntok >= 1), while a source whose delta is entirely
+    # dup-gated contributes nothing and is dropped by BOTH engines.
     per_src = (
-        carried.join(acct, "source", "left")
+        carried.join(acct, "source", "full")
         .select(
             "source",
             F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
             F.coalesce("n_dup_gated", F.lit(0)).cast("long").alias("n_dup_gated"),
             F.coalesce("n_accepted", F.lit(0)).cast("long").alias("n_accepted"),
-            "tokens_carried",
+            F.coalesce("tokens_carried", F.lit(0)).cast("long").alias("tokens_carried"),
             F.coalesce("tokens_accepted", F.lit(0)).cast("long").alias("tokens_accepted"),
         )
         .withColumn(
             "n_tokens_next", (F.col("tokens_carried") + F.col("tokens_accepted"))
         )
+        .filter(F.col("n_tokens_next") > 0)
     )
     w = per_src.withColumn(
         "wraw",

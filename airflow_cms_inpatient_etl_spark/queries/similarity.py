@@ -642,7 +642,14 @@ def _dot_n(a: str, b: str, n: int) -> str:
 
 
 def _cosine_n(a: str, b: str, n: int) -> str:
-    return f"{_dot_n(a, b, n)} / (SQRT({_dot_n(a, a, n)}) * SQRT({_dot_n(b, b, n)}))"
+    """Zero-prefix-guarded: a valid full vector may have an all-zero first-n
+    prefix; both engines define that cosine as 0.0 (the engine side guards
+    with when(), since the ANSI session raises even on double /0)."""
+    norms = f"(SQRT({_dot_n(a, a, n)}) * SQRT({_dot_n(b, b, n)}))"
+    return (
+        f"CASE WHEN {norms} = 0 THEN 0.0 "
+        f"ELSE {_dot_n(a, b, n)} / {norms} END"
+    )
 
 
 _MRL_PREFIX = 16  # phase-1 dims (64-d vectors; MRL prefixes carry the signal)

@@ -913,18 +913,24 @@ def text_textrank_keywords(spark, sf_dir):
     ranks = pagerank_integer(
         edges, nodes, n_iter=_TR_ITERS, scale=_TR_SCALE, materialize_every=None
     )
-    return (
-        ranks.select(
-            F.col("node").alias("word"),
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.col("rank").desc(), F.col("node")))
-            .cast("long")
-            .alias("rn"),
-        )
-        .filter(F.col("rn") <= _TR_TOPK)
-        .orderBy("rn")
+    # Top-k via orderBy().limit() — plans TakeOrderedAndProject (per-partition
+    # heaps + a k-row driver merge), NOT a single-partition sort of the whole
+    # vocabulary; rn is derived AFTER the limit, so the only window runs over
+    # exactly _TR_TOPK rows.  (rank DESC, word) is a total order (words are
+    # unique nodes), so limit-then-number equals the old number-then-filter.
+    top = (
+        ranks.select(F.col("node").alias("word"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("word"))
+        .limit(_TR_TOPK)
     )
+    return top.select(
+        "word",
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("rank").desc(), F.col("word")))
+        .cast("long")
+        .alias("rn"),
+    ).orderBy("rn")
 
 
 # --------------------------------------------------------------------------- #

@@ -53,61 +53,25 @@ _ARROW_NODES = (
 # queries added or plan-changed since the round-9 gate went green — linted
 # in the NOT-slow inner loop.  Round-10 additions + this round's refactors.
 _NEW_SINCE_GATE = [
-    "bpe_train_vocab",                 # r10: new — full iterative BPE trainer
-    "bpe_train_apply_compression",     # r10: new — train-then-encode close
-    "search_hybrid_rrf",               # r10: new — BM25+cosine RRF hybrid retrieval
-    "text_mixed_language_flag",        # r10: gate factored into pure operator
-    "decontaminate_embedding_cosine",  # r10: gate factored into pure operator
-    "multimodal_caption_align",        # r10: gate factored into pure operator
-    "dedup_prefix_jaccard",            # r10: gram hashing snapshot (4 consumers)
-    "split_cluster_aware",             # r10: new — leakage-safe cluster split
-    "dedup_lsh_recall_report",         # r10: truth/lsh pair-list snapshots
-    "weighted_median_price",           # r10: single-window-pass rewrite
-    # r10: ngram_jaccard_pairs cache_shingles default (3-consumer posting list)
-    # (split_cluster_aware already listed above — don't re-add it here)
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    # r11: new — ASR-shaped audio-transcript alignment gate and the
-    # delta-only incremental recrawl pipeline
-    "multimodal_audio_transcript_align",
-    "corpus_curation_v8",
-    "q3_shipping_priority",
-    "tokenizer_unigram_viterbi",
-    "stats_bootstrap_ci_price",
-    # r11: new — Matryoshka two-stage retrieval and video scene-cut
-    # segmentation
-    "sim_matryoshka_topk",
-    "multimodal_scene_cuts",
-    # r11: new — Morton-clustered shard manifest
-    "layout_zorder_locality",
-    # r11: new — synchronous community detection
-    "graph_label_propagation",
-    # r11: new — integer-exact ML-eval/feature primitives
-    "ml_auc_exact",
-    "ml_target_encoding_loo",
-    # r11: new — MOSS winnowing fingerprint census
-    "dedup_winnowing",
-    # r11: new — Gonzalez greedy k-center diversity sample
-    "sample_kcenter_diverse",
-    # r11: new — TextRank keyword extraction (pagerank composition)
+    # r12: plan-changed — textrank top-k rewritten from an unpartitioned
+    # row_number window over the whole vocabulary to orderBy().limit()
+    # (TakeOrderedAndProject) with post-limit numbering
     "text_textrank_keywords",
-    # r11: new — l-diversity privacy gate
-    "dq_l_diversity",
-    # r11: new — bilinear join-view IVM
-    "ivm_join_view_delta",
-    # r11: new — purged temporal split
-    "split_temporal_embargo",
-    # r11: new — hash-based negative sampling + calibration bins
-    "recsys_negative_samples",
-    "ml_calibration_bins",
-    # r11: new — FAISS-shape IVF-PQ residual composite index
-    "sim_ivfpq_residual_topk",
-    # r11: new — per-scene keyframe selection (+ shared frame-labeling
-    # refactor under multimodal_scene_cuts)
-    "multimodal_scene_keyframes",
-    "multimodal_scene_cuts",
-    # r11: new — KWIC concordance
-    "text_concordance_kwic",
+    # r12: plan-changed — per-source accounting now FULL-outer joins carried
+    # and delta accounting so delta-only sources survive (ADVICE medium)
+    "corpus_curation_v8",
+    # r12: plan-changed — zero-prefix cosine guard (when()/CASE on the
+    # prefix-norm product)
+    "sim_matryoshka_topk",
+    # r12: plan-changed — winnowing position-packing overflow guard
+    # (per-row raise_error branch on pos)
+    "dedup_winnowing",
+    # r12: new — C4-style HTML/boilerplate stripping front-end stage
+    "text_html_strip_c4",
+    # r12: new — URL canonicalization + first-by-canonical-URL dedup
+    "dedup_url_canonical",
+    # r12: new — robots/domain-blocklist crawl filter
+    "filter_domain_blocklist",
 ]
 
 
@@ -147,6 +111,10 @@ def test_new_queries_plan_lint(spark):
     """Inner-loop lint of queries added/changed since the last green gate."""
     stale = [n for n in _NEW_SINCE_GATE if n not in QUERY_REGISTRY]
     assert not stale, f"_NEW_SINCE_GATE names not in registry: {stale}"
+    assert len(set(_NEW_SINCE_GATE)) == len(_NEW_SINCE_GATE), (
+        "_NEW_SINCE_GATE has duplicates — each entry is linted once; "
+        "a repeat is a stale rotation artifact"
+    )
     violations = _lint(spark, _NEW_SINCE_GATE)
     assert not violations, (
         f"plan lint over {len(_NEW_SINCE_GATE)} since-gate queries:\n"
