@@ -77,3 +77,145 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
         .withColumnRenamed("item", item_col)
     )
+
+# --------------------------------------------------------------------------- #
+# q-digest-style dyadic rank sketch: mergeable quantiles with rank-error      #
+# bounds (Shrivastava, Buragohain, Agrawal, Suri — SenSys 2004).  The KLL/    #
+# t-digest niche — mergeable percentile state for 100-TB monitoring — but     #
+# expressed so the WHOLE construction is relational aggregation:              #
+#                                                                             #
+#   1. values are non-negative ints < 2^bits (prices as cents here);          #
+#   2. the "tree" is the dyadic-interval histogram: for every value, its      #
+#      ancestor node at every level 0..bits carries the subtree count —       #
+#      built with ONE ancestor-explode over the distinct-value histogram      #
+#      and ONE groupBy (level, node);                                         #
+#   3. the SKETCH is the heavy subset: nodes whose subtree count exceeds      #
+#      n/eps_den.  Per level at most eps_den such nodes exist, so the         #
+#      sketch is <= (bits+1)*eps_den cells NO MATTER HOW LARGE n IS;          #
+#   4. each kept node's residual (its count minus its kept children's)       #
+#      attributes every input value to exactly one kept node, and the         #
+#      estimated rank at any kept right-endpoint e is the residual cumsum    #
+#      — an UNDER-estimate of the true rank by at most                        #
+#      2*(bits+1)*n/eps_den (the straddling root-to-leaf path's residuals,   #
+#      each <= 2n/eps_den).                                                   #
+#                                                                             #
+# Unlike KLL/t-digest, nothing here depends on partition layout, merge        #
+# order, or randomness: sums are commutative/associative, so sketches from    #
+# different shards/days MERGE EXACTLY (union + re-sum, `dyadic_merge`) and    #
+# the merged sketch is bit-identical to the one built on the union — the      #
+# associativity property test in tests/test_round12.py.  KLL's random         #
+# compaction gives a better size/error trade-off on unbounded domains, but    #
+# is nondeterministic under Spark's nondeterministic merge order; for the     #
+# bounded-integer domains a pipeline monitors (cents, token counts,           #
+# latencies in ms) the dyadic sketch is the deterministic choice.             #
+# --------------------------------------------------------------------------- #
+
+QD_EPS_DEN = 8192  # prune denominator: keep node iff cnt * QD_EPS_DEN > n
+
+
+def dyadic_tree(
+    df: DataFrame, value_col: str, bits: int, weight_col: str | None = None
+) -> DataFrame:
+    """Dyadic-interval histogram ``(level, node, cnt)`` for non-negative
+    integer values < 2^bits: node at ``level`` covers the interval
+    ``[node << (bits-level), ((node+1) << (bits-level)) - 1]``; ``cnt`` is
+    the number (or weight sum) of values inside it.  Level 0 is the root
+    (cnt = n); level ``bits`` is the leaf histogram.
+
+    Two narrow shuffles: distinct-value collapse (8-byte key), then the
+    (level, node) census over the ancestor explode — the explode runs on
+    the DISTINCT histogram, so its width is (bits+1) x distinct values,
+    never (bits+1) x rows.  Out-of-domain values raise loudly instead of
+    silently aliasing another node's interval."""
+    x = F.col(value_col).cast("long")
+    guarded = F.when((x >= 0) & (x < F.lit(1 << bits)), x).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"dyadic_tree: value outside [0, 2^{bits}): "),
+                F.col(value_col).cast("string"),
+            )
+        )
+    )
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    leaves = (
+        df.select(guarded.alias("_v"), w.alias("_w"))
+        .groupBy("_v")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    return (
+        leaves.select(
+            "_v", "_w", F.explode(F.sequence(F.lit(0), F.lit(bits))).alias("level")
+        )
+        .select(
+            "level",
+            F.expr(f"shiftright(_v, {bits} - level)").alias("node"),
+            "_w",
+        )
+        .groupBy("level", "node")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def dyadic_merge(*trees: DataFrame) -> DataFrame:
+    """Merge trees built with the same ``bits``: union + re-sum.  Exact —
+    the merged tree equals the tree of the concatenated inputs, so pruning
+    the merged tree gives the identical sketch (associativity test)."""
+    if not trees:
+        raise ValueError("dyadic_merge requires at least one tree")
+    out = trees[0]
+    for t in trees[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("level", "node").agg(F.sum("cnt").alias("cnt"))
+
+
+def qdigest_prune(tree: DataFrame, eps_den: int = QD_EPS_DEN) -> DataFrame:
+    """Heavy-node sketch ``(level, node, cnt, residual, n_rows)``: keep nodes
+    with ``cnt * eps_den > n`` (n read off the tree's own root — no separate
+    count pass), then attribute to each kept node the residual its kept
+    children don't cover.  Integer compare throughout — no float threshold.
+    The root is always kept, so residuals total exactly n.  Sketch size is
+    bounded by (levels x eps_den) regardless of n; the joins below are
+    sketch-sized and broadcast."""
+    root = tree.filter(F.col("level") == 0).select(F.col("cnt").alias("n_rows"))
+    kept = (
+        tree.crossJoin(F.broadcast(root))
+        .filter(F.col("cnt") * eps_den > F.col("n_rows"))
+    )
+    children = (
+        kept.filter(F.col("level") > 0)
+        .select(
+            (F.col("level") - 1).alias("level"),
+            F.expr("shiftright(node, 1)").alias("node"),
+            F.col("cnt").alias("_child_cnt"),
+        )
+        .groupBy("level", "node")
+        .agg(F.sum("_child_cnt").alias("_covered"))
+    )
+    return kept.join(F.broadcast(children), ["level", "node"], "left").select(
+        "level",
+        "node",
+        "cnt",
+        (F.col("cnt") - F.coalesce(F.col("_covered"), F.lit(0))).alias("residual"),
+        "n_rows",
+    )
+
+
+def qdigest_rank_cdf(kept: DataFrame, bits: int) -> DataFrame:
+    """Estimated-rank CDF over kept-node right endpoints:
+    ``(upper, cum_est)`` where ``cum_est`` under-estimates the true count of
+    values <= upper by at most ``2*(bits+1)*n/eps_den``.  The cumsum window
+    is a single partition over the SKETCH (<= (bits+1)*eps_den rows by
+    construction — never data-sized), the same bounded-structure exemption
+    as the CMS grid."""
+    from pyspark.sql.window import Window
+
+    per_upper = (
+        kept.select(
+            F.expr(f"((node + 1) << ({bits} - level)) - 1").alias("upper"),
+            "residual",
+        )
+        .groupBy("upper")
+        .agg(F.sum("residual").alias("_res"))
+    )
+    w = Window.orderBy("upper").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_upper.select("upper", F.sum("_res").over(w).alias("cum_est"))

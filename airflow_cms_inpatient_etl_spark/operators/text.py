@@ -379,3 +379,47 @@ def unigram_viterbi_segment(words: DataFrame, max_piece_len: int = 4) -> DataFra
         F.col("__dp.sc").alias("piece_score"),
         F.col("__dp.parts").alias("segmentation"),
     )
+
+
+def sliding_chunks(
+    df: DataFrame, id_col: str, text_col: str, width: int = 32, stride: int = 16
+) -> DataFrame:
+    """Sliding-window RAG chunks: ``(id, chunk_idx, chunk_ntok, chunk_hash)``,
+    one row per ``width``-token window at ``stride``-token steps (last window
+    truncated; a document shorter than one window yields exactly one chunk).
+
+    Everything is a map-side HOF over the document scan — tokenize, slice,
+    join, md5 — and the chunk TEXT is dropped in the same projection that
+    hashes it, so downstream consumers (dedup, embedding cost accounting,
+    the incremental-index gate) shuffle only ~56-byte rows.  Whitespace
+    class is the explicit ``[ \\t\\r\\n]+`` so the DuckDB oracle's RE2 and
+    Java's regex agree byte-for-byte."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), "[ \t\r\n]+", " "))
+    toks = df.filter(F.col(text_col).isNotNull() & (norm != "")).select(
+        F.col(id_col), F.split(norm, " ").alias("_toks")
+    )
+    sized = toks.select(
+        id_col,
+        "_toks",
+        F.size("_toks").alias("_ntok"),
+        F.when(F.size("_toks") <= width, F.lit(1).cast("long"))
+        .otherwise(F.ceil((F.size("_toks") - width) / F.lit(float(stride))) + 1)
+        .alias("_n_chunks"),
+    )
+    return sized.select(
+        id_col,
+        "_ntok",
+        "_toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n_chunks") - 1)).alias(
+            "chunk_idx"
+        ),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.least(F.col("_ntok") - F.col("chunk_idx") * stride, F.lit(width)).alias(
+            "chunk_ntok"
+        ),
+        F.md5(
+            F.array_join(F.expr(f"slice(_toks, chunk_idx * {stride} + 1, {width})"), " ")
+        ).alias("chunk_hash"),
+    )

@@ -72,10 +72,15 @@ _PRIORITY = [
     "corpus_curation_v8",
     "sim_matryoshka_topk",
     "dedup_winnowing",
-    # -- c. deferred from the round-11 window --------------------------------- #
-    "bpe_train_apply_compression",
+    # -- a2. new in the round-12 second wave (never-checked outranks every    #
+    # stale-green row, so these take the two seats the round-11-deferred      #
+    # r10-stale rows held; those two rows lead the round-13 queue below) ---- #
+    "sketch_qdigest_quantiles",
+    "rag_chunk_sliding",
+    # -- c. deferred from the round-11 window (1 of 3 kept; 2 displaced by   #
+    # the a2 additions — r10-stale, the LEAST stale rows in the window,      #
+    # so displacing them preserves the full r6-cohort retirement) ----------- #
     "dedup_connected_components",
-    "dedup_ngram_jaccard",
     # -- d. ALL 40 r6-stale rows (retires the r6 cohort completely) ---------- #
     "cdc_apply_change_feed",
     "cdc_delete_propagation",
@@ -118,9 +123,11 @@ _PRIORITY = [
     "text_bm25_search",
     "window_sliding_distinct_users",
     # ----------------------- window boundary (50) -------------------------- #
-    # (3 new + 4 code-changed + 3 deferred + 40 r6-stale = exactly 50.)       #
-    # ROUND-13 QUEUE: the r7 cohort (33 rows) leads, then everything else in  #
-    # registration order.                                                     #
+    # (5 new + 4 code-changed + 1 deferred + 40 r6-stale = exactly 50.)       #
+    # ROUND-13 QUEUE: the twice-deferred r10 pair first, then the r7 cohort   #
+    # (33 rows), then everything else in registration order.                  #
+    "bpe_train_apply_compression",
+    "dedup_ngram_jaccard",
     "bpe_merge_candidates",
     "cdc_scd2_segment_history",
     "cdc_upsert_orders",

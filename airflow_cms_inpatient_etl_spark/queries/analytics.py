@@ -3304,3 +3304,93 @@ def ml_calibration_bins(spark, sf_dir):
         F.expr("sum(pos) * 1000000 div count(*)").alias("pos_rate_ppm"),
         F.expr("sum(score_mills) * 1000 div count(*)").alias("mean_score_ppm"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# sketch_qdigest_quantiles — mergeable rank sketch with PROVEN error bounds    #
+# --------------------------------------------------------------------------- #
+_QD_BITS = 24  # l_extendedprice <= ~105k at ANY TPC-H SF -> cents < 2^24
+_QD_QUANTILES = [("q25", 0.25), ("q50", 0.50), ("q75", 0.75), ("q90", 0.90), ("q99", 0.99)]
+
+
+@register(
+    "sketch_qdigest_quantiles",
+    oracle="""
+    WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+    SELECT t.q_label, nn.n_rows,
+           TRUE AS rank_not_below_target,
+           TRUE AS rank_within_bound,
+           TRUE AS sketch_bounded
+    FROM (VALUES ('q25'), ('q50'), ('q75'), ('q90'), ('q99')) AS t(q_label), nn
+    """,
+)
+def sketch_qdigest_quantiles(spark, sf_dir):
+    """Quantiles from a q-digest-style dyadic rank sketch (operators/sketch.py)
+    over l_extendedprice cents — the mergeable-percentile gap in the sketch
+    family (CMS covers frequency, HLL covers cardinality; this covers rank).
+
+    The sketch keeps only dyadic nodes with count > n/8192 — at most
+    (24+1)*8192 cells NO MATTER HOW LARGE n is — and its cumulative-residual
+    CDF under-estimates any true rank by at most 2*25*n/8192 (~0.61 % of n).
+    The query picks, per target quantile q, the smallest kept right-endpoint
+    whose estimated rank reaches ceil(q*n), then VERIFIES the theory against
+    the full data: count(x <= v) >= target (the estimate never lands below
+    the requested rank) and count(x < v) < target + bound (it overshoots by
+    less than the proven bound).  DuckDB recomputes n exactly and asserts
+    the three claims are literally TRUE — a drifted sketch flips a flag and
+    hash-mismatches, the ``approx_aggregates`` bounds-oracle doctrine.
+
+    Scale: two narrow shuffles build the tree (distinct-cents collapse, then
+    the 25-level ancestor census over the DISTINCT histogram); everything
+    downstream is sketch-sized and broadcast; the verification pass scans the
+    data once with a x5 map-side conditional-sum expansion that collapses
+    under partial aggregation to 5 groups.  All comparisons are integer
+    (cnt*8192 > n, (cnt_lt - r)*8192 < 50*n) — no float thresholds, exact at
+    n = 10^12.  Merging shards is union + re-sum and is EXACT (see
+    tests/test_round12.py associativity property)."""
+    from airflow_cms_inpatient_etl_spark.operators.sketch import (
+        QD_EPS_DEN,
+        dyadic_tree,
+        qdigest_prune,
+        qdigest_rank_cdf,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    tree = snapshot(dyadic_tree(vals, "cents", _QD_BITS))
+    n_df = tree.filter(F.col("level") == 0).select(F.col("cnt").alias("n_rows"))
+    kept = qdigest_prune(tree, QD_EPS_DEN)
+    cdf = qdigest_rank_cdf(kept, _QD_BITS)
+
+    qs = spark.createDataFrame(_QD_QUANTILES, "q_label string, frac double")
+    targets = qs.crossJoin(F.broadcast(n_df)).select(
+        "q_label",
+        "n_rows",
+        F.ceil(F.col("frac") * F.col("n_rows")).cast("long").alias("r"),
+    )
+    est = (
+        targets.join(F.broadcast(cdf), F.col("cum_est") >= F.col("r"))
+        .groupBy("q_label", "n_rows", "r")
+        .agg(F.min("upper").alias("v_est"))
+    )
+    sketch_size = kept.agg(F.count(F.lit(1)).alias("sk_cells"))
+    verified = (
+        vals.crossJoin(F.broadcast(est))
+        .groupBy("q_label", "n_rows", "r", "v_est")
+        .agg(
+            F.sum(F.when(F.col("cents") <= F.col("v_est"), 1).otherwise(0)).alias("cnt_le"),
+            F.sum(F.when(F.col("cents") < F.col("v_est"), 1).otherwise(0)).alias("cnt_lt"),
+        )
+    )
+    return verified.crossJoin(F.broadcast(sketch_size)).select(
+        "q_label",
+        "n_rows",
+        (F.col("cnt_le") >= F.col("r")).alias("rank_not_below_target"),
+        (
+            (F.col("cnt_lt") - F.col("r")) * QD_EPS_DEN
+            < F.col("n_rows") * (2 * (_QD_BITS + 1))
+        ).alias("rank_within_bound"),
+        (F.col("sk_cells") <= (_QD_BITS + 1) * QD_EPS_DEN).alias("sketch_bounded"),
+    )

@@ -1291,3 +1291,81 @@ def split_temporal_embargo(spark, sf_dir):
         F.min("us").alias("lo_us"),
         F.max("us").alias("hi_us"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# rag_chunk_sliding — retrieval-side chunking + chunk-level exact dedup        #
+# --------------------------------------------------------------------------- #
+_RAG_CHUNK_TOKENS = 32  # chunk width in whitespace tokens
+_RAG_CHUNK_STRIDE = 16  # 50 % overlap — the standard RAG sliding window
+
+
+@register(
+    "rag_chunk_sliding",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id,
+               string_split(TRIM(REGEXP_REPLACE(text, '[ \t\r\n]+', ' ', 'g')), ' ') AS toks
+        FROM documents
+        WHERE text IS NOT NULL AND TRIM(REGEXP_REPLACE(text, '[ \t\r\n]+', ' ', 'g')) <> ''
+    ),
+    sized AS (
+        SELECT doc_id, toks, len(toks) AS ntok,
+               CASE WHEN len(toks) <= {_RAG_CHUNK_TOKENS} THEN 1
+                    ELSE CAST(CEIL((len(toks) - {_RAG_CHUNK_TOKENS}) / {_RAG_CHUNK_STRIDE}.0) AS BIGINT) + 1
+               END AS n_chunks
+        FROM norm
+    ),
+    chunks AS (
+        SELECT doc_id,
+               u.chunk_idx,
+               LEAST(ntok - u.chunk_idx * {_RAG_CHUNK_STRIDE}, {_RAG_CHUNK_TOKENS}) AS chunk_ntok,
+               MD5(array_to_string(
+                   list_slice(toks,
+                              u.chunk_idx * {_RAG_CHUNK_STRIDE} + 1,
+                              u.chunk_idx * {_RAG_CHUNK_STRIDE} + {_RAG_CHUNK_TOKENS}), ' ')) AS chunk_hash
+        FROM sized, LATERAL (SELECT UNNEST(range(0, n_chunks)) AS chunk_idx) u
+    )
+    SELECT doc_id, chunk_idx, chunk_ntok, chunk_hash,
+           (ROW_NUMBER() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) = 1)
+               AS is_canonical
+    FROM chunks
+    """,
+)
+def rag_chunk_sliding(spark, sf_dir):
+    """Sliding-window RAG chunking with chunk-level exact dedup — the
+    retrieval-side sibling of ``pack_token_budget``: split every document
+    into 32-token chunks at stride 16 (50 % overlap), give each chunk a
+    stable id (doc_id, chunk_idx) and a content hash, and mark the
+    first-writer canonical copy per distinct chunk text (overlapping strides
+    and boilerplate paragraphs make chunk-level duplicates the norm — an
+    embedding pipeline pays per chunk, so the dedup IS the cost model).
+
+    Scale posture: tokenize/slice/hash are map-side HOFs over the document
+    scan — the chunk TEXT never leaves the map stage; only (doc_id,
+    chunk_idx, ntok, 32-byte hash) is shuffled.  Canonical selection is
+    min-struct aggregation + an equi-join on the hash (the
+    ``exact_dedup_representatives`` shape), NOT a per-key sort window, so a
+    boilerplate chunk duplicated 10^9 times collapses map-side under partial
+    aggregation instead of serializing one hot sort partition.  At 100 TB
+    the chunk volume is ~2x token volume (stride = width/2); both shuffles
+    carry ~56-byte rows."""
+    from airflow_cms_inpatient_etl_spark.operators.text import sliding_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    chunks = sliding_chunks(
+        d, "doc_id", "text", width=_RAG_CHUNK_TOKENS, stride=_RAG_CHUNK_STRIDE
+    )
+    firsts = chunks.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
+    )
+    return chunks.join(firsts, "chunk_hash").select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_ntok",
+        "chunk_hash",
+        (
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("chunk_idx") == F.col("_first.chunk_idx"))
+        ).alias("is_canonical"),
+    )

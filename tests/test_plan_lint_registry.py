@@ -72,6 +72,10 @@ _NEW_SINCE_GATE = [
     "dedup_url_canonical",
     # r12: new — robots/domain-blocklist crawl filter
     "filter_domain_blocklist",
+    # r12: new — q-digest dyadic rank sketch (mergeable quantiles w/ bounds)
+    "sketch_qdigest_quantiles",
+    # r12: new — sliding-window RAG chunking + chunk-level exact dedup
+    "rag_chunk_sliding",
 ]
 
 
