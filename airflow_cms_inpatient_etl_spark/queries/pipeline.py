@@ -1343,8 +1343,8 @@ def rag_chunk_sliding(spark, sf_dir):
 
     Scale posture: tokenize/slice/hash are map-side HOFs over the document
     scan — the chunk TEXT never leaves the map stage; only (doc_id,
-    chunk_idx, ntok, 32-byte hash) is shuffled.  Canonical selection is
-    min-struct aggregation + an equi-join on the hash (the
+    chunk_idx, ntok, 32-byte hash) is shuffled.  Canonical selection is a
+    packed-long MIN HashAggregate + an equi-join on the hash (the
     ``exact_dedup_representatives`` shape), NOT a per-key sort window, so a
     boilerplate chunk duplicated 10^9 times collapses map-side under partial
     aggregation instead of serializing one hot sort partition.  At 100 TB
@@ -1356,16 +1356,35 @@ def rag_chunk_sliding(spark, sf_dir):
     chunks = sliding_chunks(
         d, "doc_id", "text", width=_RAG_CHUNK_TOKENS, stride=_RAG_CHUNK_STRIDE
     )
-    firsts = chunks.groupBy("chunk_hash").agg(
-        F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
+    # First-writer key packed into ONE long — (doc_id << 20) | chunk_idx is
+    # lexicographic-equivalent to (doc_id, chunk_idx) while keeping the
+    # aggregation a HashAggregate (min over struct falls back to
+    # SortAggregate, an O(n log n) per-partition sort of the full chunk
+    # stream).  Packing limits are enforced loudly, the winnowing
+    # position-packing doctrine: chunk_idx < 2^20 means docs under ~16.7M
+    # tokens (split earlier in any real pipeline), doc_id < 2^43.
+    packed = F.when(
+        (F.col("chunk_idx") < F.lit(1 << 20))
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(1 << 43)),
+        F.shiftleft(F.col("doc_id"), 20) + F.col("chunk_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("rag_chunk_sliding: (doc_id, chunk_idx) outside packing "
+                      "domain [0,2^43) x [0,2^20): "),
+                F.col("doc_id").cast("string"),
+                F.lit(","),
+                F.col("chunk_idx").cast("string"),
+            )
+        )
     )
-    return chunks.join(firsts, "chunk_hash").select(
+    keyed = chunks.withColumn("_pk", packed)
+    firsts = keyed.groupBy("chunk_hash").agg(F.min("_pk").alias("_first_pk"))
+    return keyed.join(firsts, "chunk_hash").select(
         "doc_id",
         "chunk_idx",
         "chunk_ntok",
         "chunk_hash",
-        (
-            (F.col("doc_id") == F.col("_first.doc_id"))
-            & (F.col("chunk_idx") == F.col("_first.chunk_idx"))
-        ).alias("is_canonical"),
+        (F.col("_pk") == F.col("_first_pk")).alias("is_canonical"),
     )

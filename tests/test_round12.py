@@ -201,6 +201,31 @@ def test_rag_duplicate_chunk_single_canonical(spark):
     assert sorted((r.doc_id, r.is_canonical) for r in dup) == [(10, True), (20, False)]
 
 
+def test_rag_packed_key_rejects_out_of_domain(spark):
+    """The (doc_id << 20) | chunk_idx first-writer key must raise loudly
+    outside its packing domain instead of silently mis-ranking writers —
+    same doctrine as the winnowing position guard.  A doc_id >= 2^43
+    triggers it (a >16.7M-token doc would be the chunk_idx variant)."""
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+    import pandas as pd
+
+    # registry fn reads parquet fixtures, so drive the packing expression the
+    # same way the query builds it: huge doc_id through sliding_chunks + the
+    # query's canonical-selection tail, reconstructed on a planted frame
+    df = spark.createDataFrame(
+        [(1 << 43, " ".join(f"w{i}" for i in range(5)))], "doc_id long, text string"
+    )
+    chunks = sliding_chunks(df, "doc_id", "text")
+    packed = F.when(
+        (F.col("chunk_idx") < F.lit(1 << 20))
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(1 << 43)),
+        F.shiftleft(F.col("doc_id"), 20) + F.col("chunk_idx"),
+    ).otherwise(F.raise_error(F.lit("rag_chunk_sliding: packing domain")))
+    with pytest.raises(Exception, match="packing domain"):
+        chunks.withColumn("_pk", packed).collect()
+
+
 def test_rag_chunks_feed_incremental_index_gate(spark):
     """Composition (round-11 verdict stretch #8): canonical chunks of a BASE
     corpus form the standing hash index; a DELTA doc that plagiarizes a base
