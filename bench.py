@@ -460,6 +460,15 @@ def main() -> None:
         "dq_group_checksum_udaf",
         "text_wordcount_udtf",
     }
+    # Per-round machine probes: the initial gate only proves the box was
+    # healthy BEFORE the ~15-minute timed window — rounds 9-11 (and this
+    # round's first recording: start probe 0.061 s, then 32 spurious >1.3x
+    # flags) showed contention ARRIVING mid-run.  Re-probing after every
+    # interleaved round pins drift to the round it happened in, and the
+    # recording is stamped contended if ANY probe (start or per-round)
+    # exceeds the 1.10x pin threshold — no healthy-start recording can pose
+    # as a regression screen after a dirty finish.
+    probe_rounds: list[float] = []
     for _ in range(n_runs):
         for name in HEADLINE:
             fn = QUERY_REGISTRY[name].fn
@@ -479,8 +488,11 @@ def main() -> None:
             # no sample can read a prior sample's materialization.
             release_snapshots(spark)
             spark.catalog.clearCache()
+        probe_rounds.append(_probe(spark.range(200_000_000)))
     timings = {name: round(statistics.median(s), 4) for name, s in samples.items()}
     total = round(sum(timings.values()), 4)
+    if ref_probe and any(p > 1.10 * float(ref_probe) for p in probe_rounds):
+        contended = True
 
     # Matched-probe cross-round comparison (the round-7 closing-pass protocol,
     # now committed code instead of BASELINE.md prose): against the pinned
@@ -514,6 +526,7 @@ def main() -> None:
         "sf": sf,
         "probe_parallel_sec": probe_parallel,
         "probe_serial_sec": probe_serial,
+        "probe_parallel_rounds": probe_rounds,
         "contended": contended,
         "registry_total": len(QUERY_REGISTRY),
         "queries_omitted": len(QUERY_REGISTRY) - len(timings),
