@@ -3310,6 +3310,10 @@ def ml_calibration_bins(spark, sf_dir):
 # sketch_qdigest_quantiles — mergeable rank sketch with PROVEN error bounds    #
 # --------------------------------------------------------------------------- #
 _QD_BITS = 24  # l_extendedprice <= ~105k at ANY TPC-H SF -> cents < 2^24
+_QD_RADIX = 4  # 16-ary tree: 7 node levels over 24 bits (census 3.5x cheaper
+# than binary for a (7*16)/8192 = 1.37%-of-n rank bound — operator docstring)
+_QD_LEVELS = _QD_BITS // _QD_RADIX  # leaf level index; path length LEVELS+1
+_QD_BOUND_NUM = (_QD_LEVELS + 1) * (1 << _QD_RADIX)  # bound = NUM*n/eps_den
 _QD_QUANTILES = [("q25", 0.25), ("q50", 0.50), ("q75", 0.75), ("q90", 0.90), ("q99", 0.99)]
 
 
@@ -3329,9 +3333,9 @@ def sketch_qdigest_quantiles(spark, sf_dir):
     over l_extendedprice cents — the mergeable-percentile gap in the sketch
     family (CMS covers frequency, HLL covers cardinality; this covers rank).
 
-    The sketch keeps only dyadic nodes with count > n/8192 — at most
-    (24+1)*8192 cells NO MATTER HOW LARGE n is — and its cumulative-residual
-    CDF under-estimates any true rank by at most 2*25*n/8192 (~0.61 % of n).
+    The sketch keeps only radix-16 tree nodes with count > n/8192 — at most
+    (6+1)*8192 cells NO MATTER HOW LARGE n is — and its cumulative-residual
+    CDF under-estimates any true rank by at most 7*16*n/8192 (~1.37 % of n).
     The query picks, per target quantile q, the smallest kept right-endpoint
     whose estimated rank reaches ceil(q*n), then VERIFIES the theory against
     the full data: count(x <= v) >= target (the estimate never lands below
@@ -3341,11 +3345,11 @@ def sketch_qdigest_quantiles(spark, sf_dir):
     hash-mismatches, the ``approx_aggregates`` bounds-oracle doctrine.
 
     Scale: two narrow shuffles build the tree (distinct-cents collapse, then
-    the 25-level ancestor census over the DISTINCT histogram); everything
+    the 7-level ancestor census over the DISTINCT histogram); everything
     downstream is sketch-sized and broadcast; the verification pass scans the
     data once with a x5 map-side conditional-sum expansion that collapses
     under partial aggregation to 5 groups.  All comparisons are integer
-    (cnt*8192 > n, (cnt_lt - r)*8192 < 50*n) — no float thresholds, exact at
+    (cnt*8192 > n, (cnt_lt - r)*8192 < 112*n) — no float thresholds, exact at
     n = 10^12.  Merging shards is union + re-sum and is EXACT (see
     tests/test_round12.py associativity property)."""
     from airflow_cms_inpatient_etl_spark.operators.sketch import (
@@ -3390,7 +3394,7 @@ def sketch_qdigest_quantiles(spark, sf_dir):
         (F.col("cnt_le") >= F.col("r")).alias("rank_not_below_target"),
         (
             (F.col("cnt_lt") - F.col("r")) * QD_EPS_DEN
-            < F.col("n_rows") * (2 * (_QD_BITS + 1))
+            < F.col("n_rows") * _QD_BOUND_NUM
         ).alias("rank_within_bound"),
-        (F.col("sk_cells") <= (_QD_BITS + 1) * QD_EPS_DEN).alias("sketch_bounded"),
+        (F.col("sk_cells") <= (_QD_LEVELS + 1) * QD_EPS_DEN).alias("sketch_bounded"),
     )

@@ -25,6 +25,8 @@ from airflow_cms_inpatient_etl_spark.sources.registry import load_table
 from tests.conftest import SF_SMOKE
 
 _BITS = 24
+_RADIX = 4
+_LEVELS = _BITS // _RADIX
 
 
 def _cents(spark, sf_dir=SF_SMOKE):
@@ -71,8 +73,8 @@ def test_dyadic_tree_root_and_leaves_exact(spark):
     by_level: dict[int, int] = {}
     for r in tree:
         by_level[r.level] = by_level.get(r.level, 0) + r.cnt
-    assert by_level == {lvl: n for lvl in range(_BITS + 1)}
-    leaves = {r.node: r.cnt for r in tree if r.level == _BITS}
+    assert by_level == {lvl: n for lvl in range(_LEVELS + 1)}
+    leaves = {r.node: r.cnt for r in tree if r.level == _LEVELS}
     exact = {r.cents: r.n for r in vals.groupBy("cents").agg(F.count("*").alias("n")).collect()}
     assert leaves == exact
 
@@ -105,10 +107,10 @@ def test_qdigest_bounds_hold_under_90pct_skew(spark):
     n = 10_000
     kept = qdigest_prune(dyadic_tree(df, "cents", _BITS))
     cells = kept.collect()
-    assert len(cells) <= (_BITS + 1) * QD_EPS_DEN
+    assert len(cells) <= (_LEVELS + 1) * QD_EPS_DEN
     cdf = sorted((r.upper, r.cum_est) for r in qdigest_rank_cdf(kept, _BITS).collect())
     values = sorted(v for (v,) in hot + tail)
-    bound = 2 * (_BITS + 1) * n / QD_EPS_DEN
+    bound = (_LEVELS + 1) * (1 << _RADIX) * n / QD_EPS_DEN
     for q in (0.25, 0.5, 0.75, 0.9, 0.99):
         r = math.ceil(q * n)
         v_est = next(u for u, c in cdf if c >= r)
