@@ -91,7 +91,8 @@ def cms_estimate(
 #      histogram and ONE groupBy (level, node);                               #
 #   3. the SKETCH is the heavy subset: nodes whose subtree count exceeds      #
 #      n/eps_den.  Per level at most eps_den such nodes exist, so the         #
-#      sketch is <= (bits+1)*eps_den cells NO MATTER HOW LARGE n IS;          #
+#      sketch is <= (levels+1)*eps_den cells (levels = bits/radix) NO         #
+#      MATTER HOW LARGE n IS;                                                 #
 #   4. each kept node's residual (its count minus its kept children's)       #
 #      attributes every input value to exactly one kept node, and the         #
 #      estimated rank at any kept right-endpoint e is the residual cumsum    #

@@ -381,6 +381,41 @@ def unigram_viterbi_segment(words: DataFrame, max_piece_len: int = 4) -> DataFra
     )
 
 
+def packed_first_writer_key(
+    id_col: str,
+    idx_col: str,
+    label: str,
+    id_bits: int = 43,
+    idx_bits: int = 20,
+) -> Column:
+    """``(id << idx_bits) | idx`` as ONE long — lexicographic-equivalent to
+    the struct ``(id, idx)`` while keeping a first-writer MIN a HashAggregate
+    (min over struct falls back to SortAggregate, an O(n log n) per-partition
+    sort of the full stream).  Out-of-domain inputs raise loudly instead of
+    silently mis-ranking writers (the winnowing position-packing doctrine);
+    the single definition is shared by ``rag_chunk_sliding`` and its guard
+    test so the bit widths cannot drift apart (round-12 ADVICE)."""
+    return F.when(
+        (F.col(idx_col) >= 0)
+        & (F.col(idx_col) < F.lit(1 << idx_bits))
+        & (F.col(id_col) >= 0)
+        & (F.col(id_col) < F.lit(1 << id_bits)),
+        F.shiftleft(F.col(id_col), idx_bits) + F.col(idx_col),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{label}: ({id_col}, {idx_col}) outside packing "
+                    f"domain [0,2^{id_bits}) x [0,2^{idx_bits}): "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(","),
+                F.col(idx_col).cast("string"),
+            )
+        )
+    )
+
+
 def sliding_chunks(
     df: DataFrame, id_col: str, text_col: str, width: int = 32, stride: int = 16
 ) -> DataFrame:

@@ -3363,10 +3363,13 @@ def sketch_qdigest_quantiles(spark, sf_dir):
     vals = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
-    tree = snapshot(dyadic_tree(vals, "cents", _QD_BITS))
+    # radix passed explicitly everywhere so _QD_BOUND_NUM / _QD_LEVELS (derived
+    # from _QD_RADIX) can never silently diverge from the tree geometry if the
+    # operators' default radix changes.
+    tree = snapshot(dyadic_tree(vals, "cents", _QD_BITS, radix=_QD_RADIX))
     n_df = tree.filter(F.col("level") == 0).select(F.col("cnt").alias("n_rows"))
-    kept = qdigest_prune(tree, QD_EPS_DEN)
-    cdf = qdigest_rank_cdf(kept, _QD_BITS)
+    kept = qdigest_prune(tree, QD_EPS_DEN, radix=_QD_RADIX)
+    cdf = qdigest_rank_cdf(kept, _QD_BITS, radix=_QD_RADIX)
 
     qs = spark.createDataFrame(_QD_QUANTILES, "q_label string, frac double")
     targets = qs.crossJoin(F.broadcast(n_df)).select(

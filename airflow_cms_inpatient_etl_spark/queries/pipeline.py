@@ -1350,36 +1350,23 @@ def rag_chunk_sliding(spark, sf_dir):
     aggregation instead of serializing one hot sort partition.  At 100 TB
     the chunk volume is ~2x token volume (stride = width/2); both shuffles
     carry ~56-byte rows."""
-    from airflow_cms_inpatient_etl_spark.operators.text import sliding_chunks
+    from airflow_cms_inpatient_etl_spark.operators.text import (
+        packed_first_writer_key,
+        sliding_chunks,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     chunks = sliding_chunks(
         d, "doc_id", "text", width=_RAG_CHUNK_TOKENS, stride=_RAG_CHUNK_STRIDE
     )
-    # First-writer key packed into ONE long — (doc_id << 20) | chunk_idx is
-    # lexicographic-equivalent to (doc_id, chunk_idx) while keeping the
-    # aggregation a HashAggregate (min over struct falls back to
-    # SortAggregate, an O(n log n) per-partition sort of the full chunk
-    # stream).  Packing limits are enforced loudly, the winnowing
-    # position-packing doctrine: chunk_idx < 2^20 means docs under ~16.7M
-    # tokens (split earlier in any real pipeline), doc_id < 2^43.
-    packed = F.when(
-        (F.col("chunk_idx") < F.lit(1 << 20))
-        & (F.col("doc_id") >= 0)
-        & (F.col("doc_id") < F.lit(1 << 43)),
-        F.shiftleft(F.col("doc_id"), 20) + F.col("chunk_idx"),
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("rag_chunk_sliding: (doc_id, chunk_idx) outside packing "
-                      "domain [0,2^43) x [0,2^20): "),
-                F.col("doc_id").cast("string"),
-                F.lit(","),
-                F.col("chunk_idx").cast("string"),
-            )
-        )
+    # First-writer key packed into ONE long so the MIN stays a HashAggregate;
+    # chunk_idx < 2^20 means docs under ~16.7M tokens (split earlier in any
+    # real pipeline), doc_id < 2^43 — out-of-domain raises loudly.  The
+    # expression lives in operators/text.py and is shared with the guard test
+    # so the bit widths cannot drift.
+    keyed = chunks.withColumn(
+        "_pk", packed_first_writer_key("doc_id", "chunk_idx", "rag_chunk_sliding")
     )
-    keyed = chunks.withColumn("_pk", packed)
     firsts = keyed.groupBy("chunk_hash").agg(F.min("_pk").alias("_first_pk"))
     return keyed.join(firsts, "chunk_hash").select(
         "doc_id",

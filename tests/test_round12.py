@@ -207,23 +207,18 @@ def test_rag_packed_key_rejects_out_of_domain(spark):
     """The (doc_id << 20) | chunk_idx first-writer key must raise loudly
     outside its packing domain instead of silently mis-ranking writers —
     same doctrine as the winnowing position guard.  A doc_id >= 2^43
-    triggers it (a >16.7M-token doc would be the chunk_idx variant)."""
-    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
-    import pandas as pd
+    triggers it (a >16.7M-token doc would be the chunk_idx variant).
 
-    # registry fn reads parquet fixtures, so drive the packing expression the
-    # same way the query builds it: huge doc_id through sliding_chunks + the
-    # query's canonical-selection tail, reconstructed on a planted frame
+    Exercises the SAME ``packed_first_writer_key`` helper the query uses
+    (round-12 ADVICE: a reconstructed inline copy would let guard drift in
+    the query go uncaught)."""
+    from airflow_cms_inpatient_etl_spark.operators.text import packed_first_writer_key
+
     df = spark.createDataFrame(
         [(1 << 43, " ".join(f"w{i}" for i in range(5)))], "doc_id long, text string"
     )
     chunks = sliding_chunks(df, "doc_id", "text")
-    packed = F.when(
-        (F.col("chunk_idx") < F.lit(1 << 20))
-        & (F.col("doc_id") >= 0)
-        & (F.col("doc_id") < F.lit(1 << 43)),
-        F.shiftleft(F.col("doc_id"), 20) + F.col("chunk_idx"),
-    ).otherwise(F.raise_error(F.lit("rag_chunk_sliding: packing domain")))
+    packed = packed_first_writer_key("doc_id", "chunk_idx", "rag_chunk_sliding")
     with pytest.raises(Exception, match="packing domain"):
         chunks.withColumn("_pk", packed).collect()
 
