@@ -64,19 +64,24 @@ def bloom_build(
     return arr
 
 
-def bloom_prune(
+def bloom_flag(
     df: DataFrame,
     key_col: str,
     words: list[int],
+    flag_col: str,
     n_bits: int = _DEFAULT_BITS,
     n_hashes: int = _DEFAULT_HASHES,
 ) -> DataFrame:
-    """Keep only rows whose key MIGHT be in the filter — pure map-side JVM
-    expression (element_at on a constant-folded array literal + bit tests),
-    no join, no shuffle, codegen-friendly."""
-    # one server-side parse for the whole word array: building it from
-    # per-element lit() Columns costs thousands of py4j round-trips PER
-    # INVOCATION (measured ~4 s of pure driver overhead at 2048 words)
+    """Add a boolean membership column (no false negatives, tunable false
+    positives) — pure map-side JVM expression (element_at on a
+    constant-folded array literal + bit tests), no join, no shuffle,
+    codegen-friendly.  The flag form of ``bloom_prune`` for plans that
+    need to COUNT gate decisions (verified FP accounting) instead of
+    filtering on them."""
+    # one server-side parse for the whole word array (referenced once via a
+    # projected column, not inlined per hash): building it from per-element
+    # lit() Columns costs thousands of py4j round-trips PER INVOCATION
+    # (measured ~4 s of pure driver overhead at 2048 words)
     arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
     tagged = df.withColumn("__bloom", F.expr(arr_sql))
     conds = []
@@ -85,7 +90,23 @@ def bloom_prune(
         word = f"element_at(__bloom, CAST({pos} div 64 AS INT) + 1)"
         mask = f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))"
         conds.append(f"(({word} & {mask}) != 0)")
-    return tagged.filter(F.expr(" AND ".join(conds))).drop("__bloom")
+    return tagged.withColumn(flag_col, F.expr(" AND ".join(conds))).drop("__bloom")
+
+
+def bloom_prune(
+    df: DataFrame,
+    key_col: str,
+    words: list[int],
+    n_bits: int = _DEFAULT_BITS,
+    n_hashes: int = _DEFAULT_HASHES,
+) -> DataFrame:
+    """Keep only rows whose key MIGHT be in the filter — see
+    ``bloom_flag``."""
+    return (
+        bloom_flag(df, key_col, words, "__might", n_bits, n_hashes)
+        .filter(F.col("__might"))
+        .drop("__might")
+    )
 
 
 def bloom_semi_join(

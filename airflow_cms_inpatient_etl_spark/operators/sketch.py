@@ -234,3 +234,73 @@ def qdigest_rank_cdf(kept: DataFrame, bits: int, radix: int = 4) -> DataFrame:
     )
     w = Window.orderBy("upper").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return per_upper.select("upper", F.sum("_res").over(w).alias("cum_est"))
+
+
+# --------------------------------------------------------------------------- #
+# KMV / theta sketch: mergeable distinct-count state that supports SET         #
+# ALGEBRA (Bar-Yossef et al. RANDOM 2002; Beyer et al. SIGMOD 2007; the        #
+# Apache DataSketches "theta sketch" generalization).  HLL (the sketch         #
+# behind approx_count_distinct / approx_distinct_sketch_merge) unions          #
+# losslessly but CANNOT intersect; KMV keeps the k MINIMUM hash VALUES, so     #
+# two sketches can be intersected/differenced by treating the merged k         #
+# smallest values as a uniform sample of the union:                           #
+#                                                                              #
+#   est(S)      = (k-1) / theta_S          theta_S = k-th smallest h/2^60     #
+#   union       = k smallest of (KMV_A u KMV_B)  — EXACT KMV of A u B         #
+#                 (every union value below min(theta_A, theta_B) is present    #
+#                 in one of the input sketches, and the k-th smallest of       #
+#                 A u B is <= both thetas: subsets have larger k-th minima)    #
+#   intersect   = |{v in union sketch : v in KMV_A and v in KMV_B}| / k       #
+#                 x est(A u B)            (Beyer et al. ratio estimator)      #
+#                                                                              #
+# The merge-exactness makes the union estimator associative and               #
+# partition-layout-independent — property-tested in tests/test_round13.py,    #
+# the q-digest doctrine.  Hashes come from the portable 60-bit md5 family     #
+# (operators.text.hash60), so a DuckDB oracle replays the ENTIRE sketch       #
+# algebra bit-for-bit — estimates hash-match, not just bound booleans.        #
+#                                                                              #
+# Scale posture: the k smallest per set are found WITHOUT a global sort:      #
+# the exact per-set distinct count (needed by the verification output         #
+# anyway) sets a hash-value prefilter at 4x oversampling                      #
+# (threshold = 2^60 * 4k / n, expected survivors 4k, shortfall probability    #
+# < e^-k by Chernoff), and only survivors enter the per-set row_number        #
+# window — at 10^9 distinct keys the window sees ~1k rows, not 10^9.          #
+# --------------------------------------------------------------------------- #
+
+KMV_K = 256  # sketch size: relative std error ~ 1/sqrt(k-2) ~ 6.3 %
+
+
+def kmv_sketch(
+    distinct_keys: DataFrame, set_col: str, hash_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-set KMV sketch ``(set_col, hash_col, rn)`` — the k minimum hash
+    values of each set, rn = 1..k ascending.  ``distinct_keys`` must already
+    be distinct on (set, key-hash); sets with fewer than k distinct values
+    yield their complete hash list (the sketch degrades to exact)."""
+    from pyspark.sql.window import Window
+
+    counts = distinct_keys.groupBy(set_col).agg(F.count(F.lit(1)).alias("_n"))
+    # 4x-oversampled prefilter; sets at/below 4k keep everything (threshold
+    # saturates past the hash range).  Engine-side only — the oracle windows
+    # the unfiltered set and gets the same k minima.
+    thr = F.when(
+        F.col("_n") <= 4 * k, F.lit(float(1 << 60))
+    ).otherwise(F.lit(float((1 << 60) * 4 * k)) / F.col("_n"))
+    survivors = (
+        distinct_keys.join(F.broadcast(counts), set_col)
+        .filter(F.col(hash_col) < thr)
+        .drop("_n")
+    )
+    w = Window.partitionBy(set_col).orderBy(hash_col)
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(set_col, hash_col, "rn")
+    )
+
+
+def kmv_merge(sketches: DataFrame, hash_col: str, k: int = KMV_K) -> DataFrame:
+    """Union sketch: the k smallest DISTINCT hash values across all input
+    sketch rows — exactly the KMV of the underlying set union (see module
+    comment).  TakeOrderedAndProject over <= (n_sets x k) rows."""
+    return sketches.select(hash_col).distinct().orderBy(hash_col).limit(k)

@@ -51,83 +51,32 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # ======================================================================= #
-    # ROUND-12 WINDOW (first 50).  Policy: never-checked > code-changed-      #
-    # since-last-check > stalest-green.  Round 11 closed 50/50 green; the     #
+    # ROUND-13 WINDOW (first 50).  Policy: never-checked > code-changed-      #
+    # since-last-check > stalest-green.  Round 12 closed 50/50 green; the     #
     # cross-round union has NO never-checked rows and its staleness           #
-    # histogram was 40 r6 / 33 r7 / 48 r8 / 45 r9 / 45 r10 / 50 r11.  This   #
-    # rotation seats (a) the 3 round-12 additions, (b) the 4 rows whose      #
-    # plans changed in round 12 (textrank TakeOrderedAndProject rewrite,     #
-    # curation_v8 full-outer source fix, matryoshka zero-prefix guard,       #
-    # winnowing overflow guard), (c) the 3 rows deferred from the round-11   #
-    # window (bpe_train_apply_compression + the two cache_shingles           #
-    # siblings), and (d) ALL 40 r6-stale rows — retiring the r6 cohort       #
-    # completely.  After round 12: oldest cohort is r7 (33 rows).            #
+    # histogram is 33 r7 / 48 r8 / 45 r9 / 44 r10 / 46 r11 / 50 r12.  This   #
+    # rotation seats (a) the 5 round-13 additions, (b) the 2 rows whose      #
+    # code changed closing round-12 ADVICE (rag packed-key helper with the   #
+    # added idx>=0 guard; qdigest explicit radix), (c) the TWICE-deferred    #
+    # round-11 code-changed pair — seated FIRST among carried rows per the   #
+    # round-12 verdict ("hold the builder to it"), and (d) ALL 33 r7-stale   #
+    # rows (retiring the r7 cohort) + the first 8 r8-stale rows.  After      #
+    # round 13: oldest cohort is r8 (40 rows), queued below.                 #
     # ======================================================================= #
     # -- a. new this round ---------------------------------------------------#
-    "text_html_strip_c4",
-    "dedup_url_canonical",
-    "filter_domain_blocklist",
-    # -- b. code changed in round 12 ----------------------------------------- #
-    "text_textrank_keywords",
-    "corpus_curation_v8",
-    "sim_matryoshka_topk",
-    "dedup_winnowing",
-    # -- a2. new in the round-12 second wave (never-checked outranks every    #
-    # stale-green row, so these take the two seats the round-11-deferred      #
-    # r10-stale rows held; those two rows lead the round-13 queue below) ---- #
-    "sketch_qdigest_quantiles",
+    "sketch_theta_set_ops",
+    "pack_concat_chunks",
+    "ml_ranking_metrics",
+    "dedup_bloom_gate",
+    "recsys_als_step",
+    # -- b. code changed in round 13 (ADVICE closures) ----------------------- #
     "rag_chunk_sliding",
-    # -- c. deferred from the round-11 window (1 of 3 kept; 2 displaced by   #
-    # the a2 additions — r10-stale, the LEAST stale rows in the window,      #
-    # so displacing them preserves the full r6-cohort retirement) ----------- #
-    "dedup_connected_components",
-    # -- d. ALL 40 r6-stale rows (retires the r6 cohort completely) ---------- #
-    "cdc_apply_change_feed",
-    "cdc_delete_propagation",
-    "cdc_scd2_point_in_time",
-    "contribution_pct_of_total",
-    "corpus_mixture_plan",
-    "corpus_range_shards",
-    "customer_rfm_segments",
-    "dedup_repeated_spans",
-    "dq_benford_first_digit",
-    "dq_referential_integrity",
-    "events_ab_test_zscore",
-    "events_anomaly_mad",
-    "events_autocorrelation",
-    "events_bounce_rate_daily",
-    "events_cohort_retention",
-    "events_cusum_drift",
-    "events_dow_seasonality",
-    "events_ewma_kernel",
-    "events_gaps_islands",
-    "events_markov_transitions",
-    "events_path_trigrams",
-    "events_rolling_active_users",
-    "events_time_weighted_avg",
-    "global_rank_via_sharding",
-    "graph_degree_assortativity",
-    "graph_jaccard_neighbors",
-    "graph_kcore",
-    "graph_modularity",
-    "hierarchy_rollup_subtree",
-    "multimodal_cas_chunk_dedup",
-    "orders_mom_growth",
-    "profile_table_stats",
-    "q18_large_orders",
-    "quality_linear_score",
-    "quality_lm_perplexity",
-    "sim_hard_negatives",
-    "sim_sq8_topk",
-    "skew_dominant_supplier_orders",
-    "text_bm25_search",
-    "window_sliding_distinct_users",
-    # ----------------------- window boundary (50) -------------------------- #
-    # (5 new + 4 code-changed + 1 deferred + 40 r6-stale = exactly 50.)       #
-    # ROUND-13 QUEUE: the twice-deferred r10 pair first, then the r7 cohort   #
-    # (33 rows), then everything else in registration order.                  #
+    "sketch_qdigest_quantiles",
+    # -- c. twice-deferred round-11 code-changed pair (r10-green, but their   #
+    # CHANGED code has waited two rounds for a driver confirmation) --------- #
     "bpe_train_apply_compression",
     "dedup_ngram_jaccard",
+    # -- d. ALL 33 r7-stale rows (retires the r7 cohort completely) ---------- #
     "bpe_merge_candidates",
     "cdc_scd2_segment_history",
     "cdc_upsert_orders",
@@ -161,6 +110,60 @@ _PRIORITY = [
     "streaming_stream_stream_join_live",
     "streaming_tumbling_live",
     "text_readability_scores",
+    # -- e. first 8 rows of the r8 cohort (alphabetical; the remaining 40     #
+    # r8 rows lead the round-14 queue below) -------------------------------- #
+    "agg_argmax_argmin",
+    "agg_collect_sorted",
+    "agg_exact_correlation",
+    "agg_exact_moments",
+    "agg_exact_percentiles",
+    "agg_median_price",
+    "approx_aggregates",
+    "approx_distinct_sketch_merge",
+    # ----------------------- window boundary (50) -------------------------- #
+    # (5 new + 2 ADVICE-changed + 2 twice-deferred + 33 r7 + 8 r8 = 50.)      #
+    # ROUND-14 QUEUE: the remaining 40 r8-stale rows, then everything else   #
+    # in registration order.                                                  #
+    "conditional_aggregation",
+    "corpus_mixture_refresh",
+    "count_distinct_segments",
+    "dedup_keep_latest_event",
+    "deterministic_sample",
+    "events_stl_daily",
+    "filter_complex_predicates",
+    "filter_like_null",
+    "filter_scalar_subquery",
+    "group_agg_orders",
+    "histogram_price_buckets",
+    "join_anti_customers_without_orders",
+    "join_full_outer_nation_profile",
+    "join_range_quantity_tiers",
+    "join_right_outer_item_counts",
+    "join_semi_customers_with_orders",
+    "lateral_correlated_agg",
+    "math_functions",
+    "multimodal_audio_chunks",
+    "multimodal_frame_sample",
+    "split_train_test_hash",
+    "streaming_dedup_within_watermark_live",
+    "streaming_late_data_live",
+    "streaming_session_window_live",
+    "supplier_concentration_hhi",
+    "text_corpus_rollup",
+    "text_langid_heuristic",
+    "text_repetition_metrics",
+    "text_rolling_hash",
+    "text_token_counts",
+    "text_wordcount_udtf",
+    "topk_orders_by_price",
+    "window_cume_dist_nth",
+    "window_first_last_value",
+    "window_lag_lead_events",
+    "window_ntile_percent_rank",
+    "window_range_frame_1h",
+    "window_rank_topk_per_group",
+    "window_running_sum",
+    "window_sliding_frame_avg",
     # (remaining rows follow in registration order via _reorder_registry)
 ]
 

@@ -3401,3 +3401,353 @@ def sketch_qdigest_quantiles(spark, sf_dir):
         ).alias("rank_within_bound"),
         (F.col("sk_cells") <= (_QD_LEVELS + 1) * QD_EPS_DEN).alias("sketch_bounded"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# sketch_theta_set_ops — KMV distinct-count sketches with SET ALGEBRA          #
+# --------------------------------------------------------------------------- #
+_KMV_HASH_SEED = "kmv:"
+_KMV_2_60 = float(1 << 60)
+
+
+@register(
+    "sketch_theta_set_ops",
+    oracle="""
+    WITH base AS (
+        SELECT DISTINCT
+               CASE WHEN EXTRACT(year FROM o_orderdate) = 1995 THEN 'a' ELSE 'b' END AS set_id,
+               o_custkey
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+    ),
+    h AS (
+        SELECT set_id, o_custkey,
+               CAST('0x' || SUBSTR(MD5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM base
+    ),
+    sk AS (
+        SELECT set_id, hv,
+               ROW_NUMBER() OVER (PARTITION BY set_id ORDER BY hv) AS rn
+        FROM h
+        QUALIFY rn <= 256
+    ),
+    per_set AS (
+        SELECT e.set_id, e.cnt,
+               CASE WHEN s.h_k IS NULL THEN CAST(e.cnt AS DOUBLE)
+                    ELSE 255.0 * 1152921504606846976.0 / CAST(s.h_k AS DOUBLE)
+               END AS est
+        FROM (SELECT set_id, COUNT(*) AS cnt FROM h GROUP BY set_id) e
+        JOIN (SELECT set_id,
+                     MAX(CASE WHEN rn = 256 THEN hv END) AS h_k
+              FROM sk GROUP BY set_id) s USING (set_id)
+    ),
+    ps AS (
+        SELECT MAX(CASE WHEN set_id = 'a' THEN est END) AS est_a,
+               MAX(CASE WHEN set_id = 'b' THEN est END) AS est_b
+        FROM per_set
+    ),
+    su AS (SELECT DISTINCT hv FROM sk ORDER BY hv LIMIT 256),
+    us AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_eff, MAX(hv) AS h_k_u FROM su
+    ),
+    ue AS (
+        SELECT k_eff,
+               CASE WHEN k_eff < 256 THEN CAST(k_eff AS DOUBLE)
+                    ELSE 255.0 * 1152921504606846976.0 / CAST(h_k_u AS DOUBLE)
+               END AS est_u
+        FROM us
+    ),
+    skp AS (
+        SELECT hv,
+               MAX(CASE WHEN set_id = 'a' THEN 1 ELSE 0 END) AS ia,
+               MAX(CASE WHEN set_id = 'b' THEN 1 ELSE 0 END) AS ib
+        FROM sk GROUP BY hv
+    ),
+    m AS (
+        SELECT CAST(COALESCE(SUM(skp.ia * skp.ib), 0) AS BIGINT) AS matches
+        FROM su JOIN skp USING (hv)
+    ),
+    piv AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN set_id = 'a' THEN 1 ELSE 0 END) AS ia,
+               MAX(CASE WHEN set_id = 'b' THEN 1 ELSE 0 END) AS ib
+        FROM h GROUP BY o_custkey
+    ),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+               CAST(SUM(ia * ib) AS BIGINT) AS n_int,
+               CAST(SUM(ia) AS BIGINT) AS n_a,
+               CAST(SUM(ib) AS BIGINT) AS n_b
+        FROM piv
+    ),
+    one AS (
+        SELECT ex.*, ps.*, ue.*, m.matches,
+               CAST(m.matches AS DOUBLE) * ue.est_u / CAST(ue.k_eff AS DOUBLE) AS est_i
+        FROM ex, ps, ue, m
+    )
+    SELECT measure, n_exact, est, within_bound FROM (
+        SELECT 'set_a' AS measure, n_a AS n_exact, est_a AS est,
+               ABS(est_a - CAST(n_a AS DOUBLE)) <= 0.25 * CAST(n_a AS DOUBLE) AS within_bound,
+               1 AS ord
+        FROM one
+        UNION ALL
+        SELECT 'set_b', n_b, est_b,
+               ABS(est_b - CAST(n_b AS DOUBLE)) <= 0.25 * CAST(n_b AS DOUBLE), 2
+        FROM one
+        UNION ALL
+        SELECT 'union', n_union, est_u,
+               ABS(est_u - CAST(n_union AS DOUBLE)) <= 0.25 * CAST(n_union AS DOUBLE), 3
+        FROM one
+        UNION ALL
+        SELECT 'intersection', n_int, est_i,
+               ABS(est_i - CAST(n_int AS DOUBLE)) <= 0.25 * CAST(n_union AS DOUBLE), 4
+        FROM one
+    ) ORDER BY ord
+    """,
+)
+def sketch_theta_set_ops(spark, sf_dir):
+    """KMV ("theta") distinct-count sketches with SET ALGEBRA — the gap HLL
+    leaves open: ``approx_distinct_sketch_merge`` unions HLL registers, but
+    no HLL composition can INTERSECT two sketches.  KMV keeps the k = 256
+    minimum portable-md5 hash values per set (here: distinct customers
+    ordering in 1995 vs in 1996), so
+
+      * per-set estimate  (k-1) * 2^60 / h_k  (exact when the set fits),
+      * union = k smallest of the merged sketches — EXACTLY the KMV of
+        A u B (merge is lossless; associativity property-tested),
+      * intersection = Beyer et al.'s ratio estimator: the fraction of the
+        union sample present in BOTH input sketches, times est(A u B) —
+        the repeat-customer count from two 2-KiB summaries.
+
+    Every estimate is recomputed by the DuckDB oracle from the SAME md5
+    hash family — the sketch algebra itself hash-matches bit-for-bit, and
+    the ``within_bound`` booleans additionally assert the 4-sigma accuracy
+    claim (sigma ~ 1/sqrt(k-2) ~ 6.3 %) against exact counts, both
+    doctrines at once.
+
+    Scale: the k minima are found with NO global sort — the exact per-set
+    count (emitted anyway) sets a 4x-oversampled hash prefilter
+    (threshold 2^60*4k/n, Chernoff shortfall < e^-k), so the per-set
+    row_number window sees ~1k survivors at ANY cardinality; everything
+    downstream is sketch-sized (<= 512 rows) and broadcast."""
+    from airflow_cms_inpatient_etl_spark.operators.sketch import (
+        KMV_K,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    base = (
+        o.filter(yr.isin(1995, 1996))
+        .select(
+            F.when(yr == 1995, F.lit("a")).otherwise(F.lit("b")).alias("set_id"),
+            "o_custkey",
+        )
+        .distinct()
+    )
+    hashed = base.select(
+        "set_id",
+        "o_custkey",
+        hash60(F.concat(F.lit(_KMV_HASH_SEED), F.col("o_custkey").cast("string"))).alias("hv"),
+    )
+    hashed = snapshot(hashed)  # sketch + exact verification both read it
+
+    sk = kmv_sketch(hashed, "set_id", "hv", KMV_K)
+    sk = snapshot(sk)  # feeds per-set theta, union merge, and membership
+
+    est_expr = (
+        F.lit(float(KMV_K - 1)) * F.lit(_KMV_2_60) / F.col("h_k").cast("double")
+    )
+    per_set = (
+        hashed.groupBy("set_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(
+            sk.groupBy("set_id").agg(
+                F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))).alias("h_k")
+            ),
+            "set_id",
+        )
+        .select(
+            "set_id",
+            "cnt",
+            F.when(F.col("h_k").isNull(), F.col("cnt").cast("double"))
+            .otherwise(est_expr)
+            .alias("est"),
+        )
+    )
+    ps = per_set.agg(
+        F.max(F.when(F.col("set_id") == "a", F.col("est"))).alias("est_a"),
+        F.max(F.when(F.col("set_id") == "b", F.col("est"))).alias("est_b"),
+    )
+
+    su = kmv_merge(sk, "hv", KMV_K)
+    su = snapshot(su)  # theta_U and membership both read it
+    ue = su.agg(
+        F.count(F.lit(1)).alias("k_eff"), F.max("hv").alias("h_k_u")
+    ).select(
+        "k_eff",
+        F.when(F.col("k_eff") < KMV_K, F.col("k_eff").cast("double"))
+        .otherwise(
+            F.lit(float(KMV_K - 1)) * F.lit(_KMV_2_60) / F.col("h_k_u").cast("double")
+        )
+        .alias("est_u"),
+    )
+
+    skp = sk.groupBy("hv").agg(
+        F.max(F.when(F.col("set_id") == "a", 1).otherwise(0)).alias("ia"),
+        F.max(F.when(F.col("set_id") == "b", 1).otherwise(0)).alias("ib"),
+    )
+    m = su.join(skp, "hv").agg(
+        F.coalesce(F.sum(F.col("ia") * F.col("ib")), F.lit(0)).cast("long").alias("matches")
+    )
+
+    piv = hashed.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("set_id") == "a", 1).otherwise(0)).alias("ia"),
+        F.max(F.when(F.col("set_id") == "b", 1).otherwise(0)).alias("ib"),
+    )
+    ex = piv.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.col("ia") * F.col("ib")).alias("n_int"),
+        F.sum("ia").alias("n_a"),
+        F.sum("ib").alias("n_b"),
+    )
+
+    one = (
+        ex.crossJoin(F.broadcast(ps))
+        .crossJoin(F.broadcast(ue))
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "est_i",
+            F.col("matches").cast("double") * F.col("est_u") / F.col("k_eff").cast("double"),
+        )
+    )
+
+    def _row(measure: str, n_col: str, est_col: str, bound_vs: str):
+        return F.struct(
+            F.lit(measure).alias("measure"),
+            F.col(n_col).cast("long").alias("n_exact"),
+            F.col(est_col).alias("est"),
+            (
+                F.abs(F.col(est_col) - F.col(n_col).cast("double"))
+                <= 0.25 * F.col(bound_vs).cast("double")
+            ).alias("within_bound"),
+        )
+
+    return one.select(
+        F.explode(
+            F.array(
+                _row("set_a", "n_a", "est_a", "n_a"),
+                _row("set_b", "n_b", "est_b", "n_b"),
+                _row("union", "n_union", "est_u", "n_union"),
+                _row("intersection", "n_int", "est_i", "n_union"),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+# --------------------------------------------------------------------------- #
+# recsys_als_step — one exact ALS half-step (matrix factorization)             #
+# --------------------------------------------------------------------------- #
+_ALS_SCALE = 1000  # item factors are fixed-point ints in [0, 1000)
+_ALS_LAMBDA = 100000  # ridge term in factor^2 units (0.1 * _ALS_SCALE^2)
+
+
+@register(
+    "recsys_als_step",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+                   // CAST(COUNT(*) AS BIGINT) AS r_cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    q AS (
+        SELECT event_type,
+               CAST('0x' || SUBSTR(MD5('alsq1:' || event_type), 1, 15) AS BIGINT)
+                   % {_ALS_SCALE} AS q1,
+               CAST('0x' || SUBSTR(MD5('alsq2:' || event_type), 1, 15) AS BIGINT)
+                   % {_ALS_SCALE} AS q2
+        FROM (SELECT DISTINCT event_type FROM r)
+    ),
+    sums AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(q1 * q1) AS BIGINT) + {_ALS_LAMBDA} AS m11,
+               CAST(SUM(q1 * q2) AS BIGINT) AS m12,
+               CAST(SUM(q2 * q2) AS BIGINT) + {_ALS_LAMBDA} AS m22,
+               CAST(SUM(r_cents * q1) AS BIGINT) AS b1,
+               CAST(SUM(r_cents * q2) AS BIGINT) AS b2
+        FROM r JOIN q USING (event_type)
+        GROUP BY user_id
+    )
+    SELECT user_id, n_items,
+           CAST(m22 * b1 - m12 * b2 AS DOUBLE) / CAST(m11 * m22 - m12 * m12 AS DOUBLE)
+               AS p1,
+           CAST(m11 * b2 - m12 * b1 AS DOUBLE) / CAST(m11 * m22 - m12 * m12 AS DOUBLE)
+               AS p2
+    FROM sums
+    """,
+)
+def recsys_als_step(spark, sf_dir):
+    """One EXACT ALS half-step — matrix factorization's repeated unit,
+    extending the iterative-ML family past ``embedding_kmeans_iteration``:
+    given fixed rank-2 item factors (deterministic fixed-point ints derived
+    from the portable md5 hash of the item id), solve every user's ridge
+    regression  p_u = (Q_u' Q_u + lambda I)^-1 Q_u' r_u  in closed form.
+    Ratings are integer cents (exact decimal-cast average per (user,
+    item)), factors are integers in [0, 1000), so ALL the normal-equation
+    sums are integer — commutative, order-free, overflow-checked at <=
+    1.2e15 against the int64 range — and the ONLY float operation is the
+    final division by det (one IEEE op, bit-identical in any engine; det
+    >= lambda^2 > 0 by Cauchy-Schwarz, so no /0 branch is needed).
+
+    Scale: full ALS alternates this step between sides; each half-step is
+    ONE groupBy per side — ratings shuffle once on user_id (the item-side
+    step shuffles once on item id), item factors ride a broadcast dim.
+    That one-exchange-per-iteration shape is the same shuffle budget as
+    the k-means step and pagerank families.  The fixture's 5 items make
+    the dim trivially broadcastable; at 10^8 items the join flips to a
+    hash join on the same plan with nothing else changing."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+    r = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("sum_cents div n_events").alias("r_cents"),
+        )
+    )
+    r = snapshot(r)  # the item dim and the per-user solve both read it
+    q = r.select("event_type").distinct().select(
+        "event_type",
+        F.pmod(
+            hash60(F.concat(F.lit("alsq1:"), F.col("event_type"))), F.lit(_ALS_SCALE)
+        ).alias("q1"),
+        F.pmod(
+            hash60(F.concat(F.lit("alsq2:"), F.col("event_type"))), F.lit(_ALS_SCALE)
+        ).alias("q2"),
+    )
+    sums = (
+        r.join(F.broadcast(q), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            (F.sum(F.col("q1") * F.col("q1")) + _ALS_LAMBDA).cast("long").alias("m11"),
+            F.sum(F.col("q1") * F.col("q2")).cast("long").alias("m12"),
+            (F.sum(F.col("q2") * F.col("q2")) + _ALS_LAMBDA).cast("long").alias("m22"),
+            F.sum(F.col("r_cents") * F.col("q1")).cast("long").alias("b1"),
+            F.sum(F.col("r_cents") * F.col("q2")).cast("long").alias("b2"),
+        )
+    )
+    det = (F.col("m11") * F.col("m22") - F.col("m12") * F.col("m12")).cast("double")
+    return sums.select(
+        "user_id",
+        "n_items",
+        ((F.col("m22") * F.col("b1") - F.col("m12") * F.col("b2")).cast("double") / det).alias("p1"),
+        ((F.col("m11") * F.col("b2") - F.col("m12") * F.col("b1")).cast("double") / det).alias("p2"),
+    )

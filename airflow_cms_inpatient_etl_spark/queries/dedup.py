@@ -1185,3 +1185,107 @@ def dedup_winnowing(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
     )
+
+
+# --------------------------------------------------------------------------- #
+# dedup_bloom_gate — Bloom prefilter in front of the standing dedup index      #
+# --------------------------------------------------------------------------- #
+_BG_BITS = 1 << 17  # 16 KiB filter
+_BG_HASHES = 4
+
+
+@register(
+    "dedup_bloom_gate",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, MD5(text) AS fp FROM documents WHERE text IS NOT NULL
+    ),
+    standing AS (SELECT doc_id, fp FROM docs WHERE doc_id % 5 <> 0),
+    delta AS (
+        SELECT doc_id, fp FROM docs WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, fp FROM standing WHERE doc_id % 37 = 0
+    ),
+    keys AS (SELECT DISTINCT fp FROM standing)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_delta,
+           CAST(COUNT(*) FILTER (WHERE fp IN (SELECT fp FROM keys)) AS BIGINT)
+               AS n_dup_exact,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_rate_bounded
+    FROM delta
+    """,
+)
+def dedup_bloom_gate(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup gate — the front door of the
+    100-TB ingest path: before a delta batch pays the
+    ``dedup_incremental_index`` join against the standing corpus index, a
+    16-KiB Bloom filter built from the standing fingerprints answers
+    "definitely new" MAP-SIDE, so only gate survivors (true dups + a
+    bounded trickle of false positives) reach the exact join's shuffle.
+    Differs from ``bloom_semijoin_lineitem`` (generic join reduction on
+    TPC-H keys) by composing with the dedup standing index and VERIFYING
+    the filter's contract in-query, the bounds-oracle doctrine:
+
+      * ``no_false_negatives`` — every exact duplicate also passed the
+        gate (gate AND exact == exact: the one-sidedness that makes
+        bloom-then-join ≡ join); re-keyed copies of standing docs are
+        planted into the delta so the claim is exercised, not vacuous;
+      * ``fp_rate_bounded`` — non-duplicate gate passes stay under 5x the
+        theoretical (1 - e^(-kn/m))^k rate (+ small-sample slack).
+
+    The gate flags are engine-specific (xxhash64), so only the portable
+    counts and the verified booleans are emitted; DuckDB recomputes the
+    exact counts and asserts both claims literally TRUE.  The collected
+    word array is a bounded artifact (2048 int64s regardless of corpus
+    size — the PQ-codebook class), and the flag evaluation is one
+    codegen'd projection over the delta scan: no shuffle until the
+    survivors' join."""
+    from airflow_cms_inpatient_etl_spark.operators.bloom import (
+        bloom_build,
+        bloom_flag,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = d.select("doc_id", F.md5("text").alias("fp"))
+    standing = docs.filter(F.col("doc_id") % 5 != 0)
+    standing = snapshot(standing)  # feeds planted copies, keys, and the filter
+    delta = docs.filter(F.col("doc_id") % 5 == 0).unionByName(
+        standing.filter(F.col("doc_id") % 37 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "fp"
+        )
+    )
+    keys = standing.select("fp").distinct()
+    keys = snapshot(keys)  # filter build + exact join + n_keys all read it
+
+    words = bloom_build(keys, "fp", _BG_BITS, _BG_HASHES)
+    n_keys = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+
+    flagged = bloom_flag(delta, "fp", words, "gate_pass", _BG_BITS, _BG_HASHES).join(
+        keys.withColumn("in_standing", F.lit(1)), "fp", "left"
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_delta"),
+        F.coalesce(F.sum("in_standing"), F.lit(0)).alias("n_dup_exact"),
+        F.coalesce(
+            F.sum(F.when(F.col("gate_pass") & F.col("in_standing").isNotNull(), 1)), F.lit(0)
+        ).alias("n_pass_dup"),
+        F.coalesce(
+            F.sum(F.when(F.col("gate_pass") & F.col("in_standing").isNull(), 1)), F.lit(0)
+        ).alias("n_fp"),
+    )
+    p_theory = F.pow(
+        F.lit(1.0) - F.exp(-F.lit(float(_BG_HASHES)) * F.col("n_keys") / F.lit(float(_BG_BITS))),
+        F.lit(float(_BG_HASHES)),
+    )
+    return agg.crossJoin(F.broadcast(n_keys)).select(
+        F.col("n_delta").cast("long").alias("n_delta"),
+        F.col("n_dup_exact").cast("long").alias("n_dup_exact"),
+        (F.col("n_pass_dup") == F.col("n_dup_exact")).alias("no_false_negatives"),
+        (
+            F.col("n_fp").cast("double")
+            <= F.greatest(
+                F.lit(10.0),
+                F.lit(5.0) * p_theory * (F.col("n_delta") - F.col("n_dup_exact")).cast("double"),
+            )
+        ).alias("fp_rate_bounded"),
+    )

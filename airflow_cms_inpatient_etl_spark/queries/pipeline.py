@@ -1375,3 +1375,112 @@ def rag_chunk_sliding(spark, sf_dir):
         "chunk_hash",
         (F.col("_pk") == F.col("_first_pk")).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# pack_concat_chunks — concat-and-chunk context-window packing                 #
+# --------------------------------------------------------------------------- #
+_PACK_CTX = 512  # context-window width in tokens
+_PACK_SHARDS = 8  # independent concat streams (cluster-parallelism unit)
+
+
+@register(
+    "pack_concat_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(TRIM(REGEXP_REPLACE(text, '[ \t\r\n]+', ' ', 'g')), ' '))
+                   AS ntok,
+               CAST('0x' || SUBSTR(MD5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM documents
+        WHERE text IS NOT NULL
+          AND TRIM(REGEXP_REPLACE(text, '[ \t\r\n]+', ' ', 'g')) <> ''
+    ),
+    placed AS (
+        SELECT doc_id, ntok, hv, hv % {_PACK_SHARDS} AS shard,
+               COALESCE(SUM(ntok) OVER (
+                   PARTITION BY hv % {_PACK_SHARDS}
+                   ORDER BY hv, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM toks
+    ),
+    spans AS (
+        SELECT shard, doc_id, ntok, start, start + ntok AS fin,
+               u.win
+        FROM placed, LATERAL (
+            SELECT UNNEST(range(CAST(start // {_PACK_CTX} AS BIGINT), CAST((start + ntok - 1) // {_PACK_CTX} + 1 AS BIGINT))) AS win
+        ) u
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(win AS BIGINT) AS window_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(fin, (win + 1) * {_PACK_CTX}) - GREATEST(start, win * {_PACK_CTX}))
+                AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE start < win * {_PACK_CTX}) AS BIGINT) AS n_continuing
+    FROM spans
+    GROUP BY shard, win
+    """,
+)
+def pack_concat_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing — THE standard LLM-pretraining
+    layout step: documents are concatenated in a deterministic
+    (portable-hash, doc_id) order within each of 8 shards and
+    the token stream is cut into fixed 512-token context windows; the
+    output accounts every window's composition (docs touching it, tokens
+    it actually holds, docs CONTINUING across its left boundary — the
+    cross-document-attention fraction trainers monitor).  Differs from
+    ``pack_token_budget`` (which assigns whole docs to budgeted shards) by
+    modelling the intra-shard WINDOW layout, including document splitting:
+    interval arithmetic on [start, start+ntok) spans, no text movement.
+
+    Scale: tokens are COUNTED map-side (the text never leaves the scan
+    projection); the per-shard running offset is one window cumsum whose
+    partition count is the shard count — shards ARE the parallelism unit,
+    so at 100 TB you set shards ~ O(cores) and each task scans its shard's
+    (doc_id, ntok) pairs, never the text.  The span -> window explode emits
+    ceil(ntok/512)+1 rows per doc (~2x row count), then ONE (shard, window)
+    groupBy with map-side partials.  All integer arithmetic — hash-exact
+    against the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), "[ \t\r\n]+", " "))
+    toks = d.filter(F.col("text").isNotNull() & (norm != "")).select(
+        "doc_id",
+        F.size(F.split(norm, " ")).cast("long").alias("ntok"),
+        hash60(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias("hv"),
+    )
+    from pyspark.sql import Window as W
+
+    shard = (F.col("hv") % _PACK_SHARDS).alias("shard")
+    w = (
+        W.partitionBy(F.col("hv") % _PACK_SHARDS)
+        .orderBy("hv", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = toks.select(
+        "doc_id",
+        "ntok",
+        "hv",
+        shard,
+        F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("long").alias("start"),
+    ).withColumn("fin", F.col("start") + F.col("ntok"))
+    spans = placed.select(
+        "shard",
+        "start",
+        "fin",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {_PACK_CTX}"),
+                F.expr(f"(fin - 1) div {_PACK_CTX}"),
+            )
+        ).alias("window_idx"),
+    )
+    lo = F.col("window_idx") * _PACK_CTX
+    hi = (F.col("window_idx") + 1) * _PACK_CTX
+    return spans.groupBy("shard", "window_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.least(F.col("fin"), hi) - F.greatest(F.col("start"), lo))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(F.when(F.col("start") < lo, 1).otherwise(0)).cast("long").alias("n_continuing"),
+    )

@@ -845,3 +845,111 @@ def sim_ivfpq_residual_topk(spark, sf_dir):
     queries = e.filter(e.vec_id < 8)
     centroids = e.filter(e.vec_id.between(100, 107))
     return ivfpq_adc_topk(e, queries, centroids, _IVFPQ_SEEDS, m=8, k=3)
+
+
+# --------------------------------------------------------------------------- #
+# ml_ranking_metrics — retrieval evaluation (MRR / precision / recall @ 10)    #
+# --------------------------------------------------------------------------- #
+_RANK_K = 10
+_RANK_NQ = 20  # query vectors: vec_id < 20
+
+
+@register(
+    "ml_ranking_metrics",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+        FROM embeddings WHERE vec_id < {_RANK_NQ}
+    ),
+    c AS (SELECT vec_id AS cid, embedding AS cvec, label AS clabel FROM embeddings),
+    scored AS (
+        SELECT qid, qlabel, cid, clabel, {_cosine("qvec", "cvec")} AS cosine
+        FROM c, q WHERE cid <> qid
+    ),
+    ranked AS (
+        SELECT qid, qlabel, clabel,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+        FROM scored
+    ),
+    rel_total AS (
+        SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rel_total
+        FROM q JOIN c ON c.clabel = q.qlabel AND c.cid <> q.qid
+        GROUP BY q.qid
+    ),
+    top AS (
+        SELECT qid,
+               CAST(COUNT(*) FILTER (WHERE clabel = qlabel) AS BIGINT) AS hits,
+               MIN(CASE WHEN clabel = qlabel THEN rn END) AS first_rel_rank
+        FROM ranked WHERE rn <= {_RANK_K}
+        GROUP BY qid
+    )
+    SELECT t.qid AS qid,
+           CAST(q.qlabel AS BIGINT) AS label,
+           r.n_rel_total,
+           t.hits AS hits_at_k,
+           CAST(t.first_rel_rank AS BIGINT) AS first_rel_rank,
+           CASE WHEN t.first_rel_rank IS NULL THEN 0.0
+                ELSE 1.0 / CAST(t.first_rel_rank AS DOUBLE) END AS mrr_at_k,
+           CAST(t.hits AS DOUBLE) / {_RANK_K}.0 AS p_at_k,
+           CAST(t.hits AS DOUBLE) / CAST(r.n_rel_total AS DOUBLE) AS r_at_k
+    FROM top t JOIN rel_total r USING (qid) JOIN q USING (qid)
+    """,
+)
+def ml_ranking_metrics(spark, sf_dir):
+    """Retrieval-evaluation metrics @ 10 for the embedding index — the eval
+    harness every ANN/RAG pipeline needs next to ``ml_auc_exact``'s
+    classification AUC: each of the 20 query vectors retrieves its exact
+    cosine top-10 (ground-truth ranking via the bit-deterministic ordered
+    fold), relevance = same class label, and the query-level metrics are
+    hit count, first-relevant rank, MRR@10, precision@10 and recall@10.
+
+    Per-QUERY rows (not a corpus mean) keep every number an exact integer
+    ratio — 1/rank and hits/k are single IEEE divisions, identical in any
+    engine, with no float summation order to pin down; a mean is one
+    further exact aggregation for the caller.  Scale: queries broadcast
+    against one candidate scan (the ``sim_cosine_topk_brute`` plan) and
+    relevance joins a broadcast label histogram — on a real corpus swap
+    the brute scorer for any ANN query in this file and the metric tail
+    is unchanged (that substitution is exactly what RECALL.md measures)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _RANK_NQ)
+    top = brute_force_topk(e, queries, k=_RANK_K)  # qid, cid, cosine, rn
+
+    labels = e.select(F.col("vec_id").alias("cid"), F.col("label").alias("clabel"))
+    qlab = queries.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    rel_total = (
+        qlab.join(
+            e.select("vec_id", F.col("label").alias("clabel")),
+            on=[F.col("clabel") == F.col("qlabel"), F.col("vec_id") != F.col("qid")],
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_rel_total"))
+    )
+    flagged = (
+        top.join(F.broadcast(labels), "cid")
+        .join(F.broadcast(qlab), "qid")
+        .withColumn("rel", (F.col("clabel") == F.col("qlabel")).cast("int"))
+    )
+    per_q = flagged.groupBy("qid", "qlabel").agg(
+        F.sum("rel").cast("long").alias("hits_at_k"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).cast("long").alias("first_rel_rank"),
+    )
+    return (
+        per_q.join(F.broadcast(rel_total), "qid")
+        .select(
+            "qid",
+            F.col("qlabel").cast("long").alias("label"),
+            "n_rel_total",
+            "hits_at_k",
+            "first_rel_rank",
+            F.when(F.col("first_rel_rank").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0) / F.col("first_rel_rank").cast("double"))
+            .alias("mrr_at_k"),
+            (F.col("hits_at_k").cast("double") / F.lit(float(_RANK_K))).alias("p_at_k"),
+            (F.col("hits_at_k").cast("double") / F.col("n_rel_total").cast("double")).alias(
+                "r_at_k"
+            ),
+        )
+    )

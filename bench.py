@@ -339,6 +339,16 @@ HEADLINE = [
     # broadcasts) and RAG chunking (map-side explode + hash-keyed dedup)
     "sketch_qdigest_quantiles",
     "rag_chunk_sliding",
+    # round-13 wave: KMV set algebra (3 narrow shuffles + sketch-sized
+    # tails), concat-and-chunk packing (shard-window cumsum + span explode),
+    # retrieval eval (broadcast brute scorer + label joins), the bloom
+    # ingest gate (16-KiB build collect + one flagged delta scan), and the
+    # closed-form ALS half-step (one user-keyed shuffle + broadcast dim)
+    "sketch_theta_set_ops",
+    "pack_concat_chunks",
+    "ml_ranking_metrics",
+    "dedup_bloom_gate",
+    "recsys_als_step",
 ]
 
 

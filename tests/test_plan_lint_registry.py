@@ -50,32 +50,25 @@ _ARROW_NODES = (
     "ArrowAggregatePython",
 )
 
-# queries added or plan-changed since the round-9 gate went green — linted
-# in the NOT-slow inner loop.  Round-10 additions + this round's refactors.
+# queries added or plan-changed since the round-12 gate went green — linted
+# in the NOT-slow inner loop.
 _NEW_SINCE_GATE = [
-    # r12: plan-changed — textrank top-k rewritten from an unpartitioned
-    # row_number window over the whole vocabulary to orderBy().limit()
-    # (TakeOrderedAndProject) with post-limit numbering
-    "text_textrank_keywords",
-    # r12: plan-changed — per-source accounting now FULL-outer joins carried
-    # and delta accounting so delta-only sources survive (ADVICE medium)
-    "corpus_curation_v8",
-    # r12: plan-changed — zero-prefix cosine guard (when()/CASE on the
-    # prefix-norm product)
-    "sim_matryoshka_topk",
-    # r12: plan-changed — winnowing position-packing overflow guard
-    # (per-row raise_error branch on pos)
-    "dedup_winnowing",
-    # r12: new — C4-style HTML/boilerplate stripping front-end stage
-    "text_html_strip_c4",
-    # r12: new — URL canonicalization + first-by-canonical-URL dedup
-    "dedup_url_canonical",
-    # r12: new — robots/domain-blocklist crawl filter
-    "filter_domain_blocklist",
-    # r12: new — q-digest dyadic rank sketch (mergeable quantiles w/ bounds)
-    "sketch_qdigest_quantiles",
-    # r12: new — sliding-window RAG chunking + chunk-level exact dedup
+    # r13: new — KMV/theta distinct-count sketches with set algebra
+    "sketch_theta_set_ops",
+    # r13: new — concat-and-chunk context-window packing accounting
+    "pack_concat_chunks",
+    # r13: new — retrieval-eval metrics @10 (MRR / P / R / hit)
+    "ml_ranking_metrics",
+    # r13: new — bloom-prefiltered incremental dedup gate w/ verified bounds
+    "dedup_bloom_gate",
+    # r13: new — exact closed-form ALS half-step (rank-2 fixed-point)
+    "recsys_als_step",
+    # r13: plan-changed — packed first-writer key factored into the shared
+    # operators.text.packed_first_writer_key helper (adds the idx >= 0 guard)
     "rag_chunk_sliding",
+    # r13: code-changed — radix passed explicitly to the qdigest operators
+    # (same plan; reconfirm)
+    "sketch_qdigest_quantiles",
 ]
 
 

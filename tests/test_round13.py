@@ -1,0 +1,243 @@
+"""Round-13 additions: KMV/theta sketch set algebra (merge exactness, the
+property the sketch exists for), concat-and-chunk packing invariants
+(token conservation, capacity, continuity), the bloom gate's one-sidedness
+(no false negatives; prune ≡ flag-filter), the ALS half-step's closed form
+(normal equations hold exactly), and retrieval-metric structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.operators.bloom import (
+    bloom_build,
+    bloom_flag,
+    bloom_prune,
+)
+from airflow_cms_inpatient_etl_spark.operators.sketch import (
+    KMV_K,
+    kmv_merge,
+    kmv_sketch,
+)
+from airflow_cms_inpatient_etl_spark.operators.text import hash60
+from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _hashed_set(spark, set_id: str, lo: int, hi: int):
+    """(set_id, key, hv) rows for the integer interval [lo, hi) — the same
+    portable-hash keying the registry query uses."""
+    return spark.range(lo, hi).select(
+        F.lit(set_id).alias("set_id"),
+        F.col("id").alias("key"),
+        hash60(F.concat(F.lit("kmv:"), F.col("id").cast("string"))).alias("hv"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# KMV: union merge is EXACT — merging two per-set sketches yields the same     #
+# k minima as sketching the union directly (the theta-sketch algebra's         #
+# load-bearing lemma; see operators/sketch.py module comment)                  #
+# --------------------------------------------------------------------------- #
+def test_kmv_merge_equals_direct_union_sketch(spark):
+    k = 64
+    a = _hashed_set(spark, "a", 0, 700)  # overlaps b on [400, 700)
+    b = _hashed_set(spark, "b", 400, 1200)
+    sk = kmv_sketch(a.unionByName(b), "set_id", "hv", k)
+    merged = sorted(r["hv"] for r in kmv_merge(sk, "hv", k).collect())
+    direct_union = (
+        a.unionByName(b).select("key", "hv").distinct().select(F.lit("u").alias("set_id"), "hv")
+    )
+    direct = sorted(
+        r["hv"] for r in kmv_sketch(direct_union, "set_id", "hv", k).collect()
+    )
+    assert merged == direct and len(merged) == k
+
+
+def test_kmv_merge_associative_three_way(spark):
+    k = 48
+    parts = [_hashed_set(spark, s, lo, hi) for s, lo, hi in
+             [("a", 0, 300), ("b", 200, 600), ("c", 500, 900)]]
+    all_rows = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    sk = kmv_sketch(all_rows, "set_id", "hv", k)
+    # (a ⊕ b) ⊕ c
+    ab = kmv_merge(sk.filter(F.col("set_id").isin("a", "b")), "hv", k)
+    abc_left = sorted(
+        r["hv"]
+        for r in kmv_merge(
+            ab.unionByName(sk.filter(F.col("set_id") == "c").select("hv")), "hv", k
+        ).collect()
+    )
+    # a ⊕ (b ⊕ c)
+    bc = kmv_merge(sk.filter(F.col("set_id").isin("b", "c")), "hv", k)
+    abc_right = sorted(
+        r["hv"]
+        for r in kmv_merge(
+            bc.unionByName(sk.filter(F.col("set_id") == "a").select("hv")), "hv", k
+        ).collect()
+    )
+    assert abc_left == abc_right
+
+
+def test_kmv_small_set_degrades_to_exact(spark):
+    d = _hashed_set(spark, "tiny", 0, 40)
+    sk = kmv_sketch(d, "set_id", "hv", KMV_K)
+    rows = sk.collect()
+    assert len(rows) == 40  # complete hash list: the sketch IS the set
+    assert sorted(r["rn"] for r in rows) == list(range(1, 41))
+
+
+def test_kmv_prefilter_returns_exactly_k_on_large_set(spark):
+    d = _hashed_set(spark, "big", 0, 20000)  # 78x the 4k oversample target
+    sk = kmv_sketch(d, "set_id", "hv", 64).collect()
+    assert len(sk) == 64
+    # the k minima really are the global minima (no prefilter shortfall)
+    lows = sorted(r["hv"] for r in d.orderBy("hv").limit(64).collect())
+    assert sorted(r["hv"] for r in sk) == lows
+
+
+# --------------------------------------------------------------------------- #
+# pack_concat_chunks: layout invariants                                        #
+# --------------------------------------------------------------------------- #
+def test_pack_concat_chunks_invariants(spark):
+    from airflow_cms_inpatient_etl_spark.queries.pipeline import _PACK_CTX
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+    out = QUERY_REGISTRY["pack_concat_chunks"].fn(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), "[ \t\r\n]+", " "))
+    total_tokens = (
+        d.filter(F.col("text").isNotNull() & (norm != ""))
+        .select(F.size(F.split(norm, " ")).alias("ntok"))
+        .agg(F.sum("ntok"))
+        .collect()[0][0]
+    )
+    # token conservation: every token lands in exactly one window
+    assert sum(r["n_tokens"] for r in out) == total_tokens
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 < r["n_tokens"] <= _PACK_CTX
+        assert 0 <= r["n_continuing"] <= r["n_docs"]
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["window_idx"])
+        # windows are contiguous from 0 (the stream has no holes)
+        assert [r["window_idx"] for r in rows] == list(range(len(rows)))
+        # every window except the shard's last is exactly full
+        for r in rows[:-1]:
+            assert r["n_tokens"] == _PACK_CTX, (shard, r)
+        # a window is entered mid-document iff the previous window's last
+        # doc spills over; window 0 never continues
+        assert rows[0]["n_continuing"] == 0
+
+
+# --------------------------------------------------------------------------- #
+# bloom gate: one-sidedness + flag/prune agreement                             #
+# --------------------------------------------------------------------------- #
+def test_bloom_flag_has_no_false_negatives_and_prune_matches(spark):
+    members = spark.range(0, 500).select(F.md5(F.col("id").cast("string")).alias("k"))
+    words = bloom_build(members, "k")
+    probe = spark.range(0, 2000).select(F.md5(F.col("id").cast("string")).alias("k"))
+    flagged = bloom_flag(probe, "k", words, "hit")
+    # every true member passes the gate
+    misses = (
+        flagged.join(members, "k", "left_semi").filter(~F.col("hit")).count()
+    )
+    assert misses == 0
+    # prune is exactly filter-on-flag
+    assert (
+        bloom_prune(probe, "k", words).count()
+        == flagged.filter("hit").count()
+    )
+
+
+def test_dedup_bloom_gate_booleans_hold(spark):
+    rows = QUERY_REGISTRY["dedup_bloom_gate"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["no_false_negatives"] is True
+    assert r["fp_rate_bounded"] is True
+    assert r["n_dup_exact"] > 0, "planted duplicates missing — the FN claim is vacuous"
+
+
+# --------------------------------------------------------------------------- #
+# ALS half-step: the closed form solves the normal equations exactly           #
+# --------------------------------------------------------------------------- #
+def test_recsys_als_step_solves_normal_equations(spark):
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        _ALS_LAMBDA,
+        _ALS_SCALE,
+    )
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+    out = {r["user_id"]: r for r in QUERY_REGISTRY["recsys_als_step"].fn(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.col("value").isNotNull())
+    cents = F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+    r = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", "event_type", F.expr("s div n").alias("rc"))
+    )
+    q = r.select("event_type").distinct().select(
+        "event_type",
+        F.pmod(hash60(F.concat(F.lit("alsq1:"), F.col("event_type"))), F.lit(_ALS_SCALE)).alias("q1"),
+        F.pmod(hash60(F.concat(F.lit("alsq2:"), F.col("event_type"))), F.lit(_ALS_SCALE)).alias("q2"),
+    )
+    sums = {
+        row["user_id"]: row
+        for row in r.join(q, "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("q1") * F.col("q1")).alias("s11"),
+            F.sum(F.col("q1") * F.col("q2")).alias("s12"),
+            F.sum(F.col("q2") * F.col("q2")).alias("s22"),
+            F.sum(F.col("rc") * F.col("q1")).alias("b1"),
+            F.sum(F.col("rc") * F.col("q2")).alias("b2"),
+        )
+        .collect()
+    }
+    assert out.keys() == sums.keys() and len(out) > 0
+    for uid, s in sums.items():
+        m11, m12, m22 = s["s11"] + _ALS_LAMBDA, s["s12"], s["s22"] + _ALS_LAMBDA
+        p1, p2 = out[uid]["p1"], out[uid]["p2"]
+        # M p = b to float round-off (the solve is exact integer algebra
+        # followed by one division, so residuals are ~ulp-scale)
+        assert abs(m11 * p1 + m12 * p2 - s["b1"]) <= 1e-6 * max(1.0, abs(s["b1"]))
+        assert abs(m12 * p1 + m22 * p2 - s["b2"]) <= 1e-6 * max(1.0, abs(s["b2"]))
+
+
+# --------------------------------------------------------------------------- #
+# ranking metrics: per-query structure                                         #
+# --------------------------------------------------------------------------- #
+def test_ml_ranking_metrics_structure(spark):
+    from airflow_cms_inpatient_etl_spark.queries.similarity import _RANK_K, _RANK_NQ
+
+    rows = QUERY_REGISTRY["ml_ranking_metrics"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == _RANK_NQ
+    for r in rows:
+        assert 0 <= r["hits_at_k"] <= _RANK_K
+        assert r["p_at_k"] == r["hits_at_k"] / _RANK_K
+        assert 0.0 <= r["r_at_k"] <= 1.0
+        if r["first_rel_rank"] is None:
+            assert r["mrr_at_k"] == 0.0 and r["hits_at_k"] == 0
+        else:
+            assert 1 <= r["first_rel_rank"] <= _RANK_K
+            assert r["mrr_at_k"] == 1.0 / r["first_rel_rank"]
+            assert r["hits_at_k"] >= 1
+
+
+def test_ml_ranking_metrics_planted_duplicate_ranks_first(spark):
+    """A corpus vector identical to the query must be retrieved at rank 1
+    with cosine 1.0 — the metric tail then reports first_rel_rank == 1."""
+    from airflow_cms_inpatient_etl_spark.operators.similarity import brute_force_topk
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),
+        (1, [1.0, 0.0, 0.0, 0.0], 7),   # exact duplicate of the query
+        (2, [0.0, 1.0, 0.0, 0.0], 3),
+        (3, [0.0, 0.0, 1.0, 0.0], 3),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    top = brute_force_topk(e, e.filter("vec_id = 0"), k=2)
+    got = {r["rn"]: r["cid"] for r in top.collect()}
+    assert got[1] == 1
