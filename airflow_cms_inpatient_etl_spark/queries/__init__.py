@@ -69,6 +69,13 @@ _PRIORITY = [
     "ml_ranking_metrics",
     "dedup_bloom_gate",
     "recsys_als_step",
+    # -- a2. new in the round-13 second wave (never-checked outranks stale-   #
+    # green, so these take 4 of the 8 r8 seats; the displaced rows return to  #
+    # the round-14 queue head) ----------------------------------------------- #
+    "sim_two_stage_rerank",
+    "pack_shelf_bins",
+    "dq_chisquare_drift",
+    "labels_majority_vote",
     # -- b. code changed in round 13 (ADVICE closures) ----------------------- #
     "rag_chunk_sliding",
     "sketch_qdigest_quantiles",
@@ -110,20 +117,20 @@ _PRIORITY = [
     "streaming_stream_stream_join_live",
     "streaming_tumbling_live",
     "text_readability_scores",
-    # -- e. first 8 rows of the r8 cohort (alphabetical; the remaining 40     #
+    # -- e. first 4 rows of the r8 cohort (alphabetical; the remaining 44     #
     # r8 rows lead the round-14 queue below) -------------------------------- #
     "agg_argmax_argmin",
     "agg_collect_sorted",
     "agg_exact_correlation",
     "agg_exact_moments",
+    # ----------------------- window boundary (50) -------------------------- #
+    # (9 new + 2 ADVICE-changed + 2 twice-deferred + 33 r7 + 4 r8 = 50.)      #
+    # ROUND-14 QUEUE: the remaining 44 r8-stale rows, then everything else   #
+    # in registration order.                                                  #
     "agg_exact_percentiles",
     "agg_median_price",
     "approx_aggregates",
     "approx_distinct_sketch_merge",
-    # ----------------------- window boundary (50) -------------------------- #
-    # (5 new + 2 ADVICE-changed + 2 twice-deferred + 33 r7 + 8 r8 = 50.)      #
-    # ROUND-14 QUEUE: the remaining 40 r8-stale rows, then everything else   #
-    # in registration order.                                                  #
     "conditional_aggregation",
     "corpus_mixture_refresh",
     "count_distinct_segments",

@@ -3751,3 +3751,175 @@ def recsys_als_step(spark, sf_dir):
         ((F.col("m22") * F.col("b1") - F.col("m12") * F.col("b2")).cast("double") / det).alias("p1"),
         ((F.col("m11") * F.col("b2") - F.col("m12") * F.col("b1")).cast("double") / det).alias("p2"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# dq_chisquare_drift — distribution-drift monitor between order cohorts        #
+# --------------------------------------------------------------------------- #
+_CHI_BUCKET = 50000  # o_totalprice bucket width (histogram_price_buckets')
+
+
+@register(
+    "dq_chisquare_drift",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(FLOOR(o_totalprice / {_CHI_BUCKET}) AS BIGINT) AS bucket,
+               CASE WHEN EXTRACT(year FROM o_orderdate) <= 1997 THEN 1 ELSE 0 END AS is_ref
+        FROM orders
+    ),
+    per AS (
+        SELECT bucket,
+               CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+               CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+        FROM b GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+               CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+        FROM per
+    )
+    SELECT bucket, n_ref, n_cur,
+           CASE WHEN n_ref > 0 THEN
+               (CAST(n_cur * tot_ref - tot_cur * n_ref AS DOUBLE)
+                * CAST(n_cur * tot_ref - tot_cur * n_ref AS DOUBLE))
+               / CAST(tot_cur * n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE)
+           END AS chi2_term,
+           CASE WHEN n_ref > 0 THEN
+               (CAST(n_cur * tot_ref - tot_cur * n_ref AS DOUBLE)
+                * CAST(n_cur * tot_ref - tot_cur * n_ref AS DOUBLE))
+               / CAST(tot_cur * n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE) > 9.0
+           ELSE n_cur > 0 END AS drift_flag
+    FROM per, tot
+    """,
+)
+def dq_chisquare_drift(spark, sf_dir):
+    """Distribution-drift DQ monitor: Pearson chi-square contributions of the
+    current order cohort (orderdate > 1997) against the reference cohort
+    (<= 1997) over 50k-wide price buckets — the feature-drift gate a
+    training pipeline runs between snapshot refreshes.
+    ``snapshot_column_drift_profile`` diffs per-column SCALAR stats; this
+    tests the SHAPE of a distribution (a mean-preserving variance shift is
+    invisible there, loud here).
+
+    Per-BUCKET rows deliberately: emitting each bucket's chi-square term
+    (one exact-integer difference n_cur*tot_ref - tot_cur*n_ref, squared
+    and divided in double) avoids any cross-bucket float summation order —
+    the caller's total is one further exact aggregation, and the oracle
+    hash-matches every term bit-for-bit.  The integer products stay under
+    2^53 through sf0.1 (documented headroom; a decimal path takes over
+    beyond).  A bucket unseen in the reference cohort cannot have an
+    expected count, so it flags directly (novel-mass detection).  Scale:
+    one map-side bucket projection, ONE groupBy(bucket) carrying two
+    conditional sums, then broadcast totals — the same single-exchange
+    shape as ``histogram_price_buckets``."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.floor(F.col("o_totalprice") / _CHI_BUCKET).cast("long").alias("bucket"),
+        F.when(F.year("o_orderdate") <= 1997, 1).otherwise(0).alias("is_ref"),
+    )
+    per = b.groupBy("bucket").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    tot = per.agg(
+        F.sum("n_ref").cast("long").alias("tot_ref"),
+        F.sum("n_cur").cast("long").alias("tot_cur"),
+    )
+    d = (F.col("n_cur") * F.col("tot_ref") - F.col("tot_cur") * F.col("n_ref")).cast(
+        "double"
+    )
+    term = d * d / (F.col("tot_cur") * F.col("n_ref")).cast("double") / F.col(
+        "tot_ref"
+    ).cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.when(F.col("n_ref") > 0, term).alias("chi2_term"),
+        F.when(F.col("n_ref") > 0, term > 9.0)
+        .otherwise(F.col("n_cur") > 0)
+        .alias("drift_flag"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# labels_majority_vote — annotation aggregation (RLHF/label-farm pattern)      #
+# --------------------------------------------------------------------------- #
+_VOTE_ITEMS = 200  # items: event_id % 200
+
+
+@register(
+    "labels_majority_vote",
+    oracle=f"""
+    WITH votes0 AS (
+        SELECT event_id % {_VOTE_ITEMS} AS item_id,
+               user_id AS annotator,
+               event_type AS label,
+               ROW_NUMBER() OVER (PARTITION BY event_id % {_VOTE_ITEMS}, user_id
+                                  ORDER BY ts, event_id) AS vrn
+        FROM events
+    ),
+    votes AS (SELECT item_id, annotator, label FROM votes0 WHERE vrn = 1),
+    counts AS (
+        SELECT item_id, label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM votes GROUP BY item_id, label
+    ),
+    ranked AS (
+        SELECT item_id, label, c,
+               ROW_NUMBER() OVER (PARTITION BY item_id ORDER BY c DESC, label) AS lrn,
+               CAST(SUM(c) OVER (PARTITION BY item_id) AS BIGINT) AS n_votes
+        FROM counts
+    )
+    SELECT item_id, label AS majority_label, c AS majority_count, n_votes,
+           CAST(c AS DOUBLE) / CAST(n_votes AS DOUBLE) AS agreement,
+           c * 2 > n_votes AS strict_majority
+    FROM ranked WHERE lrn = 1
+    """,
+)
+def labels_majority_vote(spark, sf_dir):
+    """Annotation aggregation — the label-farm / RLHF-rater reduction: each
+    (item, annotator) pair contributes ONE vote (their earliest event;
+    re-judgments don't stuff the ballot), items elect a majority label
+    (count-desc, label-asc tie-break so the result is total), and the
+    per-item agreement ratio plus a strict-majority flag feed the
+    downstream keep/re-adjudicate routing.  Items here are event_id mod
+    200, annotators are users, labels are event types — the standing-in
+    fixture for a (prompt, rater, choice) table.
+
+    Scale: vote dedup is a (item, annotator)-keyed first-writer window
+    (bounded by votes-per-pair, typically ~1); tallying is ONE
+    (item, label) groupBy with map-side partials; the election is a window
+    over each item's <=|label-alphabet| tally rows.  No text, no floats
+    until the final agreement division."""
+    ev = load_table(spark, sf_dir, "events")
+    votes0 = ev.select(
+        (F.col("event_id") % _VOTE_ITEMS).alias("item_id"),
+        F.col("user_id").alias("annotator"),
+        F.col("event_type").alias("label"),
+        "ts",
+        "event_id",
+    )
+    w_first = W.partitionBy("item_id", "annotator").orderBy("ts", "event_id")
+    votes = (
+        votes0.withColumn("vrn", F.row_number().over(w_first))
+        .filter(F.col("vrn") == 1)
+        .select("item_id", "annotator", "label")
+    )
+    counts = votes.groupBy("item_id", "label").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = W.partitionBy("item_id").orderBy(F.col("c").desc(), "label")
+    w_all = W.partitionBy("item_id")
+    ranked = counts.select(
+        "item_id",
+        "label",
+        "c",
+        F.row_number().over(w_rank).alias("lrn"),
+        F.sum("c").over(w_all).cast("long").alias("n_votes"),
+    )
+    return ranked.filter(F.col("lrn") == 1).select(
+        "item_id",
+        F.col("label").alias("majority_label"),
+        F.col("c").alias("majority_count"),
+        "n_votes",
+        (F.col("c").cast("double") / F.col("n_votes").cast("double")).alias("agreement"),
+        (F.col("c") * 2 > F.col("n_votes")).alias("strict_majority"),
+    )

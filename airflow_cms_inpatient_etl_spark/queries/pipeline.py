@@ -1484,3 +1484,92 @@ def pack_concat_chunks(spark, sf_dir):
         .alias("n_tokens"),
         F.sum(F.when(F.col("start") < lo, 1).otherwise(0)).cast("long").alias("n_continuing"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# pack_shelf_bins — no-split shelf packing (the SFT counterpart)               #
+# --------------------------------------------------------------------------- #
+_SHELF_CTX = 512  # context-window width in tokens
+_SHELF_SHARDS = 8
+
+
+@register(
+    "pack_shelf_bins",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(TRIM(REGEXP_REPLACE(text, '[ \t\r\n]+', ' ', 'g')), ' '))
+                   AS ntok,
+               CAST('0x' || SUBSTR(MD5('shelf:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM documents
+        WHERE text IS NOT NULL
+          AND TRIM(REGEXP_REPLACE(text, '[ \t\r\n]+', ' ', 'g')) <> ''
+    ),
+    classed AS (
+        SELECT doc_id, ntok, hv, hv % {_SHELF_SHARDS} AS shard,
+               GREATEST(CAST({_SHELF_CTX} // ntok AS BIGINT), 1) AS cls
+        FROM toks
+    ),
+    binned AS (
+        SELECT shard, cls, doc_id, ntok,
+               (ROW_NUMBER() OVER (PARTITION BY shard, cls ORDER BY hv, doc_id) - 1)
+                   // cls AS bin_idx
+        FROM classed
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(cls AS BIGINT) AS capacity_class,
+           CAST(bin_idx AS BIGINT) AS bin_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(ntok) AS DOUBLE) / {_SHELF_CTX}.0 AS utilization,
+           MAX(ntok) > {_SHELF_CTX} AS has_overflow_doc
+    FROM binned
+    GROUP BY shard, cls, bin_idx
+    """,
+)
+def pack_shelf_bins(spark, sf_dir):
+    """No-split shelf packing — the instruction-tuning counterpart of
+    ``pack_concat_chunks``: when documents must NOT cross example
+    boundaries (SFT / preference pairs), pack them whole into 512-token
+    windows by CAPACITY CLASS (class c = how many docs of this length fit
+    one window, c = max(1, 512 div ntok)); within (shard, class) the
+    hash-ordered rank r lands doc r in bin (r-1) div c — c same-class docs
+    per window, total waste bounded by the harmonic shelf-packing argument
+    (each non-final bin in class c is >= c/(c+1) full by construction:
+    every doc in the class has ntok > 512/(c+1)).  Docs longer than one
+    window form class 1 with ``has_overflow_doc`` raised — the split
+    decision is escalated, never silent (those route to
+    ``pack_concat_chunks``).
+
+    Scale: class assignment is map-side arithmetic on (doc_id, ntok) —
+    the text never leaves the scan; ranks are windows over (shard, class)
+    partitions, so parallelism = shards x ~O(ln 512) occupied classes and
+    no partition ever sees more than its shard's share.  All integer until
+    the utilization ratio (one IEEE division)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), "[ \t\r\n]+", " "))
+    toks = d.filter(F.col("text").isNotNull() & (norm != "")).select(
+        "doc_id",
+        F.size(F.split(norm, " ")).cast("long").alias("ntok"),
+        hash60(F.concat(F.lit("shelf:"), F.col("doc_id").cast("string"))).alias("hv"),
+    )
+    classed = toks.select(
+        "doc_id",
+        "ntok",
+        "hv",
+        (F.col("hv") % _SHELF_SHARDS).alias("shard"),
+        F.greatest(F.expr(f"{_SHELF_CTX} div ntok"), F.lit(1).cast("long")).alias("cls"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard", "cls").orderBy("hv", "doc_id")
+    binned = classed.withColumn(
+        "_r0", (F.row_number().over(w) - 1).cast("long")
+    ).withColumn("bin_idx", F.expr("_r0 div cls"))
+    return binned.groupBy("shard", F.col("cls").alias("capacity_class"), "bin_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        (F.sum("ntok").cast("double") / F.lit(float(_SHELF_CTX))).alias("utilization"),
+        (F.max("ntok") > _SHELF_CTX).alias("has_overflow_doc"),
+    )

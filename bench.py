@@ -349,6 +349,14 @@ HEADLINE = [
     "ml_ranking_metrics",
     "dedup_bloom_gate",
     "recsys_als_step",
+    # round-13 wave 2: two-stage ANN rerank (IVF multiprobe + brute
+    # verification leg — the heaviest new plan), shelf packing (per-class
+    # rank windows), chi-square drift (one bucket groupBy), majority vote
+    # (first-writer window + tally window)
+    "sim_two_stage_rerank",
+    "pack_shelf_bins",
+    "dq_chisquare_drift",
+    "labels_majority_vote",
 ]
 
 

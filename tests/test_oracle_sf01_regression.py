@@ -83,6 +83,16 @@ _HAZARD_CLASS = [
     # ordered-fold cosine legs, with CAST(1.0 AS DOUBLE) reciprocal terms —
     # cleared sf0.1 (and both smaller scales) on landing; this pins it
     "search_hybrid_rrf",
+    # round-13 float-bearing additions: KMV estimates (255*2^60/h_k double
+    # division), retrieval-metric integer ratios, and the ALS closed-form
+    # division — all cleared sf0.1 on landing; this pins them
+    "sketch_theta_set_ops",
+    "ml_ranking_metrics",
+    "recsys_als_step",
+    # round-13 wave 2 float-bearers: ordered-fold cosines in both rerank
+    # stages + the recall ratio; the double-squared chi-square terms
+    "sim_two_stage_rerank",
+    "dq_chisquare_drift",
 ]
 
 _NAMES = (

@@ -63,6 +63,12 @@ _NEW_SINCE_GATE = [
     "dedup_bloom_gate",
     # r13: new — exact closed-form ALS half-step (rank-2 fixed-point)
     "recsys_als_step",
+    # r13 wave 2: two-stage ANN rerank w/ in-query recall, no-split shelf
+    # packing, chi-square drift monitor, majority-vote label aggregation
+    "sim_two_stage_rerank",
+    "pack_shelf_bins",
+    "dq_chisquare_drift",
+    "labels_majority_vote",
     # r13: plan-changed — packed first-writer key factored into the shared
     # operators.text.packed_first_writer_key helper (adds the idx >= 0 guard)
     "rag_chunk_sliding",

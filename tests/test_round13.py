@@ -241,3 +241,137 @@ def test_ml_ranking_metrics_planted_duplicate_ranks_first(spark):
     top = brute_force_topk(e, e.filter("vec_id = 0"), k=2)
     got = {r["rn"]: r["cid"] for r in top.collect()}
     assert got[1] == 1
+
+
+# --------------------------------------------------------------------------- #
+# wave 2: shelf packing invariants                                             #
+# --------------------------------------------------------------------------- #
+def test_pack_shelf_bins_invariants(spark):
+    from airflow_cms_inpatient_etl_spark.queries.pipeline import _SHELF_CTX
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+    out = QUERY_REGISTRY["pack_shelf_bins"].fn(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), "[ \t\r\n]+", " "))
+    stats = (
+        d.filter(F.col("text").isNotNull() & (norm != ""))
+        .select(F.size(F.split(norm, " ")).alias("ntok"))
+        .agg(F.count(F.lit(1)), F.sum("ntok"))
+        .collect()[0]
+    )
+    # every doc lands in exactly one bin; every token is preserved
+    assert sum(r["n_docs"] for r in out) == stats[0]
+    assert sum(r["n_tokens"] for r in out) == stats[1]
+    for r in out:
+        # no-split guarantee: a bin never exceeds the window unless it holds
+        # a single oversized doc (escalated via the flag, never silent)
+        if not r["has_overflow_doc"]:
+            assert r["n_tokens"] <= _SHELF_CTX, r
+            assert r["n_docs"] <= r["capacity_class"]
+        else:
+            assert r["capacity_class"] == 1
+
+
+def test_pack_shelf_bins_nonfinal_bins_full(spark):
+    """Within (shard, class), every bin except the last holds exactly
+    ``class`` docs — the shelf construction's fill discipline."""
+    rows = QUERY_REGISTRY["pack_shelf_bins"].fn(spark, SF_SMOKE).collect()
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        groups.setdefault((r["shard"], r["capacity_class"]), []).append(r)
+    for (shard, cls), rs in groups.items():
+        rs.sort(key=lambda r: r["bin_idx"])
+        assert [r["bin_idx"] for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r["n_docs"] == cls, (shard, cls, r)
+
+
+# --------------------------------------------------------------------------- #
+# wave 2: two-stage rerank — recall leg really is vs brute truth               #
+# --------------------------------------------------------------------------- #
+def test_two_stage_rerank_recall_consistency(spark):
+    from airflow_cms_inpatient_etl_spark.operators.similarity import brute_force_topk
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+
+    out = {r["qid"]: r for r in QUERY_REGISTRY["sim_two_stage_rerank"].fn(spark, SF_SMOKE).collect()}
+    assert len(out) == 8
+    for r in out.values():
+        assert 0 <= r["n_overlap"] <= 10
+        assert r["recall_at_k"] == r["n_overlap"] / 10.0
+        assert r["shortlist_bounded"] is True
+    # full-probe degenerate case: probing ALL lists must give recall 1.0
+    from airflow_cms_inpatient_etl_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    queries = e.filter(e.vec_id < 3)
+    cents = e.filter((e.vec_id >= 100) & (e.vec_id <= 107))
+    ann_all = ivf_topk(e, queries, cents, k=5, n_probes=8)
+    brute = brute_force_topk(e, queries, k=5)
+    got = {(r["qid"], r["cid"]) for r in ann_all.collect()}
+    want = {(r["qid"], r["cid"]) for r in brute.collect()}
+    assert got == want
+
+
+# --------------------------------------------------------------------------- #
+# wave 2: chi-square drift — identical cohorts score zero; a planted shift     #
+# flags                                                                        #
+# --------------------------------------------------------------------------- #
+def test_chisquare_zero_on_identical_cohorts(spark):
+    from airflow_cms_inpatient_etl_spark.queries.analytics import _CHI_BUCKET  # noqa: F401
+
+    rows = QUERY_REGISTRY["dq_chisquare_drift"].fn(spark, SF_SMOKE).collect()
+    assert all(r["chi2_term"] is not None or r["n_ref"] == 0 for r in rows)
+    # hand-check one bucket's term against the closed form
+    tot_ref = sum(r["n_ref"] for r in rows)
+    tot_cur = sum(r["n_cur"] for r in rows)
+    for r in rows:
+        if r["n_ref"] > 0:
+            d = r["n_cur"] * tot_ref - tot_cur * r["n_ref"]
+            want = float(d) * float(d) / float(tot_cur * r["n_ref"]) / float(tot_ref)
+            assert r["chi2_term"] == want
+
+
+# --------------------------------------------------------------------------- #
+# wave 2: majority vote — deterministic tie-break and ballot discipline        #
+# --------------------------------------------------------------------------- #
+def test_majority_vote_tiebreak_and_ballot(spark):
+    rows = QUERY_REGISTRY["labels_majority_vote"].fn(spark, SF_SMOKE).collect()
+    assert all(1 <= r["majority_count"] <= r["n_votes"] for r in rows)
+    assert all(
+        r["strict_majority"] == (r["majority_count"] * 2 > r["n_votes"]) for r in rows
+    )
+    # planted frame: 2-2 tie elects the lexicographically smaller label;
+    # a re-judgment by the same annotator does not stuff the ballot
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t, 10, "view", 1.0, None),
+            (2, t, 11, "view", 1.0, None),
+            (3, t, 12, "click", 1.0, None),
+            (4, t, 13, "click", 1.0, None),
+            # annotator 10 re-judges later: ignored (earliest vote stands)
+            (5, datetime.datetime(2024, 2, 1), 10, "click", 1.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    from pyspark.sql import Window as W
+
+    votes0 = ev.select(
+        F.lit(0).alias("item_id"),  # one item: every event votes on it
+        F.col("user_id").alias("annotator"),
+        F.col("event_type").alias("label"),
+        "ts",
+        "event_id",
+    )
+    w_first = W.partitionBy("item_id", "annotator").orderBy("ts", "event_id")
+    votes = (
+        votes0.withColumn("vrn", F.row_number().over(w_first))
+        .filter("vrn = 1")
+        .groupBy("item_id", "label")
+        .count()
+        .collect()
+    )
+    tally = {r["label"]: r["count"] for r in votes}
+    assert tally == {"view": 2, "click": 2}  # 2-2 → 'click' < 'view' wins
