@@ -416,6 +416,21 @@ def packed_first_writer_key(
     )
 
 
+def token_counts_ws(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, ntok)`` whitespace-token counts with the canonical
+    ``[ \\t\\r\\n]+`` normalization — the one definition shared by the
+    packing operators (``pack_concat_chunks`` / ``pack_shelf_bins``) and
+    mirrored by ``sliding_chunks``' tokenizer, so the token accounting
+    cannot drift between the layout stages.  Null/blank documents are
+    dropped (they carry no tokens to place).  Pure map-side projection —
+    the text dies in the same stage that counts it."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), "[ \t\r\n]+", " "))
+    return df.filter(F.col(text_col).isNotNull() & (norm != "")).select(
+        F.col(id_col),
+        F.size(F.split(norm, " ")).cast("long").alias("ntok"),
+    )
+
+
 def sliding_chunks(
     df: DataFrame, id_col: str, text_col: str, width: int = 32, stride: int = 16
 ) -> DataFrame:

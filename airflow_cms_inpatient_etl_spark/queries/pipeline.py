@@ -1442,11 +1442,12 @@ def pack_concat_chunks(spark, sf_dir):
     ceil(ntok/512)+1 rows per doc (~2x row count), then ONE (shard, window)
     groupBy with map-side partials.  All integer arithmetic — hash-exact
     against the oracle."""
+    from airflow_cms_inpatient_etl_spark.operators.text import token_counts_ws
+
     d = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.col("text"), "[ \t\r\n]+", " "))
-    toks = d.filter(F.col("text").isNotNull() & (norm != "")).select(
+    toks = token_counts_ws(d, "doc_id", "text").select(
         "doc_id",
-        F.size(F.split(norm, " ")).cast("long").alias("ntok"),
+        "ntok",
         hash60(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias("hv"),
     )
     from pyspark.sql import Window as W
@@ -1547,11 +1548,12 @@ def pack_shelf_bins(spark, sf_dir):
     partitions, so parallelism = shards x ~O(ln 512) occupied classes and
     no partition ever sees more than its shard's share.  All integer until
     the utilization ratio (one IEEE division)."""
+    from airflow_cms_inpatient_etl_spark.operators.text import token_counts_ws
+
     d = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.col("text"), "[ \t\r\n]+", " "))
-    toks = d.filter(F.col("text").isNotNull() & (norm != "")).select(
+    toks = token_counts_ws(d, "doc_id", "text").select(
         "doc_id",
-        F.size(F.split(norm, " ")).cast("long").alias("ntok"),
+        "ntok",
         hash60(F.concat(F.lit("shelf:"), F.col("doc_id").cast("string"))).alias("hv"),
     )
     classed = toks.select(
