@@ -3848,6 +3848,41 @@ def dq_chisquare_drift(spark, sf_dir):
 _VOTE_ITEMS = 200  # items: event_id % 200
 
 
+def _ballots(ev):
+    """One vote per (item, annotator): the annotator's EARLIEST event on the
+    item (re-judgments don't stuff the ballot).  Shared by
+    ``labels_majority_vote`` and ``labels_annotator_agreement`` so the
+    ballot discipline cannot drift between the two."""
+    votes0 = ev.select(
+        (F.col("event_id") % _VOTE_ITEMS).alias("item_id"),
+        F.col("user_id").alias("annotator"),
+        F.col("event_type").alias("label"),
+        "ts",
+        "event_id",
+    )
+    w_first = W.partitionBy("item_id", "annotator").orderBy("ts", "event_id")
+    return (
+        votes0.withColumn("vrn", F.row_number().over(w_first))
+        .filter(F.col("vrn") == 1)
+        .select("item_id", "annotator", "label")
+    )
+
+
+def _elect(votes):
+    """Per-(item, label) tallies with deterministic election rank
+    (count-desc, label-asc) and the item's total ballot count."""
+    counts = votes.groupBy("item_id", "label").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = W.partitionBy("item_id").orderBy(F.col("c").desc(), "label")
+    w_all = W.partitionBy("item_id")
+    return counts.select(
+        "item_id",
+        "label",
+        "c",
+        F.row_number().over(w_rank).alias("lrn"),
+        F.sum("c").over(w_all).cast("long").alias("n_votes"),
+    )
+
+
 @register(
     "labels_majority_vote",
     oracle=f"""
@@ -3892,29 +3927,8 @@ def labels_majority_vote(spark, sf_dir):
     over each item's <=|label-alphabet| tally rows.  No text, no floats
     until the final agreement division."""
     ev = load_table(spark, sf_dir, "events")
-    votes0 = ev.select(
-        (F.col("event_id") % _VOTE_ITEMS).alias("item_id"),
-        F.col("user_id").alias("annotator"),
-        F.col("event_type").alias("label"),
-        "ts",
-        "event_id",
-    )
-    w_first = W.partitionBy("item_id", "annotator").orderBy("ts", "event_id")
-    votes = (
-        votes0.withColumn("vrn", F.row_number().over(w_first))
-        .filter(F.col("vrn") == 1)
-        .select("item_id", "annotator", "label")
-    )
-    counts = votes.groupBy("item_id", "label").agg(F.count(F.lit(1)).alias("c"))
-    w_rank = W.partitionBy("item_id").orderBy(F.col("c").desc(), "label")
-    w_all = W.partitionBy("item_id")
-    ranked = counts.select(
-        "item_id",
-        "label",
-        "c",
-        F.row_number().over(w_rank).alias("lrn"),
-        F.sum("c").over(w_all).cast("long").alias("n_votes"),
-    )
+    votes = _ballots(ev)
+    ranked = _elect(votes)
     return ranked.filter(F.col("lrn") == 1).select(
         "item_id",
         F.col("label").alias("majority_label"),
@@ -3922,4 +3936,186 @@ def labels_majority_vote(spark, sf_dir):
         "n_votes",
         (F.col("c").cast("double") / F.col("n_votes").cast("double")).alias("agreement"),
         (F.col("c") * 2 > F.col("n_votes")).alias("strict_majority"),
+    )
+
+
+@register(
+    "labels_annotator_agreement",
+    oracle=f"""
+    WITH votes0 AS (
+        SELECT event_id % {_VOTE_ITEMS} AS item_id,
+               user_id AS annotator,
+               event_type AS label,
+               ROW_NUMBER() OVER (PARTITION BY event_id % {_VOTE_ITEMS}, user_id
+                                  ORDER BY ts, event_id) AS vrn
+        FROM events
+    ),
+    votes AS (SELECT item_id, annotator, label FROM votes0 WHERE vrn = 1),
+    counts AS (
+        SELECT item_id, label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM votes GROUP BY item_id, label
+    ),
+    maj AS (
+        SELECT item_id, label AS majority_label FROM (
+            SELECT item_id, label, ROW_NUMBER() OVER (
+                PARTITION BY item_id ORDER BY c DESC, label) AS lrn
+            FROM counts
+        ) WHERE lrn = 1
+    )
+    SELECT v.annotator,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(*) FILTER (WHERE v.label = m.majority_label) AS BIGINT)
+               AS n_agree,
+           CAST(COUNT(*) FILTER (WHERE v.label = m.majority_label) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS agreement_rate,
+           COUNT(*) FILTER (WHERE v.label = m.majority_label) * 2 < COUNT(*)
+               AS below_coin_flip
+    FROM votes v JOIN maj m USING (item_id)
+    GROUP BY v.annotator
+    """,
+)
+def labels_annotator_agreement(spark, sf_dir):
+    """Per-annotator quality — the rater side of the ``labels_majority_vote``
+    election (the Dawid-Skene first iteration): each annotator's agreement
+    rate with the elected per-item majority, the routing signal a labeling
+    pipeline uses to down-weight or retrain raters (``below_coin_flip``
+    flags raters who disagree with consensus on most of their items).
+    Shares ``_ballots``/``_elect`` with the election query, so the ballot
+    discipline (one vote per (item, annotator), earliest event) and the
+    deterministic tie-break are identical by construction.
+
+    Scale: the election side is item-keyed aggregates; the agreement join
+    is vote-rows x one majority row per item (hash equi-join on item_id),
+    then ONE annotator-keyed groupBy — no new shuffle class beyond the
+    election itself."""
+    ev = load_table(spark, sf_dir, "events")
+    votes = _ballots(ev)
+    votes = snapshot(votes)  # the election and the agreement join both read it
+    maj = (
+        _elect(votes)
+        .filter(F.col("lrn") == 1)
+        .select("item_id", F.col("label").alias("majority_label"))
+    )
+    agree = (F.col("label") == F.col("majority_label")).cast("int")
+    return (
+        votes.join(maj, "item_id")
+        .groupBy("annotator")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(agree).cast("long").alias("n_agree"),
+        )
+        .select(
+            "annotator",
+            "n_items",
+            "n_agree",
+            (F.col("n_agree").cast("double") / F.col("n_items").cast("double")).alias(
+                "agreement_rate"
+            ),
+            (F.col("n_agree") * 2 < F.col("n_items")).alias("below_coin_flip"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dq_ks_drift — exact Kolmogorov-Smirnov two-sample drift statistic            #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "dq_ks_drift",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+               CASE WHEN EXTRACT(year FROM o_orderdate) <= 1997 THEN 1 ELSE 0 END AS is_ref
+        FROM orders
+    ),
+    hist AS (
+        SELECT cents,
+               CAST(SUM(is_ref) AS BIGINT) AS ca,
+               CAST(SUM(1 - is_ref) AS BIGINT) AS cb
+        FROM c GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents,
+               CAST(SUM(ca) OVER (ORDER BY cents) AS BIGINT) AS cum_a,
+               CAST(SUM(cb) OVER (ORDER BY cents) AS BIGINT) AS cum_b
+        FROM hist
+    ),
+    tot AS (
+        SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum
+    ),
+    d AS (
+        SELECT cents, ABS(cum_a * n_b - cum_b * n_a) AS dnum
+        FROM cum, tot
+    ),
+    best AS (
+        SELECT MAX(dnum) AS ks_num FROM d
+    )
+    SELECT t.n_a, t.n_b, b.ks_num,
+           (SELECT MIN(cents) FROM d WHERE dnum = b.ks_num) AS ks_at_cents,
+           CAST(b.ks_num AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE) AS ks_stat,
+           CAST(b.ks_num AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE)
+               > 1.36 * SQRT(CAST(t.n_a + t.n_b AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE))
+               AS drift_flag
+    FROM tot t, best b
+    """,
+)
+def dq_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between the order
+    cohorts (orderdate <= 1997 vs after) over price cents — the UNBINNED
+    companion of ``dq_chisquare_drift``: KS is bucket-free, so a shift that
+    straddles a chi-square bucket edge (invisible there) moves the EDF gap
+    here.  Everything up to the final statistic is integer-exact:
+    ``|cum_a*n_b - cum_b*n_a|`` is the EDF gap scaled by n_a*n_b (<= 2^35
+    at sf0.1 — documented headroom), its max and argmin-value are integer
+    aggregates, and the only float ops are one division and the
+    alpha=0.05 threshold (1.36*sqrt((n_a+n_b)/(n_a*n_b)) — sqrt is
+    IEEE-exactly-rounded, so the flag is engine-identical).
+
+    Scale: ONE groupBy over the distinct-cents histogram (domain-bounded:
+    cents < 2^24, never row-count-sized), one cumsum window over that
+    histogram — the same bounded-structure exemption as the q-digest
+    census; for an unbounded domain the sharded prefix-sum identity
+    (``global_rank_via_sharding``) replaces the single window."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").alias("cents"),
+        F.when(F.year("o_orderdate") <= 1997, 1).otherwise(0).alias("is_ref"),
+    )
+    hist = c.groupBy("cents").agg(
+        F.sum("is_ref").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("cb"),
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "cents",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    )
+    cum = snapshot(cum)  # totals, the max gap, and its arg-value all read it
+    tot = cum.agg(F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b"))
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "n_a",
+        "n_b",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias("dnum"),
+    )
+    d = snapshot(d)
+    best = d.groupBy("n_a", "n_b").agg(F.max("dnum").alias("ks_num"))
+    at = (
+        d.join(F.broadcast(best.select("ks_num")), d["dnum"] == F.col("ks_num"))
+        .agg(F.min("cents").alias("ks_at_cents"))
+    )
+    ks = F.col("ks_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")
+    thresh = F.lit(1.36) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return best.crossJoin(F.broadcast(at)).select(
+        "n_a",
+        "n_b",
+        "ks_num",
+        "ks_at_cents",
+        ks.alias("ks_stat"),
+        (ks > thresh).alias("drift_flag"),
     )

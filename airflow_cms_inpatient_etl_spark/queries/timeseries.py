@@ -792,3 +792,118 @@ def events_peak_concurrency(spark, sf_dir):
         .agg(F.min("t").alias("peak_at"))
         .select("event_type", "n_intervals", "peak_concurrency", "peak_at")
     )
+
+
+@register(
+    "events_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, 1 AS side FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    unioned AS (
+        SELECT event_id, user_id, ts, side,
+               CAST(NULL AS TIMESTAMP) AS click_ts
+        FROM purchases
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT), user_id, ts, 0, ts FROM clicks
+    ),
+    carried AS (
+        SELECT event_id, user_id, ts, side,
+               last_value(click_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+               first_value(click_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+        FROM unioned
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                WHEN fwd_ts IS NULL THEN back_ts
+                WHEN back_ts IS NULL THEN fwd_ts
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+                ELSE fwd_ts END AS nearest_click_ts,
+           CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                WHEN fwd_ts IS NULL THEN 'back'
+                WHEN back_ts IS NULL THEN 'fwd'
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN 'back'
+                ELSE 'fwd' END AS direction,
+           CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                WHEN fwd_ts IS NULL THEN epoch_us(ts) - epoch_us(back_ts)
+                WHEN back_ts IS NULL THEN epoch_us(fwd_ts) - epoch_us(ts)
+                ELSE LEAST(epoch_us(ts) - epoch_us(back_ts),
+                           epoch_us(fwd_ts) - epoch_us(ts)) END AS gap_us
+    FROM carried WHERE side = 1
+    """,
+)
+def events_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join — the ``direction='nearest'`` variant of
+    ``events_asof_last_click`` (pd.merge_asof's third mode, which the
+    backward-only carry cannot express): for each purchase, the closest
+    click by the same user in EITHER direction, ties to the backward side
+    (attribution convention).  Two carries over ONE user-partitioned sort
+    — ``last(ignorenulls)`` forward-fills the latest click at-or-before,
+    ``first(ignorenulls)`` over the mirrored frame back-fills the earliest
+    click after — then an integer-microsecond comparison picks the side.
+    A click at the exact purchase timestamp sorts before the purchase
+    (side 0 first) and wins through the backward leg at gap 0.
+
+    Scale: identical budget to the backward as-of — one shuffle on
+    user_id, two window passes over the same sort (Spark executes both in
+    ONE Window physical node since frames share the ordering), no range
+    explosion, hot users bounded by their own event counts."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .distinct()
+        .select(
+            F.lit(None).cast("bigint").alias("event_id"), "user_id", "ts", F.lit(0).alias("side")
+        )
+    )
+    unioned = purchases.unionByName(clicks).withColumn(
+        "click_ts", F.when(F.col("side") == 0, F.col("ts"))
+    )
+    order = [F.col("ts"), F.col("side"), F.col("event_id")]
+    w_back = (
+        W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        W.partitionBy("user_id").orderBy(*order).rowsBetween(0, W.unboundedFollowing)
+    )
+    carried = (
+        unioned.withColumn("back_ts", F.last("click_ts", ignorenulls=True).over(w_back))
+        .withColumn("fwd_ts", F.first("click_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("side") == 1)
+    )
+    back_gap = F.unix_micros("ts") - F.unix_micros("back_ts")
+    fwd_gap = F.unix_micros("fwd_ts") - F.unix_micros("ts")
+    both_null = F.col("back_ts").isNull() & F.col("fwd_ts").isNull()
+    pick_back = F.col("fwd_ts").isNull() | (
+        F.col("back_ts").isNotNull() & (back_gap <= fwd_gap)
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(both_null, F.lit(None).cast("timestamp"))
+        .when(pick_back, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+        .alias("nearest_click_ts"),
+        F.when(both_null, F.lit(None).cast("string"))
+        .when(pick_back, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(pick_back, back_gap)
+        .otherwise(fwd_gap)
+        .alias("gap_us"),
+    )

@@ -357,6 +357,11 @@ HEADLINE = [
     "pack_shelf_bins",
     "dq_chisquare_drift",
     "labels_majority_vote",
+    # round-13 wave 3: rater-quality join, exact-KS cumsum over the cents
+    # histogram, and the two-carry nearest as-of
+    "labels_annotator_agreement",
+    "dq_ks_drift",
+    "events_asof_nearest",
 ]
 
 

@@ -93,6 +93,10 @@ _HAZARD_CLASS = [
     # stages + the recall ratio; the double-squared chi-square terms
     "sim_two_stage_rerank",
     "dq_chisquare_drift",
+    # round-13 wave 3 float-bearers: the KS statistic + threshold (sqrt),
+    # the agreement-rate ratio
+    "dq_ks_drift",
+    "labels_annotator_agreement",
 ]
 
 _NAMES = (

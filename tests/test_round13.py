@@ -375,3 +375,112 @@ def test_majority_vote_tiebreak_and_ballot(spark):
     )
     tally = {r["label"]: r["count"] for r in votes}
     assert tally == {"view": 2, "click": 2}  # 2-2 → 'click' < 'view' wins
+
+
+# --------------------------------------------------------------------------- #
+# wave 3: nearest as-of — crafted directions, ties, and missing sides          #
+# --------------------------------------------------------------------------- #
+def test_events_asof_nearest_crafted(spark):
+    import datetime
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # purchase at :10 — click :07 (gap 3) vs click :12 (gap 2) → fwd
+        (1, t(7), 100, "click", 1.0, None),
+        (2, t(12), 100, "click", 1.0, None),
+        (3, t(10), 100, "purchase", 1.0, None),
+        # purchase at :20 — clicks :18 and :22 (both gap 2) → tie → back
+        (4, t(18), 200, "click", 1.0, None),
+        (5, t(22), 200, "click", 1.0, None),
+        (6, t(20), 200, "purchase", 1.0, None),
+        # purchase with clicks only AFTER → fwd (backward-only would NULL)
+        (7, t(30), 300, "purchase", 1.0, None),
+        (8, t(31), 300, "click", 1.0, None),
+        # purchase with no clicks at all → NULLs
+        (9, t(40), 400, "purchase", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import airflow_cms_inpatient_etl_spark.sources.registry as reg
+
+    # drive the registry fn on the planted frame by monkeypatching the scan
+    orig = reg.load_table
+    try:
+        reg.load_table = lambda spark_, sf_dir, name: ev
+        import airflow_cms_inpatient_etl_spark.queries.timeseries as ts_mod
+
+        orig_ts = ts_mod.load_table
+        ts_mod.load_table = lambda spark_, sf_dir, name: ev
+        try:
+            out = {r["event_id"]: r for r in QUERY_REGISTRY["events_asof_nearest"].fn(spark, SF_SMOKE).collect()}
+        finally:
+            ts_mod.load_table = orig_ts
+    finally:
+        reg.load_table = orig
+    assert out[3]["direction"] == "fwd" and out[3]["gap_us"] == 2_000_000
+    assert out[6]["direction"] == "back" and out[6]["gap_us"] == 2_000_000
+    assert out[7]["direction"] == "fwd" and out[7]["gap_us"] == 1_000_000
+    assert out[9]["direction"] is None and out[9]["nearest_click_ts"] is None
+
+
+# --------------------------------------------------------------------------- #
+# wave 3: KS drift — identity gives zero, a planted shift flags                #
+# --------------------------------------------------------------------------- #
+def test_ks_identity_is_zero_and_shift_flags(spark):
+    from pyspark.sql import Window as W2
+
+    def ks_of(df):
+        hist = df.groupBy("cents").agg(
+            F.sum("is_ref").cast("long").alias("ca"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("cb"),
+        )
+        w = W2.orderBy("cents").rowsBetween(W2.unboundedPreceding, 0)
+        cum = hist.select(
+            "cents",
+            F.sum("ca").over(w).alias("cum_a"),
+            F.sum("cb").over(w).alias("cum_b"),
+        )
+        r = cum.agg(
+            F.max("cum_a").alias("na"), F.max("cum_b").alias("nb")
+        ).collect()[0]
+        d = cum.select(
+            F.abs(F.col("cum_a") * r["nb"] - F.col("cum_b") * r["na"]).alias("d")
+        ).agg(F.max("d")).collect()[0][0]
+        return d, r["na"], r["nb"]
+
+    # identical cohorts: every value appears once on each side → D == 0
+    ident = spark.range(0, 500).selectExpr("id AS cents", "1 AS is_ref").unionAll(
+        spark.range(0, 500).selectExpr("id AS cents", "0 AS is_ref")
+    )
+    d0, na, nb = ks_of(ident)
+    assert d0 == 0
+    # disjoint shift: cohort b entirely above cohort a → D == na*nb (KS = 1)
+    shift = spark.range(0, 500).selectExpr("id AS cents", "1 AS is_ref").unionAll(
+        spark.range(1000, 1500).selectExpr("id AS cents", "0 AS is_ref")
+    )
+    d1, na1, nb1 = ks_of(shift)
+    assert d1 == na1 * nb1
+
+
+def test_dq_ks_drift_registry_sane(spark):
+    r = QUERY_REGISTRY["dq_ks_drift"].fn(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r["ks_stat"] <= 1.0
+    assert r["ks_num"] == round(r["ks_stat"] * r["n_a"] * r["n_b"])
+
+
+# --------------------------------------------------------------------------- #
+# wave 3: annotator agreement — shares the election's ballots                  #
+# --------------------------------------------------------------------------- #
+def test_annotator_agreement_consistent_with_election(spark):
+    agg = QUERY_REGISTRY["labels_annotator_agreement"].fn(spark, SF_SMOKE).collect()
+    assert len(agg) > 0
+    for r in agg:
+        assert 0 <= r["n_agree"] <= r["n_items"]
+        assert r["agreement_rate"] == r["n_agree"] / r["n_items"]
+        assert r["below_coin_flip"] == (r["n_agree"] * 2 < r["n_items"])
+    # total agreements across annotators == total majority_count across items
+    maj = QUERY_REGISTRY["labels_majority_vote"].fn(spark, SF_SMOKE).collect()
+    assert sum(r["n_agree"] for r in agg) == sum(r["majority_count"] for r in maj)
