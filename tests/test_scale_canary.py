@@ -1020,3 +1020,110 @@ def test_winnowing_hot_fingerprint_candidates_bounded(spark):
     assert cand > 0  # the 8-doc legitimate group survives
     assert cand <= n_fp * _WIN_MAX_DF * _WIN_MAX_DF
     assert cand < 10_000  # absolute: the boilerplate quadratic would be ~7e5
+
+
+@pytest.mark.slow
+def test_round13_queries_scale_invariants_at_sf1(spark, sf1_dir):
+    """Round-13 additions under 10× fact growth — each query has an EXACT
+    scaling law on this fixture, so drift is an equality failure, not a
+    threshold judgment call:
+
+    * theta sketches: o_custkey is UNCHANGED under orderkey-shifted
+      replication, so the distinct sets — and therefore the ENTIRE sketch
+      output — are identical at 10×;
+    * KS: both cohorts replicate 10× ⇒ every EDF step scales by 10 on both
+      axes ⇒ the statistic is bit-identical (scale-invariance of KS);
+    * chi-square: counts ×10 with the distribution fixed ⇒ each term is
+      10× (to float round-off);
+    * packers: letter translation never touches whitespace ⇒ token mass is
+      exactly 10×;
+    * ballots: event_id shifts by multiples of 200 ⇒ the item universe is
+      unchanged (200 items), annotators ×10.
+    """
+    base = {
+        name: QUERY_REGISTRY[name].fn(spark, SF_SRC)
+        for name in [
+            "sketch_theta_set_ops",
+            "pack_concat_chunks",
+            "pack_shelf_bins",
+            "dedup_bloom_gate",
+            "recsys_als_step",
+            "labels_majority_vote",
+            "labels_annotator_agreement",
+            "dq_ks_drift",
+            "dq_chisquare_drift",
+            "events_asof_nearest",
+        ]
+    }
+    try:
+        # --- theta: output identical (the distinct custkey sets don't move)
+        b = sorted(map(tuple, base["sketch_theta_set_ops"].collect()))
+        s = sorted(
+            map(tuple, QUERY_REGISTRY["sketch_theta_set_ops"].fn(spark, sf1_dir).collect())
+        )
+        assert s == b
+
+        # --- KS: statistic scale-invariant, counts ×10
+        kb = base["dq_ks_drift"].collect()[0]
+        ks = QUERY_REGISTRY["dq_ks_drift"].fn(spark, sf1_dir).collect()[0]
+        assert ks["n_a"] == 10 * kb["n_a"] and ks["n_b"] == 10 * kb["n_b"]
+        assert ks["ks_stat"] == kb["ks_stat"]
+        assert ks["ks_at_cents"] == kb["ks_at_cents"]
+
+        # --- chi-square: per-bucket term ×10 (float round-off only)
+        cb = {r["bucket"]: r for r in base["dq_chisquare_drift"].collect()}
+        cs = {r["bucket"]: r for r in QUERY_REGISTRY["dq_chisquare_drift"].fn(spark, sf1_dir).collect()}
+        assert cs.keys() == cb.keys()
+        for k in cb:
+            assert cs[k]["n_ref"] == 10 * cb[k]["n_ref"]
+            assert cs[k]["n_cur"] == 10 * cb[k]["n_cur"]
+            if cb[k]["chi2_term"] is not None:
+                assert abs(cs[k]["chi2_term"] - 10 * cb[k]["chi2_term"]) <= 1e-9 * max(
+                    1.0, abs(10 * cb[k]["chi2_term"])
+                )
+
+        # --- packers: token mass exactly ×10; shelf doc mass ×10
+        pc_b = base["pack_concat_chunks"].agg(F.sum("n_tokens")).collect()[0][0]
+        pc_s = (
+            QUERY_REGISTRY["pack_concat_chunks"].fn(spark, sf1_dir)
+            .agg(F.sum("n_tokens")).collect()[0][0]
+        )
+        assert pc_s == 10 * pc_b
+        sh_b = base["pack_shelf_bins"].agg(F.sum("n_docs"), F.sum("n_tokens")).collect()[0]
+        sh_s = (
+            QUERY_REGISTRY["pack_shelf_bins"].fn(spark, sf1_dir)
+            .agg(F.sum("n_docs"), F.sum("n_tokens")).collect()[0]
+        )
+        assert sh_s[0] == 10 * sh_b[0] and sh_s[1] == 10 * sh_b[1]
+
+        # --- bloom gate: delta ×10 (doc_id % 5 preserved by the 1e6 shift),
+        # contract booleans hold at the 10× key load (the theory-scaled FP
+        # bound moves WITH the filter's occupancy — honest, not vacuous-proof)
+        gb = base["dedup_bloom_gate"].collect()[0]
+        gs = QUERY_REGISTRY["dedup_bloom_gate"].fn(spark, sf1_dir).collect()[0]
+        assert gs["n_delta"] == 10 * gb["n_delta"]
+        assert gs["no_false_negatives"] is True and gs["fp_rate_bounded"] is True
+
+        # --- ALS: shifted user ids ⇒ user rows ×10
+        assert (
+            QUERY_REGISTRY["recsys_als_step"].fn(spark, sf1_dir).count()
+            == 10 * base["recsys_als_step"].count()
+        )
+
+        # --- ballots: item universe unchanged, raters ×10
+        assert QUERY_REGISTRY["labels_majority_vote"].fn(spark, sf1_dir).count() == base[
+            "labels_majority_vote"
+        ].count()
+        assert (
+            QUERY_REGISTRY["labels_annotator_agreement"].fn(spark, sf1_dir).count()
+            == 10 * base["labels_annotator_agreement"].count()
+        )
+
+        # --- nearest as-of: independent replica users ⇒ purchases ×10
+        assert (
+            QUERY_REGISTRY["events_asof_nearest"].fn(spark, sf1_dir).count()
+            == 10 * base["events_asof_nearest"].count()
+        )
+    finally:
+        release_snapshots(spark)
+        spark.catalog.clearCache()
