@@ -55,13 +55,13 @@ _PRIORITY = [
     # since-last-check > stalest-green.  Round 12 closed 50/50 green; the     #
     # cross-round union has NO never-checked rows and its staleness           #
     # histogram is 33 r7 / 48 r8 / 45 r9 / 44 r10 / 46 r11 / 50 r12.  This   #
-    # rotation seats (a) the 12 round-13 additions (three waves), (b) the 2  #
+    # rotation seats (a) the 13 round-13 additions (four waves), (b) the 2   #
     # rows whose code changed closing round-12 ADVICE (rag packed-key helper #
     # with the added idx>=0 guard; qdigest explicit radix), (c) the TWICE-   #
     # deferred round-11 code-changed pair — seated FIRST among carried rows  #
     # per the round-12 verdict ("hold the builder to it"), and (d) ALL 33    #
-    # r7-stale rows (retiring the r7 cohort) + the first r8-stale row.       #
-    # After round 13: oldest cohort is r8 (47 rows), queued below.           #
+    # r7-stale rows (retiring the r7 cohort).  After round 13: oldest        #
+    # cohort is r8 (48 rows), queued below.                                  #
     # ======================================================================= #
     # -- a. new this round ---------------------------------------------------#
     "sketch_theta_set_ops",
@@ -80,6 +80,8 @@ _PRIORITY = [
     "labels_annotator_agreement",
     "dq_ks_drift",
     "events_asof_nearest",
+    # -- a4. fourth wave (takes the final r8 seat) ---------------------------- #
+    "events_attribution_multitouch",
     # -- b. code changed in round 13 (ADVICE closures) ----------------------- #
     "rag_chunk_sliding",
     "sketch_qdigest_quantiles",
@@ -121,13 +123,11 @@ _PRIORITY = [
     "streaming_stream_stream_join_live",
     "streaming_tumbling_live",
     "text_readability_scores",
-    # -- e. first row of the r8 cohort (alphabetical; the remaining 47 r8     #
-    # rows lead the round-14 queue below) ------------------------------------ #
-    "agg_argmax_argmin",
     # ----------------------- window boundary (50) -------------------------- #
-    # (12 new + 2 ADVICE-changed + 2 twice-deferred + 33 r7 + 1 r8 = 50.)     #
-    # ROUND-14 QUEUE: the remaining 47 r8-stale rows, then everything else   #
-    # in registration order.                                                  #
+    # (13 new + 2 ADVICE-changed + 2 twice-deferred + 33 r7 = 50.)            #
+    # ROUND-14 QUEUE: the full r8 cohort (48 rows), then everything else in   #
+    # registration order.                                                     #
+    "agg_argmax_argmin",
     "agg_collect_sorted",
     "agg_exact_correlation",
     "agg_exact_moments",

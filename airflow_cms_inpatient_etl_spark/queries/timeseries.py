@@ -907,3 +907,90 @@ def events_asof_nearest(spark, sf_dir):
         .otherwise(fwd_gap)
         .alias("gap_us"),
     )
+
+
+@register(
+    "events_attribution_multitouch",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+        SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.c_ts
+        FROM purchases p JOIN clicks c USING (user_id)
+        WHERE c.c_ts <= p.p_ts
+          AND c.c_ts > p.p_ts - INTERVAL '7 days'
+    ),
+    ranked AS (
+        SELECT purchase_id, user_id, click_id,
+               ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                  ORDER BY c_ts, click_id) AS pos,
+               CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touch
+        FROM pairs
+    )
+    SELECT purchase_id, user_id, click_id, CAST(pos AS BIGINT) AS pos, n_touch,
+           CASE WHEN n_touch = 1 THEN 1.0
+                WHEN n_touch = 2 THEN 0.5
+                WHEN pos = 1 OR pos = n_touch THEN 0.4
+                ELSE 0.2 / CAST(n_touch - 2 AS DOUBLE) END AS credit
+    FROM ranked
+    """,
+)
+def events_attribution_multitouch(spark, sf_dir):
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution — the
+    family's completion next to first-touch (``events_asof_last_click``
+    inverted), last-touch, and nearest: every click inside a purchase's
+    7-day lookback gets credit — 40 % to the first touch, 40 % to the
+    last, the middle 20 % split evenly (degenerate paths: a single touch
+    takes 1.0, a pair splits 0.5/0.5).
+
+    Per-(purchase, click) credit ROWS deliberately — summing a click's
+    credit across purchases would be a float sum with nondeterministic
+    order; the caller's rollup is one further aggregation, and every
+    emitted credit is a single IEEE literal or division (engine-exact).
+
+    Scale: the pair join is user-keyed equi (ONE shuffle each side) with
+    the 7-day predicate applied inside the join — pair volume is bounded
+    per user by activity x window, the attribution regime's natural
+    bound (for adversarially hot users the (user, time-bucket) cogroup
+    split of ``merge_asof_grouped`` applies unchanged); ranking windows
+    partition by purchase_id — never wider than one lookback's clicks."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    pairs = purchases.join(clicks, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    w_pos = W.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    w_all = W.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_touch"),
+    )
+    credit = (
+        F.when(F.col("n_touch") == 1, F.lit(1.0))
+        .when(F.col("n_touch") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n_touch")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_touch") - 2).cast("double"))
+    )
+    return ranked.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.col("pos").cast("long").alias("pos"),
+        "n_touch",
+        credit.alias("credit"),
+    )

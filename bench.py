@@ -362,6 +362,9 @@ HEADLINE = [
     "labels_annotator_agreement",
     "dq_ks_drift",
     "events_asof_nearest",
+    # round-13 wave 4: the user-keyed attribution pair join + per-purchase
+    # ranking windows (pair volume = activity x lookback)
+    "events_attribution_multitouch",
 ]
 
 

@@ -97,6 +97,8 @@ _HAZARD_CLASS = [
     # the agreement-rate ratio
     "dq_ks_drift",
     "labels_annotator_agreement",
+    # the middle-credit double division (0.2/(n-2))
+    "events_attribution_multitouch",
 ]
 
 _NAMES = (

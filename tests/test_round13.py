@@ -484,3 +484,30 @@ def test_annotator_agreement_consistent_with_election(spark):
     # total agreements across annotators == total majority_count across items
     maj = QUERY_REGISTRY["labels_majority_vote"].fn(spark, SF_SMOKE).collect()
     assert sum(r["n_agree"] for r in agg) == sum(r["majority_count"] for r in maj)
+
+
+# --------------------------------------------------------------------------- #
+# wave 4: multi-touch attribution — credit conservation and position rules     #
+# --------------------------------------------------------------------------- #
+def test_attribution_multitouch_credit_conserves(spark):
+    rows = QUERY_REGISTRY["events_attribution_multitouch"].fn(spark, SF_SMOKE).collect()
+    assert rows, "no attribution pairs on the fixture"
+    per_p: dict[int, list] = {}
+    for r in rows:
+        per_p.setdefault(r["purchase_id"], []).append(r)
+    for pid, rs in per_p.items():
+        n = rs[0]["n_touch"]
+        assert len(rs) == n
+        assert sorted(r["pos"] for r in rs) == list(range(1, n + 1))
+        # exact credit schedule, and conservation to float round-off
+        total = sum(r["credit"] for r in rs)
+        assert abs(total - 1.0) < 1e-9, (pid, total)
+        for r in rs:
+            if n == 1:
+                assert r["credit"] == 1.0
+            elif n == 2:
+                assert r["credit"] == 0.5
+            elif r["pos"] in (1, n):
+                assert r["credit"] == 0.4
+            else:
+                assert r["credit"] == 0.2 / (n - 2)
