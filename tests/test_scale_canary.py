@@ -1124,6 +1124,14 @@ def test_round13_queries_scale_invariants_at_sf1(spark, sf1_dir):
             QUERY_REGISTRY["events_asof_nearest"].fn(spark, sf1_dir).count()
             == 10 * base["events_asof_nearest"].count()
         )
+
+        # --- multi-touch attribution: replica users are independent, so the
+        # user-keyed pair join scales exactly linearly (shared users would
+        # square it — the canary exists to catch that regression)
+        assert (
+            QUERY_REGISTRY["events_attribution_multitouch"].fn(spark, sf1_dir).count()
+            == 10 * QUERY_REGISTRY["events_attribution_multitouch"].fn(spark, SF_SRC).count()
+        )
     finally:
         release_snapshots(spark)
         spark.catalog.clearCache()
