@@ -1044,8 +1044,12 @@ def sim_two_stage_rerank(spark, sf_dir):
         ivf_topk,
     )
 
+    from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
+
     e = load_table(spark, sf_dir, "embeddings")
-    e = _registry_snapshot_local(e)
+    # snapshot once: assignment, shortlist sizing, rerank and the brute
+    # ground-truth leg all read the same scan
+    e = snapshot(e)
     queries = e.filter(e.vec_id < 8)
     centroids = e.filter((e.vec_id >= 100) & (e.vec_id <= 107))
 
@@ -1087,10 +1091,3 @@ def sim_two_stage_rerank(spark, sf_dir):
         )
     )
 
-
-def _registry_snapshot_local(df):
-    """Snapshot the embeddings scan once — assignment, shortlist sizing,
-    rerank and the brute ground-truth leg all read it."""
-    from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
-
-    return snapshot(df)
