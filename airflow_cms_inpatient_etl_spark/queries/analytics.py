@@ -3825,8 +3825,21 @@ def dq_chisquare_drift(spark, sf_dir):
         F.sum("n_ref").cast("long").alias("tot_ref"),
         F.sum("n_cur").cast("long").alias("tot_cur"),
     )
-    d = (F.col("n_cur") * F.col("tot_ref") - F.col("tot_cur") * F.col("n_ref")).cast(
-        "double"
+    # loud headroom guard (the winnowing packing doctrine): the difference
+    # must cast to double EXACTLY for the squared term to be engine-identical,
+    # so |n_cur*tot_ref - tot_cur*n_ref| must stay below 2^53 — true through
+    # sf0.1 with ~100x margin; past it, raise instead of silently rounding
+    d_long = F.col("n_cur") * F.col("tot_ref") - F.col("tot_cur") * F.col("n_ref")
+    d = F.when(
+        F.abs(d_long) < F.lit(1 << 53), d_long.cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("dq_chisquare_drift: |n_cur*tot_ref - tot_cur*n_ref| >= 2^53 "
+                      "(exact-double headroom exceeded; use the decimal path): "),
+                d_long.cast("string"),
+            )
+        )
     )
     term = d * d / (F.col("tot_cur") * F.col("n_ref")).cast("double") / F.col(
         "tot_ref"
@@ -4093,7 +4106,25 @@ def dq_ks_drift(spark, sf_dir):
         F.sum("cb").over(w).cast("long").alias("cum_b"),
     )
     cum = snapshot(cum)  # totals, the max gap, and its arg-value all read it
-    tot = cum.agg(F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b"))
+    # loud headroom guard: the scaled EDF gaps multiply cohort sizes, so
+    # cum*n must stay inside int64 — enforced as n_a, n_b < 2^31 (true by
+    # ~5 orders at sf0.1); past it, raise instead of silently wrapping
+    tot = cum.agg(
+        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+    ).select(
+        F.when(
+            (F.col("n_a") < F.lit(1 << 31)) & (F.col("n_b") < F.lit(1 << 31)),
+            F.col("n_a"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("dq_ks_drift: cohort size >= 2^31 — int64 headroom for "
+                      "cum*n exceeded; shard the EDF product first")
+            )
+        )
+        .alias("n_a"),
+        "n_b",
+    )
     d = cum.crossJoin(F.broadcast(tot)).select(
         "cents",
         "n_a",
