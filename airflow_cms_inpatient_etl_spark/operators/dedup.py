@@ -454,17 +454,16 @@ SPAN_ANCHOR_K = 5   # anchor gram width (tokens)
 SPAN_MIN_LEN = 12   # merged runs shorter than this many tokens are kept
 
 
-def span_dup_starts(tokenized: DataFrame, id_col: str, k: int) -> DataFrame:
-    """Duplicated anchor starts for ``cross_doc_span_dedup``: (id, __i) rows
-    where the k-token gram starting at 1-based position __i occurs in ≥ 2
-    DISTINCT documents.  Exposed separately so the scale canary can bound
-    the CANDIDATE volume directly (it must grow linearly with the corpus,
-    never quadratically — the census counts distinct docs, it never
-    enumerates occurrence pairs).
+def gram_starts(tokenized: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, __i, __h) anchor-gram rows: the 60-bit hash of the k-token gram
+    starting at 1-based position __i.  Map-side HOFs over the materialized
+    token array — the shared front of the cross-doc census
+    (``span_dup_starts``) and the eval-set excision
+    (``span_excision_against``), so both passes hash identical grams.
 
     ``tokenized`` must be (id_col, __w: array<string>) — the caller owns
-    tokenization so the canary measures exactly what the operator consumes.
-    """
+    tokenization so the scale canary measures exactly what the operator
+    consumes."""
     n = F.size("__w")
     # one transform derives the gram hash per start (hash once per element —
     # independent lambdas defeat Catalyst CSE, see operators/text)
@@ -475,9 +474,19 @@ def span_dup_starts(tokenized: DataFrame, id_col: str, k: int) -> DataFrame:
             lambda i: hash60(F.concat_ws(" ", F.slice(F.col("__w"), i, k))),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    grams = tokenized.select(
+    return tokenized.select(
         F.col(id_col), F.posexplode(gh).alias("__i0", "__h")
     ).select(F.col(id_col), (F.col("__i0") + 1).cast("long").alias("__i"), "__h")
+
+
+def span_dup_starts(tokenized: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Duplicated anchor starts for ``cross_doc_span_dedup``: (id, __i) rows
+    where the k-token gram starting at 1-based position __i occurs in ≥ 2
+    DISTINCT documents.  Exposed separately so the scale canary can bound
+    the CANDIDATE volume directly (it must grow linearly with the corpus,
+    never quadratically — the census counts distinct docs, it never
+    enumerates occurrence pairs)."""
+    grams = gram_starts(tokenized, id_col, k)
     dup = (
         grams.groupBy("__h")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -485,6 +494,97 @@ def span_dup_starts(tokenized: DataFrame, id_col: str, k: int) -> DataFrame:
         .select("__h")
     )
     return grams.join(dup, "__h").select(F.col(id_col), "__i")
+
+
+def excise_runs(
+    tokenized: DataFrame,
+    dstarts: DataFrame,
+    id_col: str,
+    k: int,
+    min_len: int,
+    text_out: str = "dedup_text",
+) -> DataFrame:
+    """Shared excision tail: merge flagged anchor starts into maximal runs
+    (gaps-and-islands — a start at i covers [i, i+k-1]; runs merge while
+    contiguous), drop merged runs of >= ``min_len`` tokens from every
+    carrier, and reassemble each document from its surviving tokens.
+    Returns (id, n_tokens, n_spans_removed, n_tokens_removed, <text_out>).
+    Used by ``cross_doc_span_dedup`` (census-flagged starts) and
+    ``span_excision_against`` (eval-membership-flagged starts)."""
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy(id_col).orderBy("__i")
+    isl = dstarts.withColumn(
+        "__new",
+        F.when(F.lag("__i").over(w_doc).isNull(), 1)
+        .when(F.col("__i") > F.lag("__i").over(w_doc) + k, 1)
+        .otherwise(0),
+    ).withColumn("__island", F.sum("__new").over(w_doc))
+    spans = (
+        isl.groupBy(id_col, "__island")
+        .agg(F.min("__i").alias("s"), (F.max("__i") + k - 1).alias("e"))
+        .filter(F.col("e") - F.col("s") + 1 >= min_len)
+    )
+    spanlist = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("__spans"),
+        F.count(F.lit(1)).cast("long").alias("n_spans_removed"),
+    )
+    joined = tokenized.join(spanlist, id_col, "left").select(
+        F.col(id_col),
+        F.col("__w"),
+        F.coalesce(
+            F.col("__spans"), F.array().cast("array<struct<s:long,e:long>>")
+        ).alias("__spans"),
+        F.coalesce(F.col("n_spans_removed"), F.lit(0).cast("long")).alias(
+            "n_spans_removed"
+        ),
+    )
+    kept = F.expr(
+        "filter(__w, (t, idx) -> NOT exists(__spans, sp -> idx + 1 BETWEEN sp.s AND sp.e))"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_tokens"),
+        "n_spans_removed",
+        (F.size("__w") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        F.array_join(kept, " ").alias(text_out),
+    )
+
+
+def span_excision_against(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_ANCHOR_K,
+    min_len: int = SPAN_MIN_LEN,
+) -> DataFrame:
+    """GPT-3-style decontamination by EXCISION (Brown et al. 2020 App. C):
+    any >= ``min_len``-token run of a TRAIN document whose every k-token
+    anchor gram also occurs in the EVAL set is cut out, and the train
+    document is reassembled around the holes — the surgical counterpart
+    of ``decontaminate_ngram_overlap``'s document-level flagging (there a
+    single collision taints the whole doc; here only the verbatim overlap
+    mass is removed, preserving the rest of the document's tokens).
+
+    Same conservative relaxation as ``cross_doc_span_dedup``: consecutive
+    anchors may be witnessed by DIFFERENT eval documents, so the excised
+    run may interleave eval sources — over-removal only, which for
+    decontamination is exactly the safe direction.
+
+    Scale: the eval gram-hash set is |eval|-sized (eval sets are tiny
+    relative to a 100-TB corpus) — the semi-join broadcasts it; train
+    grams are hashed map-side; islands partition by train doc; the one
+    corpus-linear exchange is the doc-keyed rebuild, the family floor."""
+    t_train = train.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    t_eval = eval_df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    eval_grams = gram_starts(t_eval, id_col, k).select("__h").distinct()
+    starts = (
+        gram_starts(t_train, id_col, k)
+        .join(eval_grams, "__h", "left_semi")
+        .select(F.col(id_col), "__i")
+    )
+    return excise_runs(t_train, starts, id_col, k, min_len, text_out="decontam_text")
 
 
 def cross_doc_span_dedup(
@@ -536,50 +636,13 @@ def cross_doc_span_dedup(
     fixture) — a guarded no-op on an already-parallel production scan
     (``sources.registry.spread_scan``).
     """
-    from pyspark.sql import Window
-
     from airflow_cms_inpatient_etl_spark.sources.registry import spread_scan
 
     t = spread_scan(
         df.select(F.col(id_col), words(F.col(text_col)).alias("__w")), id_col
     )
     dstarts = span_dup_starts(t, id_col, k)
-    w_doc = Window.partitionBy(id_col).orderBy("__i")
-    isl = dstarts.withColumn(
-        "__new",
-        F.when(F.lag("__i").over(w_doc).isNull(), 1)
-        .when(F.col("__i") > F.lag("__i").over(w_doc) + k, 1)
-        .otherwise(0),
-    ).withColumn("__island", F.sum("__new").over(w_doc))
-    spans = (
-        isl.groupBy(id_col, "__island")
-        .agg(F.min("__i").alias("s"), (F.max("__i") + k - 1).alias("e"))
-        .filter(F.col("e") - F.col("s") + 1 >= min_len)
-    )
-    spanlist = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("s", "e")).alias("__spans"),
-        F.count(F.lit(1)).cast("long").alias("n_spans_removed"),
-    )
-    joined = t.join(spanlist, id_col, "left").select(
-        F.col(id_col),
-        F.col("__w"),
-        F.coalesce(
-            F.col("__spans"), F.array().cast("array<struct<s:long,e:long>>")
-        ).alias("__spans"),
-        F.coalesce(F.col("n_spans_removed"), F.lit(0).cast("long")).alias(
-            "n_spans_removed"
-        ),
-    )
-    kept = F.expr(
-        "filter(__w, (t, idx) -> NOT exists(__spans, sp -> idx + 1 BETWEEN sp.s AND sp.e))"
-    )
-    return joined.select(
-        F.col(id_col),
-        F.size("__w").cast("long").alias("n_tokens"),
-        "n_spans_removed",
-        (F.size("__w") - F.size(kept)).cast("long").alias("n_tokens_removed"),
-        F.array_join(kept, " ").alias("dedup_text"),
-    )
+    return excise_runs(t, dstarts, id_col, k, min_len)
 
 
 def cluster_aware_split(

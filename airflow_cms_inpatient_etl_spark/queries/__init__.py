@@ -55,13 +55,13 @@ _PRIORITY = [
     # since-last-check > stalest-green.  Round 12 closed 50/50 green; the     #
     # cross-round union has NO never-checked rows and its staleness           #
     # histogram is 33 r7 / 48 r8 / 45 r9 / 44 r10 / 46 r11 / 50 r12.  This   #
-    # rotation seats (a) the 13 round-13 additions (four waves), (b) the 2   #
+    # rotation seats (a) the 14 round-13 additions (five waves), (b) the 2   #
     # rows whose code changed closing round-12 ADVICE (rag packed-key helper #
     # with the added idx>=0 guard; qdigest explicit radix), (c) the TWICE-   #
     # deferred round-11 code-changed pair — seated FIRST among carried rows  #
     # per the round-12 verdict ("hold the builder to it"), and (d) ALL 33    #
-    # r7-stale rows (retiring the r7 cohort).  After round 13: oldest        #
-    # cohort is r8 (48 rows), queued below.                                  #
+    # r7-stale rows minus the one displaced by wave 5.  After round 13:      #
+    # oldest cohort is r7 (1 row, queue head), then r8 (48 rows).            #
     # ======================================================================= #
     # -- a. new this round ---------------------------------------------------#
     "sketch_theta_set_ops",
@@ -82,6 +82,9 @@ _PRIORITY = [
     "events_asof_nearest",
     # -- a4. fourth wave (takes the final r8 seat) ---------------------------- #
     "events_attribution_multitouch",
+    # -- a5. fifth wave (never-checked > stalest-green: displaces ONE r7 row,  #
+    # text_readability_scores, to the round-14 queue head) ------------------- #
+    "decontaminate_span_excision",
     # -- b. code changed in round 13 (ADVICE closures) ----------------------- #
     "rag_chunk_sliding",
     "sketch_qdigest_quantiles",
@@ -122,11 +125,11 @@ _PRIORITY = [
     "streaming_stateful_profile_live",
     "streaming_stream_stream_join_live",
     "streaming_tumbling_live",
-    "text_readability_scores",
     # ----------------------- window boundary (50) -------------------------- #
-    # (13 new + 2 ADVICE-changed + 2 twice-deferred + 33 r7 = 50.)            #
-    # ROUND-14 QUEUE: the full r8 cohort (48 rows), then everything else in   #
-    # registration order.                                                     #
+    # (14 new + 2 ADVICE-changed + 2 twice-deferred + 32 r7 = 50.)            #
+    # ROUND-14 QUEUE: the displaced r7 row, then the full r8 cohort (48),     #
+    # then everything else in registration order.                             #
+    "text_readability_scores",
     "agg_argmax_argmin",
     "agg_collect_sorted",
     "agg_exact_correlation",

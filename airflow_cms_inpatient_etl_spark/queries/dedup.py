@@ -1289,3 +1289,101 @@ def dedup_bloom_gate(spark, sf_dir):
             )
         ).alias("fp_rate_bounded"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# decontaminate_span_excision — GPT-3-style surgical eval decontamination      #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "decontaminate_span_excision",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               CAST('0x' || SUBSTR(MD5(ARRAY_TO_STRING(
+                   LIST_SLICE(w, i, i + {_SPAN_K} - 1), ' ')), 1, 15) AS BIGINT) AS h
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(w) - {_SPAN_K} + 2, 1))) AS t(i)
+    ),
+    eval_grams AS (SELECT DISTINCT h FROM grams WHERE doc_id < 50),
+    dstarts AS (
+        SELECT g.doc_id, g.i FROM grams g JOIN eval_grams USING (h)
+        WHERE g.doc_id >= 50
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN prev_i IS NULL OR i > prev_i + {_SPAN_K}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM (SELECT doc_id, i,
+                     LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+              FROM dstarts)
+    ),
+    spans AS (
+        SELECT doc_id, MIN(i) AS s, MAX(i) + {_SPAN_K} - 1 AS e
+        FROM isl GROUP BY doc_id, island
+        HAVING MAX(i) + {_SPAN_K} - MIN(i) >= {_SPAN_L}
+    ),
+    removed_pos AS (
+        SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+        FROM spans, UNNEST(RANGE(s, e + 1)) AS t(p)
+    ),
+    tokpos AS (
+        SELECT doc_id, CAST(j AS BIGINT) AS j, w[j] AS tok
+        FROM toks, UNNEST(RANGE(1, LEN(w) + 1)) AS t(j)
+        WHERE doc_id >= 50
+    ),
+    rebuilt AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE r.p IS NOT NULL) AS BIGINT)
+                   AS n_tokens_removed,
+               COALESCE(STRING_AGG(t.tok, ' ' ORDER BY t.j)
+                            FILTER (WHERE r.p IS NULL), '') AS decontam_text
+        FROM tokpos t
+        LEFT JOIN removed_pos r ON t.doc_id = r.doc_id AND t.j = r.p
+        GROUP BY t.doc_id
+    ),
+    nsp AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_removed
+        FROM spans GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.n_tokens,
+           COALESCE(n.n_spans_removed, CAST(0 AS BIGINT)) AS n_spans_removed,
+           r.n_tokens_removed, r.decontam_text
+    FROM rebuilt r LEFT JOIN nsp n USING (doc_id)
+    """,
+)
+def decontaminate_span_excision(spark, sf_dir):
+    """GPT-3-style decontamination by EXCISION (Brown et al. 2020 App. C)
+    — the surgical completion of the decontamination pair:
+    ``decontaminate_ngram_overlap`` FLAGS a train document on any eval
+    n-gram collision (doc-level routing); this query CUTS the verbatim
+    overlap runs out and keeps the rest of the document.  Any run of
+    >= {_SPAN_L} train tokens whose every {_SPAN_K}-token anchor also
+    occurs in the held-out eval set (doc_id < 50, the
+    ``decontaminate_ngram_overlap`` split) is removed from the train doc
+    (doc_id >= 50), which is reassembled around the holes
+    (`operators.dedup.span_excision_against` — the eval-membership twin
+    of ``cross_doc_span_dedup``, sharing `gram_starts`/`excise_runs` so
+    the two excision passes cannot drift).
+
+    The oracle recomputes the whole pipeline independently in DuckDB
+    (window islands + position anti-join rebuild vs Spark's lag islands +
+    HOF rebuild) including the reassembled text.  Scale: the eval gram
+    set is |eval|-sized and broadcast (eval ≪ corpus at 100 TB); train
+    grams are map-side; the rebuild is the family's corpus-linear
+    doc-keyed floor."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import span_excision_against
+
+    d = load_table(spark, sf_dir, "documents")
+    return span_excision_against(
+        d.filter(F.col("doc_id") >= 50),
+        d.filter(F.col("doc_id") < 50),
+        k=_SPAN_K,
+        min_len=_SPAN_L,
+    )

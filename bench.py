@@ -365,6 +365,8 @@ HEADLINE = [
     # round-13 wave 4: the user-keyed attribution pair join + per-purchase
     # ranking windows (pair volume = activity x lookback)
     "events_attribution_multitouch",
+    # round-13 wave 5: eval-gram semi-join + islands + doc-keyed rebuild
+    "decontaminate_span_excision",
 ]
 
 

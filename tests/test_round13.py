@@ -511,3 +511,48 @@ def test_attribution_multitouch_credit_conserves(spark):
                 assert r["credit"] == 0.4
             else:
                 assert r["credit"] == 0.2 / (n - 2)
+
+
+# --------------------------------------------------------------------------- #
+# wave 5: eval-span excision — planted contamination cut, clean doc intact     #
+# --------------------------------------------------------------------------- #
+def test_span_excision_planted_contamination(spark):
+    from airflow_cms_inpatient_etl_spark.operators.dedup import span_excision_against
+
+    passage = " ".join(f"ev{i}" for i in range(14))  # 14-token eval passage
+    eval_df = spark.createDataFrame(
+        [(1, "intro words " + passage + " outro words")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # contaminated: carries the passage verbatim mid-document
+            (100, "alpha beta " + passage + " gamma delta"),
+            # clean: no 5-gram overlap with the eval set
+            (101, " ".join(f"tr{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_excision_against(train, eval_df).collect()}
+    # the planted 14-token run exceeds min_len=12 and is excised whole
+    assert out[100]["n_spans_removed"] == 1
+    assert out[100]["n_tokens_removed"] == 14
+    assert "ev0" not in out[100]["decontam_text"]
+    assert out[100]["decontam_text"].startswith("alpha beta")
+    assert out[100]["decontam_text"].endswith("gamma delta")
+    # the clean document is byte-identical
+    assert out[101]["n_tokens_removed"] == 0
+    assert out[101]["decontam_text"] == " ".join(f"tr{i}" for i in range(20))
+
+
+def test_span_excision_short_overlap_survives(spark):
+    """An overlap shorter than min_len (12 tokens) is NOT excised — the
+    GPT-3 rule removes only substantial verbatim runs."""
+    from airflow_cms_inpatient_etl_spark.operators.dedup import span_excision_against
+
+    short = " ".join(f"ev{i}" for i in range(8))  # 8 < 12 tokens
+    eval_df = spark.createDataFrame([(1, short)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(100, "alpha beta " + short + " gamma delta")], "doc_id long, text string"
+    )
+    r = span_excision_against(train, eval_df).collect()[0]
+    assert r["n_spans_removed"] == 0 and r["n_tokens_removed"] == 0
