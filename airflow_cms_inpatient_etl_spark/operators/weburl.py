@@ -19,7 +19,7 @@ design, the point is a dedup KEY, not a fetchable address):
   6. remaining query params sorted bytewise (order-insensitive identity);
   7. trailing /index.html and trailing slashes normalized ('' -> '/').
 
-cf. reference `dags/patient_claims_plus_postgres.py:23-34` (single-URL HTTP
+cf. reference `dags/cms_inpatient_download_unzip.py:22` (single-URL HTTP
 ingest — the canonicalizer is what that stage needs the moment the source is
 a crawl frontier instead of one fixed CMS zip).
 """

@@ -203,7 +203,7 @@ def dedup_url_canonical(spark, sf_dir):
     groupBy on the canonical key — at 100 TB that key is hashed to 8 bytes
     and the groupBy is a near-uniform shuffle (page keys don't skew the way
     content hashes of boilerplate do).  cf. reference
-    `dags/patient_claims_plus_postgres.py:23-34` (fixed-URL ingest)."""
+    `dags/cms_inpatient_download_unzip.py:22` (fixed-URL ingest)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     urls = _fixture_urls(d)
     return (
