@@ -21,6 +21,8 @@ import statistics
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
 from airflow_cms_inpatient_etl_spark.session import get_spark
 from airflow_cms_inpatient_etl_spark.sources.registry import release_snapshots
@@ -370,10 +372,152 @@ HEADLINE = [
 ]
 
 
+# --------------------------------------------------------------------------- #
+# Contention sentinels (round-13 verdict directive #1).                        #
+#                                                                              #
+# Nine gated recordings across rounds 12-13 all auto-stamped contended: the    #
+# box carries external load around the clock (the round-13 judge's own         #
+# isolated probes read 1.44-1.71x the pin), so a whole-recording contended     #
+# stamp discards every per-query number and the calibrated 1.3x screen never   #
+# validly runs.  Fix: interleave THREE fixed sentinel plans — map-bound        #
+# (32-way JVM arithmetic, the parallel probe), serial-bound (1-partition       #
+# arithmetic, the serial probe), and iteration-bound (a canned 4-round         #
+# integer PageRank on a fixed synthetic 500-node graph: 8 shuffle stages, so   #
+# it prices scheduler/stage overhead the arithmetic probes can't see) — every  #
+# SPARK_GRAFT_SENTINEL_EVERY (default 15) query samples.  Each station's       #
+# contention factor = geomean of its three (reading / pin) ratios, clamped     #
+# >= 1 (contention only ever inflates; sub-pin readings are noise).  Every     #
+# query sample is then normalized by the mean factor of its two bracketing     #
+# stations, and the per-query screen runs on NORMALIZED p50s with a            #
+# PER-QUERY contended flag (median bracketing factor > 1.10) instead of one    #
+# global stamp — a loaded box yields a decidable flag list instead of a        #
+# discarded recording.                                                         #
+#                                                                              #
+# Pins: map/serial come from the healthy-probe round-10 recording pinned in    #
+# BENCH_REFERENCE.json.  The iteration sentinel has no healthy-window pin      #
+# (the box has never been quiet since it was added), so SENTINEL_PINS.json     #
+# carries a monotonically-decreasing min-ever-observed value: normalization    #
+# via it removes within-run drift immediately and converges to absolute-load   #
+# removal as quieter windows are ever observed.  The map/serial pins carry     #
+# the absolute component meanwhile.                                            #
+# --------------------------------------------------------------------------- #
+
+_ITER_SENTINEL_NODES = 500
+_ITER_SENTINEL_ROUNDS = 4
+
+
+def _build_iter_sentinel(spark):
+    """Canned 4-round integer PageRank on a fixed synthetic graph — engine-
+    code-independent (pure range + join/groupBy recurrence, same arithmetic
+    family as operators.graph.pagerank_integer but deliberately NOT calling
+    it, so engine changes can never move the sentinel)."""
+    n = _ITER_SENTINEL_NODES
+    ids = spark.range(n)
+    edges = ids.select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 7 + 1) % n).alias("dst"),
+        ((F.col("id") % 5) + 1).alias("w"),
+    ).union(
+        ids.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 13 + 2) % n).alias("dst"),
+            ((F.col("id") % 3) + 1).alias("w"),
+        )
+    )
+    outd = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    e = edges.join(outd, "src")
+    init = 10**12 // n
+    tele = 15 * init // 100
+    ranks = ids.select(F.col("id").alias("node"), F.lit(init).alias("rank"))
+    for _ in range(_ITER_SENTINEL_ROUNDS):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank * w div wsum").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = (
+            ids.select(F.col("id").alias("node"))
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(tele) + F.expr("85 * coalesce(inbound, 0L) div 100")).alias("rank"),
+            )
+        )
+    return ranks.selectExpr("sum(rank) AS s")
+
+
+def _time_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _load_sentinel_pins(repo_dir: str, ref: dict) -> dict:
+    """map/serial pins come from the healthy round-10 recording and are
+    FIXED — the normalization target is the reference recording's
+    environment, so lowering them to best-ever box readings would deflate
+    normalized times relative to the reference query p50s (an optimistic
+    bias).  Only the iter sentinel, which has no reference-environment
+    reading, uses the monotonic min-ever value from SENTINEL_PINS.json."""
+    pins = {
+        "map": float(ref.get("probe_parallel_sec") or 0) or None,
+        "serial": float(ref.get("probe_serial_sec") or 0) or None,
+        "iter": None,
+    }
+    try:
+        with open(os.path.join(repo_dir, "SENTINEL_PINS.json")) as f:
+            stored = json.load(f)
+        v = stored.get("iter")
+        if v:
+            pins["iter"] = float(v)
+    except (OSError, ValueError):
+        pass
+    return pins
+
+
+def _save_sentinel_pins(repo_dir: str, pins: dict, stations: list[dict]) -> None:
+    """Lower the iter pin monotonically to the min observed this recording
+    (never raise — contention only inflates, so min-ever is the tightest
+    quiet-box bound available for the one sentinel without a reference-
+    environment pin).  map/serial are recorded for audit but never used as
+    pins (see _load_sentinel_pins)."""
+    observed_iter = min(s["iter"] for s in stations)
+    out = {
+        "iter": round(min(pins["iter"], observed_iter), 4)
+        if pins.get("iter")
+        else round(observed_iter, 4),
+        "observed_min_map": round(min(s["map"] for s in stations), 4),
+        "observed_min_serial": round(min(s["serial"] for s in stations), 4),
+    }
+    try:
+        with open(os.path.join(repo_dir, "SENTINEL_PINS.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout
+
+
+def _station_factor(station: dict, pins: dict) -> float:
+    """Geomean of the sentinel (reading / pin) ratios, clamped >= 1."""
+    ratios = [station[k] / pins[k] for k in ("map", "serial", "iter") if pins.get(k)]
+    if not ratios:
+        return 1.0
+    g = 1.0
+    for r in ratios:
+        g *= r
+    return max(1.0, g ** (1.0 / len(ratios)))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Dev-only knob for quick harness iteration (the driver never sets it):
+    # limit the headline set so a protocol change can be smoke-run in minutes.
+    limit = int(os.environ.get("SPARK_GRAFT_HEADLINE_LIMIT", "0"))
+    if limit:
+        HEADLINE[:] = HEADLINE[:limit]
     spark = get_spark(app_name="engine-bench")
     # The driver records only a 2 KiB stdout tail: Spark WARN/progress noise
     # after the result line has cost a round's per-query numbers before
@@ -494,15 +638,37 @@ def main() -> None:
         "dq_group_checksum_udaf",
         "text_wordcount_udtf",
     }
-    # Per-round machine probes: the initial gate only proves the box was
-    # healthy BEFORE the ~15-minute timed window — rounds 9-11 (and this
-    # round's first recording: start probe 0.061 s, then 32 spurious >1.3x
-    # flags) showed contention ARRIVING mid-run.  Re-probing after every
-    # interleaved round pins drift to the round it happened in, and the
-    # recording is stamped contended if ANY probe (start or per-round)
-    # exceeds the 1.10x pin threshold — no healthy-start recording can pose
-    # as a regression screen after a dirty finish.
-    probe_rounds: list[float] = []
+    # Sentinel stations (directive #1, round 14): interleave the three fixed
+    # sentinel plans every SENTINEL_EVERY samples so every query sample has a
+    # bracketing pair of contention readings; per-sample normalization +
+    # per-query contended flags replace the whole-recording stamp as the
+    # regression screen (the global stamp survives as a summary field).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    pins = _load_sentinel_pins(repo_dir, ref)
+    sentinel_map_df = spark.range(200_000_000).selectExpr("sum(id * 2 + 1) AS s")
+    sentinel_serial_df = spark.range(20_000_000, numPartitions=1).selectExpr(
+        "sum(id * 2 + 1) AS s"
+    )
+    sentinel_iter_df = _build_iter_sentinel(spark)
+    for df in (sentinel_map_df, sentinel_serial_df, sentinel_iter_df):
+        _time_noop(df)  # codegen-compile each sentinel outside the recording
+
+    stations: list[dict] = []
+
+    def _run_station(idx: int) -> None:
+        s = {
+            "i": idx,
+            "map": round(_time_noop(sentinel_map_df), 4),
+            "serial": round(_time_noop(sentinel_serial_df), 4),
+            "iter": round(_time_noop(sentinel_iter_df), 4),
+        }
+        s["factor"] = round(_station_factor(s, pins), 4)
+        stations.append(s)
+
+    every = max(1, int(os.environ.get("SPARK_GRAFT_SENTINEL_EVERY", "15")))
+    sample_idx: dict[str, list[int]] = {name: [] for name in HEADLINE}
+    gi = 0  # global sample counter; sample j runs between stations i<=j-1 and i>=j
+    _run_station(gi)
     for _ in range(n_runs):
         for name in HEADLINE:
             fn = QUERY_REGISTRY[name].fn
@@ -511,6 +677,8 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            gi += 1
+            sample_idx[name].append(gi)
             # free this invocation's storage INSIDE the timed region's
             # boundary (after the action): tracked snapshots via the
             # registry, and CacheManager entries via clearCache — the
@@ -522,11 +690,55 @@ def main() -> None:
             # no sample can read a prior sample's materialization.
             release_snapshots(spark)
             spark.catalog.clearCache()
-        probe_rounds.append(_probe(spark.range(200_000_000)))
+            if gi % every == 0:
+                _run_station(gi)
+    if stations[-1]["i"] != gi:
+        _run_station(gi)
+    _save_sentinel_pins(repo_dir, pins, stations)
+
+    # Per-sample local contention factor = mean of the two bracketing
+    # stations' factors; per-query normalized p50 + contended flag.
+    def _bracket_factor(j: int) -> float:
+        before = max((s for s in stations if s["i"] <= j - 1), key=lambda s: s["i"])
+        after = min((s for s in stations if s["i"] >= j), key=lambda s: s["i"])
+        return (before["factor"] + after["factor"]) / 2.0
+
+    factors: dict[str, list[float]] = {
+        name: [_bracket_factor(j) for j in sample_idx[name]] for name in HEADLINE
+    }
     timings = {name: round(statistics.median(s), 4) for name, s in samples.items()}
+    timings_norm = {
+        name: round(
+            statistics.median([t / f for t, f in zip(samples[name], factors[name])]), 4
+        )
+        for name in HEADLINE
+    }
+    query_factors = {
+        name: round(statistics.median(factors[name]), 4) for name in HEADLINE
+    }
+    query_contended = {name: query_factors[name] > 1.10 for name in HEADLINE}
     total = round(sum(timings.values()), 4)
+    # continuity fields: the stations' map readings ARE the per-round probes
+    probe_rounds = [s["map"] for s in stations]
     if ref_probe and any(p > 1.10 * float(ref_probe) for p in probe_rounds):
         contended = True
+
+    # The per-query screen (normalized): flag queries whose NORMALIZED p50
+    # exceeds 1.3x the pinned reference p50 — decidable even on a loaded box.
+    ref_queries = ref.get("queries", {}) or {}
+    screen_flagged = {
+        name: round(timings_norm[name] / ref_queries[name], 4)
+        for name in timings_norm
+        if name in ref_queries and timings_norm[name] / ref_queries[name] > 1.3
+    }
+    screen = {
+        "threshold": 1.3,
+        "normalization": "per-sample / mean(bracketing station factors)",
+        "n_screened": len(set(timings_norm) & set(ref_queries)),
+        "flagged_norm_ratio": dict(
+            sorted(screen_flagged.items(), key=lambda kv: -kv[1])
+        ),
+    }
 
     # Matched-probe cross-round comparison (the round-7 closing-pass protocol,
     # now committed code instead of BASELINE.md prose): against the pinned
@@ -538,9 +750,13 @@ def main() -> None:
     try:
         shared = sorted(set(timings) & set(ref["queries"]))
         cur_sum = sum(timings[q] for q in shared)
+        cur_sum_norm = sum(timings_norm[q] for q in shared)
         ref_sum = sum(ref["queries"][q] for q in shared)
         comparable = {
             "comparable_subset_ratio": round(cur_sum / ref_sum, 4) if ref_sum else None,
+            "comparable_subset_ratio_norm": round(cur_sum_norm / ref_sum, 4)
+            if ref_sum
+            else None,
             "comparable_subset_n": len(shared),
             "comparable_subset_sec": round(cur_sum, 4),
             "reference_subset_sec": round(ref_sum, 4),
@@ -557,6 +773,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_norm": timings_norm,
+        "query_factors": query_factors,
+        "query_contended": query_contended,
+        "stations": stations,
+        "sentinel_pins": pins,
+        "screen": screen,
         "sf": sf,
         "probe_parallel_sec": probe_parallel,
         "probe_serial_sec": probe_serial,
@@ -597,7 +819,9 @@ def main() -> None:
         "probe_serial_sec": probe_serial,
         "contended": contended,
         "comparable_subset_ratio": comparable.get("comparable_subset_ratio"),
+        "comparable_subset_ratio_norm": comparable.get("comparable_subset_ratio_norm"),
         "comparable_subset_n": comparable.get("comparable_subset_n"),
+        "screen_flagged_n": len(screen["flagged_norm_ratio"]),
         "full_results": "BENCH_FULL_LATEST.json" if full_path else None,
     }
     budget = 1900  # leave headroom inside the 2048-byte tail window
