@@ -51,85 +51,26 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # ======================================================================= #
-    # ROUND-13 WINDOW (first 50).  Policy: never-checked > code-changed-      #
-    # since-last-check > stalest-green.  Round 12 closed 50/50 green; the     #
-    # cross-round union has NO never-checked rows and its staleness           #
-    # histogram is 33 r7 / 48 r8 / 45 r9 / 44 r10 / 46 r11 / 50 r12.  This   #
-    # rotation seats (a) the 14 round-13 additions (five waves), (b) the 2   #
-    # rows whose code changed closing round-12 ADVICE (rag packed-key helper #
-    # with the added idx>=0 guard; qdigest explicit radix), (c) the TWICE-   #
-    # deferred round-11 code-changed pair — seated FIRST among carried rows  #
-    # per the round-12 verdict ("hold the builder to it"), and (d) ALL 33    #
-    # r7-stale rows minus the one displaced by wave 5.  After round 13:      #
-    # oldest cohort is r7 (1 row, queue head), then r8 (48 rows).            #
+    # ROUND-14 WINDOW (first 50).  Policy: never-checked > code-changed-      #
+    # since-last-check > stalest-green.  Round 13 closed 50/50 green; the     #
+    # union's staleness histogram entering round 14 is 1 r7 / 48 r8 / 45 r9   #
+    # / 42 r10 / 46 r11 / 48 r12 / 50 r13.  This rotation seats (a) the 3     #
+    # round-14 additions (never-checked first), (b) text_readability_scores   #
+    # — the single remaining r7 row, displaced by round-13 wave 5 and queued  #
+    # at the head since — and (c) the first 46 rows of the 48-row r8 cohort;  #
+    # the last 2 r8 rows (window_running_sum, window_sliding_frame_avg) are   #
+    # displaced to the round-15 queue head.  After round 14: the r7 cohort    #
+    # retires, and the oldest remaining cohort is r8 (2 rows, queue head).    #
     # ======================================================================= #
-    # -- a. new this round ---------------------------------------------------#
-    "sketch_theta_set_ops",
-    "pack_concat_chunks",
-    "ml_ranking_metrics",
-    "dedup_bloom_gate",
-    "recsys_als_step",
-    # -- a2. new in the round-13 second wave (never-checked outranks stale-   #
-    # green, so these take 4 of the 8 r8 seats; the displaced rows return to  #
-    # the round-14 queue head) ----------------------------------------------- #
-    "sim_two_stage_rerank",
-    "pack_shelf_bins",
-    "dq_chisquare_drift",
-    "labels_majority_vote",
-    # -- a3. new in the round-13 third wave (take 3 more r8 seats) ----------- #
-    "labels_annotator_agreement",
-    "dq_ks_drift",
-    "events_asof_nearest",
-    # -- a4. fourth wave (takes the final r8 seat) ---------------------------- #
-    "events_attribution_multitouch",
-    # -- a5. fifth wave (never-checked > stalest-green: displaces ONE r7 row,  #
-    # text_readability_scores, to the round-14 queue head) ------------------- #
-    "decontaminate_span_excision",
-    # -- b. code changed in round 13 (ADVICE closures) ----------------------- #
-    "rag_chunk_sliding",
-    "sketch_qdigest_quantiles",
-    # -- c. twice-deferred round-11 code-changed pair (r10-green, but their   #
-    # CHANGED code has waited two rounds for a driver confirmation) --------- #
-    "bpe_train_apply_compression",
-    "dedup_ngram_jaccard",
-    # -- d. ALL 33 r7-stale rows (retires the r7 cohort completely) ---------- #
-    "bpe_merge_candidates",
-    "cdc_scd2_segment_history",
-    "cdc_upsert_orders",
-    "corpus_curation_pipeline",
-    "corpus_delta_report",
-    "customer_pareto_class",
-    "customer_repurchase_intervals",
-    "dedup_levenshtein_block",
-    "dedup_source_precedence",
-    "dq_group_checksum_udaf",
-    "embedding_kmeans_iteration",
-    "embedding_label_confusion",
-    "events_funnel_steps",
-    "events_survival_time_to_convert",
-    "graph_bfs_khop",
-    "heavy_hitters_cms",
-    "incremental_agg_merge",
-    "orders_cohort_ltv",
-    "orders_leadtime_percentiles",
-    "pack_token_budget",
-    "q14_promo_revenue_by_month",
-    "q19_disjunctive_predicates",
-    "q4_late_shipping_priority",
-    "sample_language_rebalance",
-    "sim_ann_ivf_topk",
-    "sim_pq_adc_topk",
-    "snapshot_column_drift_profile",
-    "sql_q3_shipping_priority",
-    "streaming_sliding_window_live",
-    "streaming_stateful_profile_live",
-    "streaming_stream_stream_join_live",
-    "streaming_tumbling_live",
-    # ----------------------- window boundary (50) -------------------------- #
-    # (14 new + 2 ADVICE-changed + 2 twice-deferred + 32 r7 = 50.)            #
-    # ROUND-14 QUEUE: the displaced r7 row, then the full r8 cohort (48),     #
-    # then everything else in registration order.                             #
+    # -- a. new this round (crawl link-graph + revisit policy close the       #
+    # round-12 judge directives #3/#4; the Dawid-Skene EM step closes the     #
+    # annotation family) ------------------------------------------------------#
+    "crawl_linkgraph_pagerank",
+    "crawl_revisit_policy",
+    "labels_dawid_skene_em",
+    # -- b. the last r7-stale row (two-round queue head, retired at last) --- #
     "text_readability_scores",
+    # -- c. first 46 rows of the r8 cohort ----------------------------------- #
     "agg_argmax_argmin",
     "agg_collect_sorted",
     "agg_exact_correlation",
@@ -176,6 +117,10 @@ _PRIORITY = [
     "window_ntile_percent_rank",
     "window_range_frame_1h",
     "window_rank_topk_per_group",
+    # ----------------------- window boundary (50) -------------------------- #
+    # (3 new + 1 r7 + 46 r8 = 50.)                                            #
+    # ROUND-15 QUEUE: the 2 displaced r8 rows, then the r9 cohort, then       #
+    # everything else in registration order.                                  #
     "window_running_sum",
     "window_sliding_frame_avg",
     # (remaining rows follow in registration order via _reorder_registry)

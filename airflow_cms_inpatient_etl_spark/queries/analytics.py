@@ -4030,6 +4030,177 @@ def labels_annotator_agreement(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------- #
+# labels_dawid_skene_em — one full confusion-matrix EM iteration               #
+# --------------------------------------------------------------------------- #
+_DS_SCALE = 10**6  # confusion rates carried as parts-per-million integers
+
+
+def _ds_em(votes):
+    """One full Dawid-Skene EM iteration over a (item_id, annotator, label)
+    ballot table, in INTEGER arithmetic (Dawid & Skene 1979, the additive
+    linearization):
+
+      init    — majority election (``_elect``: count-desc, label-asc);
+      M-step  — per-annotator CONFUSION MATRIX against the consensus proxy,
+                with Laplace add-one smoothing over the global label
+                alphabet (the standard DS regularizer — without it a truth
+                class seen once yields a saturated 1.0 row that overpowers
+                every informative one):
+                rate_ppm[a, t -> g] = (n_tg + 1) * 1e6 div (n_t + |L|);
+      E-step  — re-weighted election: candidate t's score on an item is the
+                SUM over its ballots (a voted g) of rate_ppm[a, t -> g]
+                (additive evidence, so the score is an exact BIGINT — the
+                multiplicative likelihood needs log-floats, which no hash
+                oracle can check); argmax with the same (score desc, label
+                asc) total tie-break.
+
+    Unanimous ballots are a FIXED POINT: the unanimous label is each item's
+    only candidate (candidates = labels with >= 1 ballot), so the
+    re-weighted election cannot move — property-tested in
+    tests/test_round14.py, along with the load-bearing DS property that a
+    SYSTEMATIC flipper's vote becomes evidence FOR the label it flips from.
+    """
+    votes = snapshot(votes)  # election, M-step and E-step all read it
+    maj = snapshot(
+        _elect(votes)
+        .filter(F.col("lrn") == 1)
+        .select("item_id", F.col("label").alias("majority_label"), "n_votes")
+    )
+    conf_n = (
+        votes.join(maj.select("item_id", "majority_label"), "item_id")
+        .groupBy(
+            "annotator",
+            F.col("majority_label").alias("t"),
+            F.col("label").alias("g"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tg"))
+    )
+    conf_d = conf_n.groupBy("annotator", "t").agg(F.sum("n_tg").alias("n_t"))
+    alphabet = votes.agg(F.countDistinct("label").alias("n_labels"))
+    conf = (
+        conf_n.join(conf_d, ["annotator", "t"])
+        .crossJoin(F.broadcast(alphabet))
+        .select(
+            "annotator",
+            "t",
+            F.col("g").alias("label"),
+            F.expr(f"(n_tg + 1) * {_DS_SCALE} div (n_t + n_labels)").alias("rate_ppm"),
+        )
+    )
+    cand = votes.select("item_id", F.col("label").alias("t")).distinct()
+    scores = (
+        cand.join(votes, "item_id")
+        .join(F.broadcast(conf), ["annotator", "t", "label"], "left")
+        .groupBy("item_id", "t")
+        .agg(F.sum(F.coalesce("rate_ppm", F.lit(0))).cast("long").alias("score_ppm"))
+    )
+    w_ds = W.partitionBy("item_id").orderBy(F.col("score_ppm").desc(), "t")
+    elected = (
+        scores.withColumn("rn", F.row_number().over(w_ds))
+        .filter(F.col("rn") == 1)
+        .select("item_id", F.col("t").alias("ds_label"), "score_ppm")
+    )
+    return elected.join(maj, "item_id").select(
+        "item_id",
+        "ds_label",
+        F.col("score_ppm").alias("ds_score_ppm"),
+        "majority_label",
+        "n_votes",
+        (F.col("ds_label") != F.col("majority_label")).alias("relabeled"),
+    )
+
+
+@register(
+    "labels_dawid_skene_em",
+    oracle=f"""
+    WITH votes0 AS (
+        SELECT event_id % {_VOTE_ITEMS} AS item_id,
+               user_id AS annotator,
+               event_type AS label,
+               ROW_NUMBER() OVER (PARTITION BY event_id % {_VOTE_ITEMS}, user_id
+                                  ORDER BY ts, event_id) AS vrn
+        FROM events
+    ),
+    votes AS (SELECT item_id, annotator, label FROM votes0 WHERE vrn = 1),
+    counts AS (
+        SELECT item_id, label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM votes GROUP BY item_id, label
+    ),
+    maj AS (
+        SELECT item_id, label AS majority_label, n_votes FROM (
+            SELECT item_id, label, c,
+                   ROW_NUMBER() OVER (PARTITION BY item_id
+                                      ORDER BY c DESC, label) AS lrn,
+                   CAST(SUM(c) OVER (PARTITION BY item_id) AS BIGINT) AS n_votes
+            FROM counts
+        ) WHERE lrn = 1
+    ),
+    conf_n AS (
+        SELECT v.annotator, m.majority_label AS t, v.label AS g,
+               CAST(COUNT(*) AS BIGINT) AS n_tg
+        FROM votes v JOIN maj m USING (item_id)
+        GROUP BY v.annotator, m.majority_label, v.label
+    ),
+    conf_d AS (
+        SELECT annotator, t, CAST(SUM(n_tg) AS BIGINT) AS n_t
+        FROM conf_n GROUP BY annotator, t
+    ),
+    alphabet AS (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels FROM votes),
+    conf AS (
+        SELECT n.annotator, n.t, n.g,
+               ((n.n_tg + 1) * {_DS_SCALE})
+                   // (d.n_t + (SELECT n_labels FROM alphabet)) AS rate_ppm
+        FROM conf_n n
+        JOIN conf_d d ON d.annotator = n.annotator AND d.t = n.t
+    ),
+    cand AS (SELECT DISTINCT item_id, label AS t FROM votes),
+    scores AS (
+        SELECT c.item_id, c.t,
+               CAST(SUM(COALESCE(cf.rate_ppm, 0)) AS BIGINT) AS score_ppm
+        FROM cand c
+        JOIN votes v ON v.item_id = c.item_id
+        LEFT JOIN conf cf ON cf.annotator = v.annotator
+                         AND cf.t = c.t AND cf.g = v.label
+        GROUP BY c.item_id, c.t
+    ),
+    elect2 AS (
+        SELECT item_id, t AS ds_label, score_ppm,
+               ROW_NUMBER() OVER (PARTITION BY item_id
+                                  ORDER BY score_ppm DESC, t) AS rn
+        FROM scores
+    )
+    SELECT e.item_id, e.ds_label, e.score_ppm AS ds_score_ppm,
+           m.majority_label, m.n_votes,
+           e.ds_label <> m.majority_label AS relabeled
+    FROM elect2 e JOIN maj m USING (item_id)
+    WHERE e.rn = 1
+    """,
+)
+def labels_dawid_skene_em(spark, sf_dir):
+    """Full Dawid-Skene EM step over the annotation fixture — closes the
+    family ``labels_majority_vote`` (the init) and
+    ``labels_annotator_agreement`` (the E-step's diagonal slice) opened:
+    estimate each annotator's FULL confusion matrix against the current
+    consensus (M-step), then re-elect every item with confusion-weighted
+    ballots (E-step) and report which items the model relabels away from
+    raw majority.  Integer ppm rates and additive BIGINT scores keep the
+    whole iteration bit-reproducible (the ``recsys_als_step`` fixed-point
+    discipline), so a statistics-literature EM algorithm hash-matches an
+    independent SQL oracle.  Shares ``_ballots``/``_elect`` with the other
+    two, so ballot and tie-break discipline cannot drift.
+
+    Scale: the M-step is (annotator, t, g)-keyed aggregation — output is
+    annotators x alphabet^2 rows, BROADCAST back for the E-step; the E-step
+    joins each item's ballots to its <= alphabet candidate labels (bounded
+    fan-out), then ONE (item, label) groupBy and an item-keyed argmax
+    window over <= alphabet rows.  No stage shuffles more than
+    ballots x alphabet rows; further EM iterations repeat the same two
+    shuffles with the relabeled consensus."""
+    ev = load_table(spark, sf_dir, "events")
+    return _ds_em(_ballots(ev))
+
+
+# --------------------------------------------------------------------------- #
 # dq_ks_drift — exact Kolmogorov-Smirnov two-sample drift statistic            #
 # --------------------------------------------------------------------------- #
 

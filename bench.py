@@ -369,6 +369,13 @@ HEADLINE = [
     "events_attribution_multitouch",
     # round-13 wave 5: eval-gram semi-join + islands + doc-keyed rebuild
     "decontaminate_span_excision",
+    # round-14 wave 1: crawl link-graph (corpus-sized extraction collapsing
+    # to a host-sized 4-round integer pagerank), the fetch-log revisit
+    # scheduler (two keyed shuffles + global-now broadcast), and the full
+    # Dawid-Skene EM step (ballot window + two broadcast-joined elections)
+    "crawl_linkgraph_pagerank",
+    "crawl_revisit_policy",
+    "labels_dawid_skene_em",
 ]
 
 

@@ -50,31 +50,15 @@ _ARROW_NODES = (
     "ArrowAggregatePython",
 )
 
-# queries added or plan-changed since the round-12 gate went green — linted
+# queries added or plan-changed since the round-13 gate went green — linted
 # in the NOT-slow inner loop.
 _NEW_SINCE_GATE = [
-    # r13: new — KMV/theta distinct-count sketches with set algebra
-    "sketch_theta_set_ops",
-    # r13: new — concat-and-chunk context-window packing accounting
-    "pack_concat_chunks",
-    # r13: new — retrieval-eval metrics @10 (MRR / P / R / hit)
-    "ml_ranking_metrics",
-    # r13: new — bloom-prefiltered incremental dedup gate w/ verified bounds
-    "dedup_bloom_gate",
-    # r13: new — exact closed-form ALS half-step (rank-2 fixed-point)
-    "recsys_als_step",
-    # r13 wave 2: two-stage ANN rerank w/ in-query recall, no-split shelf
-    # packing, chi-square drift monitor, majority-vote label aggregation
-    "sim_two_stage_rerank",
-    "pack_shelf_bins",
-    "dq_chisquare_drift",
-    "labels_majority_vote",
-    # r13: plan-changed — packed first-writer key factored into the shared
-    # operators.text.packed_first_writer_key helper (adds the idx >= 0 guard)
-    "rag_chunk_sliding",
-    # r13: code-changed — radix passed explicitly to the qdigest operators
-    # (same plan; reconfirm)
-    "sketch_qdigest_quantiles",
+    # r14: new — crawl link-graph extraction + host PageRank composition
+    "crawl_linkgraph_pagerank",
+    # r14: new — per-domain change-rate estimate -> revisit priority policy
+    "crawl_revisit_policy",
+    # r14: new — full confusion-matrix Dawid-Skene EM step (ppm integers)
+    "labels_dawid_skene_em",
 ]
 
 

@@ -1,0 +1,153 @@
+"""Round-14 additions: the Dawid-Skene EM step's fixed-point and
+tie-break properties, the crawl link-graph's self-link / relative-link
+discipline and rank-mass conservation, and the revisit policy's internal
+consistency (bucket/due/priority can never disagree)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+from airflow_cms_inpatient_etl_spark.queries.analytics import _DS_SCALE, _ds_em
+from tests.conftest import SF_SMOKE
+
+
+# --------------------------------------------------------------------------- #
+# Dawid-Skene: unanimous ballots are a FIXED POINT — every confusion matrix   #
+# is diagonal, so the re-weighted election returns the unanimous label with   #
+# score n_votes * 1e6 and relabels nothing.                                    #
+# --------------------------------------------------------------------------- #
+def test_ds_em_unanimous_ballots_are_fixed_point(spark):
+    rows = [
+        (item, f"a{a}", f"label_{item % 3}")
+        for item in range(12)
+        for a in range(5)
+    ]
+    votes = spark.createDataFrame(rows, "item_id long, annotator string, label string")
+    out = _ds_em(votes).collect()
+    assert len(out) == 12
+    # each annotator saw 4 items per truth class; alphabet = 3 labels ->
+    # Laplace-smoothed diagonal rate (4+1)*1e6 // (4+3), five ballots each
+    diag = (4 + 1) * _DS_SCALE // (4 + 3)
+    for r in out:
+        assert r["ds_label"] == f"label_{r['item_id'] % 3}"
+        assert r["ds_label"] == r["majority_label"]
+        assert not r["relabeled"]
+        assert r["n_votes"] == 5
+        assert r["ds_score_ppm"] == 5 * diag
+
+
+def test_ds_em_downweights_known_bad_annotator(spark):
+    """Three reliable annotators + two systematic flippers: on most items the
+    reliable majority wins 3-2; on the probe item one reliable rater is
+    missing (2-2 raw tie, tie-break would pick the alphabetically smaller
+    WRONG label) — the EM step must break the tie toward the label the
+    RELIABLE annotators cast.  The load-bearing DS property: a SYSTEMATIC
+    flipper's 'bad' vote is smoothed-strong evidence FOR 'good'
+    (P(flipper says bad | good) ~ 0.91), while the saturated single-item
+    'bad' truth rows are Laplace-damped to ~0.67 — so 'good' wins the
+    re-weighted election that raw majority loses."""
+    rows = []
+    for item in range(10):
+        truth = "good"
+        for a in ("r1", "r2", "r3"):
+            if item == 9 and a == "r3":
+                continue  # the probe item loses one reliable ballot
+            rows.append((item, a, truth))
+        for a in ("f1", "f2"):
+            rows.append((item, a, "bad"))  # systematic flip, every item
+    votes = spark.createDataFrame(rows, "item_id long, annotator string, label string")
+    out = {r["item_id"]: r for r in _ds_em(votes).collect()}
+    # raw majority on item 9 ties 2-2 and elects 'bad' (label-asc tie-break)
+    assert out[9]["majority_label"] == "bad"
+    # ...but the EM step relabels it to the reliable annotators' vote
+    assert out[9]["ds_label"] == "good"
+    assert out[9]["relabeled"]
+    # every other item is uncontested and stays put
+    for item in range(9):
+        assert out[item]["ds_label"] == "good" and not out[item]["relabeled"]
+
+
+# --------------------------------------------------------------------------- #
+# crawl link-graph: planted self-links dropped, relative links dropped,       #
+# rank mass conserved, degree accounting exact                                 #
+# --------------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def linkgraph_rows(spark):
+    df = QUERY_REGISTRY["crawl_linkgraph_pagerank"].fn(spark, SF_SMOKE)
+    rows = {r["domain"]: r for r in df.collect()}
+    from airflow_cms_inpatient_etl_spark.sources.registry import release_snapshots
+
+    release_snapshots(spark)
+    spark.catalog.clearCache()
+    return rows
+
+
+def test_linkgraph_self_links_dropped(spark, linkgraph_rows):
+    """Hosts 5 and 11 plant their second link onto THEMSELVES ((3k+2)%12 == k
+    for k in {5, 11}); with the self-drop their out-weight is 2 links per
+    doc, every other host's is 3."""
+    n_docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .groupBy((F.expr("doc_id div 3") % 12).alias("k"))
+        .count()
+        .collect()
+    )
+    per_k = {r["k"]: r["count"] for r in n_docs}
+    for k, r in ((k, linkgraph_rows[d]) for k, d in _domains().items()):
+        expected_links = 2 if k in (5, 11) else 3
+        assert r["out_w"] == expected_links * per_k[k], (k, r)
+
+
+def _domains() -> dict[int, str]:
+    tld = {0: "com", 1: "org", 2: "net"}
+    return {k: f"site{k}.{tld[k % 3]}" for k in range(12)}
+
+
+def test_linkgraph_rank_mass_conserved(linkgraph_rows):
+    """Integer PageRank only ever truncates: sum(rank) <= scale, and within
+    a per-node truncation bound of it (12 nodes x 4 rounds x small ulps)."""
+    total = sum(r["rank"] for r in linkgraph_rows.values())
+    assert total <= 10**12
+    assert total > 10**12 - 12 * (4 + 1) * 100  # truncation slack only
+
+
+def test_linkgraph_degree_symmetry(linkgraph_rows):
+    """Every planted link lands somewhere: total out-weight == total
+    in-weight (relative links and self-links were dropped BEFORE the edge
+    list, symmetrically)."""
+    assert sum(r["out_w"] for r in linkgraph_rows.values()) == sum(
+        r["in_w"] for r in linkgraph_rows.values()
+    )
+
+
+# --------------------------------------------------------------------------- #
+# revisit policy: the emitted columns can never disagree with each other      #
+# --------------------------------------------------------------------------- #
+def test_revisit_policy_internal_consistency(spark):
+    rows = QUERY_REGISTRY["crawl_revisit_policy"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 12
+    seen = set()
+    for r in rows:
+        bucket_rank = {"hot": 0, "warm": 2, "cold": 4}[r["change_bucket"]]
+        assert r["priority_rank"] == bucket_rank + (0 if r["revisit_due"] else 1)
+        if r["change_bucket"] == "hot":
+            assert 2 * r["n_changes"] >= r["n_intervals"] > 0
+        if r["n_changes"] > 0:
+            assert r["mtbc_us"] is not None and r["mtbc_us"] >= 0
+        else:
+            assert r["mtbc_us"] is None and not r["revisit_due"]
+        assert r["n_intervals"] == r["n_fetches"] - r["n_pages"]
+        # the sequence plant pins the ratio at floor((F-1)/p)/(F-1) per page:
+        # period-1 domains change on EVERY interval (always hot); period-5
+        # domains never exceed ratio 1/5 < the 1/4 warm threshold (always
+        # cold); intermediate periods land per the floor remainder.
+        dk = int(r["domain"].removeprefix("site").split(".")[0])
+        if dk % 5 == 0:
+            assert r["change_bucket"] == "hot", r
+            assert r["n_changes"] == r["n_intervals"]
+        if dk % 5 == 4:
+            assert r["change_bucket"] == "cold", r
+        seen.add(r["change_bucket"])
+    assert seen == {"hot", "warm", "cold"}, f"fixture degenerate: {seen}"
