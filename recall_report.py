@@ -258,6 +258,72 @@ def main() -> None:
         got = {(r["qid"], r["cid"]) for r in sq8_topk(e, q, k=K, coarse_m=m).collect()}
         sq8_rows.append((m, len(got & truth) / len(truth)))
 
+    # --- round-14 additions (round-13 verdict directive #6): the serving-path
+    # recall row from the registry's own two-stage query, and the q-digest
+    # measured-max-rank-error vs the proven (LEVELS+1)*2^radix*n/8192 bound
+    # at the three testdata scales.
+    from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+
+    tsr = QUERY_REGISTRY["sim_two_stage_rerank"].fn(spark, SF_DIR).collect()
+    tsr_recalls = sorted(r["recall_at_k"] for r in tsr)
+    tsr_rows = {
+        "n_queries": len(tsr),
+        "mean": sum(tsr_recalls) / len(tsr_recalls),
+        "min": tsr_recalls[0],
+        "max": tsr_recalls[-1],
+        "shortlist_pairs": sum(r["n_shortlist"] for r in tsr),
+        "all_bounded": all(r["shortlist_bounded"] for r in tsr),
+    }
+
+    from airflow_cms_inpatient_etl_spark.operators.sketch import (
+        QD_EPS_DEN,
+        dyadic_tree,
+        qdigest_prune,
+        qdigest_rank_cdf,
+    )
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        _QD_BITS,
+        _QD_BOUND_NUM,
+        _QD_QUANTILES,
+        _QD_RADIX,
+    )
+
+    qd_rows = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        li = load_table(spark, f"/root/testdata/{sf}", "lineitem")
+        vals = li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+        ).persist()
+        tree = dyadic_tree(vals, "cents", _QD_BITS, radix=_QD_RADIX).persist()
+        n_rows = tree.filter(F.col("level") == 0).collect()[0]["cnt"]
+        kept = qdigest_prune(tree, QD_EPS_DEN, radix=_QD_RADIX)
+        cdf = qdigest_rank_cdf(kept, _QD_BITS, radix=_QD_RADIX)
+        qs_df = spark.createDataFrame(_QD_QUANTILES, "q_label string, frac double")
+        targets = qs_df.select(
+            "q_label", F.ceil(F.col("frac") * n_rows).cast("long").alias("r")
+        )
+        est = (
+            targets.join(F.broadcast(cdf), F.col("cum_est") >= F.col("r"))
+            .groupBy("q_label", "r")
+            .agg(F.min("upper").alias("v_est"))
+        )
+        measured = (
+            vals.crossJoin(F.broadcast(est))
+            .groupBy("q_label", "r", "v_est")
+            .agg(
+                F.sum(F.when(F.col("cents") < F.col("v_est"), 1).otherwise(0)).alias(
+                    "cnt_lt"
+                )
+            )
+            .collect()
+        )
+        bound = _QD_BOUND_NUM * n_rows // QD_EPS_DEN
+        for r in sorted(measured, key=lambda x: x["q_label"]):
+            over = r["cnt_lt"] - r["r"]
+            qd_rows.append((sf, n_rows, r["q_label"], over, bound))
+        vals.unpersist()
+        tree.unpersist()
+
     lines = [
         "# ANN recall/cost report",
         "",
@@ -342,6 +408,44 @@ def main() -> None:
     ]
     for m, rec in sq8_rows:
         lines.append(f"| {m} | {rec:.3f} | {n_q * m} |")
+    lines += [
+        "",
+        "## Two-stage ANN serving (`sim_two_stage_rerank`), per-query recall@10",
+        "",
+        "The round-13 serving composition graduated from this offline report",
+        "into the graded surface: IVF multiprobe shortlist (2 of 8 lists) →",
+        "exact-cosine rerank, with per-query recall@10 vs brute truth AND the",
+        "shortlist-volume bound verified IN-QUERY, hash-checked against the",
+        "DuckDB oracle at all three scales.  This report re-measures the same",
+        "query as the serving-path summary row (the brute leg exists only to",
+        "grade recall — production drops it):",
+        "",
+        "| queries | mean recall@10 | min | max | shortlist pairs | vs brute | volume bound |",
+        "|---|---|---|---|---|---|---|",
+        f"| {tsr_rows['n_queries']} | {tsr_rows['mean']:.3f} | {tsr_rows['min']:.2f} "
+        f"| {tsr_rows['max']:.2f} | {tsr_rows['shortlist_pairs']} "
+        f"| {tsr_rows['shortlist_pairs'] / exact_volume:.1%} "
+        f"| {'held' if tsr_rows['all_bounded'] else 'VIOLATED'} |",
+        "",
+        "## q-digest: measured max rank error vs the proven bound",
+        "",
+        "`sketch_qdigest_quantiles` proves rank error < (LEVELS+1)·2^radix·n/8192",
+        f"= {_QD_BOUND_NUM}n/{QD_EPS_DEN} (radix-16 tree over 24-bit cents).  Measured",
+        "overshoot is `count(x < v_est) − target_rank` per quantile — how far the",
+        "sketch's chosen value lands above the requested rank; negative means the",
+        "estimate sits below-or-at the target's strict rank (never below the",
+        "target itself — the query asserts that separately).  The slack between",
+        "the measured column and the bound is the pruning headroom the sketch",
+        "trades for its fixed 57k-cell size ceiling:",
+        "",
+        "| scale | n rows | quantile | measured overshoot | proven bound | used |",
+        "|---|---|---|---|---|---|",
+    ]
+    for sf, n_rows, q_label, over, bnd in qd_rows:
+        lines.append(
+            f"| {sf} | {n_rows} | {q_label} | {over} | {bnd} "
+            f"| {max(0, over) / bnd if bnd else 0:.1%} |"
+        )
     lines += [""]
     with open(os.path.join(os.path.dirname(__file__) or ".", "RECALL.md"), "w") as f:
         f.write("\n".join(lines))
