@@ -3352,12 +3352,7 @@ def sketch_qdigest_quantiles(spark, sf_dir):
     (cnt*8192 > n, (cnt_lt - r)*8192 < 112*n) — no float thresholds, exact at
     n = 10^12.  Merging shards is union + re-sum and is EXACT (see
     tests/test_round12.py associativity property)."""
-    from airflow_cms_inpatient_etl_spark.operators.sketch import (
-        QD_EPS_DEN,
-        dyadic_tree,
-        qdigest_prune,
-        qdigest_rank_cdf,
-    )
+    from airflow_cms_inpatient_etl_spark.operators.sketch import dyadic_tree
 
     li = load_table(spark, sf_dir, "lineitem")
     vals = li.select(
@@ -3367,6 +3362,22 @@ def sketch_qdigest_quantiles(spark, sf_dir):
     # from _QD_RADIX) can never silently diverge from the tree geometry if the
     # operators' default radix changes.
     tree = snapshot(dyadic_tree(vals, "cents", _QD_BITS, radix=_QD_RADIX))
+    return _qdigest_flags_from_tree(spark, tree, vals)
+
+
+def _qdigest_flags_from_tree(spark, tree, vals):
+    """Prune -> CDF -> quantile pick -> full-data verification, shared by the
+    batch query above and ``streaming_percentiles_live`` (which feeds the
+    SAME tail from a census maintained as streaming aggregation state —
+    cell-exact equal to the batch tree by add-associativity, so the batch
+    oracle transfers verbatim).  ``tree``: materialized (level, node, cnt);
+    ``vals``: the cents column for the verification scan."""
+    from airflow_cms_inpatient_etl_spark.operators.sketch import (
+        QD_EPS_DEN,
+        qdigest_prune,
+        qdigest_rank_cdf,
+    )
+
     n_df = tree.filter(F.col("level") == 0).select(F.col("cnt").alias("n_rows"))
     kept = qdigest_prune(tree, QD_EPS_DEN, radix=_QD_RADIX)
     cdf = qdigest_rank_cdf(kept, _QD_BITS, radix=_QD_RADIX)

@@ -585,3 +585,79 @@ from airflow_cms_inpatient_etl_spark.queries import curation2 as _curation2  # n
 _REG["streaming_heavy_hitters_live"] = _dc.replace(
     _REG["streaming_heavy_hitters_live"], oracle=_REG["heavy_hitters_cms"].oracle
 )
+
+
+@register(
+    "streaming_percentiles_live",
+    # the drained COMPLETE-mode census is CELL-EXACT equal to the batch
+    # dyadic tree (cell updates are associative integer adds), so the
+    # prune/CDF/quantile/verification tail — and the batch query's DuckDB
+    # bounds-oracle — apply verbatim; filled below from the registered query
+    oracle=None,
+)
+def streaming_percentiles_live(spark, sf_dir):
+    """LIVE streaming percentiles — `sketch_qdigest_quantiles` as a running
+    stream (the round-13 verdict's stretch #8): lineitem prices arrive as a
+    file-source stream in TWO forced micro-batches (l_orderkey-parity split,
+    mtime-ordered, maxFilesPerTrigger=1), and `stream_qdigest_cells`
+    maintains the radix-16 dyadic census as streaming aggregation STATE.
+    The complete-mode drain yields the final (level, node, cnt) grid;
+    because cell updates are associative adds the drained grid is cell-exact
+    equal to the batch tree, so the shared `_qdigest_flags_from_tree` tail
+    (prune -> CDF -> quantile pick -> full-data verification) keeps the
+    batch query's full DuckDB bounds-oracle — the
+    `streaming_heavy_hitters_live` doctrine extended from frequency to RANK.
+    The two-batch split is the proof of incremental state maintenance."""
+    from pyspark.sql import functions as F
+
+    from airflow_cms_inpatient_etl_spark.queries.analytics import (
+        _QD_BITS,
+        _QD_RADIX,
+        _qdigest_flags_from_tree,
+    )
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table, snapshot
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_qdigest_cells,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    stage_dir = tempfile.mkdtemp(prefix="lineitem_qd_")
+    try:
+        _stage_single_parquet(
+            li.filter(F.col("l_orderkey") % 2 == 0), stage_dir,
+            "a_even.parquet", mtime=1_000_000_000.0,
+        )
+        _stage_single_parquet(
+            li.filter(F.col("l_orderkey") % 2 == 1), stage_dir,
+            "b_odd.parquet", mtime=1_000_000_100.0,
+        )
+        raw = (
+            spark.readStream.schema("l_orderkey long, l_extendedprice double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        cents_stream = raw.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+        )
+        name = f"stream_qd_{uuid.uuid4().hex[:8]}"
+        run_stream_to_memory(
+            stream_qdigest_cells(cents_stream, "cents", _QD_BITS, radix=_QD_RADIX),
+            name,
+            output_mode="complete",
+        )
+        tree = snapshot(spark.table(name))
+
+        # verification tail — identical to sketch_qdigest_quantiles, fed by
+        # the STREAMED census instead of a batch build
+        vals = load_table(spark, sf_dir, "lineitem").select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+        )
+        return _qdigest_flags_from_tree(spark, tree, vals)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+_REG["streaming_percentiles_live"] = _dc.replace(
+    _REG["streaming_percentiles_live"], oracle=_REG["sketch_qdigest_quantiles"].oracle
+)

@@ -376,6 +376,10 @@ HEADLINE = [
     "crawl_linkgraph_pagerank",
     "crawl_revisit_policy",
     "labels_dawid_skene_em",
+    # round-14 wave 2: the q-digest census as streaming aggregation state
+    # (two forced micro-batches + the batch verification tail — stream
+    # startup overhead dominates at bench scale, like the other lives)
+    "streaming_percentiles_live",
 ]
 
 

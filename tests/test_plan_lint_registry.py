@@ -32,6 +32,7 @@ _SKIP = {
     "streaming_stateful_profile_live",
     "streaming_dedup_gate_live",
     "streaming_heavy_hitters_live",
+    "streaming_percentiles_live",
 }
 
 # the ONLY queries allowed to cross into Python, all Arrow-batched

@@ -151,3 +151,52 @@ def test_revisit_policy_internal_consistency(spark):
             assert r["change_bucket"] == "cold", r
         seen.add(r["change_bucket"])
     assert seen == {"hot", "warm", "cold"}, f"fixture degenerate: {seen}"
+
+
+# --------------------------------------------------------------------------- #
+# streaming percentiles: the drained complete-mode census is CELL-EXACT       #
+# equal to the batch dyadic tree (associative adds -> micro-batching cannot   #
+# change the final grid)                                                       #
+# --------------------------------------------------------------------------- #
+def test_stream_qdigest_census_equals_batch_tree(spark, tmp_path):
+    import os
+
+    from airflow_cms_inpatient_etl_spark.operators.sketch import dyadic_tree
+    from airflow_cms_inpatient_etl_spark.queries.streaming_live import (
+        _stage_single_parquet,
+    )
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_qdigest_cells,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_extendedprice")
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    _stage_single_parquet(
+        li.filter(F.col("l_orderkey") % 2 == 0), stage, "a.parquet", 1_000_000_000.0
+    )
+    _stage_single_parquet(
+        li.filter(F.col("l_orderkey") % 2 == 1), stage, "b.parquet", 1_000_000_100.0
+    )
+    raw = (
+        spark.readStream.schema("l_orderkey long, l_extendedprice double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    cents = raw.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    run_stream_to_memory(
+        stream_qdigest_cells(cents, "cents", 24, radix=4), "qd_census_test", "complete"
+    )
+    streamed = {
+        (r["level"], r["node"]): r["cnt"] for r in spark.table("qd_census_test").collect()
+    }
+    vals = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    batch = {
+        (r["level"], r["node"]): r["cnt"]
+        for r in dyadic_tree(vals, "cents", 24, radix=4).collect()
+    }
+    assert streamed == batch and len(streamed) > 100
