@@ -54,11 +54,14 @@ _PRIORITY = [
     # ROUND-14 WINDOW (first 50).  Policy: never-checked > code-changed-      #
     # since-last-check > stalest-green.  Round 13 closed 50/50 green; the     #
     # union's staleness histogram entering round 14 is 1 r7 / 48 r8 / 45 r9   #
-    # / 42 r10 / 46 r11 / 48 r12 / 50 r13.  This rotation seats (a) the 4     #
+    # / 42 r10 / 46 r11 / 48 r12 / 50 r13.  This rotation seats (a) the 5     #
+    # round-14 additions plus the round-14 code-changed qdigest row,          #
     # round-14 additions (never-checked first), (b) text_readability_scores   #
     # — the single remaining r7 row, displaced by round-13 wave 5 and queued  #
-    # at the head since — and (c) the first 45 rows of the 48-row r8 cohort;  #
-    # the last 3 r8 rows (window_rank_topk_per_group, window_running_sum,     #
+    # at the head since — plus the round-14 code-changed qdigest row, and    #
+    # (c) the first 43 rows of the 48-row r8 cohort; the last 5 r8 rows       #
+    # (window_ntile_percent_rank, window_range_frame_1h,                      #
+    # window_rank_topk_per_group, window_running_sum,                         #
     # window_sliding_frame_avg) are                                           #
     # displaced to the round-15 queue head.  After round 14: the r7 cohort    #
     # retires, and the oldest remaining cohort is r8 (2 rows, queue head).    #
@@ -70,6 +73,10 @@ _PRIORITY = [
     "crawl_revisit_policy",
     "labels_dawid_skene_em",
     "streaming_percentiles_live",
+    "corpus_curation_v9",
+    # -- a2. code changed in round 14 (the qdigest verification tail factored
+    # into the shared _qdigest_flags_from_tree helper; plan identical) ------- #
+    "sketch_qdigest_quantiles",
     # -- b. the last r7-stale row (two-round queue head, retired at last) --- #
     "text_readability_scores",
     # -- c. first 46 rows of the r8 cohort ----------------------------------- #
@@ -116,12 +123,12 @@ _PRIORITY = [
     "window_cume_dist_nth",
     "window_first_last_value",
     "window_lag_lead_events",
+    # ----------------------- window boundary (50) -------------------------- #
+    # (5 new + 1 code-changed + 1 r7 + 43 r8 = 50.)                           #
+    # ROUND-15 QUEUE: the 5 displaced r8 rows, then the r9 cohort, then       #
+    # everything else in registration order.                                  #
     "window_ntile_percent_rank",
     "window_range_frame_1h",
-    # ----------------------- window boundary (50) -------------------------- #
-    # (4 new + 1 r7 + 45 r8 = 50.)                                            #
-    # ROUND-15 QUEUE: the 3 displaced r8 rows, then the r9 cohort, then       #
-    # everything else in registration order.                                  #
     "window_rank_topk_per_group",
     "window_running_sum",
     "window_sliding_frame_avg",

@@ -786,3 +786,329 @@ def crawl_revisit_policy(spark, sf_dir):
         due.alias("revisit_due"),
         rank.cast("int").alias("priority_rank"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# corpus_curation_v9 — the crawl front-end threaded into the standing          #
+# curation pipeline (round-13 verdict stretch #9)                              #
+# --------------------------------------------------------------------------- #
+# Stage chain: URL-canonical dedup (keep first fetch per page identity) ->
+# registrable-domain / TLD blocklist gate -> C4 HTML strip + page gate ->
+# whitespace-token quality floor -> exact dedup on the CLEANED text ->
+# per-domain funnel accounting + uniform-share mixture plan (sample_ppm).
+# Fixtures are the module's shared plants (6-spelling URLs; the
+# text_html_strip_c4 page, duplicated VERBATIM below rather than factored,
+# so this round leaves that green query's code untouched — unify in a later
+# rotation).  The oracle is a FULL recompute of every stage (the v8
+# discipline): canonicalization, strip rules, gates, dedup and mixture are
+# all under one hash.
+
+_V9_MIN_TOKENS = 8  # quality floor on the CLEANED text (ws tokens)
+
+_V9_PAGE_SQL = f"""
+    w0 AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS w FROM documents
+    ),
+    page_html AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || doc_id
+          || '</title><style>.m{{color:#fff}}</style>'
+          || '<script type="text/javascript">var a=1;</script></head><body>'
+          || '<div class="nav">Home | About | Contact</div>'
+          || '<p>' || ARRAY_TO_STRING(LIST_SLICE(w, 1, 8), ' ') || '.</p>'
+          || '<p>' || ARRAY_TO_STRING(LIST_SLICE(w, 1, 2), ' ') || '.</p>'
+          || '<p>Please enable javascript to view this page.</p>'
+          || CASE WHEN LEN(w) >= 20
+                  THEN '<p>' || ARRAY_TO_STRING(LIST_SLICE(w, 9, 20), ' ') || '?</p>'
+                  ELSE '' END
+          || CASE WHEN LEN(w) >= 35
+                  THEN '<p>' || ARRAY_TO_STRING(LIST_SLICE(w, 21, 32), ' ') || '!</p>'
+                  ELSE '' END
+          || '<p>copyright terms cookie policy settings menu</p>'
+          || CASE WHEN doc_id % 17 = 0 THEN '{_BRACE_LINE}' ELSE '' END
+          || CASE WHEN doc_id % 23 = 0 THEN '{_LOREM_LINE}' ELSE '' END
+          || '</body></html>' AS html
+        FROM w0
+    ),
+    stripped AS (
+        SELECT doc_id,
+          STRING_SPLIT(
+            REGEXP_REPLACE(
+              REGEXP_REPLACE(
+                REGEXP_REPLACE(
+                  REGEXP_REPLACE(html, '<script[^>]*>.*?</script>', ' ', 'g'),
+                  '<style[^>]*>.*?</style>', ' ', 'g'),
+                '</p>|</div>|</title>', CHR(10), 'g'),
+              '<[^>]*>', ' ', 'g'),
+            CHR(10)) AS rawlines
+        FROM page_html
+    ),
+    lined AS (
+        SELECT doc_id,
+          LIST_FILTER(
+            LIST_TRANSFORM(rawlines, x -> TRIM(REGEXP_REPLACE(x, '\\s+', ' ', 'g'))),
+            x -> x <> '') AS nl
+        FROM stripped
+    ),
+    keptl AS (
+        SELECT doc_id,
+          LIST_FILTER(nl, x ->
+              REGEXP_MATCHES(x, '[.!?"]$')
+              AND LEN(STRING_SPLIT(x, ' ')) >= {MIN_LINE_WORDS}
+              AND NOT CONTAINS(LOWER(x), 'javascript')) AS kept
+        FROM lined
+    ),
+    cleanp AS (
+        SELECT doc_id,
+               COALESCE(ARRAY_TO_STRING(kept, CHR(10)), '') AS clean_text,
+               (LEN(kept) >= {MIN_PAGE_LINES}
+                AND NOT CONTAINS(COALESCE(ARRAY_TO_STRING(kept, CHR(10)), ''), '{{')
+                AND NOT CONTAINS(LOWER(COALESCE(ARRAY_TO_STRING(kept, CHR(10)), '')),
+                                 'lorem ipsum')) AS page_kept
+        FROM keptl
+    )
+"""
+
+
+@register(
+    "corpus_curation_v9",
+    oracle=f"""
+    WITH {_FIXTURE_URLS_SQL},
+    {_CANON_PARTS_SQL},
+    url_kept AS (
+        SELECT MIN(doc_id) AS doc_id FROM canonical GROUP BY canonical_url
+    ),
+    dom AS (
+        SELECT doc_id,
+               'site' || k || '.' ||
+                   CASE k % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
+                   AS domain,
+               CASE k % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS tld
+        FROM u
+    ),
+    {_V9_PAGE_SQL},
+    blocklist(domain) AS (VALUES {", ".join(f"('{x}')" for x in _BLOCKLIST)}),
+    flags AS (
+        SELECT dm.doc_id, dm.domain,
+               uk.doc_id IS NOT NULL AS s_url,
+               (bl.domain IS NOT NULL OR dm.tld = 'net') AS blocked,
+               (c.page_kept AND
+                LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(c.clean_text), '\\s+'),
+                                x -> x != '')) >= {_V9_MIN_TOKENS}) AS q_pass,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(c.clean_text), '\\s+'),
+                                    x -> x != '')) AS BIGINT) AS ntok,
+               c.clean_text
+        FROM dom dm
+        JOIN cleanp c ON c.doc_id = dm.doc_id
+        LEFT JOIN url_kept uk ON uk.doc_id = dm.doc_id
+        LEFT JOIN blocklist bl ON bl.domain = dm.domain
+    ),
+    surv AS (
+        SELECT doc_id, domain, ntok, clean_text FROM flags
+        WHERE s_url AND NOT blocked AND q_pass
+    ),
+    sel AS (
+        SELECT doc_id, ntok,
+               ROW_NUMBER() OVER (PARTITION BY MD5(clean_text) ORDER BY doc_id) AS rn
+        FROM surv
+    ),
+    keptd AS (SELECT doc_id, ntok FROM sel WHERE rn = 1),
+    funnel AS (
+        SELECT f.domain,
+               CAST(COUNT(*) AS BIGINT) AS docs_in,
+               CAST(COUNT(*) FILTER (WHERE f.s_url) AS BIGINT) AS after_url_dedup,
+               CAST(COUNT(*) FILTER (WHERE f.s_url AND NOT f.blocked) AS BIGINT)
+                   AS after_blocklist,
+               CAST(COUNT(*) FILTER (WHERE f.s_url AND NOT f.blocked AND f.q_pass)
+                   AS BIGINT) AS after_quality,
+               CAST(COUNT(kd.doc_id) AS BIGINT) AS docs_kept,
+               CAST(COALESCE(SUM(kd.ntok), 0) AS BIGINT) AS kept_ws_tokens
+        FROM flags f LEFT JOIN keptd kd ON kd.doc_id = f.doc_id
+        GROUP BY f.domain
+    ),
+    tot AS (
+        SELECT CAST(SUM(kept_ws_tokens) AS BIGINT) AS t_tokens,
+               CAST(COUNT(*) FILTER (WHERE kept_ws_tokens > 0) AS BIGINT) AS n_live
+        FROM funnel
+    )
+    SELECT f.domain, f.docs_in, f.after_url_dedup, f.after_blocklist,
+           f.after_quality, f.docs_kept, f.kept_ws_tokens,
+           CAST(CASE WHEN f.kept_ws_tokens > 0
+                THEN LEAST(1000000,
+                           ((t.t_tokens // t.n_live) * 1000000) // f.kept_ws_tokens)
+                ELSE 0 END AS BIGINT) AS sample_ppm
+    FROM funnel f, tot t
+    """,
+)
+def corpus_curation_v9(spark, sf_dir):
+    """Curation v9 — the crawl FRONT-END threaded into the standing pipeline
+    (the production ordering a web corpus actually runs): (1) URL-canonical
+    dedup keeps the first fetch per page identity (the module's 6-spelling
+    plant; `operators/weburl` canonicalizer), (2) registrable-domain /
+    TLD blocklist gate (broadcast dimension; 'net' TLD policy), (3) C4
+    HTML strip + page gate (`operators/htmltext`, the text_html_strip_c4
+    plant), (4) whitespace-token quality floor (>= {_V9_MIN_TOKENS} on the
+    CLEANED text — stripping first, gating second, the FineWeb ordering),
+    (5) exact dedup on the cleaned text (boilerplate removal makes
+    previously-distinct pages collide — v7's load-bearing stage order),
+    (6) per-domain funnel accounting plus a uniform-share MIXTURE plan:
+    surviving domains get sample_ppm = min(1, (total/n_live)/domain_mass)
+    in integer ppm — the rebalance knob `sample_language_rebalance`
+    demonstrated, here keyed by crawl domain.
+
+    Scale shape: stages 2-4 are ONE map-side codegen'd projection over the
+    corpus scan (regex + array HOFs, no Python); the exchanges are the
+    canonical-URL groupBy (8-byte page keys), the md5-keyed dedup window
+    (payload dropped BEFORE the shuffle — the v6 exchange contract), the
+    doc-keyed stage-flag joins, and ONE domain-keyed rollup; the mixture
+    tail is a 1-row broadcast.  Every per-doc stage flag survives into the
+    funnel, so the report prices each gate's cost — the accounting shape a
+    100 TB curation run re-plans against every cycle."""
+    d = load_table(spark, sf_dir, "documents")
+    base = spread_scan(d.select("doc_id", "text"), "doc_id")
+    page = F.expr("doc_id div 3")
+    k = page % 12
+    tld = (
+        F.when(k % 3 == 0, F.lit("com"))
+        .when(k % 3 == 1, F.lit("org"))
+        .otherwise(F.lit("net"))
+    )
+    domain = F.concat(F.lit("site"), k.cast("string"), F.lit("."), tld)
+
+    # stage 1: URL-canonical dedup over the shared 6-spelling plant
+    urls = _fixture_urls(d.select("doc_id"))
+    url_kept = (
+        urls.select("doc_id", canonicalize_url(F.col("url")).alias("cu"))
+        .groupBy("cu")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("s_url"))
+    )
+
+    # stages 3-4 fixture: the text_html_strip_c4 page plant, verbatim
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(w)
+
+    def sent(start: int, length: int, punct: str):
+        return F.concat(
+            F.lit("<p>"),
+            F.concat_ws(" ", F.slice(w, start, length)),
+            F.lit(punct + "</p>"),
+        )
+
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>.m{color:#fff}</style>"
+            '<script type="text/javascript">var a=1;</script></head><body>'
+        ),
+        F.lit('<div class="nav">Home | About | Contact</div>'),
+        sent(1, 8, "."),
+        sent(1, 2, "."),
+        F.lit("<p>Please enable javascript to view this page.</p>"),
+        F.when(n >= 20, sent(9, 12, "?")).otherwise(F.lit("")),
+        F.when(n >= 35, sent(21, 12, "!")).otherwise(F.lit("")),
+        F.lit("<p>copyright terms cookie policy settings menu</p>"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(_BRACE_LINE)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 23 == 0, F.lit(_LOREM_LINE)).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    staged = (
+        base.select("doc_id", domain.alias("domain"), tld.alias("tld"), html.alias("html"))
+        .select("doc_id", "domain", "tld", visible_lines(F.col("html")).alias("nl"))
+        .select("doc_id", "domain", "tld", c4_kept_lines(F.col("nl")).alias("kept"))
+    )
+    clean = F.concat_ws("\n", F.col("kept"))
+    ntok = F.expr(r"size(filter(split(trim(clean_text), '\\s+'), x -> x != ''))").cast(
+        "long"
+    )
+    cleanp = staged.select(
+        "doc_id",
+        "domain",
+        "tld",
+        clean.alias("clean_text"),
+        c4_page_kept(F.col("kept"), clean).alias("page_kept"),
+    )
+
+    bl = (
+        spark.createDataFrame([(x,) for x in _BLOCKLIST], "domain string")
+        .withColumn("__bl", F.lit(True))
+    )
+    flags = (
+        cleanp.join(url_kept, "doc_id", "left")
+        .join(F.broadcast(bl), "domain", "left")
+        .select(
+            "doc_id",
+            "domain",
+            F.coalesce("s_url", F.lit(False)).alias("s_url"),
+            (F.coalesce("__bl", F.lit(False)) | (F.col("tld") == "net")).alias(
+                "blocked"
+            ),
+            (F.col("page_kept") & (ntok >= _V9_MIN_TOKENS)).alias("q_pass"),
+            ntok.alias("ntok"),
+            "clean_text",
+        )
+    )
+    flags = snapshot(
+        flags.select(
+            "doc_id",
+            "domain",
+            "s_url",
+            "blocked",
+            "q_pass",
+            "ntok",
+            # the dedup key is materialized HERE so the window exchange
+            # carries 32 hex chars, never the cleaned payload
+            F.md5(F.col("clean_text").cast("binary")).alias("dedup_key"),
+        )
+    )
+    surv = flags.filter(F.col("s_url") & ~F.col("blocked") & F.col("q_pass"))
+    dw = W.partitionBy("dedup_key").orderBy("doc_id")
+    keptd = (
+        surv.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("k_doc"), F.col("ntok").alias("k_ntok"))
+    )
+    funnel = snapshot(
+        flags.join(keptd, flags["doc_id"] == keptd["k_doc"], "left")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum(F.when(F.col("s_url"), 1).otherwise(0)).cast("long").alias(
+                "after_url_dedup"
+            ),
+            F.sum(F.when(F.col("s_url") & ~F.col("blocked"), 1).otherwise(0))
+            .cast("long")
+            .alias("after_blocklist"),
+            F.sum(
+                F.when(F.col("s_url") & ~F.col("blocked") & F.col("q_pass"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("after_quality"),
+            F.count("k_doc").alias("docs_kept"),
+            F.coalesce(F.sum("k_ntok"), F.lit(0)).cast("long").alias("kept_ws_tokens"),
+        )
+    )
+    tot = funnel.agg(
+        F.sum("kept_ws_tokens").alias("t_tokens"),
+        F.sum(F.when(F.col("kept_ws_tokens") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_live"),
+    )
+    ppm = F.when(
+        F.col("kept_ws_tokens") > 0,
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr("((t_tokens div n_live) * 1000000) div kept_ws_tokens"),
+        ),
+    ).otherwise(F.lit(0))
+    return funnel.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "docs_in",
+        "after_url_dedup",
+        "after_blocklist",
+        "after_quality",
+        "docs_kept",
+        "kept_ws_tokens",
+        ppm.cast("long").alias("sample_ppm"),
+    )

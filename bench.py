@@ -380,6 +380,10 @@ HEADLINE = [
     # (two forced micro-batches + the batch verification tail — stream
     # startup overhead dominates at bench scale, like the other lives)
     "streaming_percentiles_live",
+    # round-14 wave 3: the crawl front-end threaded into curation — one
+    # corpus-sized map projection (strip + gates), the canonical-URL
+    # groupBy, the md5 dedup window and a domain rollup + mixture broadcast
+    "corpus_curation_v9",
 ]
 
 

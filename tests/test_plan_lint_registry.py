@@ -60,6 +60,11 @@ _NEW_SINCE_GATE = [
     "crawl_revisit_policy",
     # r14: new — full confusion-matrix Dawid-Skene EM step (ppm integers)
     "labels_dawid_skene_em",
+    # r14: new — crawl front-end threaded into curation (funnel + mixture)
+    "corpus_curation_v9",
+    # r14: code-changed — sketch_qdigest_quantiles' tail factored into the
+    # shared _qdigest_flags_from_tree (same plan; reconfirm)
+    "sketch_qdigest_quantiles",
 ]
 
 
