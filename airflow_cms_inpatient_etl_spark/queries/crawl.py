@@ -476,13 +476,15 @@ def _host_of(k):
     return F.concat(F.lit("www.site"), k.cast("string"), F.lit("."), tld)
 
 
-def _linkgraph_oracle() -> str:
+def _linkgraph_cte_chain() -> str:
+    """The WITH-chain (no final SELECT) of the planted host link graph +
+    4-round integer PageRank — shared by ``crawl_linkgraph_pagerank`` and
+    the frontier-schedule composition so the two oracles cannot drift."""
     scale, d = _LG_SCALE, 85
     nref = "(SELECT n_nodes FROM n)"
     base = f"((100 - {d}) * ({scale} // {nref})) // 100"
     parts = [
-        f"""
-    WITH docs AS (SELECT doc_id, (doc_id // 3) % {_LG_HOSTS} AS k FROM documents),
+        f"""docs AS (SELECT doc_id, (doc_id // 3) % {_LG_HOSTS} AS k FROM documents),
     l AS (
         SELECT k AS src_k, (k * 5 + 1) % {_LG_HOSTS} AS dst_k FROM docs
         UNION ALL SELECT k, (k * 3 + 2) % {_LG_HOSTS} FROM docs
@@ -522,8 +524,13 @@ def _linkgraph_oracle() -> str:
         GROUP BY nodes.domain
     )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _linkgraph_oracle() -> str:
+    return (
+        f"WITH {_linkgraph_cte_chain()}"
+        + f"""
     SELECT nodes.domain,
            CAST(COALESCE(o.wsum, 0) AS BIGINT) AS out_w,
            CAST(COALESCE(i.in_w, 0) AS BIGINT) AS in_w,
@@ -533,33 +540,14 @@ def _linkgraph_oracle() -> str:
     LEFT JOIN ind i ON i.dst = nodes.domain
     JOIN r{_LG_ITERS} r ON r.domain = nodes.domain"""
     )
-    return "".join(parts)
 
 
-@register("crawl_linkgraph_pagerank", oracle=_linkgraph_oracle())
-def crawl_linkgraph_pagerank(spark, sf_dir):
-    """Crawl link-graph extraction + host centrality — the frontier-ranking
-    composition: extract ``<a href>`` outlinks from each page's HTML
-    (``regexp_extract_all``, map-side), canonicalize each target with the
-    SAME ``operators/weburl`` expressions the page-identity dedup uses, roll
-    links up to registrable-domain edges (dropping self-links and
-    authority-less relative links), and rank hosts with
-    ``operators.graph.pagerank_integer`` (4 iterations, d=0.85, integer
-    1e-12 rank units) — zero new graph code, pure composition.  Emits
-    (domain, out_w, in_w, rank).
-
-    Scale shape: extraction + canonicalization is ONE codegen'd map-side
-    projection over the corpus scan (the explode multiplies rows by
-    links-per-page, bounded by page size); the host-edge groupBy collapses
-    corpus-sized links to a HOST-sized graph (thousands of domains at 100
-    TB, after a corpus-sized but near-uniform shuffle), and every PageRank
-    iteration then shuffles only the host graph — the big-data stage and
-    the iterative stage never touch the same volume.  The oracle unrolls
-    the identical integer recurrence from the PLANTED targets, never
-    re-parsing HTML, so extraction, canonicalization, self-link discipline
-    and rank arithmetic are all under the hash.  cf. reference
-    `dags/cms_inpatient_download_unzip.py:22` (fixed-URL ingest — this is
-    the stage that turns one URL into a ranked frontier)."""
+def _host_linkgraph(spark, sf_dir):
+    """Shared Spark-side host link-graph build (HTML plant -> href
+    extraction -> canonicalize -> registrable-domain edges with self- and
+    relative-link drop): (edges snapshot (src, dst, w), nodes (node,)).
+    Used by the PageRank and HITS centrality queries and the frontier
+    composition, so the extraction discipline cannot drift between them."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     base = spread_scan(d, "doc_id")
     page = F.expr("doc_id div 3")
@@ -606,6 +594,34 @@ def crawl_linkgraph_pagerank(spark, sf_dir):
         .union(edges.select("dst"))
         .distinct()
     )
+    return edges, nodes
+
+
+@register("crawl_linkgraph_pagerank", oracle=_linkgraph_oracle())
+def crawl_linkgraph_pagerank(spark, sf_dir):
+    """Crawl link-graph extraction + host centrality — the frontier-ranking
+    composition: extract ``<a href>`` outlinks from each page's HTML
+    (``regexp_extract_all``, map-side), canonicalize each target with the
+    SAME ``operators/weburl`` expressions the page-identity dedup uses, roll
+    links up to registrable-domain edges (dropping self-links and
+    authority-less relative links), and rank hosts with
+    ``operators.graph.pagerank_integer`` (4 iterations, d=0.85, integer
+    1e-12 rank units) — zero new graph code, pure composition.  Emits
+    (domain, out_w, in_w, rank).
+
+    Scale shape: extraction + canonicalization is ONE codegen'd map-side
+    projection over the corpus scan (the explode multiplies rows by
+    links-per-page, bounded by page size); the host-edge groupBy collapses
+    corpus-sized links to a HOST-sized graph (thousands of domains at 100
+    TB, after a corpus-sized but near-uniform shuffle), and every PageRank
+    iteration then shuffles only the host graph — the big-data stage and
+    the iterative stage never touch the same volume.  The oracle unrolls
+    the identical integer recurrence from the PLANTED targets, never
+    re-parsing HTML, so extraction, canonicalization, self-link discipline
+    and rank arithmetic are all under the hash.  cf. reference
+    `dags/cms_inpatient_download_unzip.py:22` (fixed-URL ingest — this is
+    the stage that turns one URL into a ranked frontier)."""
+    edges, nodes = _host_linkgraph(spark, sf_dir)
     ranks = pagerank_integer(
         edges, nodes, n_iter=_LG_ITERS, scale=_LG_SCALE, materialize_every=None
     )
@@ -641,10 +657,9 @@ def crawl_linkgraph_pagerank(spark, sf_dir):
 # it never assumes the plant.
 
 
-@register(
-    "crawl_revisit_policy",
-    oracle=f"""
-    WITH f AS (
+# CTE chain + final SELECT factored so the frontier-schedule composition's
+# oracle reuses the policy computation verbatim (no drift possible)
+_REVISIT_CTES = f"""f AS (
         SELECT CAST(props->>'k' AS BIGINT) AS page,
                CAST(props->>'k' AS BIGINT) % {_LG_HOSTS} AS dk,
                EPOCH_US(ts) AS us, ts, event_id
@@ -677,8 +692,9 @@ def crawl_linkgraph_pagerank(spark, sf_dir):
                MAX(us) AS last_us, MIN(us) AS first_us
         FROM c GROUP BY dk
     ),
-    now_t AS (SELECT MAX(us) AS now_us FROM c)
-    SELECT 'site' || dk || '.' ||
+    now_t AS (SELECT MAX(us) AS now_us FROM c)"""
+
+_REVISIT_FINAL = f"""SELECT 'site' || dk || '.' ||
                CASE dk % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
                AS domain,
            n_pages, n_fetches, n_changes, n_intervals,
@@ -698,7 +714,14 @@ def crawl_linkgraph_pagerank(spark, sf_dir):
                        now_us - last_us >= (last_us - first_us) // NULLIF(n_changes, 0),
                        FALSE) THEN 0 ELSE 1 END)
                AS INTEGER) AS priority_rank
-    FROM per, now_t
+    FROM per, now_t"""
+
+
+@register(
+    "crawl_revisit_policy",
+    oracle=f"""
+    WITH {_REVISIT_CTES}
+    {_REVISIT_FINAL}
     """,
 )
 def crawl_revisit_policy(spark, sf_dir):
@@ -1111,4 +1134,204 @@ def corpus_curation_v9(spark, sf_dir):
         "docs_kept",
         "kept_ws_tokens",
         ppm.cast("long").alias("sample_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# crawl_hits_scores — HITS hubs/authorities on the host link graph             #
+# --------------------------------------------------------------------------- #
+
+_HITS_SCALE = 10**6  # hub/authority mass in ppm units
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    scale = _HITS_SCALE
+    nref = "(SELECT n_nodes FROM n)"
+    parts = [
+        f"WITH {_linkgraph_cte_chain()}",
+        f""",
+    hh0 AS (SELECT domain, {scale} // {nref} AS x FROM nodes)""",
+    ]
+    prev_h = "hh0"
+    for i in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f""",
+    ar{i} AS (
+        SELECT nodes.domain,
+               COALESCE(CAST(SUM(h.x * e.w) AS BIGINT), 0) AS raw
+        FROM nodes
+        LEFT JOIN edges e ON e.dst = nodes.domain
+        LEFT JOIN {prev_h} h ON h.domain = e.src
+        GROUP BY nodes.domain
+    ),
+    asum{i} AS (SELECT CAST(SUM(raw) AS BIGINT) AS s FROM ar{i}),
+    aa{i} AS (SELECT domain, (raw * {scale}) // (SELECT s FROM asum{i}) AS x FROM ar{i}),
+    hr{i} AS (
+        SELECT nodes.domain,
+               COALESCE(CAST(SUM(a.x * e.w) AS BIGINT), 0) AS raw
+        FROM nodes
+        LEFT JOIN edges e ON e.src = nodes.domain
+        LEFT JOIN aa{i} a ON a.domain = e.dst
+        GROUP BY nodes.domain
+    ),
+    hsum{i} AS (SELECT CAST(SUM(raw) AS BIGINT) AS s FROM hr{i}),
+    hh{i} AS (SELECT domain, (raw * {scale}) // (SELECT s FROM hsum{i}) AS x FROM hr{i})"""
+        )
+        prev_h = f"hh{i}"
+    parts.append(
+        f"""
+    SELECT a.domain, h.x AS hub_ppm, a.x AS authority_ppm,
+           a.x > {scale} // {nref} AS above_uniform_authority
+    FROM aa{_HITS_ITERS} a JOIN hh{_HITS_ITERS} h ON h.domain = a.domain"""
+    )
+    return "".join(parts)
+
+
+@register("crawl_hits_scores", oracle=_hits_oracle())
+def crawl_hits_scores(spark, sf_dir):
+    """HITS hubs/authorities (Kleinberg 1999) over the SAME planted host
+    link graph the PageRank query ranks — the second classic frontier
+    centrality, and the one that separates 'links to good pages' (hub)
+    from 'is linked by good hubs' (authority), which PageRank's single
+    score conflates.  Two full iterations in INTEGER ppm units: each half
+    step is contribution-sum then L1 renormalization to the 1e6 grid
+    (x * scale div sum) — all BIGINT, so the iteration hash-matches the
+    unrolled SQL recurrence exactly.
+
+    Scale contract: the contribution product x * w needs
+    ``max(w) < 2^63 / (scale * graph_mass_factor)`` — at scale=1e6 that is
+    ~9.2e12 of edge weight headroom, 7 orders above the fixture and ample
+    for a 100 TB host graph (weights are PAGE counts, hosts cap out in the
+    billions); the normalize multiply raw * scale stays under 2^63 for
+    total raw mass < 9.2e12 — same ceiling, same loud-failure remedy as
+    ``pagerank_integer`` (pre-normalize w or shrink scale; ANSI mode turns
+    a breach into an error instead of a wrap).
+
+    Shape: the corpus-sized extraction is shared (one scan, one host-edge
+    groupBy via ``_host_linkgraph``); each HITS half-step then shuffles
+    only the host graph + a 1-row sum broadcast — iteration cost is
+    decoupled from corpus size exactly as in the PageRank query."""
+    edges, nodes = _host_linkgraph(spark, sf_dir)
+    n_nodes = nodes.count()  # model parameter (the pagerank_integer pattern)
+    if n_nodes == 0:
+        raise ValueError("crawl_hits_scores: empty host graph")
+    init = _HITS_SCALE // n_nodes
+    h = nodes.select("node", F.lit(init).alias("x"))
+    e = edges.withColumnRenamed("w", "_w")
+    for _ in range(_HITS_ITERS):
+        # authority: mass flows ALONG edges (sum over in-edges of src hubs)
+        a = (
+            nodes.join(e, F.col("node") == F.col("dst"), "left")
+            .join(
+                h.withColumnRenamed("node", "_f").withColumnRenamed("x", "_x"),
+                F.col("_f") == F.col("src"),
+                "left",
+            )
+            .groupBy("node")
+            .agg(F.coalesce(F.sum(F.col("_x") * F.col("_w")), F.lit(0)).alias("raw"))
+        )
+        s_a = a.agg(F.sum("raw").alias("s"))
+        a = a.crossJoin(F.broadcast(s_a)).select(
+            "node", F.expr(f"(raw * {_HITS_SCALE}) div s").alias("x")
+        )
+        # hub: mass flows AGAINST edges (sum over out-edges of dst authorities)
+        hr = (
+            nodes.join(e, F.col("node") == F.col("src"), "left")
+            .join(
+                a.withColumnRenamed("node", "_f").withColumnRenamed("x", "_x"),
+                F.col("_f") == F.col("dst"),
+                "left",
+            )
+            .groupBy("node")
+            .agg(F.coalesce(F.sum(F.col("_x") * F.col("_w")), F.lit(0)).alias("raw"))
+        )
+        s_h = hr.agg(F.sum("raw").alias("s"))
+        h = hr.crossJoin(F.broadcast(s_h)).select(
+            "node", F.expr(f"(raw * {_HITS_SCALE}) div s").alias("x")
+        )
+    return (
+        a.withColumnRenamed("x", "authority_ppm")
+        .join(h.withColumnRenamed("x", "hub_ppm"), "node")
+        .select(
+            F.col("node").alias("domain"),
+            "hub_ppm",
+            "authority_ppm",
+            (F.col("authority_ppm") > F.lit(_HITS_SCALE // n_nodes)).alias(
+                "above_uniform_authority"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# crawl_frontier_schedule — centrality x revisit policy -> fetch schedule      #
+# --------------------------------------------------------------------------- #
+
+_FRONTIER_BUDGET = 1000  # pages per crawl cycle
+
+
+@register(
+    "crawl_frontier_schedule",
+    oracle=f"""
+    WITH {_linkgraph_cte_chain()},
+    {_REVISIT_CTES},
+    policy AS ({_REVISIT_FINAL}),
+    due_mass AS (
+        SELECT CAST(SUM(r.rank) AS BIGINT) AS rank_due_sum
+        FROM r{_LG_ITERS} r JOIN policy p ON p.domain = r.domain
+        WHERE p.revisit_due
+    )
+    SELECT p.domain, r.rank, p.priority_rank, p.revisit_due,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY p.priority_rank, r.rank DESC, p.domain) AS BIGINT)
+               AS fetch_order,
+           CAST(COALESCE(
+               CASE WHEN p.revisit_due
+                    THEN ({_FRONTIER_BUDGET} * r.rank)
+                         // NULLIF(d.rank_due_sum, 0) END,
+               0) AS BIGINT) AS budget_pages
+    FROM policy p
+    JOIN r{_LG_ITERS} r ON r.domain = p.domain
+    CROSS JOIN due_mass d
+    """,
+)
+def crawl_frontier_schedule(spark, sf_dir):
+    """The crawl scheduler's output artifact — PURE COMPOSITION of the two
+    round-14 crawl queries (zero new operator code): join host centrality
+    (``crawl_linkgraph_pagerank``) with the revisit policy
+    (``crawl_revisit_policy``) on domain, order the frontier by
+    (priority_rank asc, rank desc, domain) into a total fetch order, and
+    allocate a fixed {_FRONTIER_BUDGET}-page cycle budget across DUE
+    domains proportionally to their integer rank (floor division — unspent
+    remainder pages stay banked, never over-allocated).  The oracle reuses
+    both queries' CTE chains verbatim, so the composition cannot drift
+    from its parts.
+
+    Shape: both inputs are domain-sized (the corpus-sized work happened
+    inside them); the join, the 1-row due-mass broadcast, and the global
+    order window all run on frontier-sized rows — at 100 TB this is the
+    single coordinator-scale artifact of the whole crawl cycle, and the
+    global window is the bounded-structure exemption (domains, not
+    pages)."""
+    rank_df = crawl_linkgraph_pagerank(spark, sf_dir).select("domain", "rank")
+    pol = crawl_revisit_policy(spark, sf_dir).select(
+        "domain", "priority_rank", "revisit_due"
+    )
+    joined = snapshot(rank_df.join(pol, "domain"))
+    due_mass = joined.filter(F.col("revisit_due")).agg(
+        F.sum("rank").alias("rank_due_sum")
+    )
+    w_order = W.orderBy("priority_rank", F.col("rank").desc(), "domain")
+    budget = F.when(
+        F.col("revisit_due"),
+        F.expr(f"({_FRONTIER_BUDGET} * rank) div nullif(rank_due_sum, 0)"),
+    )
+    return joined.crossJoin(F.broadcast(due_mass)).select(
+        "domain",
+        "rank",
+        "priority_rank",
+        "revisit_due",
+        F.row_number().over(w_order).cast("long").alias("fetch_order"),
+        F.coalesce(budget, F.lit(0)).cast("long").alias("budget_pages"),
     )

@@ -384,6 +384,11 @@ HEADLINE = [
     # corpus-sized map projection (strip + gates), the canonical-URL
     # groupBy, the md5 dedup window and a domain rollup + mixture broadcast
     "corpus_curation_v9",
+    # round-14 wave 4: HITS (shared extraction + 4 host-graph half-steps
+    # with 1-row sum broadcasts) and the frontier-schedule composition
+    # (both crawl queries re-run end-to-end + a 12-row join/window)
+    "crawl_hits_scores",
+    "crawl_frontier_schedule",
 ]
 
 

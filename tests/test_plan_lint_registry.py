@@ -62,6 +62,9 @@ _NEW_SINCE_GATE = [
     "labels_dawid_skene_em",
     # r14: new — crawl front-end threaded into curation (funnel + mixture)
     "corpus_curation_v9",
+    # r14: new — HITS hubs/authorities + the frontier-schedule composition
+    "crawl_hits_scores",
+    "crawl_frontier_schedule",
     # r14: code-changed — sketch_qdigest_quantiles' tail factored into the
     # shared _qdigest_flags_from_tree (same plan; reconfirm)
     "sketch_qdigest_quantiles",

@@ -200,3 +200,44 @@ def test_stream_qdigest_census_equals_batch_tree(spark, tmp_path):
         for r in dyadic_tree(vals, "cents", 24, radix=4).collect()
     }
     assert streamed == batch and len(streamed) > 100
+
+
+# --------------------------------------------------------------------------- #
+# HITS + frontier schedule (wave 4)                                            #
+# --------------------------------------------------------------------------- #
+def test_hits_normalized_mass_and_flags(spark):
+    rows = QUERY_REGISTRY["crawl_hits_scores"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 12
+    for col in ("hub_ppm", "authority_ppm"):
+        total = sum(r[col] for r in rows)
+        # L1-normalized to the 1e6 grid; integer division only truncates
+        assert 10**6 - 12 <= total <= 10**6, (col, total)
+    uniform = 10**6 // 12
+    for r in rows:
+        assert r["above_uniform_authority"] == (r["authority_ppm"] > uniform)
+    # the planted graph is irregular: scores must actually separate
+    assert len({r["authority_ppm"] for r in rows}) > 3
+    from airflow_cms_inpatient_etl_spark.sources.registry import release_snapshots
+
+    release_snapshots(spark)
+    spark.catalog.clearCache()
+
+
+def test_frontier_schedule_is_total_order_with_bounded_budget(spark):
+    rows = QUERY_REGISTRY["crawl_frontier_schedule"].fn(spark, SF_SMOKE).collect()
+    assert sorted(r["fetch_order"] for r in rows) == list(range(1, 13))
+    spent = sum(r["budget_pages"] for r in rows)
+    assert 0 <= spent <= 1000  # floor division never over-allocates
+    for r in rows:
+        if not r["revisit_due"]:
+            assert r["budget_pages"] == 0
+    # ordering law: priority ascending, then rank descending within priority
+    ordered = sorted(rows, key=lambda r: r["fetch_order"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert (a["priority_rank"], -a["rank"], a["domain"]) <= (
+            b["priority_rank"], -b["rank"], b["domain"]
+        )
+    from airflow_cms_inpatient_etl_spark.sources.registry import release_snapshots
+
+    release_snapshots(spark)
+    spark.catalog.clearCache()
