@@ -4332,3 +4332,295 @@ def dq_ks_drift(spark, sf_dir):
         ks.alias("ks_stat"),
         (ks > thresh).alias("drift_flag"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# ml_pass_at_k — the unbiased pass@k estimator (Chen et al. 2021, HumanEval)   #
+# --------------------------------------------------------------------------- #
+_PAK_PROBLEMS = 100
+_PAK_KS = (1, 5, 10)
+
+
+def _pak_product(n_col: str, c_col: str, k: int) -> str:
+    """SQL text of 1 - prod_{i=0}^{k-1} (n-c-i)/(n-i), the numerically-stable
+    form of 1 - C(n-c,k)/C(n,k).  The product is written as a FIXED
+    left-to-right chain of double multiplies of correctly-rounded double
+    divisions, so Spark and DuckDB evaluate the identical expression tree
+    and agree bit-for-bit (no factorials — C(1000,10) overflows anything;
+    the term-ratio form never leaves [0,1])."""
+    terms = [
+        f"(CAST({n_col} - {c_col} - {i} AS DOUBLE) / CAST({n_col} - {i} AS DOUBLE))"
+        for i in range(k)
+    ]
+    prod = terms[0]
+    for t in terms[1:]:
+        prod = f"({prod} * {t})"
+    return f"CASE WHEN {n_col} >= {k} THEN 1.0 - {prod} END"
+
+
+@register(
+    "ml_pass_at_k",
+    oracle=f"""
+    WITH att AS (
+        SELECT event_id % {_PAK_PROBLEMS} AS problem_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ok
+        FROM events
+    ),
+    per AS (
+        SELECT problem_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ok) AS BIGINT) AS c
+        FROM att GROUP BY problem_id
+    )
+    SELECT problem_id, n, c,
+           {_pak_product('n', 'c', 1)} AS pass_at_1,
+           {_pak_product('n', 'c', 5)} AS pass_at_5,
+           {_pak_product('n', 'c', 10)} AS pass_at_10
+    FROM per
+    """,
+)
+def ml_pass_at_k(spark, sf_dir):
+    """The unbiased pass@k estimator from the HumanEval paper (Chen et al.
+    2021, arXiv:2107.03374 §2.1): given n sampled attempts per problem with
+    c successes, pass@k = 1 - C(n-c,k)/C(n,k), computed in the
+    numerically-stable term-ratio form 1 - prod (n-c-i)/(n-i) — the eval
+    reduction every code-model benchmark runs over its generation logs.
+    Problems are event_id mod {_PAK_PROBLEMS}, an attempt succeeds when the
+    event is a purchase.  The k-term product is an UNROLLED fixed-order
+    chain of correctly-rounded double ops, identical expression tree on
+    both engines, so even the float columns hash-match exactly; n < k
+    yields NULL (the estimator's own undefined region), never a clamp.
+
+    Scale: ONE problem-keyed count/sum groupBy with map-side partials;
+    the per-problem arithmetic is a codegen'd projection.  At 100 TB of
+    generation logs this is a single near-uniform shuffle on problem_id —
+    the only state is (n, c) per problem."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            (F.col("event_id") % _PAK_PROBLEMS).alias("problem_id"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ok"),
+        )
+        .groupBy("problem_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ok").cast("long").alias("c"),
+        )
+    )
+    return per.select(
+        "problem_id",
+        "n",
+        "c",
+        F.expr(_pak_product("n", "c", 1)).alias("pass_at_1"),
+        F.expr(_pak_product("n", "c", 5)).alias("pass_at_5"),
+        F.expr(_pak_product("n", "c", 10)).alias("pass_at_10"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# labels_bradley_terry_mm — pairwise-preference strength (2 MM iterations)     #
+# --------------------------------------------------------------------------- #
+_BT_ITEMS = 20
+_BT_SCALE = 10**6
+_BT_ITERS = 2
+
+
+def _bt_match_ctes() -> str:
+    """Planted pairwise-preference fixture: per user, consecutive events are
+    a match between props.k%20 items; the higher event value wins (ties to
+    the smaller item id).  Same-item pairs are no-ops and dropped."""
+    return f"""ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(props->>'k' AS BIGINT) % {_BT_ITEMS} AS item,
+               CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    seqd AS (
+        SELECT user_id, item, cents,
+               LAG(item) OVER w AS p_item,
+               LAG(cents) OVER w AS p_cents
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    matches AS (
+        SELECT LEAST(item, p_item) AS lo, GREATEST(item, p_item) AS hi,
+               CASE WHEN cents > p_cents THEN item
+                    WHEN cents < p_cents THEN p_item
+                    ELSE LEAST(item, p_item) END AS winner
+        FROM seqd WHERE p_item IS NOT NULL AND p_item <> item
+    ),
+    pairs AS (
+        SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS n_ij,
+               CAST(COUNT(*) FILTER (WHERE winner = lo) AS BIGINT) AS lo_wins
+        FROM matches GROUP BY lo, hi
+    ),
+    items AS (
+        SELECT lo AS item FROM pairs UNION SELECT hi FROM pairs
+    ),
+    wins AS (
+        SELECT i.item,
+               CAST(COALESCE(SUM(CASE WHEN p.lo = i.item THEN p.lo_wins
+                                      ELSE p.n_ij - p.lo_wins END), 0) AS BIGINT)
+                   AS w_i,
+               CAST(COALESCE(SUM(p.n_ij), 0) AS BIGINT) AS m_i
+        FROM items i
+        LEFT JOIN pairs p ON p.lo = i.item OR p.hi = i.item
+        GROUP BY i.item
+    )"""
+
+
+def _bt_iter_ctes(i: int, prev: str) -> str:
+    """One MM update (Hunter 2004, eq. 1.1, integer fixed-point form):
+    d_i = sum_j n_ij * SCALE^2 div (w_i + w_j); s_i' = W_i * SCALE^2 div d_i;
+    then L1-renormalize to the |items| * SCALE grid."""
+    s2 = _BT_SCALE * _BT_SCALE
+    return f"""
+    den{i} AS (
+        SELECT it.item,
+               CAST(SUM((p.n_ij * {s2})
+                        // (a.s + b.s)) AS BIGINT) AS d_i
+        FROM items it
+        JOIN pairs p ON p.lo = it.item OR p.hi = it.item
+        JOIN {prev} a ON a.item = p.lo
+        JOIN {prev} b ON b.item = p.hi
+        GROUP BY it.item
+    ),
+    raw{i} AS (
+        SELECT w.item,
+               CASE WHEN d.d_i > 0 THEN (w.w_i * {s2}) // d.d_i ELSE 0 END AS s
+        FROM wins w JOIN den{i} d ON d.item = w.item
+    ),
+    tot{i} AS (SELECT CAST(SUM(s) AS BIGINT) AS t,
+                      CAST(COUNT(*) AS BIGINT) AS n_items FROM raw{i}),
+    bt{i} AS (
+        SELECT item, (s * (SELECT n_items * {_BT_SCALE} FROM tot{i}))
+                         // (SELECT t FROM tot{i}) AS s
+        FROM raw{i}
+    )"""
+
+
+def _bt_oracle() -> str:
+    parts = [f"WITH {_bt_match_ctes()},"]
+    parts.append(f"""
+    bt0 AS (SELECT item, CAST({_BT_SCALE} AS BIGINT) AS s FROM items)""")
+    prev = "bt0"
+    for i in range(1, _BT_ITERS + 1):
+        parts.append("," + _bt_iter_ctes(i, prev))
+        prev = f"bt{i}"
+    parts.append(f"""
+    SELECT w.item, w.m_i AS n_matches, w.w_i AS n_wins, b.s AS bt_strength,
+           CAST(ROW_NUMBER() OVER (ORDER BY b.s DESC, w.item) AS BIGINT)
+               AS strength_rank
+    FROM wins w JOIN {prev} b ON b.item = w.item""")
+    return "".join(parts)
+
+
+@register("labels_bradley_terry_mm", oracle=_bt_oracle())
+def labels_bradley_terry_mm(spark, sf_dir):
+    """Bradley-Terry preference-strength fitting by minorization-maximization
+    (Hunter 2004, public literature) — the model behind Chatbot-Arena-style
+    pairwise preference leaderboards and RLHF reward shaping: items play
+    matches (consecutive events per user; higher value wins, ties to the
+    smaller id), and {_BT_ITERS} MM updates from the uniform start estimate
+    each item's strength: s_i' = W_i / sum_j n_ij/(s_i + s_j), then
+    L1-renormalize onto the |items| x 1e6 grid.  All arithmetic is integer
+    fixed-point (SCALE^2 numerators, floor division, the
+    ``recsys_als_step`` discipline), so a statistics-literature iterative
+    fit hash-matches an unrolled SQL recurrence — note iteration 1 from
+    the uniform start has CONSTANT denominators (2 x SCALE), so it reduces
+    to win-rate scaling; iteration 2 is where opponent strength starts
+    mattering, which is why the fixture runs two.
+
+    Scale: the match derivation is one user-keyed lag window + one
+    (lo, hi) pair groupBy; each MM round then joins only the PAIR table
+    (items^2/2 rows at most — leaderboard-sized, broadcast at 100 TB)
+    against the current strengths and renormalizes via a 1-row broadcast.
+    Headroom: n_ij * SCALE^2 must stay under 2^63 — n_ij < 9.2e6 matches
+    per pair at SCALE=1e6; beyond that, shrink SCALE (documented, loud
+    under ANSI mode)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.get_json_object("props", "$.k").cast("long") % _BT_ITEMS).alias("item"),
+        F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = base.select(
+        "item",
+        "cents",
+        F.lag("item").over(w).alias("p_item"),
+        F.lag("cents").over(w).alias("p_cents"),
+    ).filter(F.col("p_item").isNotNull() & (F.col("p_item") != F.col("item")))
+    matches = seqd.select(
+        F.least("item", "p_item").alias("lo"),
+        F.greatest("item", "p_item").alias("hi"),
+        F.when(F.col("cents") > F.col("p_cents"), F.col("item"))
+        .when(F.col("cents") < F.col("p_cents"), F.col("p_item"))
+        .otherwise(F.least("item", "p_item"))
+        .alias("winner"),
+    )
+    pairs = snapshot(
+        matches.groupBy("lo", "hi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_ij"),
+            F.sum(F.when(F.col("winner") == F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("lo_wins"),
+        )
+    )
+    items = pairs.select(F.col("lo").alias("item")).union(pairs.select("hi")).distinct()
+    # per-item totals: wins and match counts over the pair table
+    side = pairs.select(
+        F.col("lo").alias("item"), F.col("lo_wins").alias("w"), "n_ij"
+    ).union(
+        pairs.select(
+            F.col("hi").alias("item"), (F.col("n_ij") - F.col("lo_wins")).alias("w"), "n_ij"
+        )
+    )
+    wins = snapshot(
+        items.join(side, "item", "left")
+        .groupBy("item")
+        .agg(
+            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("w_i"),
+            F.coalesce(F.sum("n_ij"), F.lit(0)).cast("long").alias("m_i"),
+        )
+    )
+    s2 = _BT_SCALE * _BT_SCALE
+    bt = items.select("item", F.lit(_BT_SCALE).cast("long").alias("s"))
+    for _ in range(_BT_ITERS):
+        both = (
+            pairs.join(bt.withColumnRenamed("item", "lo").withColumnRenamed("s", "s_lo"), "lo")
+            .join(bt.withColumnRenamed("item", "hi").withColumnRenamed("s", "s_hi"), "hi")
+        )
+        den = (
+            both.select(F.col("lo").alias("item"), F.expr(f"n_ij * {s2} div (s_lo + s_hi)").alias("t"))
+            .union(
+                both.select(F.col("hi").alias("item"), F.expr(f"n_ij * {s2} div (s_lo + s_hi)").alias("t"))
+            )
+            .groupBy("item")
+            .agg(F.sum("t").cast("long").alias("d_i"))
+        )
+        raw = wins.join(den, "item").select(
+            "item",
+            F.when(F.col("d_i") > 0, F.expr(f"w_i * {s2} div d_i"))
+            .otherwise(F.lit(0))
+            .alias("s"),
+        )
+        tot = raw.agg(
+            F.sum("s").cast("long").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        bt = raw.crossJoin(F.broadcast(tot)).select(
+            "item", F.expr(f"s * (n_items * {_BT_SCALE}) div t").alias("s")
+        )
+    w_rank = W.orderBy(F.col("bt_strength").desc(), "item")
+    return (
+        wins.join(bt, "item")
+        .select(
+            "item",
+            F.col("m_i").alias("n_matches"),
+            F.col("w_i").alias("n_wins"),
+            F.col("s").alias("bt_strength"),
+        )
+        .withColumn("strength_rank", F.row_number().over(w_rank).cast("long"))
+    )

@@ -389,6 +389,12 @@ HEADLINE = [
     # (both crawl queries re-run end-to-end + a 12-row join/window)
     "crawl_hits_scores",
     "crawl_frontier_schedule",
+    # round-14 wave 5: the HumanEval pass@k reduction (one problem-keyed
+    # groupBy + codegen'd unrolled term-ratio products) and two
+    # Bradley-Terry MM rounds over the pair table (lag window + pair
+    # groupBy, then leaderboard-sized joins with 1-row broadcasts)
+    "ml_pass_at_k",
+    "labels_bradley_terry_mm",
 ]
 
 

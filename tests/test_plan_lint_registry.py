@@ -65,6 +65,9 @@ _NEW_SINCE_GATE = [
     # r14: new — HITS hubs/authorities + the frontier-schedule composition
     "crawl_hits_scores",
     "crawl_frontier_schedule",
+    # r14: new — pass@k estimator + Bradley-Terry MM preference strengths
+    "ml_pass_at_k",
+    "labels_bradley_terry_mm",
     # r14: code-changed — sketch_qdigest_quantiles' tail factored into the
     # shared _qdigest_flags_from_tree (same plan; reconfirm)
     "sketch_qdigest_quantiles",

@@ -241,3 +241,52 @@ def test_frontier_schedule_is_total_order_with_bounded_budget(spark):
 
     release_snapshots(spark)
     spark.catalog.clearCache()
+
+
+# --------------------------------------------------------------------------- #
+# pass@k + Bradley-Terry (wave 5)                                              #
+# --------------------------------------------------------------------------- #
+def test_pass_at_k_estimator_laws(spark):
+    import math
+
+    rows = QUERY_REGISTRY["ml_pass_at_k"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 100
+    for r in rows:
+        n, c = r["n"], r["c"]
+        for k, col in ((1, "pass_at_1"), (5, "pass_at_5"), (10, "pass_at_10")):
+            v = r[col]
+            if n < k:
+                assert v is None, r
+                continue
+            assert 0.0 <= v <= 1.0
+            if c == 0:
+                assert v == 0.0
+            if c >= n:
+                assert v == 1.0
+            if n - c >= k and c > 0:
+                assert v > 0.0
+        if r["pass_at_5"] is not None and r["pass_at_10"] is not None:
+            # pass@k is monotone in k (more draws can only help)
+            assert r["pass_at_1"] <= r["pass_at_5"] + 1e-12
+            assert r["pass_at_5"] <= r["pass_at_10"] + 1e-12
+        if n >= 1:
+            assert math.isclose(r["pass_at_1"], c / n, rel_tol=0, abs_tol=1e-12)
+
+
+def test_bradley_terry_structure(spark):
+    rows = QUERY_REGISTRY["labels_bradley_terry_mm"].fn(spark, SF_SMOKE).collect()
+    n_items = len(rows)
+    assert n_items == 20
+    assert sorted(r["strength_rank"] for r in rows) == list(range(1, n_items + 1))
+    total = sum(r["bt_strength"] for r in rows)
+    # L1-renormalized onto the n_items x 1e6 grid; floor division truncates
+    assert n_items * 10**6 - n_items <= total <= n_items * 10**6
+    top = min(rows, key=lambda r: r["strength_rank"])
+    assert top["bt_strength"] == max(r["bt_strength"] for r in rows)
+    # every item played (the planted fixture is dense) and wins <= matches
+    for r in rows:
+        assert 0 < r["n_wins"] <= r["n_matches"]
+    from airflow_cms_inpatient_etl_spark.sources.registry import release_snapshots
+
+    release_snapshots(spark)
+    spark.catalog.clearCache()
