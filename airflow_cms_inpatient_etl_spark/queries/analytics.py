@@ -4624,3 +4624,56 @@ def labels_bradley_terry_mm(spark, sf_dir):
         )
         .withColumn("strength_rank", F.row_number().over(w_rank).cast("long"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# sql_recursive_cte_ancestors — WITH RECURSIVE through the raw-SQL entry path  #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "sql_recursive_cte_ancestors",
+    oracle="""
+    WITH RECURSIVE anc AS (
+        SELECT s_suppkey AS node, s_suppkey AS a, 0 AS d FROM supplier
+        UNION ALL
+        SELECT node, a // 2, d + 1 FROM anc WHERE a > 1
+    )
+    SELECT node AS s_suppkey,
+           CAST(MAX(d) AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_chain,
+           CAST(SUM(a) AS BIGINT) AS chain_keysum
+    FROM anc GROUP BY node
+    """,
+)
+def sql_recursive_cte_ancestors(spark, sf_dir):
+    """Recursive CTE (``WITH RECURSIVE``, Spark 4's SQL:1999 recursion) over
+    a planted binary hierarchy: parent(k) = k div 2, root 1 — per supplier,
+    the depth, chain length and ancestor-key sum of its root path.  This is
+    the RAW-SQL recursion entry path (``sql_q3_shipping_priority``'s
+    doctrine applied to iteration): the engine's own fixpoint operator
+    drives the loop, complementing the DataFrame-side iteration families
+    (``operators/graph.py``, whose large-star/small-star and
+    ``ancestor_closure`` cover the same semantics when the recursion depth
+    or the need for per-round snapshots outgrows the SQL form).
+
+    Scale: each recursion step is one shuffle bounded by the LIVE frontier
+    (rows still above the root), which HALVES in key-space each round —
+    depth is log2(max key), ~40 rounds at 10^12 keys; the final rollup is
+    one node-keyed groupBy.  Integer arithmetic end-to-end, so the
+    recursive fixpoint hash-matches DuckDB's recursive CTE exactly."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("rc_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT s_suppkey AS node, s_suppkey AS a, 0 AS d FROM rc_supplier
+            UNION ALL
+            SELECT node, a DIV 2, d + 1 FROM anc WHERE a > 1
+        )
+        SELECT node AS s_suppkey,
+               CAST(MAX(d) AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_chain,
+               CAST(SUM(a) AS BIGINT) AS chain_keysum
+        FROM anc GROUP BY node
+        """
+    )

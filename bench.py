@@ -395,6 +395,9 @@ HEADLINE = [
     # groupBy, then leaderboard-sized joins with 1-row broadcasts)
     "ml_pass_at_k",
     "labels_bradley_terry_mm",
+    # round-14 wave 6: the SQL:1999 recursion entry path (engine-driven
+    # fixpoint, frontier halves per round over the planted binary hierarchy)
+    "sql_recursive_cte_ancestors",
 ]
 
 

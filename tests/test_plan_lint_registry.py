@@ -68,6 +68,8 @@ _NEW_SINCE_GATE = [
     # r14: new — pass@k estimator + Bradley-Terry MM preference strengths
     "ml_pass_at_k",
     "labels_bradley_terry_mm",
+    # r14: new — WITH RECURSIVE through the raw-SQL entry path
+    "sql_recursive_cte_ancestors",
     # r14: code-changed — sketch_qdigest_quantiles' tail factored into the
     # shared _qdigest_flags_from_tree (same plan; reconfirm)
     "sketch_qdigest_quantiles",
