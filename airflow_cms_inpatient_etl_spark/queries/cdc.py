@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from airflow_cms_inpatient_etl_spark.operators.upsert import apply_scd2, scd2_init, upsert
 from airflow_cms_inpatient_etl_spark.queries.base import register
-from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+from airflow_cms_inpatient_etl_spark.sources.registry import load_table, snapshot
 
 
 @register(
@@ -666,4 +666,152 @@ def ivm_join_view_delta(spark, sf_dir):
         merged = merged.unionByName(t)
     return merged.groupBy("priority").agg(
         F.sum("n_lines").alias("n_lines"), F.sum("cents").alias("cents")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# ivm_distinct_view_delta — incremental COUNT(DISTINCT) via refcounts          #
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "ivm_distinct_view_delta",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS grp, o_custkey AS x, o_orderkey
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    dels AS (SELECT grp, x FROM base WHERE o_orderkey % 35 = 7),
+    ins AS (
+        SELECT o_orderpriority AS grp, o_custkey AS x
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    final AS (
+        SELECT grp, x FROM base WHERE o_orderkey % 35 <> 7
+        UNION ALL SELECT grp, x FROM ins
+    ),
+    oldd AS (
+        SELECT grp, CAST(COUNT(DISTINCT x) AS BIGINT) AS old_distinct
+        FROM base GROUP BY grp
+    ),
+    newd AS (
+        SELECT grp, CAST(COUNT(DISTINCT x) AS BIGINT) AS new_distinct
+        FROM final GROUP BY grp
+    ),
+    di AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS inserts_applied FROM ins GROUP BY grp),
+    dd AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS deletes_applied FROM dels GROUP BY grp),
+    bkeys AS (SELECT DISTINCT grp, x FROM base),
+    fkeys AS (SELECT DISTINCT grp, x FROM final),
+    app AS (
+        SELECT f.grp, CAST(COUNT(*) AS BIGINT) AS keys_appeared
+        FROM fkeys f LEFT JOIN bkeys b ON b.grp = f.grp AND b.x = f.x
+        WHERE b.grp IS NULL GROUP BY f.grp
+    ),
+    van AS (
+        SELECT b.grp, CAST(COUNT(*) AS BIGINT) AS keys_vanished
+        FROM bkeys b LEFT JOIN fkeys f ON f.grp = b.grp AND f.x = b.x
+        WHERE f.grp IS NULL GROUP BY b.grp
+    )
+    SELECT o.grp AS o_orderpriority,
+           o.old_distinct,
+           COALESCE(di.inserts_applied, 0) AS inserts_applied,
+           COALESCE(dd.deletes_applied, 0) AS deletes_applied,
+           COALESCE(app.keys_appeared, 0) AS keys_appeared,
+           COALESCE(van.keys_vanished, 0) AS keys_vanished,
+           n.new_distinct
+    FROM oldd o
+    JOIN newd n ON n.grp = o.grp
+    LEFT JOIN di ON di.grp = o.grp
+    LEFT JOIN dd ON dd.grp = o.grp
+    LEFT JOIN app ON app.grp = o.grp
+    LEFT JOIN van ON van.grp = o.grp
+    """,
+)
+def ivm_distinct_view_delta(spark, sf_dir):
+    """Incremental maintenance of a COUNT(DISTINCT) view — the aggregate
+    plain delta-merge CANNOT maintain (`incremental_agg_merge`'s sums and
+    insert-only extrema add; distinct counts don't): the standing state is
+    the per-(group, value) REFCOUNT table, and a mixed insert/delete delta
+    merges as refcount arithmetic — a key contributes +1 to the view when
+    its refcount goes 0 -> positive and -1 when it returns to 0, which is
+    exactly the information the refcounts exist to preserve across
+    deletions.  Fixture: view = distinct customers per order priority;
+    base = 80% of orders, delta = the remaining inserts plus deletion of
+    every (orderkey % 35 == 7) base row.  A negative merged refcount
+    (deleting a row the base never had) RAISES instead of silently
+    wrapping.  The oracle recomputes old/new states from scratch, so the
+    refcount machinery is checked against an independent derivation.
+
+    Scale: the standing refcount table is (groups x live values) — the
+    view's own support, not history-sized; the merge is one (grp, x)-keyed
+    FULL OUTER join bounded by |delta| + touched keys, then a group-sized
+    rollup.  At 100 TB the refcount table is the price of exact
+    distinct-IVM under deletes; the sketch alternative (theta) trades it
+    for bounded error — both live in this registry."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_custkey").alias("x"),
+        "o_orderkey",
+    )
+    base = o.filter(F.col("o_orderkey") % 5 != 0)
+    ins = o.filter(F.col("o_orderkey") % 5 == 0).select("grp", "x", F.lit(1).alias("d"))
+    dels = base.filter(F.col("o_orderkey") % 35 == 7).select(
+        "grp", "x", F.lit(-1).alias("d")
+    )
+    standing = snapshot(
+        base.groupBy("grp", "x").agg(F.count(F.lit(1)).cast("long").alias("rc"))
+    )
+    delta_rc = (
+        ins.unionByName(dels).groupBy("grp", "x").agg(F.sum("d").cast("long").alias("dc"))
+    )
+    merged = standing.join(delta_rc, ["grp", "x"], "full_outer").select(
+        "grp",
+        "x",
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("dc", F.lit(0)).alias("dc"),
+    )
+    new_rc = F.col("rc") + F.col("dc")
+    guarded = merged.select(
+        "grp",
+        "x",
+        "rc",
+        F.when(new_rc >= 0, new_rc)
+        .otherwise(
+            F.raise_error(
+                F.lit("ivm_distinct_view_delta: negative refcount — delete of a "
+                      "row the standing state never held")
+            )
+        )
+        .alias("nrc"),
+    )
+    per_grp = guarded.groupBy("grp").agg(
+        F.sum(F.when(F.col("rc") > 0, 1).otherwise(0)).cast("long").alias("old_distinct"),
+        F.sum(F.when((F.col("rc") == 0) & (F.col("nrc") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("keys_appeared"),
+        F.sum(F.when((F.col("rc") > 0) & (F.col("nrc") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("keys_vanished"),
+    )
+    applied = (
+        ins.unionByName(dels)
+        .groupBy("grp")
+        .agg(
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("inserts_applied"),
+            F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).cast("long").alias("deletes_applied"),
+        )
+    )
+    return (
+        per_grp.join(applied, "grp", "left")
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "old_distinct",
+            F.coalesce("inserts_applied", F.lit(0)).alias("inserts_applied"),
+            F.coalesce("deletes_applied", F.lit(0)).alias("deletes_applied"),
+            "keys_appeared",
+            "keys_vanished",
+            (F.col("old_distinct") + F.col("keys_appeared") - F.col("keys_vanished")).alias(
+                "new_distinct"
+            ),
+        )
     )

@@ -398,6 +398,9 @@ HEADLINE = [
     # round-14 wave 6: the SQL:1999 recursion entry path (engine-driven
     # fixpoint, frontier halves per round over the planted binary hierarchy)
     "sql_recursive_cte_ancestors",
+    # round-14 wave 7: exact distinct-count IVM under deletes (standing
+    # refcount snapshot + one full-outer delta merge + group rollup)
+    "ivm_distinct_view_delta",
 ]
 
 

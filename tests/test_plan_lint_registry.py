@@ -70,6 +70,8 @@ _NEW_SINCE_GATE = [
     "labels_bradley_terry_mm",
     # r14: new — WITH RECURSIVE through the raw-SQL entry path
     "sql_recursive_cte_ancestors",
+    # r14: new — exact COUNT(DISTINCT) IVM under deletes via refcounts
+    "ivm_distinct_view_delta",
     # r14: code-changed — sketch_qdigest_quantiles' tail factored into the
     # shared _qdigest_flags_from_tree (same plan; reconfirm)
     "sketch_qdigest_quantiles",

@@ -290,3 +290,44 @@ def test_bradley_terry_structure(spark):
 
     release_snapshots(spark)
     spark.catalog.clearCache()
+
+
+# --------------------------------------------------------------------------- #
+# distinct-count IVM (wave 7): the refcount ledger balances exactly           #
+# --------------------------------------------------------------------------- #
+def test_ivm_distinct_ledger_balances(spark):
+    import duckdb
+
+    rows = QUERY_REGISTRY["ivm_distinct_view_delta"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 5  # the five order priorities
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'"
+    )
+    truth = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """
+            SELECT grp, COUNT(DISTINCT CASE WHEN keep THEN x END) AS newd,
+                   COUNT(DISTINCT CASE WHEN is_base THEN x END) AS oldd
+            FROM (
+                SELECT o_orderpriority AS grp, o_custkey AS x,
+                       o_orderkey % 5 <> 0 AS is_base,
+                       (o_orderkey % 5 <> 0 AND o_orderkey % 35 <> 7)
+                           OR o_orderkey % 5 = 0 AS keep
+                FROM orders
+            ) GROUP BY grp
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        newd, oldd = truth[r["o_orderpriority"]]
+        assert r["new_distinct"] == newd
+        assert r["old_distinct"] == oldd
+        # the ledger identity the refcounts exist to maintain
+        assert r["new_distinct"] == r["old_distinct"] + r["keys_appeared"] - r["keys_vanished"]
+        assert r["keys_vanished"] <= r["deletes_applied"]
+    from airflow_cms_inpatient_etl_spark.sources.registry import release_snapshots
+
+    release_snapshots(spark)
+    spark.catalog.clearCache()
