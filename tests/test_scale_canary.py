@@ -1135,3 +1135,107 @@ def test_round13_queries_scale_invariants_at_sf1(spark, sf1_dir):
     finally:
         release_snapshots(spark)
         spark.catalog.clearCache()
+
+
+@pytest.mark.slow
+def test_round14_queries_scale_invariants_at_sf1(spark, sf1_dir):
+    """Round-14 additions under 10× growth — exact laws where the fixture
+    admits them, structural invariants where replication perturbs the
+    planted keys (doc_id shifts are not multiples of the page/variant
+    moduli, so per-domain crawl counts redistribute deterministically but
+    not proportionally):
+
+    * Dawid-Skene: event_id shift is ≡0 mod 200 and user ids shift away,
+      so the ITEM universe and every per-annotator behavior replicate —
+      majority and DS labels are UNCHANGED and every additive score is
+      exactly ×10;
+    * pass@k: problems ≡ unchanged (shift ≡0 mod 100), attempts ×10 —
+      n, c ×10 and pass@1 = c/n bit-identical;
+    * Bradley-Terry: pair universe unchanged (props.k untouched), match
+      and win counts exactly ×10 (strengths drift by floor-division ulps
+      under ×10 numerators — counts are the exact law, strengths are not);
+    * revisit policy: pages unchanged, fetches ×10, intervals = 10F - P
+      (rank-based versioning is order-insensitive to replica interleave);
+      the period-1/period-5 bucket pins hold at any scale;
+    * recursive CTE: supplier is symlinked unchanged — output EQUALITY;
+    * distinct-IVM: custkeys are reused across replicas, so old_distinct
+      is UNCHANGED while inserts ×10; the ledger identity must still hold;
+    * link graph: every planted link lands or is dropped deterministically
+      — total out-weight == 3·docs − |k ∈ {5,11} docs| recomputed
+      independently from the 10× docs table; rank mass stays ≤ scale.
+    """
+    # --- Dawid-Skene: labels frozen, scores exactly ×10
+    ds_b = {r["item_id"]: r for r in QUERY_REGISTRY["labels_dawid_skene_em"].fn(spark, SF_SRC).collect()}
+    ds_s = {r["item_id"]: r for r in QUERY_REGISTRY["labels_dawid_skene_em"].fn(spark, sf1_dir).collect()}
+    assert ds_s.keys() == ds_b.keys()
+    for k in ds_b:
+        assert ds_s[k]["ds_label"] == ds_b[k]["ds_label"]
+        assert ds_s[k]["majority_label"] == ds_b[k]["majority_label"]
+        assert ds_s[k]["relabeled"] == ds_b[k]["relabeled"]
+        assert ds_s[k]["n_votes"] == 10 * ds_b[k]["n_votes"]
+        assert ds_s[k]["ds_score_ppm"] == 10 * ds_b[k]["ds_score_ppm"]
+
+    # --- pass@k: n, c ×10; pass@1 bit-identical
+    pk_b = {r["problem_id"]: r for r in QUERY_REGISTRY["ml_pass_at_k"].fn(spark, SF_SRC).collect()}
+    pk_s = {r["problem_id"]: r for r in QUERY_REGISTRY["ml_pass_at_k"].fn(spark, sf1_dir).collect()}
+    assert pk_s.keys() == pk_b.keys()
+    for k in pk_b:
+        assert pk_s[k]["n"] == 10 * pk_b[k]["n"]
+        assert pk_s[k]["c"] == 10 * pk_b[k]["c"]
+        assert pk_s[k]["pass_at_1"] == pk_b[k]["pass_at_1"]
+
+    # --- Bradley-Terry: counts exactly ×10
+    bt_b = {r["item"]: r for r in QUERY_REGISTRY["labels_bradley_terry_mm"].fn(spark, SF_SRC).collect()}
+    bt_s = {r["item"]: r for r in QUERY_REGISTRY["labels_bradley_terry_mm"].fn(spark, sf1_dir).collect()}
+    assert bt_s.keys() == bt_b.keys()
+    for k in bt_b:
+        assert bt_s[k]["n_matches"] == 10 * bt_b[k]["n_matches"]
+        assert bt_s[k]["n_wins"] == 10 * bt_b[k]["n_wins"]
+
+    # --- revisit policy: pages frozen, fetches ×10, intervals = 10F − P
+    rv_b = {r["domain"]: r for r in QUERY_REGISTRY["crawl_revisit_policy"].fn(spark, SF_SRC).collect()}
+    rv_s = {r["domain"]: r for r in QUERY_REGISTRY["crawl_revisit_policy"].fn(spark, sf1_dir).collect()}
+    assert rv_s.keys() == rv_b.keys()
+    for k in rv_b:
+        assert rv_s[k]["n_pages"] == rv_b[k]["n_pages"]
+        assert rv_s[k]["n_fetches"] == 10 * rv_b[k]["n_fetches"]
+        assert rv_s[k]["n_intervals"] == 10 * rv_b[k]["n_fetches"] - rv_b[k]["n_pages"]
+        dk = int(k.removeprefix("site").split(".")[0])
+        if dk % 5 == 0:
+            assert rv_s[k]["change_bucket"] == "hot"
+        if dk % 5 == 4:
+            assert rv_s[k]["change_bucket"] == "cold"
+
+    # --- recursive CTE: input table unchanged ⇒ output equality
+    rc_b = sorted(map(tuple, QUERY_REGISTRY["sql_recursive_cte_ancestors"].fn(spark, SF_SRC).collect()))
+    rc_s = sorted(map(tuple, QUERY_REGISTRY["sql_recursive_cte_ancestors"].fn(spark, sf1_dir).collect()))
+    assert rc_s == rc_b
+
+    # --- distinct-IVM: old_distinct frozen, inserts ×10, ledger balances
+    iv_b = {r["o_orderpriority"]: r for r in QUERY_REGISTRY["ivm_distinct_view_delta"].fn(spark, SF_SRC).collect()}
+    iv_s = {r["o_orderpriority"]: r for r in QUERY_REGISTRY["ivm_distinct_view_delta"].fn(spark, sf1_dir).collect()}
+    assert iv_s.keys() == iv_b.keys()
+    for k in iv_b:
+        assert iv_s[k]["old_distinct"] == iv_b[k]["old_distinct"]
+        assert iv_s[k]["inserts_applied"] == 10 * iv_b[k]["inserts_applied"]
+        assert iv_s[k]["new_distinct"] == (
+            iv_s[k]["old_distinct"] + iv_s[k]["keys_appeared"] - iv_s[k]["keys_vanished"]
+        )
+
+    # --- link graph: exact link accounting against an independent recount
+    lg = QUERY_REGISTRY["crawl_linkgraph_pagerank"].fn(spark, sf1_dir).collect()
+    docs_k = (
+        spark.read.parquet(f"{sf1_dir}/documents.parquet")
+        .groupBy((F.expr("doc_id div 3") % 12).alias("k"))
+        .count()
+        .collect()
+    )
+    per_k = {r["k"]: r["count"] for r in docs_k}
+    n_docs = sum(per_k.values())
+    expected_links = 3 * n_docs - per_k.get(5, 0) - per_k.get(11, 0)
+    assert sum(r["out_w"] for r in lg) == expected_links
+    assert sum(r["in_w"] for r in lg) == expected_links
+    assert sum(r["rank"] for r in lg) <= 10**12
+
+    release_snapshots(spark)
+    spark.catalog.clearCache()
