@@ -160,3 +160,48 @@ def equi_width_bucket_int(v: str, lo: str, hi: str, n_buckets: int) -> Column:
     byte-identical integer arithmetic.  For v in [lo, hi] the result is
     < n_buckets by construction — no clamp, no float rounding anywhere."""
     return F.expr(f"(({v} - {lo}) * {n_buckets}) DIV ({hi} - {lo} + 1)").cast("bigint")
+
+
+def with_hilbert_key(df: DataFrame, qx_col: str, qy_col: str, bits: int = 8, out: str = "hkey") -> DataFrame:
+    """Append the 2-D Hilbert-curve distance for quantized coordinates in
+    [0, 2^bits)^2 — the classic xy2d recurrence (Hilbert 1891; the widely
+    published iterative form, e.g. Wikipedia "Hilbert curve" / Hamilton's
+    compact algorithm) unrolled to ``bits`` levels of pure integer Column
+    arithmetic: at level s, rx/ry test one bit of each coordinate, the
+    distance accumulates s^2 * gray(rx, ry) (gray = 3*rx + ry - 2*rx*ry,
+    the arithmetic form of (3*rx) XOR ry for bits), and the frame
+    reflects/swaps.  Unlike the Morton interleave, consecutive Hilbert
+    keys are ALWAYS spatially adjacent (no quadrant jumps), which is why
+    modern lakehouse clustering prefers it for multi-dimensional layout.
+
+    Implementation note: each level is ONE projection (withColumns updates
+    x/y/d simultaneously), so the logical plan stays linear in ``bits``;
+    after Catalyst's projection collapse the expression tree is ~3^bits
+    leaves — fine for the 8-bit grids file-layout uses (6.5k nodes), which
+    is also why this is a DataFrame transformer rather than a single
+    Column builder.  Zero shuffles, zero Python."""
+    n = 1 << bits
+    df = df.withColumns(
+        {
+            "_hx": F.col(qx_col).cast("long"),
+            "_hy": F.col(qy_col).cast("long"),
+            "_hd": F.lit(0).cast("long"),
+        }
+    )
+    s = n // 2
+    while s > 0:
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        df = df.withColumns(
+            {
+                "_hd": F.col("_hd") + F.lit(s * s) * (3 * rx + ry - 2 * rx * ry),
+                "_hx": F.when(ry == 1, F.col("_hx"))
+                .when(rx == 1, F.lit(n - 1) - F.col("_hy"))
+                .otherwise(F.col("_hy")),
+                "_hy": F.when(ry == 1, F.col("_hy"))
+                .when(rx == 1, F.lit(n - 1) - F.col("_hx"))
+                .otherwise(F.col("_hx")),
+            }
+        )
+        s //= 2
+    return df.withColumnRenamed("_hd", out).drop("_hx", "_hy")

@@ -54,13 +54,13 @@ _PRIORITY = [
     # ROUND-14 WINDOW (first 50).  Policy: never-checked > code-changed-      #
     # since-last-check > stalest-green.  Round 13 closed 50/50 green; the     #
     # union's staleness histogram entering round 14 is 1 r7 / 48 r8 / 45 r9   #
-    # / 42 r10 / 46 r11 / 48 r12 / 50 r13.  This rotation seats (a) the 11    #
+    # / 42 r10 / 46 r11 / 48 r12 / 50 r13.  This rotation seats (a) the 12    #
     # round-14 additions plus the round-14 code-changed qdigest row,          #
     # round-14 additions (never-checked first), (b) text_readability_scores   #
     # — the single remaining r7 row, displaced by round-13 wave 5 and queued  #
     # at the head since — plus the round-14 code-changed qdigest row, and    #
-    # (c) the first 37 rows of the 48-row r8 cohort; the last 11 r8 rows      #
-    # (text_token_counts through window_sliding_frame_avg) are                #
+    # (c) the first 36 rows of the 48-row r8 cohort; the last 12 r8 rows      #
+    # (text_rolling_hash through window_sliding_frame_avg) are                #
     # displaced to the round-15 queue head.  After round 14: the r7 cohort    #
     # retires, and the oldest remaining cohort is r8 (2 rows, queue head).    #
     # ======================================================================= #
@@ -78,6 +78,7 @@ _PRIORITY = [
     "labels_bradley_terry_mm",
     "sql_recursive_cte_ancestors",
     "ivm_distinct_view_delta",
+    "layout_hilbert_locality",
     # -- a2. code changed in round 14 (the qdigest verification tail factored
     # into the shared _qdigest_flags_from_tree helper; plan identical) ------- #
     "sketch_qdigest_quantiles",
@@ -120,11 +121,11 @@ _PRIORITY = [
     "text_corpus_rollup",
     "text_langid_heuristic",
     "text_repetition_metrics",
-    "text_rolling_hash",
     # ----------------------- window boundary (50) -------------------------- #
-    # (11 new + 1 code-changed + 1 r7 + 37 r8 = 50.)                          #
-    # ROUND-15 QUEUE: the 11 displaced r8 rows, then the r9 cohort, then      #
+    # (12 new + 1 code-changed + 1 r7 + 36 r8 = 50.)                          #
+    # ROUND-15 QUEUE: the 12 displaced r8 rows, then the r9 cohort, then      #
     # everything else in registration order.                                  #
+    "text_rolling_hash",
     "text_token_counts",
     "text_wordcount_udtf",
     "topk_orders_by_price",

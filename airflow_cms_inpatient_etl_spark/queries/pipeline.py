@@ -1575,3 +1575,169 @@ def pack_shelf_bins(spark, sf_dir):
         (F.sum("ntok").cast("double") / F.lit(float(_SHELF_CTX))).alias("utilization"),
         (F.max("ntok") > _SHELF_CTX).alias("has_overflow_doc"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# layout_hilbert_locality — Hilbert-clustered shard manifest (round 14)        #
+# --------------------------------------------------------------------------- #
+
+
+def _hilbert_oracle() -> str:
+    """Unrolled xy2d recurrence + the zorder query's boundary machinery, on
+    the same quantization CTEs, so the two manifests are directly
+    comparable row-for-row."""
+    n_grid = _Z_BUCKETS
+    n_ref = "(SELECT n FROM n)"
+    bounds = ", ".join(
+        f"(SELECT MIN(v) FROM cum WHERE cum >= ({i} * {n_ref} + {_Z_SHARDS - 1}) // {_Z_SHARDS}) AS b{i}"
+        for i in range(1, _Z_SHARDS)
+    )
+    gt_sum = " + ".join(
+        f"CASE WHEN z.hkey > b.b{i} THEN 1 ELSE 0 END" for i in range(1, _Z_SHARDS)
+    )
+    levels = []
+    s = n_grid // 2
+    i = 0
+    prev = "hb0"
+    while s > 0:
+        i += 1
+        levels.append(f"""
+    rb{i} AS (
+        SELECT o_orderkey, o_custkey, cents, d, x, y,
+               (x // {s}) % 2 AS rx, (y // {s}) % 2 AS ry
+        FROM {prev}
+    ),
+    hb{i} AS (
+        SELECT o_orderkey, o_custkey, cents,
+               d + {s * s} * (3 * rx + ry - 2 * rx * ry) AS d,
+               CASE WHEN ry = 1 THEN x
+                    WHEN rx = 1 THEN {n_grid - 1} - y
+                    ELSE y END AS x,
+               CASE WHEN ry = 1 THEN y
+                    WHEN rx = 1 THEN {n_grid - 1} - x
+                    ELSE x END AS y
+        FROM rb{i}
+    )""")
+        prev = f"hb{i}"
+        s //= 2
+    return f"""
+    WITH stats AS (
+        SELECT MIN(o_custkey) AS lo_c, MAX(o_custkey) AS hi_c,
+               MIN(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS lo_p,
+               MAX(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS hi_p
+        FROM orders
+    ),
+    hb0 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+               CAST(0 AS BIGINT) AS d,
+               ((o_custkey - lo_c) * {_Z_BUCKETS}) // (hi_c - lo_c + 1) AS x,
+               ((CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) - lo_p)
+                   * {_Z_BUCKETS}) // (hi_p - lo_p + 1) AS y
+        FROM orders CROSS JOIN stats
+    ),{",".join(levels)[1:]},
+    z AS (SELECT o_orderkey, o_custkey, cents, d AS hkey FROM {prev}),
+    h AS (SELECT hkey AS v, CAST(COUNT(*) AS BIGINT) AS c FROM z GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+    cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+    b AS (SELECT {bounds}),
+    assigned AS (
+        SELECT z.o_custkey, z.cents, z.hkey, 1 + {gt_sum} AS shard_id
+        FROM z CROSS JOIN b
+    )
+    SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(hkey) AS h_lo, MAX(hkey) AS h_hi,
+           MIN(o_custkey) AS cust_lo, MAX(o_custkey) AS cust_hi,
+           MIN(cents) AS cents_lo, MAX(cents) AS cents_hi,
+           CAST((MAX(o_custkey) - MIN(o_custkey) + 1)
+                * (MAX(cents) - MIN(cents) + 1) AS BIGINT) AS bbox_area
+    FROM assigned GROUP BY shard_id
+    """
+
+
+@register("layout_hilbert_locality", oracle=_hilbert_oracle())
+def layout_hilbert_locality(spark, sf_dir):
+    """Hilbert-curve clustering manifest over orders on the same 2-D key,
+    quantization, and exact histogram-quantile boundary machinery as
+    ``layout_zorder_locality`` — the SFC modern lakehouse clustering moved
+    to (e.g. Databricks liquid clustering), because consecutive Hilbert
+    keys are ALWAYS spatially adjacent while the Morton curve's quadrant
+    seams let one shard straddle distant regions.  Emits the same per-shard
+    spans plus the explicit bbox_area column, so the Hilbert and Z-order
+    manifests are comparable row-for-row (tests assert the Hilbert total
+    bounding-box area is no worse than Z-order's on this data).
+
+    Scale shape: identical to the Z-order row — one scalar-stats broadcast,
+    ONE map-side projection per curve level (the unrolled xy2d recurrence;
+    ``operators/layout.with_hilbert_key``), a histogram over <= 2^16
+    distinct curve keys (the only windowed stage), and 7 boundary scalars
+    broadcast back.  Integer arithmetic end to end => hash-exact, including
+    the curve itself (the operator's 4x4/8x8/16x16 tables are verified
+    cell-for-cell against the public xy2d recurrence in tests)."""
+    from airflow_cms_inpatient_etl_spark.operators.layout import (
+        equi_width_bucket_int,
+        with_hilbert_key,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(T.DecimalType(14, 2)) * 100).cast("bigint")
+    stats = o.agg(
+        F.min("o_custkey").alias("lo_c"),
+        F.max("o_custkey").alias("hi_c"),
+        F.min(cents).alias("lo_p"),
+        F.max(cents).alias("hi_p"),
+    )
+    q = (
+        o.select("o_orderkey", "o_custkey", cents.alias("cents"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "cents",
+            equi_width_bucket_int("o_custkey", "lo_c", "hi_c", _Z_BUCKETS).alias("qc"),
+            equi_width_bucket_int("cents", "lo_p", "hi_p", _Z_BUCKETS).alias("qp"),
+        )
+    )
+    z = with_hilbert_key(q, "qc", "qp", bits=_Z_BITS, out="hkey").select(
+        "o_orderkey", "o_custkey", "cents", "hkey"
+    )
+    from pyspark.sql import Window as W
+
+    h = z.groupBy(F.col("hkey").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    n_total = h.agg(F.sum("c").alias("n"))
+    cum = h.select(
+        "v",
+        F.sum("c").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    bounds = cum.crossJoin(F.broadcast(n_total)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({i} * n + {_Z_SHARDS - 1}) div {_Z_SHARDS}"),
+                    F.col("v"),
+                )
+            ).alias(f"b{i}")
+            for i in range(1, _Z_SHARDS)
+        ]
+    )
+    shard = F.lit(1)
+    for i in range(1, _Z_SHARDS):
+        shard = shard + F.when(F.col("hkey") > F.col(f"b{i}"), 1).otherwise(0)
+    assigned = z.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey", "cents", "hkey", shard.alias("shard_id")
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("hkey").alias("h_lo"),
+        F.max("hkey").alias("h_hi"),
+        F.min("o_custkey").alias("cust_lo"),
+        F.max("o_custkey").alias("cust_hi"),
+        F.min("cents").alias("cents_lo"),
+        F.max("cents").alias("cents_hi"),
+        (
+            (F.max("o_custkey") - F.min("o_custkey") + 1)
+            * (F.max("cents") - F.min("cents") + 1)
+        )
+        .cast("long")
+        .alias("bbox_area"),
+    )

@@ -401,6 +401,9 @@ HEADLINE = [
     # round-14 wave 7: exact distinct-count IVM under deletes (standing
     # refcount snapshot + one full-outer delta merge + group rollup)
     "ivm_distinct_view_delta",
+    # round-14 wave 8: the Hilbert manifest (8 unrolled map-side curve
+    # levels + the zorder boundary machinery — same exchange budget)
+    "layout_hilbert_locality",
 ]
 
 

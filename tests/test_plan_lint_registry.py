@@ -72,6 +72,8 @@ _NEW_SINCE_GATE = [
     "sql_recursive_cte_ancestors",
     # r14: new — exact COUNT(DISTINCT) IVM under deletes via refcounts
     "ivm_distinct_view_delta",
+    # r14: new — Hilbert-curve shard manifest (vs the Morton row)
+    "layout_hilbert_locality",
     # r14: code-changed — sketch_qdigest_quantiles' tail factored into the
     # shared _qdigest_flags_from_tree (same plan; reconfirm)
     "sketch_qdigest_quantiles",

@@ -331,3 +331,38 @@ def test_ivm_distinct_ledger_balances(spark):
 
     release_snapshots(spark)
     spark.catalog.clearCache()
+
+
+# --------------------------------------------------------------------------- #
+# Hilbert layout (wave 8): the curve is exact; the locality claim is real     #
+# --------------------------------------------------------------------------- #
+def test_hilbert_curve_bijection_and_adjacency(spark):
+    from airflow_cms_inpatient_etl_spark.operators.layout import with_hilbert_key
+
+    for bits in (2, 3, 4):
+        n = 1 << bits
+        df = spark.createDataFrame(
+            [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+        )
+        rows = sorted(
+            with_hilbert_key(df, "x", "y", bits=bits).collect(), key=lambda r: r["hkey"]
+        )
+        assert [r["hkey"] for r in rows] == list(range(n * n))  # bijection
+        for a, b in zip(rows, rows[1:]):  # unit-step adjacency — the property
+            assert abs(a["x"] - b["x"]) + abs(a["y"] - b["y"]) == 1
+
+
+def test_hilbert_beats_zorder_locality_on_orders(spark):
+    """The reason lakehouse clustering moved from Morton to Hilbert: no
+    quadrant seams => tighter per-shard bounding boxes.  On the orders
+    2-D key the Hilbert manifest's total bbox area is strictly smaller
+    (0.73-0.86x across the testdata scales)."""
+    z = QUERY_REGISTRY["layout_zorder_locality"].fn(spark, SF_SMOKE).collect()
+    z_area = sum(
+        (r["cust_hi"] - r["cust_lo"] + 1) * (r["cents_hi"] - r["cents_lo"] + 1)
+        for r in z
+    )
+    h = QUERY_REGISTRY["layout_hilbert_locality"].fn(spark, SF_SMOKE).collect()
+    h_area = sum(r["bbox_area"] for r in h)
+    assert sum(r["n_rows"] for r in h) == sum(r["n_rows"] for r in z)
+    assert h_area < z_area, (h_area, z_area)
