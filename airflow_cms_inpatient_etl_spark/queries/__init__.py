@@ -54,13 +54,13 @@ _PRIORITY = [
     # ROUND-14 WINDOW (first 50).  Policy: never-checked > code-changed-      #
     # since-last-check > stalest-green.  Round 13 closed 50/50 green; the     #
     # union's staleness histogram entering round 14 is 1 r7 / 48 r8 / 45 r9   #
-    # / 42 r10 / 46 r11 / 48 r12 / 50 r13.  This rotation seats (a) the 12    #
+    # / 42 r10 / 46 r11 / 48 r12 / 50 r13.  This rotation seats (a) the 14    #
     # round-14 additions plus the round-14 code-changed qdigest row,          #
     # round-14 additions (never-checked first), (b) text_readability_scores   #
     # — the single remaining r7 row, displaced by round-13 wave 5 and queued  #
     # at the head since — plus the round-14 code-changed qdigest row, and    #
-    # (c) the first 36 rows of the 48-row r8 cohort; the last 12 r8 rows      #
-    # (text_rolling_hash through window_sliding_frame_avg) are                #
+    # (c) the first 34 rows of the 48-row r8 cohort; the last 14 r8 rows      #
+    # (text_langid_heuristic through window_sliding_frame_avg) are            #
     # displaced to the round-15 queue head.  After round 14: the r7 cohort    #
     # retires, and the oldest remaining cohort is r8 (2 rows, queue head).    #
     # ======================================================================= #
@@ -79,6 +79,8 @@ _PRIORITY = [
     "sql_recursive_cte_ancestors",
     "ivm_distinct_view_delta",
     "layout_hilbert_locality",
+    "skew_salted_aggregate_hot_key",
+    "skew_salted_join_hot_dim",
     # -- a2. code changed in round 14 (the qdigest verification tail factored
     # into the shared _qdigest_flags_from_tree helper; plan identical) ------- #
     "sketch_qdigest_quantiles",
@@ -119,12 +121,12 @@ _PRIORITY = [
     "streaming_session_window_live",
     "supplier_concentration_hhi",
     "text_corpus_rollup",
+    # ----------------------- window boundary (50) -------------------------- #
+    # (14 new + 1 code-changed + 1 r7 + 34 r8 = 50.)                          #
+    # ROUND-15 QUEUE: the 14 displaced r8 rows, then the r9 cohort, then      #
+    # everything else in registration order.                                  #
     "text_langid_heuristic",
     "text_repetition_metrics",
-    # ----------------------- window boundary (50) -------------------------- #
-    # (12 new + 1 code-changed + 1 r7 + 36 r8 = 50.)                          #
-    # ROUND-15 QUEUE: the 12 displaced r8 rows, then the r9 cohort, then      #
-    # everything else in registration order.                                  #
     "text_rolling_hash",
     "text_token_counts",
     "text_wordcount_udtf",

@@ -4677,3 +4677,126 @@ def sql_recursive_cte_ancestors(spark, sf_dir):
         FROM anc GROUP BY node
         """
     )
+
+
+# --------------------------------------------------------------------------- #
+# skew_salted_* — the salted operators under the hash oracle (round 14)        #
+# --------------------------------------------------------------------------- #
+# operators/joins.py's salted_join / salted_aggregate have carried
+# equality TESTS since round 1; these rows put the same machinery under the
+# driver's DuckDB hash so the skew family's correctness evidence is the
+# same kind as every other family's.  The plants make the skew REAL:
+# ~90% of rows share one key, the shape that melts a naive shuffle's
+# hottest reducer at 100 TB.
+
+_SKEW_SALTS = 16
+
+
+@register(
+    "skew_salted_aggregate_hot_key",
+    oracle="""
+    WITH k AS (
+        SELECT CASE WHEN event_id % 10 < 9 THEN -1 ELSE user_id END AS hot_key,
+               CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT hot_key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents
+    FROM k GROUP BY hot_key
+    """,
+)
+def skew_salted_aggregate_hot_key(spark, sf_dir):
+    """Two-phase salted aggregation over a 90%-hot key (every event_id %
+    10 < 9 collapses onto key -1), via ``operators.joins.salted_aggregate``
+    with EXPLICIT per-output recombiners (sum/sum, count/sum, min/min,
+    max/max): phase 1 splits the hot key's rows across {salts} salt
+    reducers, phase 2 merges {salts} partials per key — the map-side
+    half of the shuffle never sees one reducer carry 90% of the table.
+    The oracle is the plain GROUP BY, so the salt machinery's equality
+    contract is under the driver hash, not just the unit test.
+
+    Scale: two exchanges — (key, salt) then key — each bounded by
+    keys x salts rows after partials; the hot reducer's load drops by
+    exactly n_salts.  Integer cents keep both engines identical."""
+    from airflow_cms_inpatient_etl_spark.operators.joins import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 10 < 9, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("hot_key"),
+        F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    out = salted_aggregate(
+        ev,
+        ["hot_key"],
+        {
+            "n": (F.count(F.lit(1)), lambda c: F.sum(c)),
+            "sum_cents": (F.sum("cents"), lambda c: F.sum(c)),
+            "min_cents": (F.min("cents"), lambda c: F.min(c)),
+            "max_cents": (F.max("cents"), lambda c: F.max(c)),
+        },
+        n_salts=_SKEW_SALTS,
+    )
+    return out.select(
+        "hot_key",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        "min_cents",
+        "max_cents",
+    )
+
+
+if skew_salted_aggregate_hot_key.__doc__:
+    skew_salted_aggregate_hot_key.__doc__ = skew_salted_aggregate_hot_key.__doc__.replace(
+        "{salts}", str(_SKEW_SALTS)
+    )
+
+
+@register(
+    "skew_salted_join_hot_dim",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(CASE WHEN event_id % 5 > 0 THEN 0
+                         ELSE user_id % 25 END AS BIGINT) AS n_nationkey,
+               CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(f.cents) AS BIGINT) AS sum_cents
+    FROM f JOIN nation n ON n.n_nationkey = f.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def skew_salted_join_hot_dim(spark, sf_dir):
+    """Salted fact-dim equi-join under an 80%-hot foreign key (4 of 5
+    events land on nation 0), via ``operators.joins.salted_join``: fact
+    rows take a deterministic salt, the 25-row dimension replicates
+    n_salts times, and the join key becomes (key, salt) — output equals
+    the plain join EXACTLY (the oracle is that plain join), only the
+    shuffle distribution changes.  In production the broadcast join makes
+    this particular dim trivial; the salted form is the contract for the
+    big-big case where neither side broadcasts and AQE's skew split needs
+    a deterministic fallback — here it runs under the driver hash.
+
+    Scale: the replicated-dim exchange carries dim x salts rows (400);
+    the fact exchange spreads the hot key across salts reducers; the
+    rollup reuses the join's partitioning."""
+    from airflow_cms_inpatient_etl_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 5 > 0, F.lit(0))
+        .otherwise(F.col("user_id") % 25)
+        .cast("long")
+        .alias("n_nationkey"),
+        F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    dim = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(ev, dim, "n_nationkey", n_salts=_SKEW_SALTS, how="inner")
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

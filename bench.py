@@ -404,6 +404,10 @@ HEADLINE = [
     # round-14 wave 8: the Hilbert manifest (8 unrolled map-side curve
     # levels + the zorder boundary machinery — same exchange budget)
     "layout_hilbert_locality",
+    # round-14 wave 9: the salted skew machinery under the hash oracle
+    # (two-phase hot-key aggregate; replicated-dim salted join)
+    "skew_salted_aggregate_hot_key",
+    "skew_salted_join_hot_dim",
 ]
 
 

@@ -74,6 +74,9 @@ _NEW_SINCE_GATE = [
     "ivm_distinct_view_delta",
     # r14: new — Hilbert-curve shard manifest (vs the Morton row)
     "layout_hilbert_locality",
+    # r14: new — salted skew aggregate/join under the driver hash
+    "skew_salted_aggregate_hot_key",
+    "skew_salted_join_hot_dim",
     # r14: code-changed — sketch_qdigest_quantiles' tail factored into the
     # shared _qdigest_flags_from_tree (same plan; reconfirm)
     "sketch_qdigest_quantiles",
