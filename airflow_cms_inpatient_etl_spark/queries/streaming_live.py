@@ -599,11 +599,13 @@ def streaming_percentiles_live(spark, sf_dir):
     """LIVE streaming percentiles — `sketch_qdigest_quantiles` as a running
     stream (the round-13 verdict's stretch #8): lineitem prices arrive as a
     file-source stream in TWO forced micro-batches (l_orderkey-parity split,
-    mtime-ordered, maxFilesPerTrigger=1), and `stream_qdigest_cells`
-    maintains the radix-16 dyadic census as streaming aggregation STATE.
-    The complete-mode drain yields the final (level, node, cnt) grid;
-    because cell updates are associative adds the drained grid is cell-exact
-    equal to the batch tree, so the shared `_qdigest_flags_from_tree` tail
+    mtime-ordered, maxFilesPerTrigger=1), and `stream_qdigest_leaves`
+    maintains the LEAF histogram (cents -> count) as streaming aggregation
+    STATE — the minimal state that determines the whole sketch; the drain
+    derives the (level, node) census with the batch ancestor explode
+    (`dyadic_tree` over the weighted leaves).  Associative adds make the
+    drained leaves — and therefore the derived tree — cell-exact equal to
+    the batch build, so the shared `_qdigest_flags_from_tree` tail
     (prune -> CDF -> quantile pick -> full-data verification) keeps the
     batch query's full DuckDB bounds-oracle — the
     `streaming_heavy_hitters_live` doctrine extended from frequency to RANK.
@@ -615,10 +617,11 @@ def streaming_percentiles_live(spark, sf_dir):
         _QD_RADIX,
         _qdigest_flags_from_tree,
     )
+    from airflow_cms_inpatient_etl_spark.operators.sketch import dyadic_tree
     from airflow_cms_inpatient_etl_spark.sources.registry import load_table, snapshot
     from airflow_cms_inpatient_etl_spark.streaming.jobs import (
         run_stream_to_memory,
-        stream_qdigest_cells,
+        stream_qdigest_leaves,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
@@ -642,11 +645,13 @@ def streaming_percentiles_live(spark, sf_dir):
         )
         name = f"stream_qd_{uuid.uuid4().hex[:8]}"
         run_stream_to_memory(
-            stream_qdigest_cells(cents_stream, "cents", _QD_BITS, radix=_QD_RADIX),
+            stream_qdigest_leaves(cents_stream, "cents", _QD_BITS),
             name,
             output_mode="complete",
         )
-        tree = snapshot(spark.table(name))
+        tree = snapshot(
+            dyadic_tree(spark.table(name), "v", _QD_BITS, radix=_QD_RADIX, weight_col="cnt")
+        )
 
         # verification tail — identical to sketch_qdigest_quantiles, fed by
         # the STREAMED census instead of a batch build

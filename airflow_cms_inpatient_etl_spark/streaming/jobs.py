@@ -195,46 +195,37 @@ def stream_upsert_to_parquet(
     )
 
 
-def stream_qdigest_cells(rows: DataFrame, value_col: str, bits: int, radix: int = 4) -> DataFrame:
-    """Dyadic-tree census maintained AS STREAMING STATE — the q-digest's
-    build stage as a running stream: each micro-batch explodes its values
-    into their (levels+1) tree-node ancestors and folds them into ONE
-    streaming (level, node) count aggregation.  Cell updates are associative
-    integer adds, so the complete-mode drained census is CELL-EXACT equal to
-    the batch ``operators.sketch.dyadic_tree`` over the same data (asserted
-    in tests), and the batch prune/CDF/quantile tail — and its DuckDB
-    oracle — apply to the drained grid verbatim.
+def stream_qdigest_leaves(rows: DataFrame, value_col: str, bits: int) -> DataFrame:
+    """The q-digest's build stage as a running stream: maintain the LEAF
+    histogram (value -> count) as the ONE streaming aggregation complete
+    mode allows; the drain derives the full (level, node) tree census from
+    the drained leaves with the batch ancestor explode
+    (``operators.sketch.dyadic_tree`` with ``weight_col``).  Counts are
+    associative integer adds, so leaves — and therefore the derived tree,
+    the prune, the CDF, and the batch DuckDB oracle — are CELL-EXACT equal
+    to the batch build over the same data (asserted in tests).
 
-    The batch builder collapses to the DISTINCT-value histogram before the
-    ancestor explode (two chained aggregations); Structured Streaming
-    supports only ONE stateful aggregation per complete-mode query, so the
-    streaming census explodes per ROW instead — (levels+1) x batch rows
-    map-side, collapsing into the same state.  State is bounded by the
-    value DOMAIN (tree cells over live values), not by row count; for the
-    bounded-integer domains the dyadic sketch targets (cents, latencies)
-    that is the CMS-grid exemption, and a deployment over a wider domain
-    would prune IN STATE on a cadence (flatMapGroupsWithState) rather than
-    only at drain."""
-    if bits % radix != 0:
-        raise ValueError(f"bits ({bits}) must be a multiple of radix ({radix})")
-    levels = bits // radix
+    Why leaves and not the tree itself: the tree census is (levels+1) x
+    the leaf histogram, so carrying it as state multiplies both the state
+    store and the per-batch shuffle by (levels+1) for information the
+    leaves already determine (an earlier revision did exactly that and
+    paid 7x state for nothing).  State is bounded by the live value
+    DOMAIN, not by row count; for the bounded-integer domains the dyadic
+    sketch targets (cents, latencies) that is the CMS-grid exemption, and
+    a deployment over a wider domain would prune IN STATE on a cadence
+    (flatMapGroupsWithState) rather than only at drain."""
     x = F.col(value_col).cast("long")
     guarded = F.when((x >= 0) & (x < F.lit(1 << bits)), x).otherwise(
         F.raise_error(
             F.concat(
-                F.lit(f"stream_qdigest_cells: value outside [0, 2^{bits}): "),
+                F.lit(f"stream_qdigest_leaves: value outside [0, 2^{bits}): "),
                 F.col(value_col).cast("string"),
             )
         )
     )
     return (
-        rows.select(guarded.alias("_v"))
-        .select("_v", F.explode(F.sequence(F.lit(0), F.lit(levels))).alias("level"))
-        .select(
-            "level",
-            F.expr(f"shiftright(_v, {bits} - {radix} * level)").alias("node"),
-        )
-        .groupBy("level", "node")
+        rows.select(guarded.alias("v"))
+        .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 

@@ -168,7 +168,7 @@ def test_stream_qdigest_census_equals_batch_tree(spark, tmp_path):
     from airflow_cms_inpatient_etl_spark.sources.registry import load_table
     from airflow_cms_inpatient_etl_spark.streaming.jobs import (
         run_stream_to_memory,
-        stream_qdigest_cells,
+        stream_qdigest_leaves,
     )
 
     li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_extendedprice")
@@ -187,19 +187,30 @@ def test_stream_qdigest_census_equals_batch_tree(spark, tmp_path):
     )
     cents = raw.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
     run_stream_to_memory(
-        stream_qdigest_cells(cents, "cents", 24, radix=4), "qd_census_test", "complete"
+        stream_qdigest_leaves(cents, "cents", 24), "qd_census_test", "complete"
     )
-    streamed = {
-        (r["level"], r["node"]): r["cnt"] for r in spark.table("qd_census_test").collect()
-    }
+    drained = spark.table("qd_census_test")
     vals = load_table(spark, SF_SMOKE, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
+    # 1) the drained LEAF histogram equals the batch distinct-value collapse
+    leaves_s = {(r["v"]): r["cnt"] for r in drained.collect()}
+    leaves_b = {
+        r["cents"]: r["cnt"]
+        for r in vals.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert leaves_s == leaves_b and len(leaves_s) > 100
+    # 2) the tree DERIVED from the drained leaves is cell-exact equal to the
+    # batch dyadic tree over the raw rows (add-associativity end to end)
+    streamed = {
+        (r["level"], r["node"]): r["cnt"]
+        for r in dyadic_tree(drained, "v", 24, radix=4, weight_col="cnt").collect()
+    }
     batch = {
         (r["level"], r["node"]): r["cnt"]
         for r in dyadic_tree(vals, "cents", 24, radix=4).collect()
     }
-    assert streamed == batch and len(streamed) > 100
+    assert streamed == batch
 
 
 # --------------------------------------------------------------------------- #
