@@ -994,3 +994,134 @@ def events_attribution_multitouch(spark, sf_dir):
         "n_touch",
         credit.alias("credit"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# geo_grid_proximity_join — big-big spatial self-join via grid bucketing       #
+# --------------------------------------------------------------------------- #
+# The canonical spatial-join pattern (the bucketed side of every
+# PostGIS/Sedona-style distance join): cell size = search radius, so any
+# pair within R lives in the same or an adjacent cell — candidates are a
+# hash EQUI-join on cell keys (9-cell neighborhood explode on one side),
+# never a cross product, and the exact predicate runs post-join on integer
+# micro-units.  Points are planted deterministically on a planar
+# [0, 180e6) x [0, 360e6) grid (planar integers, not geodesy — great-circle
+# math needs libm floats; the OPERATOR under test is the grid join).
+
+_GEO_R = 2_000_000  # search radius in micro-units (= the cell size)
+_GEO_LAT_MOD = 180_000_001
+_GEO_LON_MOD = 360_000_001
+
+
+@register(
+    "geo_grid_proximity_join",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id AS id,
+               (user_id * 7919 + event_id * 104729) % {_GEO_LAT_MOD} AS x,
+               (user_id * 15485863 + event_id * 32452843) % {_GEO_LON_MOD} AS y
+        FROM events
+    ),
+    home AS (
+        SELECT id, x, y, x // {_GEO_R} AS cx, y // {_GEO_R} AS cy FROM pts
+    ),
+    probe AS (
+        SELECT h.id, h.x, h.y, h.cx + dx.d AS px, h.cy + dy.d AS py
+        FROM home h
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+    ),
+    pairs AS (
+        SELECT p.id AS a_id, h.id AS b_id
+        FROM probe p
+        JOIN home h ON h.cx = p.px AND h.cy = p.py
+        WHERE p.id < h.id
+          AND (p.x - h.x) * (p.x - h.x) + (p.y - h.y) * (p.y - h.y)
+              <= CAST({_GEO_R} AS BIGINT) * {_GEO_R}
+    ),
+    ncount AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT a_id AS id FROM pairs UNION ALL SELECT b_id FROM pairs
+        ) GROUP BY id
+    )
+    SELECT h.id, h.cx, h.cy, COALESCE(n.n, 0) AS n_neighbors
+    FROM home h LEFT JOIN ncount n ON n.id = h.id
+    """,
+)
+def geo_grid_proximity_join(spark, sf_dir):
+    """Spatial proximity self-join on a planar integer grid — the
+    bucketed distance-join pattern every spatial engine runs at scale:
+    cell size equals the search radius R, each point probes its 3x3 cell
+    neighborhood (map-side explode of the probe side ONLY), candidates
+    meet in a plain hash equi-join on (cell_x, cell_y), and the exact
+    predicate (squared integer distance <= R^2 — no sqrt, no floats)
+    prunes post-join.  Every qualifying pair is found EXACTLY once (the
+    home cell of the larger id is unique, and only the smaller id's probe
+    explodes), so neighbor counts need no dedup.  Emits per-point
+    (cell, n_neighbors) including isolated points.
+
+    Scale: candidate volume is sum over cells of |probe cell| x |home
+    cell| ~ 9 x density x N — linear in N at fixed DENSITY, never the N^2
+    cross product.  Density is the knob: this fixture plants N points on
+    a FIXED-area plane, so density (and the true pair count) grows with
+    N — 368 neighbor-slots at sf0.001 -> 1.93M at sf0.1 — while the
+    candidate volume stays 9 x density x N (~5.6M at sf0.1's ~6
+    points/cell); a production corpus holds density roughly constant as
+    it grows (more area, not more points per city block), and where it
+    doesn't (urban-core hotspots) one cell goes quadratic in its own
+    population — remedies are the salted-join pattern from
+    `operators/joins.py` or quadtree cell refinement."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        ((F.col("user_id") * 7919 + F.col("event_id") * 104729) % _GEO_LAT_MOD).alias("x"),
+        (
+            (F.col("user_id") * 15485863 + F.col("event_id") * 32452843) % _GEO_LON_MOD
+        ).alias("y"),
+    )
+    home = pts.select(
+        "id",
+        "x",
+        "y",
+        F.expr(f"x div {_GEO_R}").alias("cx"),
+        F.expr(f"y div {_GEO_R}").alias("cy"),
+    )
+    from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
+
+    home = snapshot(home)  # probe explode, join build side and final left join
+    offsets = F.expr("explode(arrays_zip(array(-1,-1,-1,0,0,0,1,1,1), array(-1,0,1,-1,0,1,-1,0,1)))")
+    probe = home.select("id", "x", "y", "cx", "cy", offsets.alias("o")).select(
+        "id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("o.0")).alias("px"),
+        (F.col("cy") + F.col("o.1")).alias("py"),
+    )
+    h2 = home.select(
+        F.col("id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("px"),
+        F.col("cy").alias("py"),
+    )
+    dx = F.col("x") - F.col("bx")
+    dy = F.col("y") - F.col("by")
+    pairs = (
+        probe.join(h2, ["px", "py"])
+        .filter(
+            (F.col("id") < F.col("b_id"))
+            & (dx * dx + dy * dy <= F.lit(_GEO_R).cast("long") * _GEO_R)
+        )
+        .select(F.col("id").alias("a_id"), "b_id")
+    )
+    ncount = (
+        pairs.select(F.col("a_id").alias("id"))
+        .unionAll(pairs.select(F.col("b_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        home.select("id", "cx", "cy")
+        .join(ncount, "id", "left")
+        .select("id", "cx", "cy", F.coalesce("n", F.lit(0)).alias("n_neighbors"))
+    )

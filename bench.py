@@ -408,6 +408,10 @@ HEADLINE = [
     # (two-phase hot-key aggregate; replicated-dim salted join)
     "skew_salted_aggregate_hot_key",
     "skew_salted_join_hot_dim",
+    # round-14 wave 10: the grid-bucketed spatial proximity self-join
+    # (9-cell probe explode -> hash equi-join -> exact integer predicate;
+    # ~5.6M candidates at sf0.1 — the heaviest new plan by volume)
+    "geo_grid_proximity_join",
 ]
 
 

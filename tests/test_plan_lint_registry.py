@@ -77,6 +77,8 @@ _NEW_SINCE_GATE = [
     # r14: new — salted skew aggregate/join under the driver hash
     "skew_salted_aggregate_hot_key",
     "skew_salted_join_hot_dim",
+    # r14: new — grid-bucketed spatial proximity join (no cross product)
+    "geo_grid_proximity_join",
     # r14: code-changed — sketch_qdigest_quantiles' tail factored into the
     # shared _qdigest_flags_from_tree (same plan; reconfirm)
     "sketch_qdigest_quantiles",
