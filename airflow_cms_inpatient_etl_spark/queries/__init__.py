@@ -54,13 +54,13 @@ _PRIORITY = [
     # ROUND-14 WINDOW (first 50).  Policy: never-checked > code-changed-      #
     # since-last-check > stalest-green.  Round 13 closed 50/50 green; the     #
     # union's staleness histogram entering round 14 is 1 r7 / 48 r8 / 45 r9   #
-    # / 42 r10 / 46 r11 / 48 r12 / 50 r13.  This rotation seats (a) the 15    #
+    # / 42 r10 / 46 r11 / 48 r12 / 50 r13.  This rotation seats (a) the 16    #
     # round-14 additions plus the round-14 code-changed qdigest row,          #
     # round-14 additions (never-checked first), (b) text_readability_scores   #
     # — the single remaining r7 row, displaced by round-13 wave 5 and queued  #
     # at the head since — plus the round-14 code-changed qdigest row, and    #
-    # (c) the first 33 rows of the 48-row r8 cohort; the last 15 r8 rows      #
-    # (text_corpus_rollup through window_sliding_frame_avg) are               #
+    # (c) the first 32 rows of the 48-row r8 cohort; the last 16 r8 rows      #
+    # (supplier_concentration_hhi through window_sliding_frame_avg) are       #
     # displaced to the round-15 queue head.  After round 14: the r7 cohort    #
     # retires, and the oldest remaining cohort is r8 (2 rows, queue head).    #
     # ======================================================================= #
@@ -82,6 +82,7 @@ _PRIORITY = [
     "skew_salted_aggregate_hot_key",
     "skew_salted_join_hot_dim",
     "geo_grid_proximity_join",
+    "orders_pareto_skyline",
     # -- a2. code changed in round 14 (the qdigest verification tail factored
     # into the shared _qdigest_flags_from_tree helper; plan identical) ------- #
     "sketch_qdigest_quantiles",
@@ -120,11 +121,11 @@ _PRIORITY = [
     "streaming_dedup_within_watermark_live",
     "streaming_late_data_live",
     "streaming_session_window_live",
-    "supplier_concentration_hhi",
     # ----------------------- window boundary (50) -------------------------- #
-    # (15 new + 1 code-changed + 1 r7 + 33 r8 = 50.)                          #
-    # ROUND-15 QUEUE: the 15 displaced r8 rows, then the r9 cohort, then      #
+    # (16 new + 1 code-changed + 1 r7 + 32 r8 = 50.)                          #
+    # ROUND-15 QUEUE: the 16 displaced r8 rows, then the r9 cohort, then      #
     # everything else in registration order.                                  #
+    "supplier_concentration_hhi",
     "text_corpus_rollup",
     "text_langid_heuristic",
     "text_repetition_metrics",

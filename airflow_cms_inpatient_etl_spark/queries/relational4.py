@@ -752,3 +752,98 @@ def q22_idle_customers(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------- #
+# orders_pareto_skyline — 2-D dominance (skyline) via sort + prefix-min        #
+# --------------------------------------------------------------------------- #
+# A point dominates another when it is <= on both objectives and < on at
+# least one.  In 2-D the skyline falls out of ONE ordered pass: scan by
+# (price asc, date asc); a point is dominated iff some earlier point in
+# that order has date <= its date — i.e. iff the strict-predecessor prefix
+# min of date is <= its date (ties handled by ranking equal-price groups
+# together).  That turns the quadratic dominance join into a window.
+
+
+@register(
+    "orders_pareto_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS price_cents,
+               CAST(EPOCH(o_orderdate) // 86400 AS BIGINT) AS day
+        FROM orders
+    ),
+    ranked AS (
+        SELECT *,
+               MIN(day) OVER (
+                   ORDER BY price_cents
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_day_cheaper
+        FROM pts
+    ),
+    flagged AS (
+        SELECT o_orderkey, price_cents, day,
+               (best_day_cheaper IS NULL OR best_day_cheaper > day) AS on_skyline
+        FROM ranked
+    ),
+    sky AS (
+        SELECT price_cents,
+               MIN(day) AS day,
+               CAST(COUNT(*) FILTER (WHERE on_skyline) AS BIGINT) AS n_points,
+               MIN(o_orderkey) FILTER (WHERE on_skyline) AS first_orderkey
+        FROM flagged
+        WHERE on_skyline
+        GROUP BY price_cents
+    )
+    SELECT price_cents, day, n_points, first_orderkey FROM sky
+    """,
+)
+def orders_pareto_skyline(spark, sf_dir):
+    """2-D Pareto skyline (Borzsony/Kossmann/Stocker 2001, the SKYLINE
+    operator) over orders minimizing (price, order day): the set of orders
+    no other order beats on BOTH objectives.  The quadratic dominance
+    self-join collapses to ONE ordered pass in 2-D: rank by price, take
+    the strict-predecessor prefix-min of day (RANGE ... 1 PRECEDING, so
+    equal prices never dominate each other), and a point survives iff
+    every strictly-cheaper order shipped strictly later.  Emits one row
+    per surviving price level (its best day, surviving-point count, and
+    the deterministic first orderkey).
+
+    Scale: the window is a GLOBAL order by price — in this form a single
+    sort (Spark range-partitions the sort; the window's prefix-min is the
+    sharded prefix-sum identity `global_rank_via_sharding` demonstrates
+    when one partition's window would bottleneck).  Dimensions > 2 lose
+    the ordered-pass trick and need the block-nested-loop dominance join
+    (cell-bucketed like the geo join) — documented, not implemented: the
+    2-D form is the one with a distributed-friendly exact plan.  Integer
+    cents/days keep the hash exact."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").alias(
+            "price_cents"
+        ),
+        (F.unix_date(F.col("o_orderdate").cast("date"))).cast("long").alias("day"),
+    )
+    w = (
+        W.orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    flagged = pts.withColumn("best_day_cheaper", F.min("day").over(w)).select(
+        "o_orderkey",
+        "price_cents",
+        "day",
+        (F.col("best_day_cheaper").isNull() | (F.col("best_day_cheaper") > F.col("day"))).alias(
+            "on_skyline"
+        ),
+    )
+    return (
+        flagged.filter(F.col("on_skyline"))
+        .groupBy("price_cents")
+        .agg(
+            F.min("day").alias("day"),
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min("o_orderkey").alias("first_orderkey"),
+        )
+    )

@@ -412,6 +412,8 @@ HEADLINE = [
     # (9-cell probe explode -> hash equi-join -> exact integer predicate;
     # ~5.6M candidates at sf0.1 — the heaviest new plan by volume)
     "geo_grid_proximity_join",
+    # round-14 wave 11: the 2-D skyline (one global-ordered prefix-min pass)
+    "orders_pareto_skyline",
 ]
 
 

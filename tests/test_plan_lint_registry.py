@@ -79,6 +79,8 @@ _NEW_SINCE_GATE = [
     "skew_salted_join_hot_dim",
     # r14: new — grid-bucketed spatial proximity join (no cross product)
     "geo_grid_proximity_join",
+    # r14: new — 2-D Pareto skyline via ordered prefix-min
+    "orders_pareto_skyline",
     # r14: code-changed — sketch_qdigest_quantiles' tail factored into the
     # shared _qdigest_flags_from_tree (same plan; reconfirm)
     "sketch_qdigest_quantiles",
