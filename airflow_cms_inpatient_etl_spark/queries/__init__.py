@@ -88,7 +88,7 @@ _PRIORITY = [
     "sketch_qdigest_quantiles",
     # -- b. the last r7-stale row (two-round queue head, retired at last) --- #
     "text_readability_scores",
-    # -- c. first 46 rows of the r8 cohort ----------------------------------- #
+    # -- c. first 32 rows of the r8 cohort ----------------------------------- #
     "agg_argmax_argmin",
     "agg_collect_sorted",
     "agg_exact_correlation",

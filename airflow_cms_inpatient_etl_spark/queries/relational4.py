@@ -755,14 +755,18 @@ def q22_idle_customers(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------- #
-# orders_pareto_skyline — 2-D dominance (skyline) via sort + prefix-min        #
+# orders_pareto_skyline — 2-D dominance (skyline) via sharded prefix-min       #
 # --------------------------------------------------------------------------- #
 # A point dominates another when it is <= on both objectives and < on at
-# least one.  In 2-D the skyline falls out of ONE ordered pass: scan by
-# (price asc, date asc); a point is dominated iff some earlier point in
-# that order has date <= its date — i.e. iff the strict-predecessor prefix
-# min of date is <= its date (ties handled by ranking equal-price groups
-# together).  That turns the quadratic dominance join into a window.
+# least one (Borzsony/Kossmann/Stocker 2001).  Under that definition a
+# point also loses to a SAME-price point with a strictly earlier day, so
+# within each price level only the min-day points (all ties among them,
+# which are mutually non-dominating) can survive.  In 2-D the skyline then
+# falls out of a prefix-min over the per-price-level best days: level
+# (p, d_min) survives iff every strictly-cheaper level's best day is
+# strictly later.
+
+_SKY_SHARDS = 64
 
 
 @register(
@@ -774,50 +778,60 @@ def q22_idle_customers(spark, sf_dir):
                CAST(EPOCH(o_orderdate) // 86400 AS BIGINT) AS day
         FROM orders
     ),
+    lvl AS (
+        SELECT price_cents, MIN(day) AS day FROM pts GROUP BY price_cents
+    ),
     ranked AS (
-        SELECT *,
+        SELECT price_cents, day,
                MIN(day) OVER (
                    ORDER BY price_cents
                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS best_day_cheaper
-        FROM pts
-    ),
-    flagged AS (
-        SELECT o_orderkey, price_cents, day,
-               (best_day_cheaper IS NULL OR best_day_cheaper > day) AS on_skyline
-        FROM ranked
+        FROM lvl
     ),
     sky AS (
-        SELECT price_cents,
-               MIN(day) AS day,
-               CAST(COUNT(*) FILTER (WHERE on_skyline) AS BIGINT) AS n_points,
-               MIN(o_orderkey) FILTER (WHERE on_skyline) AS first_orderkey
-        FROM flagged
-        WHERE on_skyline
-        GROUP BY price_cents
+        SELECT price_cents, day FROM ranked
+        WHERE best_day_cheaper IS NULL OR best_day_cheaper > day
     )
-    SELECT price_cents, day, n_points, first_orderkey FROM sky
+    SELECT s.price_cents, s.day,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           MIN(p.o_orderkey) AS first_orderkey
+    FROM sky s JOIN pts p
+      ON p.price_cents = s.price_cents AND p.day = s.day
+    GROUP BY s.price_cents, s.day
     """,
 )
 def orders_pareto_skyline(spark, sf_dir):
     """2-D Pareto skyline (Borzsony/Kossmann/Stocker 2001, the SKYLINE
     operator) over orders minimizing (price, order day): the set of orders
-    no other order beats on BOTH objectives.  The quadratic dominance
-    self-join collapses to ONE ordered pass in 2-D: rank by price, take
-    the strict-predecessor prefix-min of day (RANGE ... 1 PRECEDING, so
-    equal prices never dominate each other), and a point survives iff
-    every strictly-cheaper order shipped strictly later.  Emits one row
-    per surviving price level (its best day, surviving-point count, and
-    the deterministic first orderkey).
+    no other order beats on BOTH objectives, where "beats" is <= on both
+    and < on at least one — so within an equal-price group only the
+    earliest-day orders survive (they are mutually non-dominating; any
+    later same-price order is dominated).  Emits one row per surviving
+    price level: its best day, the count of tied skyline orders at that
+    (price, day), and the deterministic first orderkey among them.
 
-    Scale: the window is a GLOBAL order by price — in this form a single
-    sort (Spark range-partitions the sort; the window's prefix-min is the
-    sharded prefix-sum identity `global_rank_via_sharding` demonstrates
-    when one partition's window would bottleneck).  Dimensions > 2 lose
-    the ordered-pass trick and need the block-nested-loop dominance join
-    (cell-bucketed like the geo join) — documented, not implemented: the
-    2-D form is the one with a distributed-friendly exact plan.  Integer
-    cents/days keep the hash exact."""
+    Plan — the quadratic dominance self-join collapses to a prefix-min,
+    computed WITHOUT any fact-sized single-partition window (the sharded
+    prefix-min identity of `global_rank_via_sharding`):
+
+      1. per-(price, day) count + min orderkey, then per-price min-day
+         struct — two parallel shuffled aggregates;
+      2. the (still potentially fact-sized — order prices are near-unique)
+         price-level table is range-sharded by VALUE into 64 shards from
+         one broadcast (lo, hi) row; the strict-predecessor prefix-min of
+         best-day runs as 64 INDEPENDENT per-shard windows;
+      3. the cross-shard carry-in is a prefix-min over the 64 per-shard
+         minima — a 64x64 broadcast self-join, never a fact-sized window;
+      4. a level survives iff least(within-shard, carried) prefix-min is
+         NULL or strictly later than its own best day.
+
+    Value-range sharding balances when prices spread over their range
+    (true for TPC-H-style totals); for adversarial value clustering swap
+    in the exact count-balanced boundaries of `corpus_range_shards`.
+    Headroom: (price_cents - lo) * 64 must stay inside int64 — price
+    levels up to 2^57 cents ($1.4e15), loudly beyond any order total.
+    Integer cents/days keep the hash exact."""
     o = load_table(spark, sf_dir, "orders")
     pts = o.select(
         "o_orderkey",
@@ -826,24 +840,58 @@ def orders_pareto_skyline(spark, sf_dir):
         ),
         (F.unix_date(F.col("o_orderdate").cast("date"))).cast("long").alias("day"),
     )
-    w = (
-        W.orderBy("price_cents")
-        .rangeBetween(W.unboundedPreceding, -1)
+    # per-(price, day) tie stats, then per-price best-day struct: the struct
+    # MIN is ordered by day first, and (price, day) rows are unique after the
+    # first aggregate, so m.n / m.k are exactly the min-day group's stats
+    by_pd = pts.groupBy("price_cents", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("o_orderkey").alias("k"),
     )
-    flagged = pts.withColumn("best_day_cheaper", F.min("day").over(w)).select(
-        "o_orderkey",
-        "price_cents",
-        "day",
-        (F.col("best_day_cheaper").isNull() | (F.col("best_day_cheaper") > F.col("day"))).alias(
-            "on_skyline"
-        ),
+    lvl = (
+        by_pd.groupBy("price_cents")
+        .agg(F.min(F.struct("day", "n", "k")).alias("m"))
+        .select(
+            "price_cents",
+            F.col("m.day").alias("gmin"),
+            F.col("m.n").alias("n_points"),
+            F.col("m.k").alias("first_orderkey"),
+        )
     )
+    rng = lvl.agg(
+        F.min("price_cents").alias("lo"), F.max("price_cents").alias("hi")
+    )
+    sharded = lvl.crossJoin(F.broadcast(rng)).withColumn(
+        "shard",
+        F.expr(f"((price_cents - lo) * {_SKY_SHARDS}) div (hi - lo + 1)"),
+    )
+    from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
+
+    sharded = snapshot(sharded)  # within-shard window + shard-minima agg
+    w_in = (
+        W.partitionBy("shard")
+        .orderBy("price_cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    with_in = sharded.withColumn("pre_in", F.min("gmin").over(w_in))
+    smins = sharded.groupBy("shard").agg(F.min("gmin").alias("smin"))
+    carry = (
+        smins.alias("a")
+        .join(
+            F.broadcast(smins.alias("b")),
+            F.col("b.shard") < F.col("a.shard"),
+            "left",
+        )
+        .groupBy(F.col("a.shard").alias("shard"))
+        .agg(F.min("b.smin").alias("pre_sh"))
+    )
+    best = F.least("pre_in", "pre_sh")  # least skips NULLs
     return (
-        flagged.filter(F.col("on_skyline"))
-        .groupBy("price_cents")
-        .agg(
-            F.min("day").alias("day"),
-            F.count(F.lit(1)).cast("long").alias("n_points"),
-            F.min("o_orderkey").alias("first_orderkey"),
+        with_in.join(F.broadcast(carry), "shard", "left")
+        .filter(best.isNull() | (best > F.col("gmin")))
+        .select(
+            "price_cents",
+            F.col("gmin").alias("day"),
+            "n_points",
+            "first_orderkey",
         )
     )

@@ -1070,7 +1070,17 @@ def geo_grid_proximity_join(spark, sf_dir):
     it grows (more area, not more points per city block), and where it
     doesn't (urban-core hotspots) one cell goes quadratic in its own
     population — remedies are the salted-join pattern from
-    `operators/joins.py` or quadtree cell refinement."""
+    `operators/joins.py` (shipped as `geo_hotspot_salted_join`) or
+    quadtree cell refinement (`operators/spatial.py`).
+
+    Scale contract (fixture plant): the planted coordinate
+    `user_id*15485863 + event_id*32452843` must stay inside int64 —
+    Spark wraps silently in non-ANSI mode while DuckDB raises, so past
+    event_id ~ 2.8e11 (about sf 200,000 — five orders beyond the largest
+    testdata scale) the fixture would diverge from the oracle without
+    failing loudly.  Run with spark.sql.ansi.enabled=true to make the
+    overflow loud, or pre-mod event_id before multiplying; the OPERATOR
+    itself carries no such bound."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     pts = ev.select(
         F.col("event_id").alias("id"),

@@ -1,0 +1,81 @@
+"""Round-15 additions: the reworked 2-D Pareto skyline (true equal-price
+dominance semantics + the sharded prefix-min plan with NO fact-sized
+single-partition window), the 3-D cell-bucketed dominance join, the
+entity-resolution composition family, and the geo hotspot remedies."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_cms_inpatient_etl_spark.queries import QUERY_REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _window_nodes(df):
+    """All Window nodes in the optimized logical plan with their partition
+    spec sizes — the single-partition-window lint walks this."""
+    out = []
+
+    def walk(p):
+        if p.nodeName() == "Window":
+            out.append(p.partitionSpec().size())
+        for i in range(p.children().size()):
+            walk(p.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# orders_pareto_skyline — round-14 verdict directive #2                        #
+# --------------------------------------------------------------------------- #
+def test_pareto_skyline_no_unpartitioned_window(spark):
+    """The round-14 weak finding: a global ORDER BY price window put the
+    whole fact table in one WindowExec partition.  The sharded rewrite must
+    leave NO unpartitioned Window anywhere in the plan (the cross-shard
+    carry is a 64x64 broadcast join, not a window)."""
+    df = QUERY_REGISTRY["orders_pareto_skyline"].fn(spark, SF_SMOKE)
+    sizes = _window_nodes(df)
+    assert sizes, "expected the per-shard prefix-min window in the plan"
+    assert all(s > 0 for s in sizes), f"unpartitioned Window in plan: {sizes}"
+
+
+def test_pareto_skyline_equal_price_tie_semantics(spark, tmp_path):
+    """The round-14 ADVICE medium: under the cited dominance definition
+    (<= on both, < on at least one) a same-price earlier-day point
+    DOMINATES a later one, and equal (price, day) ties are mutually
+    non-dominating.  Planted fixture:
+
+      k1 (100.00, Jan03)  k3 (100.00, Jan03)  -> tie, both survive (n=2)
+      k2 (100.00, Jan05)                      -> dominated by k1/k3
+      k4 ( 50.00, Jan10)                      -> cheaper, later: survives
+      k5 (200.00, Jan01)                      -> pricier, earliest: survives
+      k6 (200.00, Jan02)                      -> dominated by k5 (same price)
+      k7 (300.00, Jan01)                      -> dominated by k5 (same day)
+
+    The pre-fix plan would have returned n_points=3 at price 100.00."""
+    rows = [
+        (1, 100.0, "2000-01-03"),
+        (2, 100.0, "2000-01-05"),
+        (3, 100.0, "2000-01-03"),
+        (4, 50.0, "2000-01-10"),
+        (5, 200.0, "2000-01-01"),
+        (6, 200.0, "2000-01-02"),
+        (7, 300.0, "2000-01-01"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    pdf["o_orderdate"] = pd.to_datetime(pdf["o_orderdate"]).astype("datetime64[us]")
+    pdf.to_parquet(tmp_path / "orders.parquet")
+    out = {
+        r["price_cents"]: r
+        for r in QUERY_REGISTRY["orders_pareto_skyline"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {5000, 10000, 20000}
+    day0 = pd.Timestamp("1970-01-01")
+    assert out[10000]["day"] == (pd.Timestamp("2000-01-03") - day0).days
+    assert out[10000]["n_points"] == 2
+    assert out[10000]["first_orderkey"] == 1
+    assert out[5000]["n_points"] == 1 and out[5000]["first_orderkey"] == 4
+    assert out[20000]["n_points"] == 1 and out[20000]["first_orderkey"] == 5
