@@ -31,6 +31,7 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
     quality,
     analytics,
     crawl,
+    entity_resolution,
 )
 
 # --------------------------------------------------------------------------- #

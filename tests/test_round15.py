@@ -114,6 +114,45 @@ def test_sky3_within_cell_volume_scales_linearly(spark):
     assert v2 / n2 < 8 * _SKY3_TARGET_POP  # mean pop per point bounded
 
 
+# --------------------------------------------------------------------------- #
+# entity resolution — round-14 verdict directive #5                            #
+# --------------------------------------------------------------------------- #
+def test_er_bridge_components_and_survivorship(spark):
+    """The planted wrong-entity records (custkey % 97 == 0, variant 2) must
+    pull across to the NEXT custkey's component: that component has 4
+    records spanning 2 custkeys, the donor keeps a 2-record rump, and
+    survivorship picks the lowest-src record of the merged component."""
+    out = {
+        r["entity_id"]: r
+        for r in QUERY_REGISTRY["er_resolve_customers"].fn(spark, SF_SMOKE).collect()
+    }
+    k = 97  # the only planted bridge at sf0.001 (custkeys 1..150)
+    donor = out[4 * k]          # {k:v0, k:v1} — min rec_id = 4k
+    merged = out[4 * k + 2]     # {k:v2} ∪ {k+1:v0,v1,v2} — min rec_id = 4k+2
+    assert donor["n_records"] == 2 and donor["n_custkeys"] == 1
+    assert merged["n_records"] == 4 and merged["n_custkeys"] == 2
+    # source precedence: the merged component contains (k+1)'s v0 record —
+    # src 0 beats the bridge record's src 2 regardless of freshness
+    assert merged["canonical_rec_id"] == 4 * (k + 1)
+    assert merged["canonical_custkey"] == k + 1
+    # unbridged entities: 3 records, canonical is always the v0 record
+    plain = out[4 * 5]
+    assert plain["n_records"] == 3 and plain["canonical_rec_id"] == 4 * 5
+
+
+def test_er_pair_count_and_cross_custkey_pairs(spark):
+    """Every unordered pair appears exactly once through the banded
+    blocking (no double-count from the +/-1 band explode), and the bridge
+    pairs are the only cross-custkey ones."""
+    pdf = QUERY_REGISTRY["er_blocking_pairs"].fn(spark, SF_SMOKE).toPandas()
+    assert not pdf.duplicated(subset=["rec_a", "rec_b"]).any()
+    assert (pdf["rec_a"] < pdf["rec_b"]).all()
+    cross = pdf[pdf["custkey_a"] != pdf["custkey_b"]]
+    # custkeys start at 0, and 0 % 97 == 0 — two planted bridges at sf0.001
+    assert set(zip(cross["custkey_a"], cross["custkey_b"])) == {(0, 1), (97, 98)}
+    assert len(cross) == 4  # each bridge val k*1000+995 vs (k+1)*1000 {+0, +3}
+
+
 def test_sky3_output_is_an_antichain(spark):
     """No returned point may dominate another returned point — the skyline
     is an antichain under (<= all dims, < somewhere)."""
