@@ -1135,3 +1135,131 @@ def geo_grid_proximity_join(spark, sf_dir):
         .join(ncount, "id", "left")
         .select("id", "cx", "cy", F.coalesce("n", F.lit(0)).alias("n_neighbors"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# geo hotspot remedies — salted and quadtree-refined proximity joins           #
+# --------------------------------------------------------------------------- #
+# `geo_grid_proximity_join` documents the flat grid's failure mode: an
+# urban-core cell quadratic in its own population, all of it on one join
+# task.  This fixture PLANTS that hotspot — 0.5% of all points collapse
+# into one cell — and the two queries run the two remedies from
+# `operators/spatial.py` against the SAME all-pairs-in-grid oracle: the
+# hash matches prove both remedies emit exactly the flat join's answer.
+
+_HOTGEO_R = 2_000_000
+_HOTGEO_P = 16  # cell-population bound before a remedy kicks in
+_HOTGEO_PLANT_SQL = """
+        SELECT event_id AS id,
+               CASE WHEN event_id % 200 = 0
+                    THEN 90000000 + (user_id * 7919 + event_id * 104729) % 1800000
+                    ELSE (user_id * 7919 + event_id * 104729) % 180000001 END AS x,
+               CASE WHEN event_id % 200 = 0
+                    THEN 180000000 + (user_id * 65537 + event_id * 30011) % 1800000
+                    ELSE (user_id * 65537 + event_id * 30011) % 360000001 END AS y
+        FROM events
+"""
+
+_HOTGEO_ORACLE = f"""
+    WITH pts AS ({_HOTGEO_PLANT_SQL}),
+    home AS (
+        SELECT id, x, y, x // {_HOTGEO_R} AS cx, y // {_HOTGEO_R} AS cy FROM pts
+    ),
+    probe AS (
+        SELECT h.id, h.x, h.y, h.cx + dx.d AS px, h.cy + dy.d AS py
+        FROM home h
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+    ),
+    pairs AS (
+        SELECT p.id AS a_id, h.id AS b_id
+        FROM probe p
+        JOIN home h ON h.cx = p.px AND h.cy = p.py
+        WHERE p.id < h.id
+          AND (p.x - h.x) * (p.x - h.x) + (p.y - h.y) * (p.y - h.y)
+              <= CAST({_HOTGEO_R} AS BIGINT) * {_HOTGEO_R}
+    ),
+    ncount AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT a_id AS id FROM pairs UNION ALL SELECT b_id FROM pairs
+        ) GROUP BY id
+    )
+    SELECT h.id, h.cx, h.cy, COALESCE(n.n, 0) AS n_neighbors
+    FROM home h LEFT JOIN ncount n ON n.id = h.id
+"""
+
+
+def _hotgeo_points(spark, sf_dir):
+    """Planted hotspot point set: every 200th event lands inside ONE grid
+    cell (spread 1.8e6 < R, anchored at a cell corner), the rest stay
+    uniform over the plane — so that cell's population is ~80x the mean
+    density at sf0.1.  Bounded multipliers: the largest planted product,
+    event_id * 104729, stays inside int64 to event_id ~ 8.8e13 (about sf
+    90,000,000) — no ANSI-mode caveat at any conceivable scale."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    hot = F.col("event_id") % 200 == 0
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.when(
+            hot,
+            F.lit(90_000_000)
+            + (F.col("user_id") * 7919 + F.col("event_id") * 104729) % 1_800_000,
+        )
+        .otherwise((F.col("user_id") * 7919 + F.col("event_id") * 104729) % 180_000_001)
+        .alias("x"),
+        F.when(
+            hot,
+            F.lit(180_000_000)
+            + (F.col("user_id") * 65537 + F.col("event_id") * 30011) % 1_800_000,
+        )
+        .otherwise((F.col("user_id") * 65537 + F.col("event_id") * 30011) % 360_000_001)
+        .alias("y"),
+    )
+
+
+@register("geo_hotspot_salted_join", oracle=_HOTGEO_ORACLE)
+def geo_hotspot_salted_join(spark, sf_dir):
+    """Proximity self-join on the PLANTED-HOTSPOT point set with the
+    salting remedy (`operators/spatial.salted_proximity_pairs`): the hot
+    cell's home side splits into s = ceil(pop/16) salt buckets, probes
+    targeting it fan out s ways, and the per-task candidate volume drops
+    s-fold while the pair set — the oracle is the plain all-candidates
+    grid join — stays bit-identical.  The remedy self-activates from the
+    cell census (broadcast hot-cell map); on a hotspot-free input the map
+    is empty and the plan degenerates to the flat grid join.
+
+    Scale: a crowd that is genuinely mutually-within-R has quadratic TRUE
+    pairs — no plan shrinks the answer; what salting fixes is that the
+    quadratic block lands on ONE task.  Per-task volume is bounded by
+    ~(probe pop) * max_cell_pop regardless of how hot the cell gets."""
+    from airflow_cms_inpatient_etl_spark.operators.spatial import (
+        grid_points,
+        neighbor_counts,
+        salted_proximity_pairs,
+    )
+
+    pts = _hotgeo_points(spark, sf_dir)
+    pairs = salted_proximity_pairs(pts, _HOTGEO_R, _HOTGEO_P)
+    return neighbor_counts(grid_points(pts, _HOTGEO_R), pairs)
+
+
+@register("geo_quadtree_refined_join", oracle=_HOTGEO_ORACLE)
+def geo_quadtree_refined_join(spark, sf_dir):
+    """The same planted-hotspot proximity join through the QUADTREE remedy
+    (`operators/spatial.quadtree_proximity_pairs`): the hot cell's points
+    re-bucket at half cell size and probes visit only the subcells whose
+    box intersects their R-ball bounding box — cutting CANDIDATES (the
+    far corners of the hot cell never meet), where salting only spreads
+    them.  Same oracle as the salted query: two remedies, one fixpoint.
+    Complementary at 100 TB: refine while the crowd is wider than R
+    (pruning wins), salt the residual point-mass (parallelism wins);
+    iterating the split on still-hot subcells is the same step again."""
+    from airflow_cms_inpatient_etl_spark.operators.spatial import (
+        grid_points,
+        neighbor_counts,
+        quadtree_proximity_pairs,
+    )
+
+    pts = _hotgeo_points(spark, sf_dir)
+    pairs = quadtree_proximity_pairs(pts, _HOTGEO_R, _HOTGEO_P)
+    return neighbor_counts(grid_points(pts, _HOTGEO_R), pairs)

@@ -153,6 +153,97 @@ def test_er_pair_count_and_cross_custkey_pairs(spark):
     assert len(cross) == 4  # each bridge val k*1000+995 vs (k+1)*1000 {+0, +3}
 
 
+# --------------------------------------------------------------------------- #
+# geo hotspot remedies — round-14 verdict directives #3 and #9                 #
+# --------------------------------------------------------------------------- #
+_SF_MID = "/root/testdata/sf0.01"
+
+
+def _max_key_volume(probe, home, keys):
+    """(max, total) per-join-key candidate volume = n_probe * n_home —
+    measured from the keyed sides without running the join."""
+    pc = probe.groupBy(*keys).agg(F.count(F.lit(1)).alias("np"))
+    hc = home.groupBy(*keys).agg(F.count(F.lit(1)).alias("nh"))
+    row = pc.join(hc, keys).agg(
+        F.max(F.col("np") * F.col("nh")).alias("mx"),
+        F.sum(F.col("np") * F.col("nh")).alias("tot"),
+    ).first()
+    return int(row["mx"]), int(row["tot"])
+
+
+def test_hotspot_remedies_bound_per_key_candidate_volume(spark):
+    """On the planted-hotspot fixture the flat grid join concentrates a
+    quadratic candidate block on ONE join key; both remedies must cut the
+    max per-key volume at least in half (expected ~s-fold / ~4-fold).
+    The flat baseline is the salted plan with an unreachable bound (empty
+    hot-cell map -> s = 1 everywhere)."""
+    from airflow_cms_inpatient_etl_spark.operators import spatial
+    from airflow_cms_inpatient_etl_spark.queries.timeseries import (
+        _HOTGEO_P,
+        _HOTGEO_R,
+        _hotgeo_points,
+    )
+    from airflow_cms_inpatient_etl_spark.sources.registry import release_snapshots, snapshot
+
+    try:
+        g = snapshot(spatial.grid_points(_hotgeo_points(spark, _SF_MID), _HOTGEO_R))
+        flat_max, flat_tot = _max_key_volume(
+            *spatial.salted_sides(g, 1 << 40), ["px", "py", "salt"]
+        )
+        salt_max, salt_tot = _max_key_volume(
+            *spatial.salted_sides(g, _HOTGEO_P), ["px", "py", "salt"]
+        )
+        quad_max, quad_tot = _max_key_volume(
+            *spatial.quadtree_sides(g, _HOTGEO_R, _HOTGEO_P), ["lvl", "kx", "ky"]
+        )
+        assert flat_max > 40 * 40  # the hotspot really is one quadratic block
+        assert salt_max * 2 <= flat_max, (salt_max, flat_max)
+        assert quad_max * 2 <= flat_max, (quad_max, flat_max)
+        # salting never changes TOTAL volume (it only spreads it)
+        assert salt_tot == flat_tot
+    finally:
+        release_snapshots(spark)
+
+
+def test_remedies_hash_equal_to_flat_plan(spark):
+    """Directives' exactness bar: on a uniform fixture (the original geo
+    plant, no hot cells) AND on the hotspot fixture, both remedies emit
+    exactly the flat plan's pair set."""
+    from airflow_cms_inpatient_etl_spark.operators import spatial
+    from airflow_cms_inpatient_etl_spark.queries.timeseries import (
+        _HOTGEO_P,
+        _HOTGEO_R,
+        _hotgeo_points,
+    )
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table, release_snapshots
+
+    uniform = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id")
+        .select(
+            F.col("event_id").alias("id"),
+            ((F.col("user_id") * 7919 + F.col("event_id") * 104729) % 180000001).alias("x"),
+            ((F.col("user_id") * 65537 + F.col("event_id") * 30011) % 360000001).alias("y"),
+        )
+    )
+    try:
+        for pts in (uniform, _hotgeo_points(spark, SF_SMOKE)):
+            flat = sorted(
+                map(tuple, spatial.salted_proximity_pairs(pts, _HOTGEO_R, 1 << 40).collect())
+            )
+            assert flat  # non-degenerate fixture
+            salted = sorted(
+                map(tuple, spatial.salted_proximity_pairs(pts, _HOTGEO_R, _HOTGEO_P).collect())
+            )
+            quad = sorted(
+                map(tuple, spatial.quadtree_proximity_pairs(pts, _HOTGEO_R, _HOTGEO_P).collect())
+            )
+            assert salted == flat
+            assert quad == flat
+    finally:
+        release_snapshots(spark)
+
+
 def test_sky3_output_is_an_antichain(spark):
     """No returned point may dominate another returned point — the skyline
     is an antichain under (<= all dims, < somewhere)."""
