@@ -666,3 +666,57 @@ def streaming_percentiles_live(spark, sf_dir):
 _REG["streaming_percentiles_live"] = _dc.replace(
     _REG["streaming_percentiles_live"], oracle=_REG["sketch_qdigest_quantiles"].oracle
 )
+
+
+@register(
+    "streaming_asof_live",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, MAX(c.ts) AS last_click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 6 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def streaming_asof_live(spark, sf_dir):
+    """LIVE streaming AS-OF join — the one streaming twin §2.B's batch
+    family was missing (`events_asof_last_click` had no live form): for
+    each purchase, the most recent same-user click at-or-before it, within
+    a declared 6-hour tolerance.  Two independent file-source streams feed
+    a watermarked stream-stream inner join whose time condition is bounded
+    in BOTH directions (evictable join state — the tolerance is exactly
+    what makes a streaming as-of well-posed; unbounded lookback would pin
+    every click in state forever).  Inner-join emission is eager and exact,
+    so the single-batch drain is deterministically the full interval
+    candidate set; the terminal as-of pick (MAX(click_ts) per purchase)
+    reduces the DRAINED sink — purchase-grained, not stream-grained (the
+    `streaming_percentiles_live` drain-then-reduce discipline).  Purchases
+    with no click inside the tolerance do not emit (inner as-of).
+    Multi-batch arrival equivalence is asserted in tests/test_round15.py.
+    Shuffle partitions are scoped to 8 for the state-store task-dispatch
+    reason documented on the stream-stream join above."""
+    from pyspark.sql import functions as F
+
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import stream_asof_candidates
+
+    stage_dir = tempfile.mkdtemp(prefix="events_asof_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/part-0.parquet")
+        name = f"stream_asof_{uuid.uuid4().hex[:8]}"
+        cand = stream_asof_candidates(
+            stream_events(spark, stage_dir), stream_events(spark, stage_dir)
+        )
+        run_stream_to_memory(cand, name, output_mode="append")
+        return (
+            spark.table(name)
+            .groupBy("event_id", "user_id", "ts")
+            .agg(F.max("click_ts").alias("last_click_ts"))
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stage_dir, ignore_errors=True)

@@ -117,6 +117,45 @@ def stream_stream_click_view_join(
     ).select("click_id", "user_id", "click_ts", "view_ts", "view_value")
 
 
+def stream_asof_candidates(
+    purchases_src: DataFrame,
+    clicks_src: DataFrame,
+    tolerance: str = "6 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The streaming half of the as-of join: every click by the same user
+    inside (purchase_ts - tolerance, purchase_ts] — a watermarked
+    stream-stream inner join whose time condition bounds event time from
+    BOTH directions, so join state is evictable (the streaming as-of's
+    scale contract: an UNBOUNDED lookback would pin every click forever;
+    a declared tolerance is what makes streaming as-of well-posed).
+
+    Inner-join emission is eager and exact, so the drained candidate set is
+    deterministically the batch interval join; the terminal as-of pick
+    (MAX(click_ts) per purchase) runs over the drained, purchase-grained
+    output — sink-sized, not stream-sized (the `streaming_percentiles_live`
+    drain-then-reduce discipline)."""
+    purchases = (
+        purchases_src.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", watermark)
+    )
+    clicks = (
+        clicks_src.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""click_user = user_id
+            AND click_ts <= ts
+            AND click_ts > ts - INTERVAL {tolerance}"""
+        ),
+        "inner",
+    ).select("event_id", "user_id", "ts", "click_ts")
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
     """Drive a streaming query to completion against the memory sink (local
     test harness: processAllAvailable drains the file source synchronously)."""

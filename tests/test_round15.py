@@ -244,6 +244,76 @@ def test_remedies_hash_equal_to_flat_plan(spark):
         release_snapshots(spark)
 
 
+# --------------------------------------------------------------------------- #
+# streaming as-of join — round-14 verdict stretch #8                           #
+# --------------------------------------------------------------------------- #
+def test_streaming_asof_multi_batch_equals_batch(spark, tmp_path):
+    """The live as-of must survive MULTI-batch arrival: events split into
+    two files at the 60% event-time point (staged oldest-mtime-first, so
+    the join state carries early clicks across the batch boundary and the
+    watermark never sees out-of-order files).  The drained-and-reduced
+    result must equal the batch as-of-with-tolerance."""
+    import shutil
+    import uuid
+
+    from airflow_cms_inpatient_etl_spark.queries.streaming_live import (
+        _stage_single_parquet,
+    )
+    from airflow_cms_inpatient_etl_spark.sources.registry import load_table
+    from airflow_cms_inpatient_etl_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_asof_candidates,
+        stream_events,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) * 3 // 5
+    stage = str(tmp_path / "stage")
+    import os
+
+    os.makedirs(stage)
+    _stage_single_parquet(e.filter(F.col("ts") <= F.lit(cut)), stage, "a.parquet", 1_000)
+    _stage_single_parquet(e.filter(F.col("ts") > F.lit(cut)), stage, "b.parquet", 2_000)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        name = f"asof_mb_{uuid.uuid4().hex[:8]}"
+        run_stream_to_memory(
+            stream_asof_candidates(stream_events(spark, stage), stream_events(spark, stage)),
+            name,
+            output_mode="append",
+        )
+        streamed = {
+            (r["event_id"], r["user_id"], r["ts"], r["last_click_ts"])
+            for r in spark.table(name)
+            .groupBy("event_id", "user_id", "ts")
+            .agg(F.max("click_ts").alias("last_click_ts"))
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(stage, ignore_errors=True)
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    batch = {
+        (r["event_id"], r["user_id"], r["ts"], r["last_click_ts"])
+        for r in p.join(
+            c,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") <= F.col("ts"))
+            & (F.col("cts") > F.col("ts") - F.expr("INTERVAL 6 HOURS")),
+        )
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.max("cts").alias("last_click_ts"))
+        .collect()
+    }
+    assert len(streamed) > 0
+    assert streamed == batch
+
+
 def test_sky3_output_is_an_antichain(spark):
     """No returned point may dominate another returned point — the skyline
     is an antichain under (<= all dims, < somewhere)."""
