@@ -52,80 +52,33 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # ======================================================================= #
-    # ROUND-14 WINDOW (first 50).  Policy: never-checked > code-changed-      #
-    # since-last-check > stalest-green.  Round 13 closed 50/50 green; the     #
-    # union's staleness histogram entering round 14 is 1 r7 / 48 r8 / 45 r9   #
-    # / 42 r10 / 46 r11 / 48 r12 / 50 r13.  This rotation seats (a) the 16    #
-    # round-14 additions plus the round-14 code-changed qdigest row,          #
-    # round-14 additions (never-checked first), (b) text_readability_scores   #
-    # — the single remaining r7 row, displaced by round-13 wave 5 and queued  #
-    # at the head since — plus the round-14 code-changed qdigest row, and    #
-    # (c) the first 32 rows of the 48-row r8 cohort; the last 16 r8 rows      #
-    # (supplier_concentration_hhi through window_sliding_frame_avg) are       #
-    # displaced to the round-15 queue head.  After round 14: the r7 cohort    #
-    # retires, and the oldest remaining cohort is r8 (2 rows, queue head).    #
+    # ROUND-15 WINDOW (first 50).  Policy: never-checked > code-changed-      #
+    # since-last-check > stalest-green.  Round 14 closed 50/50 green; the     #
+    # union's staleness histogram entering round 15 is 16 r8 / 45 r9 / 42     #
+    # r10 / 46 r11 / 48 r12 / 49 r13 / 50 r14.  This rotation seats (a) the   #
+    # 6 round-15 additions (never-checked first), (b) the 2 rows whose code   #
+    # changed this round — orders_pareto_skyline (equal-price dominance fix   #
+    # + the sharded prefix-min plan, the round-14 weak finding) and           #
+    # geo_grid_proximity_join (docstring-only scale-contract note; seated     #
+    # anyway per the code-changed rule), (c) ALL 16 remaining r8 rows (the    #
+    # cohort retires — round-14 directive #1), and (d) the first 26 rows of   #
+    # the 45-row r9 cohort; the last 19 r9 rows (q21_waiting_supplier         #
+    # through graph_pagerank) are displaced to the round-16 queue head.       #
+    # After round 15: the r8 cohort retires and the oldest remaining cohort   #
+    # is r9 (19 rows, queue head).                                            #
     # ======================================================================= #
-    # -- a. new this round (crawl link-graph + revisit policy close the       #
-    # round-12 judge directives #3/#4; the Dawid-Skene EM step closes the     #
-    # annotation family) ------------------------------------------------------#
-    "crawl_linkgraph_pagerank",
-    "crawl_revisit_policy",
-    "labels_dawid_skene_em",
-    "streaming_percentiles_live",
-    "corpus_curation_v9",
-    "crawl_hits_scores",
-    "crawl_frontier_schedule",
-    "ml_pass_at_k",
-    "labels_bradley_terry_mm",
-    "sql_recursive_cte_ancestors",
-    "ivm_distinct_view_delta",
-    "layout_hilbert_locality",
-    "skew_salted_aggregate_hot_key",
-    "skew_salted_join_hot_dim",
-    "geo_grid_proximity_join",
+    # -- a. new this round (round-14 verdict directives #4/#5/#3 + stretch    #
+    # items #8/#9: 3-D skyline, ER family, hotspot remedies, live as-of) ---- #
+    "orders_pareto_skyline_3d",
+    "er_blocking_pairs",
+    "er_resolve_customers",
+    "geo_hotspot_salted_join",
+    "geo_quadtree_refined_join",
+    "streaming_asof_live",
+    # -- b. code changed in round 15 ----------------------------------------- #
     "orders_pareto_skyline",
-    # -- a2. code changed in round 14 (the qdigest verification tail factored
-    # into the shared _qdigest_flags_from_tree helper; plan identical) ------- #
-    "sketch_qdigest_quantiles",
-    # -- b. the last r7-stale row (two-round queue head, retired at last) --- #
-    "text_readability_scores",
-    # -- c. first 32 rows of the r8 cohort ----------------------------------- #
-    "agg_argmax_argmin",
-    "agg_collect_sorted",
-    "agg_exact_correlation",
-    "agg_exact_moments",
-    "agg_exact_percentiles",
-    "agg_median_price",
-    "approx_aggregates",
-    "approx_distinct_sketch_merge",
-    "conditional_aggregation",
-    "corpus_mixture_refresh",
-    "count_distinct_segments",
-    "dedup_keep_latest_event",
-    "deterministic_sample",
-    "events_stl_daily",
-    "filter_complex_predicates",
-    "filter_like_null",
-    "filter_scalar_subquery",
-    "group_agg_orders",
-    "histogram_price_buckets",
-    "join_anti_customers_without_orders",
-    "join_full_outer_nation_profile",
-    "join_range_quantity_tiers",
-    "join_right_outer_item_counts",
-    "join_semi_customers_with_orders",
-    "lateral_correlated_agg",
-    "math_functions",
-    "multimodal_audio_chunks",
-    "multimodal_frame_sample",
-    "split_train_test_hash",
-    "streaming_dedup_within_watermark_live",
-    "streaming_late_data_live",
-    "streaming_session_window_live",
-    # ----------------------- window boundary (50) -------------------------- #
-    # (16 new + 1 code-changed + 1 r7 + 32 r8 = 50.)                          #
-    # ROUND-15 QUEUE: the 16 displaced r8 rows, then the r9 cohort, then      #
-    # everything else in registration order.                                  #
+    "geo_grid_proximity_join",
+    # -- c. all 16 remaining r8 rows (cohort retires) ------------------------ #
     "supplier_concentration_hhi",
     "text_corpus_rollup",
     "text_langid_heuristic",
@@ -142,6 +95,56 @@ _PRIORITY = [
     "window_rank_topk_per_group",
     "window_running_sum",
     "window_sliding_frame_avg",
+    # -- d. first 26 rows of the 45-row r9 cohort ---------------------------- #
+    "flagship_patient_claims_plus",
+    "q1_pricing_summary",
+    "set_union_nations",
+    "set_intersect_custkeys",
+    "set_except_custkeys",
+    "cube_flag_status",
+    "rollup_region_nation",
+    "grouping_sets_events",
+    "pivot_status_by_flag",
+    "unpivot_part_attrs",
+    "null_handling",
+    "map_functions",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_brands",
+    "q12_late_line_priority",
+    "q16_supplier_part_count",
+    "q20_dominant_supplier",
+    # ----------------------- window boundary (50) -------------------------- #
+    # (6 new + 2 code-changed + 16 r8 + 26 r9 = 50.)                          #
+    # ROUND-16 QUEUE: the 19 displaced r9 rows below, then everything else    #
+    # in registration order.                                                  #
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "string_functions",
+    "date_functions",
+    "array_functions",
+    "explode_token_counts",
+    "date_spine_monthly",
+    "posexplode_tokens",
+    "json_functions",
+    "events_session_window",
+    "events_asof_last_click",
+    "events_peak_concurrency",
+    "text_tfidf_top_terms",
+    "dedup_cross_doc_spans",
+    "sim_cosine_topk_brute",
+    "multimodal_phash_neardup",
+    "corpus_curation_v2",
+    "corpus_curation_v7",
+    "graph_pagerank",
     # (remaining rows follow in registration order via _reorder_registry)
 ]
 

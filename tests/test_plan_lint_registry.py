@@ -33,6 +33,7 @@ _SKIP = {
     "streaming_dedup_gate_live",
     "streaming_heavy_hitters_live",
     "streaming_percentiles_live",
+    "streaming_asof_live",
 }
 
 # the ONLY queries allowed to cross into Python, all Arrow-batched
@@ -51,39 +52,23 @@ _ARROW_NODES = (
     "ArrowAggregatePython",
 )
 
-# queries added or plan-changed since the round-13 gate went green — linted
+# queries added or plan-changed since the round-14 gate went green — linted
 # in the NOT-slow inner loop.
 _NEW_SINCE_GATE = [
-    # r14: new — crawl link-graph extraction + host PageRank composition
-    "crawl_linkgraph_pagerank",
-    # r14: new — per-domain change-rate estimate -> revisit priority policy
-    "crawl_revisit_policy",
-    # r14: new — full confusion-matrix Dawid-Skene EM step (ppm integers)
-    "labels_dawid_skene_em",
-    # r14: new — crawl front-end threaded into curation (funnel + mixture)
-    "corpus_curation_v9",
-    # r14: new — HITS hubs/authorities + the frontier-schedule composition
-    "crawl_hits_scores",
-    "crawl_frontier_schedule",
-    # r14: new — pass@k estimator + Bradley-Terry MM preference strengths
-    "ml_pass_at_k",
-    "labels_bradley_terry_mm",
-    # r14: new — WITH RECURSIVE through the raw-SQL entry path
-    "sql_recursive_cte_ancestors",
-    # r14: new — exact COUNT(DISTINCT) IVM under deletes via refcounts
-    "ivm_distinct_view_delta",
-    # r14: new — Hilbert-curve shard manifest (vs the Morton row)
-    "layout_hilbert_locality",
-    # r14: new — salted skew aggregate/join under the driver hash
-    "skew_salted_aggregate_hot_key",
-    "skew_salted_join_hot_dim",
-    # r14: new — grid-bucketed spatial proximity join (no cross product)
-    "geo_grid_proximity_join",
-    # r14: new — 2-D Pareto skyline via ordered prefix-min
+    # r15: code-changed — true equal-price dominance + sharded prefix-min
+    # (the round-14 weak finding's fix; no fact-sized single-partition window)
     "orders_pareto_skyline",
-    # r14: code-changed — sketch_qdigest_quantiles' tail factored into the
-    # shared _qdigest_flags_from_tree (same plan; reconfirm)
-    "sketch_qdigest_quantiles",
+    # r15: new — cell-bucketed block-nested-loop dominance join in 3-D
+    "orders_pareto_skyline_3d",
+    # r15: new — ER composition: banded blocking / scoring / components /
+    # survivorship
+    "er_blocking_pairs",
+    "er_resolve_customers",
+    # r15: new — planted-hotspot proximity joins through the two remedies
+    "geo_hotspot_salted_join",
+    "geo_quadtree_refined_join",
+    # (streaming_asof_live is new too, but live streams are plan-asserted in
+    # tests/test_streaming.py / test_round15.py — see _SKIP)
 ]
 
 
