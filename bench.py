@@ -414,6 +414,16 @@ HEADLINE = [
     "geo_grid_proximity_join",
     # round-14 wave 11: the 2-D skyline (one global-ordered prefix-min pass)
     "orders_pareto_skyline",
+    # round-15: the verdict-directive additions — the 3-D cell-bucketed
+    # dominance join, the ER composition (blocking -> components ->
+    # survivorship), the planted-hotspot proximity joins through the two
+    # remedies, and the live streaming as-of join
+    "orders_pareto_skyline_3d",
+    "er_blocking_pairs",
+    "er_resolve_customers",
+    "geo_hotspot_salted_join",
+    "geo_quadtree_refined_join",
+    "streaming_asof_live",
 ]
 
 
