@@ -56,14 +56,16 @@ _PRIORITY = [
     # since-last-check > stalest-green.  Round 14 closed 50/50 green; the     #
     # union's staleness histogram entering round 15 is 16 r8 / 45 r9 / 42     #
     # r10 / 46 r11 / 48 r12 / 49 r13 / 50 r14.  This rotation seats (a) the   #
-    # 6 round-15 additions (never-checked first), (b) the 2 rows whose code   #
+    # 6 round-15 additions (never-checked first), (b) the 3 rows whose code   #
     # changed this round — orders_pareto_skyline (equal-price dominance fix   #
-    # + the sharded prefix-min plan, the round-14 weak finding) and           #
+    # + the sharded prefix-min plan, the round-14 weak finding),              #
     # geo_grid_proximity_join (docstring-only scale-contract note; seated     #
-    # anyway per the code-changed rule), (c) ALL 16 remaining r8 rows (the    #
-    # cohort retires — round-14 directive #1), and (d) the first 26 rows of   #
-    # the 45-row r9 cohort; the last 19 r9 rows (q21_waiting_supplier         #
-    # through graph_pagerank) are displaced to the round-16 queue head.       #
+    # anyway per the code-changed rule), and customer_rfm_segments (NTILE x3  #
+    # reworked to the sharded-rank decomposition under the new global-window  #
+    # plan lint), (c) ALL 16 remaining r8 rows (the cohort retires —          #
+    # round-14 directive #1), and (d) the first 25 rows of the 45-row r9      #
+    # cohort; the last 20 r9 rows (q20_dominant_supplier through              #
+    # graph_pagerank) are displaced to the round-16 queue head.               #
     # After round 15: the r8 cohort retires and the oldest remaining cohort   #
     # is r9 (19 rows, queue head).                                            #
     # ======================================================================= #
@@ -78,6 +80,7 @@ _PRIORITY = [
     # -- b. code changed in round 15 ----------------------------------------- #
     "orders_pareto_skyline",
     "geo_grid_proximity_join",
+    "customer_rfm_segments",
     # -- c. all 16 remaining r8 rows (cohort retires) ------------------------ #
     "supplier_concentration_hhi",
     "text_corpus_rollup",
@@ -95,7 +98,7 @@ _PRIORITY = [
     "window_rank_topk_per_group",
     "window_running_sum",
     "window_sliding_frame_avg",
-    # -- d. first 26 rows of the 45-row r9 cohort ---------------------------- #
+    # -- d. first 25 rows of the 45-row r9 cohort ---------------------------- #
     "flagship_patient_claims_plus",
     "q1_pricing_summary",
     "set_union_nations",
@@ -121,11 +124,11 @@ _PRIORITY = [
     "q11_important_brands",
     "q12_late_line_priority",
     "q16_supplier_part_count",
-    "q20_dominant_supplier",
     # ----------------------- window boundary (50) -------------------------- #
-    # (6 new + 2 code-changed + 16 r8 + 26 r9 = 50.)                          #
-    # ROUND-16 QUEUE: the 19 displaced r9 rows below, then everything else    #
+    # (6 new + 3 code-changed + 16 r8 + 25 r9 = 50.)                          #
+    # ROUND-16 QUEUE: the 20 displaced r9 rows below, then everything else    #
     # in registration order.                                                  #
+    "q20_dominant_supplier",
     "q21_waiting_supplier",
     "q22_idle_customers",
     "string_functions",

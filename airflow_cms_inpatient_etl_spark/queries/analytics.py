@@ -482,6 +482,7 @@ def contribution_pct_of_total(spark, sf_dir):
 # --------------------------------------------------------------------------- #
 
 _RFM_REF_DATE = "2001-12-31"
+_RFM_SHARDS = 32
 
 
 @register(
@@ -511,12 +512,35 @@ _RFM_REF_DATE = "2001-12-31"
 )
 def customer_rfm_segments(spark, sf_dir):
     """RFM segmentation: per-customer recency / frequency / monetary quartiles
-    (NTILE over fully-tiebroken orders, so ranks are deterministic) composed
-    into a 3-digit segment label.  The base aggregate is one customer-keyed
-    groupBy; the three NTILEs are single-partition windows over the customer
-    aggregate — fine at dimension cardinality, and the documented scale path
-    for fact-sized inputs is `global_rank_via_sharding` (range-sharded rank
-    offsets) rather than one-task sorts."""
+    (NTILE over fully-tiebroken orderings, so ranks are deterministic)
+    composed into a 3-digit segment label.
+
+    Plan — the customer-grain aggregate is SF-proportional (every customer,
+    ~1.5B rows at 100 TB), so the three global NTILEs are NOT single-
+    partition windows (the one-task sort this query shipped through round
+    15's opening; the oracle still runs the naive form, so the hash match
+    proves the decomposition exact).  Each quartile decomposes by the
+    sharded-rank identity (`global_rank_via_sharding` /
+    `orders_pareto_skyline`):
+
+      1. each ordering is normalized to an ASCENDING integer key (negated
+         counts / exact monetary micros for the DESC orderings — decimal
+         scale 6 makes *1e6 exact, and max |key| ~6e12 keeps (key-lo)*32
+         far inside int64);
+      2. one broadcast row carries per-key (lo, hi) and the customer count;
+         value-range sharding into 32 shards is a pure expression;
+      3. per-shard counts -> cross-shard prefix offsets via a 32x32
+         broadcast self-join (never a fact-sized exchange);
+      4. global rank = offset + row_number inside 32 INDEPENDENT
+         partitioned windows; NTILE(4) is then pure arithmetic on
+         (rank, n): the first n%4 tiles take ceil(n/4) rows, the rest
+         floor(n/4) — ANSI semantics, replicated exactly.
+
+    Value-range sharding balances when keys spread over their range; a
+    massive single-value tie-group (all customers the same order count)
+    degrades to fewer effective shards but stays exact — the count-
+    balanced boundary machinery of `corpus_range_shards` is the drop-in
+    remedy documented for that shape."""
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
@@ -525,17 +549,96 @@ def customer_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast(T.DecimalType(27, 6))).alias("monetary_dec"),
     )
-    r_w = W.orderBy(F.col("recency_days").asc(), F.col("custkey"))
-    f_w = W.orderBy(F.col("n_orders").desc(), F.col("custkey"))
-    m_w = W.orderBy(F.col("monetary_dec").desc(), F.col("custkey"))
-    scored = base.select(
+    from airflow_cms_inpatient_etl_spark.sources.registry import snapshot
+
+    keyed = base.select(
+        "custkey",
+        "recency_days",
+        "n_orders",
+        "monetary_dec",
+        F.col("recency_days").cast("long").alias("rk"),
+        (-F.col("n_orders")).cast("long").alias("fk"),
+        (-F.expr("CAST(monetary_dec * 1000000 AS BIGINT)")).alias("mk"),
+    )
+    keyed = snapshot(keyed)  # range agg + shard assignment both read it
+    rng = keyed.agg(
+        F.min("rk").alias("rk_lo"),
+        F.max("rk").alias("rk_hi"),
+        F.min("fk").alias("fk_lo"),
+        F.max("fk").alias("fk_hi"),
+        F.min("mk").alias("mk_lo"),
+        F.max("mk").alias("mk_hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sharded = keyed.crossJoin(F.broadcast(rng)).select(
+        "custkey",
+        "recency_days",
+        "n_orders",
+        "monetary_dec",
+        "rk",
+        "fk",
+        "mk",
+        "n",
+        F.expr(f"((rk - rk_lo) * {_RFM_SHARDS}) div (rk_hi - rk_lo + 1)").alias("rs"),
+        F.expr(f"((fk - fk_lo) * {_RFM_SHARDS}) div (fk_hi - fk_lo + 1)").alias("fs"),
+        F.expr(f"((mk - mk_lo) * {_RFM_SHARDS}) div (mk_hi - mk_lo + 1)").alias("ms"),
+    )
+    sharded = snapshot(sharded)  # three count-aggs + the ranked select read it
+
+    def _offsets(shard_col: str, out: str):
+        cnt = sharded.groupBy(F.col(shard_col).alias("shard")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return (
+            cnt.alias("a")
+            .join(F.broadcast(cnt.alias("b")), F.col("b.shard") < F.col("a.shard"), "left")
+            .groupBy(F.col("a.shard").alias(shard_col))
+            .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).cast("long").alias(out))
+        )
+
+    ranked = (
+        sharded.join(F.broadcast(_offsets("rs", "r_off")), "rs")
+        .join(F.broadcast(_offsets("fs", "f_off")), "fs")
+        .join(F.broadcast(_offsets("ms", "m_off")), "ms")
+        .select(
+            "custkey",
+            "recency_days",
+            "n_orders",
+            "monetary_dec",
+            "n",
+            (
+                F.col("r_off")
+                + F.row_number().over(W.partitionBy("rs").orderBy("rk", "custkey"))
+            ).alias("r_rank"),
+            (
+                F.col("f_off")
+                + F.row_number().over(W.partitionBy("fs").orderBy("fk", "custkey"))
+            ).alias("f_rank"),
+            (
+                F.col("m_off")
+                + F.row_number().over(W.partitionBy("ms").orderBy("mk", "custkey"))
+            ).alias("m_rank"),
+        )
+    )
+
+    def _ntile4(rank: str):
+        # ANSI NTILE(4): q = n div 4, r = n mod 4; tiles 1..r take q+1 rows,
+        # tiles r+1..4 take q (q >= 1 whenever the second branch is reached).
+        return F.expr(
+            f"CASE WHEN {rank} <= (n % 4) * ((n div 4) + 1) "
+            f"THEN ({rank} - 1) div ((n div 4) + 1) + 1 "
+            f"ELSE (n % 4) + 1 + ({rank} - (n % 4) * ((n div 4) + 1) - 1) div (n div 4) "
+            f"END"
+        ).cast("int")
+
+    scored = ranked.select(
         "custkey",
         "recency_days",
         "n_orders",
         F.col("monetary_dec").cast("double").alias("monetary"),
-        F.ntile(4).over(r_w).alias("r_score"),
-        F.ntile(4).over(f_w).alias("f_score"),
-        F.ntile(4).over(m_w).alias("m_score"),
+        _ntile4("r_rank").alias("r_score"),
+        _ntile4("f_rank").alias("f_score"),
+        _ntile4("m_rank").alias("m_score"),
     )
     return scored.withColumn(
         "segment",
