@@ -1239,3 +1239,45 @@ def test_round14_queries_scale_invariants_at_sf1(spark, sf1_dir):
 
     release_snapshots(spark)
     spark.catalog.clearCache()
+
+
+@pytest.mark.slow
+def test_rfm_sharded_rank_laws_at_sf1(spark, sf1_dir):
+    """`customer_rfm_segments` (round-15 sharded-rank rework) under 10×
+    orders growth with REUSED custkeys: every customer gets ×10 orders, so
+    the three quartile ORDERINGS are preserved exactly — recency unchanged
+    (same per-customer max orderdate), n_orders and monetary exactly ×10
+    (order- and tie-preserving scalings), customer count n unchanged.
+    Exact laws, not tolerances: the customer set, every r/f/m score, and
+    every segment label are IDENTICAL to the base run; n_orders is ×10 and
+    monetary ×10 to the last double bit (decimal-exact sum, one terminal
+    cast).  Quartile balance (|max−min| ≤ 1 per score) must also hold at
+    both scales — the ANSI-NTILE arithmetic decomposition's defining
+    property, now produced by 32 independent shard windows instead of a
+    one-task sort."""
+    from airflow_cms_inpatient_etl_spark.sources.registry import release_snapshots
+
+    base = {r["custkey"]: r for r in QUERY_REGISTRY["customer_rfm_segments"].fn(spark, SF_SRC).collect()}
+    big = {r["custkey"]: r for r in QUERY_REGISTRY["customer_rfm_segments"].fn(spark, sf1_dir).collect()}
+    assert big.keys() == base.keys()
+    for k, b in base.items():
+        s = big[k]
+        assert s["recency_days"] == b["recency_days"]
+        assert s["n_orders"] == 10 * b["n_orders"]
+        assert s["monetary"] == 10 * b["monetary"]
+        assert (s["r_score"], s["f_score"], s["m_score"]) == (
+            b["r_score"],
+            b["f_score"],
+            b["m_score"],
+        )
+        assert s["segment"] == b["segment"]
+    for rows in (base, big):
+        for col in ("r_score", "f_score", "m_score"):
+            sizes = {}
+            for r in rows.values():
+                sizes[r[col]] = sizes.get(r[col], 0) + 1
+            assert set(sizes) == {1, 2, 3, 4}
+            assert max(sizes.values()) - min(sizes.values()) <= 1
+
+    release_snapshots(spark)
+    spark.catalog.clearCache()
