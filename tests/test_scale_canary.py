@@ -1264,7 +1264,10 @@ def test_rfm_sharded_rank_laws_at_sf1(spark, sf1_dir):
         s = big[k]
         assert s["recency_days"] == b["recency_days"]
         assert s["n_orders"] == 10 * b["n_orders"]
-        assert s["monetary"] == 10 * b["monetary"]
+        # the underlying decimal(27,6) sum is exact; compare in integer
+        # micros (both far inside 2^53) — comparing the DOUBLES directly
+        # trips the last-ulp difference between double(10x) and 10*double(x)
+        assert round(s["monetary"] * 1e6) == 10 * round(b["monetary"] * 1e6)
         assert (s["r_score"], s["f_score"], s["m_score"]) == (
             b["r_score"],
             b["f_score"],
