@@ -293,19 +293,37 @@ def pagerank_integer(
             "node", F.when(F.col("__s").isNotNull(), init).otherwise(0).alias("rank")
         )
     teleport = teleport.persist()
+    # Teleport leg folded into the per-iteration aggregate (optimization
+    # round 15, guide §2.4): instead of LEFT-JOINing the node-sized teleport
+    # table onto the contribution aggregate every iteration (a SortMergeJoin
+    # whose teleport side was re-exchanged per round), union one zero-
+    # contribution row per node INTO the groupBy.  sum(c) over the union
+    # equals the old coalesce(inbound, 0) (the zero leg adds 0), and sum(t)
+    # equals tele (exactly one zero-leg row per node carries it) — integer-
+    # exact, bit-identical, and each iteration is now ONE exchange (the
+    # groupBy on dst) instead of exchange + sort + SMJ.  Contract note: the
+    # union emits exactly the node set (edges' dst values are required to be
+    # covered by ``nodes``, as documented above).
+    zero_leg = teleport.select(
+        F.col("node").alias("dst"),
+        F.lit(0).cast("long").alias("c"),
+        F.col("tele").cast("long").alias("t"),
+    )
     pinned = None
     for i in range(n_iter):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr("rank * w div wsum").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inbound"))
+        contrib = edges.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            "dst",
+            F.expr("rank * w div wsum").alias("c"),
+            F.lit(0).cast("long").alias("t"),
         )
-        ranks = teleport.join(contrib.withColumnRenamed("dst", "node"), "node", "left").select(
-            "node",
-            (F.col("tele") + F.expr(f"{damping_pct} * coalesce(inbound, 0L) div 100")).alias(
-                "rank"
-            ),
+        ranks = (
+            contrib.union(zero_leg)
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inbound"), F.sum("t").alias("tele"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("tele") + F.expr(f"{damping_pct} * inbound div 100")).alias("rank"),
+            )
         )
         # materialize every other round (persist + count), then drop the
         # previous pin: bounds live storage at one rank snapshot while
