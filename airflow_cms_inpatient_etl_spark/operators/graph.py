@@ -54,6 +54,39 @@ def _small_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    return _small_star_directed(directed)
+
+
+def _cc_round(edges: DataFrame) -> DataFrame:
+    """One composed large-star + small-star round (optimization round 15,
+    guide §2.4) — identical output to ``_small_star(_large_star(edges))``
+    with two redundant exchanges removed:
+
+    * small-star's orientation normalize + distinct is skipped: every
+      large-star row already satisfies ``src > dst`` (it emits
+      (dst_old, mn) with mn <= src_old < dst_old);
+    * large-star's own trailing ``distinct`` is skipped: the duplicates it
+      would remove are dup-insensitive downstream — small-star's
+      ``groupBy(src).min(dst)`` ignores multiplicity, and its join output
+      passes through the final ``distinct`` — and partial (map-side)
+      aggregation collapses the duplicates before every exchange, so no
+      shuffle carries them either.
+
+    Three exchanges per round (two min-aggregates + the final distinct)
+    instead of five."""
+    nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("mn"))
+    large = (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+    return _small_star_directed(large)
+
+
+def _small_star_directed(directed: DataFrame) -> DataFrame:
+    """Shared small-star tail over an already (src > dst)-oriented, distinct
+    edge list."""
     mins = directed.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("mn"))
     joined = directed.join(mins, "src")
     out = joined.select(F.col("dst").alias("src"), F.col("mn").alias("dst")).union(
@@ -165,36 +198,45 @@ def connected_components_with_rounds(
     # _lineage_snapshot, so the ones that outlive this function (the node
     # set and the final edge round backing the returned labels) are freed
     # by the caller's release_snapshots
+    #
+    # The input pair list is snapshotted ONCE before the node-set and
+    # edge-set derivations (optimization round 15, guide §1/§2): both are
+    # eager materializations, and deriving them straight from ``pairs``
+    # re-ran the caller's (often expensive — LSH/posting-list) pair
+    # generation twice.  The base snapshot is freed as soon as both
+    # consumers are materialized.
+    base, base_ids = _snapshot_tracked(e, checkpoint_dir)
     nodes, _ = _snapshot_tracked(
-        e.select("src")
-        .union(e.select(F.col("dst").alias("src")))
+        base.select("src")
+        .union(base.select(F.col("dst").alias("src")))
         .distinct()
         .withColumnRenamed("src", "node"),
         checkpoint_dir,
     )
     edges, prev_ids = _snapshot_tracked(
-        e.filter(F.col("src") != F.col("dst")).distinct(), checkpoint_dir
+        base.filter(F.col("src") != F.col("dst")).distinct(), checkpoint_dir
     )
+    _free_snapshot(base, base_ids)
     if max_iters is None:
         n_nodes = max(nodes.count(), 2)
         max_iters = 2 * math.ceil(math.log2(n_nodes)) + 8
     rounds = 0
-    converged = edges.isEmpty()
+    # one count job up front doubles as the emptiness check; each round then
+    # reuses the PREVIOUS round's count instead of re-counting its snapshot
+    # (optimization round 15 — one fewer job per round, same comparisons)
+    n_edges = edges.count()
+    converged = n_edges == 0
     # prev_ids = the previous round's blocks (initially the input snapshot),
     # freed only after the round that consumed them is materialized + compared
     while not converged and rounds < max_iters:
-        new_edges, new_ids = _snapshot_tracked(
-            _small_star(_large_star(edges)), checkpoint_dir
-        )
+        new_edges, new_ids = _snapshot_tracked(_cc_round(edges), checkpoint_dir)
         rounds += 1
         # both steps strictly decrease the paper's potential on any change, so
         # an unchanged edge set after a full round means a fixed point (stars)
-        converged = (
-            new_edges.count() == edges.count()
-            and new_edges.exceptAll(edges).isEmpty()
-        )
+        n_new = new_edges.count()
+        converged = n_new == n_edges and new_edges.exceptAll(edges).isEmpty()
         _free_snapshot(new_edges, prev_ids)  # round r-1 dead once r exists + compared
-        edges, prev_ids = new_edges, new_ids
+        edges, prev_ids, n_edges = new_edges, new_ids, n_new
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "

@@ -328,3 +328,43 @@ def test_sky3_output_is_an_antichain(spark):
                 x < y for x, y in zip(a, b)
             )
             assert not dominated, f"{a} dominates {b} inside the skyline output"
+
+
+# --------------------------------------------------------------------------- #
+# optimization round: _cc_round equivalence to the canonical star steps        #
+# --------------------------------------------------------------------------- #
+def test_cc_round_equals_canonical_star_composition(spark):
+    """The optimized composed round (three exchanges) must be row-set-equal
+    to the canonical ``_small_star(_large_star(edges))`` (five exchanges) on
+    a graph that exercises chains, stars, parallel paths and singleton-free
+    components — the two identities it relies on (orientation already
+    normalized; duplicate rows collapsed by min-aggregates / the final
+    distinct) hold for every input, not just fixtures."""
+    from airflow_cms_inpatient_etl_spark.operators.graph import (
+        _cc_round,
+        _large_star,
+        _small_star,
+        connected_components,
+    )
+
+    rows = (
+        [(i, i + 1) for i in range(0, 40)]          # long chain
+        + [(100, 100 + j) for j in range(1, 15)]     # star
+        + [(200, 202), (202, 204), (200, 204)]       # triangle w/ parallel mins
+        + [(301, 300), (303, 300)]                   # reversed orientation
+    )
+    edges = spark.createDataFrame(rows, "src long, dst long").distinct()
+    canonical = _small_star(_large_star(edges))
+    fused = _cc_round(edges)
+    assert canonical.exceptAll(fused).isEmpty()
+    assert fused.exceptAll(canonical).isEmpty()
+    # and the full operator still labels the chain/star/triangle correctly
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            edges.selectExpr("src AS id1", "dst AS id2")
+        ).collect()
+    }
+    assert all(labels[i] == 0 for i in range(0, 41))
+    assert all(labels[100 + j] == 100 for j in range(0, 15))
+    assert labels[204] == 200 and labels[303] == 300

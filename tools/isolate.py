@@ -74,7 +74,12 @@ def main() -> None:
         for _ in range(args.runs):
             probes.append(round(noop(probe_df), 4))
             spark.sparkContext.setJobDescription(f"isolate: {name}")
-            samples.append(round(noop(fn(spark, args.sf_dir)), 4))
+            # timer starts BEFORE fn() — iterative queries do eager work
+            # (snapshots, convergence counts) at build time, exactly as
+            # bench.py charges them
+            t0 = time.perf_counter()
+            fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 4))
             spark.sparkContext.setJobDescription(None)
             release_snapshots(spark)
             spark.catalog.clearCache()
