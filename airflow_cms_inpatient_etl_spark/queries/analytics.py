@@ -3456,11 +3456,20 @@ def sketch_qdigest_quantiles(spark, sf_dir):
     n = 10^12.  Merging shards is union + re-sum and is EXACT (see
     tests/test_round12.py associativity property)."""
     from airflow_cms_inpatient_etl_spark.operators.sketch import dyadic_tree
+    from airflow_cms_inpatient_etl_spark.sources.registry import spread_scan
 
     li = load_table(spark, sf_dir, "lineitem")
-    vals = li.select(
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
-    )
+    # the single-file fixture scan is one task; both the distinct-cents
+    # partial aggregation and the x5 verification expansion do their map
+    # work pre-exchange, so spread the scan first (guarded no-op on a
+    # parallel production scan) — measured 4.0 -> 3.6 s interleaved A/B
+    vals = spread_scan(
+        li.select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        ),
+        "l_orderkey",
+    ).select("cents")
     # radix passed explicitly everywhere so _QD_BOUND_NUM / _QD_LEVELS (derived
     # from _QD_RADIX) can never silently diverge from the tree geometry if the
     # operators' default radix changes.

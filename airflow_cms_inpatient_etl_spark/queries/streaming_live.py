@@ -43,6 +43,14 @@ def streaming_tumbling_live(spark, sf_dir):
     exactly the SQL oracle: a live incremental execution whose final answer
     is still hash-checkable against DuckDB."""
     stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    # state-store task dispatch scales with shuffle partitions per stateful
+    # stage per micro-batch; scope the one-shot fixture drain to 8 state
+    # partitions like the other lives (optimization round 15 — a long-lived
+    # production stream sizes this to its cluster once, the checkpoint pins
+    # it after; window counts are associative, so the drained table is
+    # partition-count-invariant)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/part-0.parquet")
         name = f"stream_live_{uuid.uuid4().hex[:8]}"
@@ -51,6 +59,7 @@ def streaming_tumbling_live(spark, sf_dir):
         )
         return spark.table(name)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         # the stream is stopped (run_stream_to_memory drains then stops), so
         # the file-source staging dir is dead weight — remove it
         shutil.rmtree(stage_dir, ignore_errors=True)
@@ -151,7 +160,15 @@ def streaming_late_data_live(spark, sf_dir):
         )
         events = raw.withColumn("ts", F.timestamp_micros("ts"))
         name = f"stream_late_{uuid.uuid4().hex[:8]}"
-        run_stream_to_memory(tumbling_counts(events), name, output_mode="append")
+        # 8 state partitions for the drain (see streaming_tumbling_live);
+        # watermark/late-drop semantics depend on batch boundaries
+        # (maxFilesPerTrigger=1), never on the state partition count
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_stream_to_memory(tumbling_counts(events), name, output_mode="append")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         return spark.table(name)
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
@@ -469,11 +486,17 @@ def streaming_dedup_gate_live(spark, sf_dir):
         )
         # out_dir exists but is empty; foreachBatch appends into it
         shutil.rmtree(out_dir, ignore_errors=True)
+        # 8 shuffle partitions for the per-micro-batch gate joins (see
+        # streaming_tumbling_live) — the gate rows are join results, invariant
+        # to partitioning; the conf is restored before the sink is read back
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         q = stream_dedup_gate(stream, index, out_dir, ckpt_dir)
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         rows = [
             (r["doc_id"], r["n_shingles"], r["n_shared"], r["shared_frac"],
              r["near_dup_of_corpus"])
@@ -550,7 +573,14 @@ def streaming_heavy_hitters_live(spark, sf_dir):
             .parquet(stage_dir)
         )
         name = f"stream_cms_{uuid.uuid4().hex[:8]}"
-        run_stream_to_memory(stream_cms_cells(raw), name, output_mode="complete")
+        # 8 state partitions for the drain (see streaming_tumbling_live);
+        # CMS cell updates are associative integer adds — grid invariant
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_stream_to_memory(stream_cms_cells(raw), name, output_mode="complete")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         sketch = spark.table(name)
 
         # accountability tail — identical to heavy_hitters_cms, fed by the
@@ -644,20 +674,36 @@ def streaming_percentiles_live(spark, sf_dir):
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
         )
         name = f"stream_qd_{uuid.uuid4().hex[:8]}"
-        run_stream_to_memory(
-            stream_qdigest_leaves(cents_stream, "cents", _QD_BITS),
-            name,
-            output_mode="complete",
-        )
+        # 8 state partitions for the drain (see streaming_tumbling_live);
+        # leaf-histogram updates are associative integer adds — census
+        # invariant; the conf is restored before the batch tail executes
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_stream_to_memory(
+                stream_qdigest_leaves(cents_stream, "cents", _QD_BITS),
+                name,
+                output_mode="complete",
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         tree = snapshot(
             dyadic_tree(spark.table(name), "v", _QD_BITS, radix=_QD_RADIX, weight_col="cnt")
         )
 
         # verification tail — identical to sketch_qdigest_quantiles, fed by
-        # the STREAMED census instead of a batch build
-        vals = load_table(spark, sf_dir, "lineitem").select(
-            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
-        )
+        # the STREAMED census instead of a batch build; spread the one-task
+        # fixture scan so the x5 verification expansion parallelizes (guarded
+        # no-op on a parallel production scan)
+        from airflow_cms_inpatient_etl_spark.sources.registry import spread_scan
+
+        vals = spread_scan(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey",
+                F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            ),
+            "l_orderkey",
+        ).select("cents")
         return _qdigest_flags_from_tree(spark, tree, vals)
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
