@@ -85,8 +85,9 @@ def _cc_round(edges: DataFrame) -> DataFrame:
 
 
 def _small_star_directed(directed: DataFrame) -> DataFrame:
-    """Shared small-star tail over an already (src > dst)-oriented, distinct
-    edge list."""
+    """Shared small-star tail over an already (src > dst)-oriented edge list;
+    duplicates are allowed (``_cc_round`` feeds a non-distinct list — the
+    min-aggregates and the trailing ``distinct`` collapse them)."""
     mins = directed.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("mn"))
     joined = directed.join(mins, "src")
     out = joined.select(F.col("dst").alias("src"), F.col("mn").alias("dst")).union(
