@@ -880,13 +880,39 @@ def main() -> None:
         "full_results": "BENCH_FULL_LATEST.json" if full_path else None,
     }
     budget = 1900  # leave headroom inside the 2048-byte tail window
+    # Round-15 PERF lost coverage of exactly the queries that improved: a
+    # query that got faster fell out of the heaviest-that-fit stdout window
+    # and the driver recorded it as "dropped_from_bench" (round-15 verdict
+    # item #8).  Emission priority is therefore the PREVIOUS committed stdout
+    # set first (so round-over-round PERF keeps comparing the same queries),
+    # then everything else heaviest-first, greedily while the line fits.
+    # Additions-only: nothing is removed from `queries` that still fits, and
+    # the full file stays lossless either way.
+    stdout_set_path = os.path.join(repo_dir, "BENCH_STDOUT_SET.json")
+    prev_stdout: list[str] = []
+    try:
+        with open(stdout_set_path) as f:
+            prev_stdout = [q for q in json.load(f) if q in timings]
+    except (OSError, ValueError):
+        prev_stdout = []
+    prev_order = set(prev_stdout)
+    prio = sorted(prev_stdout, key=lambda q: -timings[q]) + [
+        q for q, _ in ranked if q not in prev_order
+    ]
     kept: dict[str, float] = {}
-    for name, sec in ranked:
-        kept[name] = sec
+    for name in prio:
+        kept[name] = timings[name]
         line = json.dumps({**base, "stdout_queries_truncated": len(timings) - len(kept), "queries": kept})
         if len(line) > budget:
             del kept[name]
             break
+    if not limit:  # full runs persist the emitted set for the next round
+        try:
+            with open(stdout_set_path, "w") as f:
+                json.dump(sorted(kept), f, indent=0)
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout
     out = json.dumps({**base, "stdout_queries_truncated": len(timings) - len(kept), "queries": kept})
     sys.stdout.flush()
     print(out, flush=True)
