@@ -1516,48 +1516,53 @@ def recsys_item_item_cosine(spark, sf_dir):
     division over exact operands, and the rank window is per-item with a
     neighbor tie-break."""
     li = load_table(spark, sf_dir, "lineitem")
-    # snapshot discipline identical to basket_association_rules above
-    raw_items = snapshot(
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    )
-    sized = (
-        raw_items.groupBy("o")
-        .agg(F.count(F.lit(1)).alias("bsize"))
+    # basket-size cap via a windowed count over the SAME o-keyed exchange the
+    # pair self-join needs (optimization round 16, guide §2.4): the former
+    # groupBy(o) + join-back re-derived and re-shuffled the item table; the
+    # window filter is one exchange, and the snapshot preserves its o-hash
+    # partitioning so the self-join below runs exchange-free on both sides
+    items = snapshot(
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .withColumn("bsize", F.count(F.lit(1)).over(W.partitionBy("o")))
         .filter(F.col("bsize") <= _MAX_BASKET)
-        .select("o")
+        .select("o", "p")
     )
-    items = snapshot(raw_items.join(sized, "o"))
-    isup = items.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    # one materialized pass computes item supports (was planned twice — once
+    # per side of the support join — which scanned items twice)
+    isup = snapshot(items.groupBy("p").agg(F.count(F.lit(1)).alias("n")))
     a = items.select("o", F.col("p").alias("p1"))
     b = items.select("o", F.col("p").alias("p2"))
     # co-occurrence is symmetric (n_ij == n_ji), so aggregate UNDIRECTED
-    # pairs (p1 < p2) and mirror AFTER the aggregation: the pair exchange
-    # and the map-side combine hash table carry half the rows, and the
-    # mirror doubles only the (support-filtered) aggregate — at basket-cap
-    # scale that is orders of magnitude smaller than the raw expansion
-    und = snapshot(  # feeds both union branches — materialize the agg once
+    # pairs (p1 < p2), attach both supports and the cosine on the undirected
+    # half, and mirror AFTER: the pair exchange, the support joins and the
+    # sqrt all run on half the rows, and sqrt(n_a*n_b) is commutative so the
+    # mirrored cosine is bit-identical
+    sa = isup.select(F.col("p").alias("p1"), F.col("n").alias("n_a"))
+    sb = isup.select(F.col("p").alias("p2"), F.col("n").alias("n_b"))
+    und = snapshot(  # feeds both union branches — materialize once
         a.join(b, "o")
         .filter(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _MIN_PAIR_SUP)
-    )
-    pairs = und.unionByName(
-        und.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"), "n_ab")
-    )
-    sa = isup.select(F.col("p").alias("p1"), F.col("n").alias("n_a"))
-    sb = isup.select(F.col("p").alias("p2"), F.col("n").alias("n_b"))
-    scored = (
-        pairs.join(sa, "p1")
+        .join(sa, "p1")
         .join(sb, "p2")
         .select(
-            F.col("p1").alias("item"),
-            F.col("p2").alias("neighbor"),
+            "p1",
+            "p2",
             "n_ab",
             (
                 F.col("n_ab").cast("double")
                 / F.sqrt(F.col("n_a").cast("double") * F.col("n_b"))
             ).alias("cosine"),
+        )
+    )
+    scored = und.select(
+        F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "n_ab", "cosine"
+    ).unionByName(
+        und.select(
+            F.col("p2").alias("item"), F.col("p1").alias("neighbor"), "n_ab", "cosine"
         )
     )
     w = W.partitionBy("item").orderBy(F.col("cosine").desc(), "neighbor")
@@ -3037,7 +3042,12 @@ def stats_bootstrap_ci_price(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     # the x32 replica explode feeds 8 md5+conv per source row into the map
     # stage — spread the degenerate single-file fixture scan first (guarded
-    # no-op on a parallel production scan)
+    # no-op on a parallel production scan).  The point-estimate aggregate and
+    # the replica expansion each read this projection; snapshotting it once
+    # was measured (optimization round 16, same-session alternating A/B at
+    # sf0.1: 2.38 s recompute vs 2.50 s snapshot) a WASH locally, and at
+    # 100 TB materializing a fact-sized projection to save one columnar
+    # re-scan is the wrong trade — deliberately left recomputed
     base = spread_scan(
         li.select(
             "l_returnflag",

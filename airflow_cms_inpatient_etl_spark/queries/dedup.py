@@ -906,13 +906,22 @@ def dedup_prefix_jaccard(spark, sf_dir):
     Σ prefix-df², and the rarest-first order makes that sum small by
     construction; one extra shuffle (global df join) buys it."""
     d = load_table(spark, sf_dir, "documents")
-    # tracked snapshot: the per-token md5 shingle pipeline feeds FOUR
-    # consumers (df census, size census, prefix ranking, exact verification)
-    # — without it the gram hashing re-runs per consumer (measured ~2× on
-    # this query at sf0.1); registry.release_snapshots frees the blocks
+    # tracked snapshot: the per-token md5 shingle pipeline feeds THREE
+    # consumers (df census, per-doc set census, prefix ranking) — without it
+    # the gram hashing re-runs per consumer (measured ~2× on this query at
+    # sf0.1); registry.release_snapshots frees the blocks
     ex = snapshot(exploded_shingle_hashes(d, "doc_id", "text"))
     df_ = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    # one doc-keyed exchange builds the per-doc SET ARRAYS; sizes derive from
+    # them for free, and verification intersects arrays per candidate pair
+    # instead of re-exploding shingle rows (optimization round 16, guide
+    # §2.3: the old shape shuffled every candidate's full shingle list —
+    # Σ|cand| × |set| rows ≈ 10.5M at sf0.1 — through a (doc, h) exchange;
+    # the arrays move each doc's set once and the intersection is map-side)
+    docsets = snapshot(
+        ex.groupBy("doc_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    sizes = docsets.select("doc_id", F.size("hs").cast("long").alias("set_size"))
     ranked = (
         ex.join(df_, "h")
         .join(sizes, "doc_id")
@@ -928,17 +937,18 @@ def dedup_prefix_jaccard(spark, sf_dir):
     cand = (
         a.join(b, "h").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
     )
-    pair_hashes = ex.select(F.col("doc_id").alias("id1"), "h").join(cand, "id1")
-    inter = (
-        pair_hashes.join(ex.select(F.col("doc_id").alias("id2"), "h"), ["id2", "h"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("set_size").alias("size1"))
-    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("set_size").alias("size2"))
+    s1 = docsets.select(F.col("doc_id").alias("id1"), F.col("hs").alias("h1"))
+    s2 = docsets.select(F.col("doc_id").alias("id2"), F.col("hs").alias("h2"))
     return (
-        inter.join(s1, "id1")
+        cand.join(s1, "id1")
         .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("h1", "h2")).cast("long").alias("n_common"),
+            F.size("h1").cast("long").alias("size1"),
+            F.size("h2").cast("long").alias("size2"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("size1") + F.col("size2") - F.col("n_common")),
