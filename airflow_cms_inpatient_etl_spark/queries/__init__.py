@@ -52,82 +52,50 @@ from airflow_cms_inpatient_etl_spark.queries import (  # noqa: E402,F401
 # --------------------------------------------------------------------------- #
 _PRIORITY = [
     # ======================================================================= #
-    # ROUND-15 WINDOW (first 50).  Policy: never-checked > code-changed-      #
-    # since-last-check > stalest-green.  Round 14 closed 50/50 green; the     #
-    # union's staleness histogram entering round 15 is 16 r8 / 45 r9 / 42     #
-    # r10 / 46 r11 / 48 r12 / 49 r13 / 50 r14.  This rotation seats (a) the   #
-    # 6 round-15 additions (never-checked first), (b) the 3 rows whose code   #
-    # changed this round — orders_pareto_skyline (equal-price dominance fix   #
-    # + the sharded prefix-min plan, the round-14 weak finding),              #
-    # geo_grid_proximity_join (docstring-only scale-contract note; seated     #
-    # anyway per the code-changed rule), and customer_rfm_segments (NTILE x3  #
-    # reworked to the sharded-rank decomposition under the new global-window  #
-    # plan lint), (c) ALL 16 remaining r8 rows (the cohort retires —          #
-    # round-14 directive #1), and (d) the first 25 rows of the 45-row r9      #
-    # cohort; the last 20 r9 rows (q20_dominant_supplier through              #
-    # graph_pagerank) are displaced to the round-16 queue head.               #
-    # After round 15: the r8 cohort retires and the oldest remaining cohort   #
-    # is r9 (19 rows, queue head).                                            #
+    # ROUND-16 WINDOW (first 50).  Policy: never-checked > code-changed-      #
+    # since-last-check > stalest-green.  Round 15 closed 50/50 green, but the #
+    # r15 window was seated BEFORE that round's optimization commits, so the  #
+    # driver has no oracle row on the new pagerank/CC/streaming/q-digest      #
+    # code (round-15 verdict item #1).  This rotation seats (a) the 16 query  #
+    # paths whose code the round-15 optimizer changed (6 pagerank consumers,  #
+    # 4 connected-components consumers, 5 rescoped streaming lives, the       #
+    # q-digest batch query — streaming_percentiles_live covers the q-digest   #
+    # streaming path), (b) the 5 paths changed by THIS round's optimizer      #
+    # (single-pass staging: streaming_dedup_within_watermark_live — the       #
+    # other four staging consumers are already in (a); the recsys /           #
+    # prefix-jaccard / basket reworks; stats_bootstrap_ci_price, profiled     #
+    # and adjudicated this round), (c) the 20 r9 rows displaced from the      #
+    # round-15 window (queue head, stalest cohort — graph_pagerank is        #
+    # already in (a)), and (d) the first 10 rows of the 42-row r10 cohort in  #
+    # registration order.  The remaining 28 r10 rows are the round-17 queue   #
+    # head.  Staleness histogram entering round 16: 20 r9 / 42 r10 / ...      #
+    # (recsys, basket, dedup_cluster_canonical, streaming_dedup_gate_live     #
+    # are r10 rows seated here via the code-changed rule).                    #
     # ======================================================================= #
-    # -- a. new this round (round-14 verdict directives #4/#5/#3 + stretch    #
-    # items #8/#9: 3-D skyline, ER family, hotspot remedies, live as-of) ---- #
-    "orders_pareto_skyline_3d",
-    "er_blocking_pairs",
+    # -- a. code changed by the round-15 optimizer --------------------------- #
+    "graph_pagerank",
+    "graph_personalized_pagerank",
+    "text_textrank_keywords",
+    "crawl_linkgraph_pagerank",
+    "crawl_hits_scores",
+    "crawl_frontier_schedule",
+    "dedup_connected_components",
+    "split_cluster_aware",
+    "dedup_cluster_canonical",
     "er_resolve_customers",
-    "geo_hotspot_salted_join",
-    "geo_quadtree_refined_join",
-    "streaming_asof_live",
-    # -- b. code changed in round 15 ----------------------------------------- #
-    "orders_pareto_skyline",
-    "geo_grid_proximity_join",
-    "customer_rfm_segments",
-    # -- c. all 16 remaining r8 rows (cohort retires) ------------------------ #
-    "supplier_concentration_hhi",
-    "text_corpus_rollup",
-    "text_langid_heuristic",
-    "text_repetition_metrics",
-    "text_rolling_hash",
-    "text_token_counts",
-    "text_wordcount_udtf",
-    "topk_orders_by_price",
-    "window_cume_dist_nth",
-    "window_first_last_value",
-    "window_lag_lead_events",
-    "window_ntile_percent_rank",
-    "window_range_frame_1h",
-    "window_rank_topk_per_group",
-    "window_running_sum",
-    "window_sliding_frame_avg",
-    # -- d. first 25 rows of the 45-row r9 cohort ---------------------------- #
-    "flagship_patient_claims_plus",
-    "q1_pricing_summary",
-    "set_union_nations",
-    "set_intersect_custkeys",
-    "set_except_custkeys",
-    "cube_flag_status",
-    "rollup_region_nation",
-    "grouping_sets_events",
-    "pivot_status_by_flag",
-    "unpivot_part_attrs",
-    "null_handling",
-    "map_functions",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_brands",
-    "q12_late_line_priority",
-    "q16_supplier_part_count",
-    # ----------------------- window boundary (50) -------------------------- #
-    # (6 new + 3 code-changed + 16 r8 + 25 r9 = 50.)                          #
-    # ROUND-16 QUEUE: the 20 displaced r9 rows below, then everything else    #
-    # in registration order.                                                  #
+    "streaming_tumbling_live",
+    "streaming_late_data_live",
+    "streaming_dedup_gate_live",
+    "streaming_heavy_hitters_live",
+    "streaming_percentiles_live",
+    "sketch_qdigest_quantiles",
+    # -- b. code changed by the round-16 optimizer --------------------------- #
+    "streaming_dedup_within_watermark_live",
+    "recsys_item_item_cosine",
+    "dedup_prefix_jaccard",
+    "basket_association_rules",
+    "stats_bootstrap_ci_price",
+    # -- c. the 20 displaced r9 rows (graph_pagerank already seated in a) ---- #
     "q20_dominant_supplier",
     "q21_waiting_supplier",
     "q22_idle_customers",
@@ -147,7 +115,49 @@ _PRIORITY = [
     "multimodal_phash_neardup",
     "corpus_curation_v2",
     "corpus_curation_v7",
-    "graph_pagerank",
+    # -- d. first 10 rows of the r10 cohort (registration order) ------------- #
+    "dq_rowcount_flag",
+    "dq_k_anonymity",
+    "error_safe_functions",
+    "events_sliding_window",
+    "events_dedup_within_window",
+    "events_funnel_conversion",
+    "events_gap_fill_hourly",
+    "events_interval_attribution",
+    "search_hybrid_rrf",
+    "text_mixed_language_flag",
+    # ----------------------- window boundary (50) -------------------------- #
+    # (16 r15-changed + 5 r16-changed + 19 r9 + 10 r10 = 50.)                 #
+    # ROUND-17 QUEUE: the 28 remaining r10 rows below, then everything else   #
+    # in registration order.                                                  #
+    "dedup_exact_distinct",
+    "dedup_exact_text",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "dedup_incremental_index",
+    "dedup_simhash_hamming",
+    "dedup_cross_doc_lines",
+    "corpus_ngram_novelty",
+    "decontaminate_embedding_cosine",
+    "multimodal_cdc_chunk_dedup",
+    "multimodal_caption_align",
+    "decontaminate_ngram_overlap",
+    "docs_source_cap",
+    "stratified_sample_exact_k",
+    "bpe_apply_encode",
+    "tokenizer_vocab_coverage",
+    "corpus_datacard",
+    "corpus_curation_v6",
+    "doc_chunk_overlap",
+    "semdedup_prune",
+    "epoch_shuffle_order",
+    "dedup_containment",
+    "bloom_semijoin_lineitem",
+    "corpus_curation_v3",
+    "corpus_curation_v4",
+    "corpus_curation_v5",
+    "quality_dsir_importance",
+    "quality_quantile_normalize",
     # (remaining rows follow in registration order via _reorder_registry)
 ]
 

@@ -817,22 +817,24 @@ def basket_association_rules(spark, sf_dir):
     the item dimension, a broadcast scalar for the order total.  Confidence
     and lift are single double ops over exact bigints."""
     li = load_table(spark, sf_dir, "lineitem")
-    # the distinct item set feeds five consumers (size filter, supports,
-    # both pair sides, order total) — snapshot it once so the fact scan +
-    # dedup shuffle run once.  Tracked snapshot, not .cache(): a CacheManager
-    # pin has no release hook in a lazily-returned plan (and silently serves
-    # repeat invocations); registry.release_snapshots frees the blocks.
-    raw_items = snapshot(
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    )
-    sized = (
-        raw_items.groupBy("o")
-        .agg(F.count(F.lit(1)).alias("bsize"))
+    # the capped distinct item set feeds four consumers (supports, both pair
+    # sides, order total) — snapshot it once so the fact scan + dedup shuffle
+    # run once.  Tracked snapshot, not .cache(): a CacheManager pin has no
+    # release hook in a lazily-returned plan (and silently serves repeat
+    # invocations); registry.release_snapshots frees the blocks.  The basket
+    # cap is a windowed count over one o-keyed exchange (optimization round
+    # 16, guide §2.4 — the former groupBy(o) + join-back re-derived and
+    # re-shuffled the item table; same rework as recsys_item_item_cosine).
+    items = snapshot(
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .withColumn("bsize", F.count(F.lit(1)).over(W.partitionBy("o")))
         .filter(F.col("bsize") <= _MAX_BASKET)
-        .select("o")
+        .select("o", "p")
     )
-    items = snapshot(raw_items.join(sized, "o"))
-    isup = (
+    # one materialized pass computes item supports (was planned three times:
+    # the apriori semi-join and both per-side support joins)
+    isup = snapshot(
         items.groupBy("p")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= _MIN_ITEM_SUP)
