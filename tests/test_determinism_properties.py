@@ -21,6 +21,7 @@ money = st.decimals(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(money, min_size=1, max_size=60), st.integers(min_value=1, max_value=7))
 def test_dsum_is_partition_invariant_and_exact(spark, values, n_parts):

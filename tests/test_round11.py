@@ -51,6 +51,7 @@ def test_bpe_resnapshot_semantically_invisible(spark):
         release_snapshots(spark)
 
 
+@pytest.mark.slow
 def test_bpe_128_merge_flat_slope_canary(spark):
     """Per-merge wall time stays flat across a 128-merge budget with the
     default re-snapshot cadence — the directive's canary that the census at
